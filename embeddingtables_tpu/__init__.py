@@ -1,0 +1,50 @@
+"""embeddingtables_tpu — TPU-native embedding-table engine.
+
+A from-scratch JAX / XLA / Pallas re-design of the capabilities of
+darchr/EmbeddingTables.jl (reference mounted at /root/reference; blueprint in
+/root/repo/SURVEY.md): fast non-reducing and sum-reducing (multi-hot)
+embedding lookups, lazy sparse gradients (`(delta, indices)` cotangents that
+never materialize a table-sized dense gradient), deduplicating fused-SGD
+sparse updates, ensemble (multi-table) lookup with concat fusion for
+DLRM-style models, and mesh-sharded tables with all-to-all index/result
+exchange.
+
+Layout convention: tables are row-major `(vocab, dim)` with the feature dim
+last (TPU lane dimension); the reference is column-major `(dim, vocab)`.
+`lookup(A, I)[i, :] == A[I[i], :]`.
+"""
+from . import config
+from .types import (Dynamic, Forward, IndexingContext, NoContext, Static,
+                    TableSpec, Update, cdiv, featuresize)
+from .tables import (SimpleEmbedding, SplitEmbedding, as_table, destination,
+                     example, is_table)
+from .ops import (AbstractExecutionStrategy, DefaultStrategy, DenseIndexer,
+                  Indexer, IndexerResult, IndexerView, PreallocationStrategy,
+                  SimpleParallelStrategy, Slicer, SparseEmbeddingUpdate,
+                  SparseIndexer, StackedTables, ensemble_sgd_update,
+                  flatten_indices, index, indexer_view, lookup, lookup_oracle,
+                  lookup_vjp, maplookup, maplookup_vjp, normalize_indices,
+                  sgd_update, uncompress)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    # types
+    "Static", "Dynamic", "TableSpec", "IndexingContext", "NoContext",
+    "Forward", "Update", "featuresize", "cdiv",
+    # tables
+    "SimpleEmbedding", "SplitEmbedding", "as_table", "example", "destination",
+    "is_table",
+    # lookup
+    "lookup", "lookup_oracle", "lookup_vjp",
+    # ensemble
+    "maplookup", "maplookup_vjp", "AbstractExecutionStrategy",
+    "DefaultStrategy", "SimpleParallelStrategy", "PreallocationStrategy",
+    "StackedTables", "Slicer", "normalize_indices",
+    # indexer
+    "Indexer", "SparseIndexer", "DenseIndexer", "IndexerResult", "IndexerView",
+    "index", "indexer_view", "flatten_indices",
+    # sparse update
+    "SparseEmbeddingUpdate", "uncompress", "sgd_update", "ensemble_sgd_update",
+    "config",
+]

@@ -1,0 +1,9 @@
+from .lookup import lookup, lookup_oracle, lookup_vjp
+from .ensemble import (AbstractExecutionStrategy, DefaultStrategy,
+                       PreallocationStrategy, SimpleParallelStrategy, Slicer,
+                       StackedTables, maplookup, maplookup_vjp,
+                       normalize_indices)
+from .indexer import (DenseIndexer, Indexer, IndexerResult, IndexerView,
+                      SparseIndexer, flatten_indices, index, indexer_view)
+from .sparse_update import (SparseEmbeddingUpdate, ensemble_sgd_update,
+                            sgd_update, uncompress)

@@ -1,0 +1,120 @@
+"""Forward lookup: non-reducing and sum-reducing (multi-hot) embedding gather.
+
+Reference parity (citations into /root/reference):
+  - `lookup` / `lookup!` / `_lookup`            -> `lookup` (`src/lookup.jl:16-44`)
+  - plain-matrix oracle `lookup(::AbstractMatrix, I)` -> `lookup_oracle`
+    (`src/lookup.jl:5-13`)
+  - `lookup_static!` / `lookup_generic!` dual path -> kernel dispatch here:
+    a Pallas DMA-gather fast path (feature dim lane-aligned) and a generic
+    XLA gather path, selected by `dostatic`-analog heuristics
+    (`src/lookup.jl:30-32,51-87,108-165`)
+  - `destination`                                -> `tables.destination`
+
+Semantics (behavioral contract, SURVEY.md §2.4 items 1-2):
+  non-reducing: `I` of shape `(B,)`      -> `O[i, :] = A[I[i], :]`
+  reducing:     `I` of shape `(B, bag)`  -> `O[i, :] = Σ_k A[I[i, k], :]`
+(the reference is column-major `(dim, vocab)`; we are row-major `(vocab, dim)`).
+
+Differentiation: `lookup` is linear in the table, so `jax.grad` through the
+XLA path yields the scatter-add transpose automatically. The *lazy* sparse
+cotangent of the reference (`rrule` returning `SparseEmbeddingUpdate`,
+`src/sparseupdate.jl:35-40`) is exposed as `lookup_vjp`, whose pullback is O(1)
+and never materializes a table-sized gradient.
+"""
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..tables import SimpleEmbedding, as_table, is_table
+from ..types import LANES
+from .sparse_update import SparseEmbeddingUpdate
+
+
+def lookup_oracle(data: jax.Array, indices: jax.Array) -> jax.Array:
+    """Naive dense implementation on a raw `(vocab, dim)` array — the test
+    oracle (reference `lookup(A::AbstractMatrix, ...)`, `src/lookup.jl:5-13`)."""
+    indices = jnp.asarray(indices)
+    if indices.ndim == 1:
+        return data[indices, :]
+    if indices.ndim == 2:
+        return data[indices, :].sum(axis=1)
+    raise ValueError(f"indices must be 1-D or 2-D, got shape {indices.shape}")
+
+
+def _lookup_xla(data: jax.Array, indices: jax.Array) -> jax.Array:
+    """Generic XLA gather path (analog of `lookup_generic!`,
+    `src/lookup.jl:51-67,108-132`). `jnp.take` lowers to a single XLA gather;
+    the bag-sum fuses into it."""
+    if indices.ndim == 1:
+        return jnp.take(data, indices, axis=0)
+    # Reducing: gather (B, bag, dim) then sum the bag axis. XLA fuses this.
+    return jnp.take(data, indices, axis=0).sum(axis=1)
+
+
+def _use_pallas(data: jax.Array, indices: jax.Array) -> bool:
+    """`dostatic`-analog dispatch heuristic (`src/lookup.jl:30-32`): take the
+    Pallas fast path when the feature dim is lane-aligned and we're on TPU (or
+    interpret mode is forced)."""
+    impl = config.lookup_impl()
+    if impl == "xla":
+        return False
+    dim = data.shape[-1]
+    aligned = dim % LANES == 0
+    if impl == "pallas":
+        return aligned
+    # auto
+    return aligned and config.on_tpu()
+
+
+def _lookup_dispatch(data: jax.Array, indices: jax.Array) -> jax.Array:
+    if _use_pallas(data, indices):
+        from .pallas.gather import gather_rows, gather_bags
+        if indices.ndim == 1:
+            return gather_rows(data, indices)
+        return gather_bags(data, indices)
+    return _lookup_xla(data, indices)
+
+
+def lookup(table, indices) -> jax.Array:
+    """Embedding lookup (reference `lookup`, `src/lookup.jl:35-44`).
+
+    `table` may be a `SimpleEmbedding`, `SplitEmbedding`, any object
+    implementing the EmbeddingTable protocol, or a raw `(vocab, dim)` array.
+    `indices`: `(B,)` int -> non-reducing; `(B, bag)` int -> sum-reducing.
+    Returns `(B, dim)`.
+    """
+    indices = jnp.asarray(indices)
+    if indices.ndim not in (1, 2):
+        raise ValueError(f"indices must be 1-D or 2-D, got shape {indices.shape}")
+    if isinstance(table, SimpleEmbedding):
+        return _lookup_dispatch(table.data, indices)
+    if is_table(table):
+        # Protocol path: the table's own row gather (e.g. SplitEmbedding's
+        # divrem shard routing, or a user-defined table as in the reference's
+        # DummyEmbedding extension test, `test/constructors.jl:34-54`).
+        got = table.rows(indices)
+        if indices.ndim == 2:
+            got = got.sum(axis=1)
+        return got
+    return _lookup_dispatch(jnp.asarray(table), indices)
+
+
+def lookup_vjp(table, indices) -> Tuple[jax.Array, Callable[[jax.Array], SparseEmbeddingUpdate]]:
+    """Lookup plus the *lazy* pullback (reference `rrule(lookup, A, I)`,
+    `src/sparseupdate.jl:35-40`).
+
+    The pullback captures `(delta, indices)` with NO scatter performed — the
+    scatter happens later, fused into the optimizer step (`sparse_update.py`).
+    The gradient w.r.t. `indices` is structurally zero (reference `NoTangent`).
+    """
+    indices = jnp.asarray(indices)
+    out = lookup(table, indices)
+
+    def pullback(delta: jax.Array) -> SparseEmbeddingUpdate:
+        return SparseEmbeddingUpdate(delta=delta, indices=indices)
+
+    return out, pullback

@@ -1,0 +1,177 @@
+"""Pallas TPU gather kernels: the forward-lookup fast path.
+
+TPU-native re-design of the reference's static lookup kernels
+(`/root/reference/src/lookup.jl:70-87` whole-row SVector copy;
+`lookup.jl:134-165` TiledSIMD register accumulation + nontemporal store):
+
+  - `gather_rows`: non-reducing `O[i, :] = T[idx[i], :]`. Grid over batch
+    tiles; the table stays HBM-resident; each grid step issues `TB` row DMAs
+    HBM->VMEM, all in flight simultaneously (the DMA-parallel analog of the
+    reference's one-SVector-copy-per-column hot loop).
+  - `gather_bags`: reducing `O[i, :] = Σ_k T[idx[i, k], :]`. Bag rows are
+    DMA'd into a VMEM scratch tile and accumulated in VREGs before a single
+    store per output row — the accumulate-then-one-store discipline of the
+    reference's TiledSIMD path ("nontemporal" needs no analog on TPU; VMEM->
+    HBM output writes stream by default).
+
+Layout note: Mosaic tiles the two minor dims of an HBM memref — (8,128) for
+2-D f32 — and slices must be tile-aligned, so single-row `(1, D)` DMAs from a
+`(V, D)` table are rejected ("Slice shape along dimension 0 must be aligned to
+tiling (8)"). The escape hatch (verified on v5e): view the table as 3-D
+`(V, 1, D)` — the *leading* dim is untiled, so `table.at[row]` slices freely,
+and the minor dims `(1, D)` take (1,128) tiling with no padding. All row
+buffers here (table, output, scratch) use this `(N, 1, D)` shape.
+
+Indices arrive via `PrefetchScalarGridSpec` scalar prefetch (SMEM), available
+before the kernel body so DMA source addresses are computable immediately.
+
+Feature dim must be a multiple of 128 lanes (the `dostatic`-analog dispatch in
+ops/lookup.py guarantees this; other dims take the XLA path, mirroring the
+reference's static/generic split, `lookup.jl:30-32`).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ... import config
+from ...types import LANES, cdiv
+
+# Rows per grid step (DMAs in flight per step). Tuned via bench/sweep.
+DEFAULT_TB = 256
+# Outputs per grid step for the reducing kernel.
+DEFAULT_TB_BAG = 32
+
+
+def _pad_to(x: jax.Array, n: int, axis: int = 0, fill=0):
+    pad = n - x.shape[axis]
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=fill)
+
+
+def _fit_tile(tb: int, b: int) -> int:
+    """Clamp the tile to the (pow2-rounded) batch so tiny batches don't pad."""
+    return min(tb, max(8, 1 << (b - 1).bit_length()))
+
+
+# ---------------------------------------------------------------------------
+# Non-reducing gather
+# ---------------------------------------------------------------------------
+
+def _gather_rows_kernel(tb: int, idx_ref, table_ref, out_ref, sems):
+    i = pl.program_id(0)
+    base = i * tb
+    copies = []
+    for j in range(tb):
+        row = idx_ref[base + j]
+        c = pltpu.make_async_copy(
+            table_ref.at[row],   # (1, D) row of the (V, 1, D) HBM view
+            out_ref.at[j],
+            sems.at[j],
+        )
+        c.start()
+        copies.append(c)
+    for c in copies:
+        c.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
+def gather_rows(table: jax.Array, idx: jax.Array, *, tb: int = DEFAULT_TB,
+                interpret: bool | None = None) -> jax.Array:
+    """Non-reducing lookup: `(V, D) x (B,) -> (B, D)`, D % 128 == 0."""
+    if interpret is None:
+        interpret = config.pallas_interpret()
+    b = idx.shape[0]
+    v, d = table.shape
+    tb = _fit_tile(tb, b)
+    b_pad = cdiv(b, tb) * tb
+    idx_pad = _pad_to(idx.astype(jnp.int32), b_pad)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_pad // tb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((tb, 1, d), lambda i, idx_ref: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((tb,))],
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_rows_kernel, tb),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 1, d), table.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=0, transcendentals=0,
+            bytes_accessed=2 * b_pad * d * table.dtype.itemsize),
+    )(idx_pad, table.reshape(v, 1, d))
+    return out.reshape(b_pad, d)[:b]
+
+
+# ---------------------------------------------------------------------------
+# Reducing (multi-hot bag-sum) gather
+# ---------------------------------------------------------------------------
+
+def _gather_bags_kernel(tb: int, bag: int, d: int, idx_ref, table_ref, out_ref,
+                        scratch, sems):
+    i = pl.program_id(0)
+    base = i * tb * bag
+    copies = []
+    for jk in range(tb * bag):
+        row = idx_ref[base + jk]
+        c = pltpu.make_async_copy(
+            table_ref.at[row],
+            scratch.at[jk],
+            sems.at[jk],
+        )
+        c.start()
+        copies.append(c)
+    for c in copies:
+        c.wait()
+    # Accumulate each bag in VREGs, one store per output row (the reference's
+    # TiledSIMD accumulate + single nontemporal store, lookup.jl:149-165).
+    out_ref[:, :] = scratch[:].reshape(tb, bag, d).sum(axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
+def gather_bags(table: jax.Array, idx: jax.Array, *, tb: int = DEFAULT_TB_BAG,
+                interpret: bool | None = None) -> jax.Array:
+    """Reducing lookup: `(V, D) x (B, bag) -> (B, D)`, D % 128 == 0."""
+    if interpret is None:
+        interpret = config.pallas_interpret()
+    b, bag = idx.shape
+    v, d = table.shape
+    tb = _fit_tile(tb, b)
+    # Keep the scratch tile within a VMEM budget (~4 MB).
+    while tb > 8 and tb * bag * d * table.dtype.itemsize > 4 * 1024 * 1024:
+        tb //= 2
+    b_pad = cdiv(b, tb) * tb
+    idx_pad = _pad_to(idx.astype(jnp.int32), b_pad).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b_pad // tb,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((tb, d), lambda i, idx_ref: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((tb * bag, 1, d), table.dtype),
+            pltpu.SemaphoreType.DMA((tb * bag,)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_gather_bags_kernel, tb, bag, d),
+        out_shape=jax.ShapeDtypeStruct((b_pad, d), table.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=b_pad * bag * d, transcendentals=0,
+            bytes_accessed=(b_pad * bag + b_pad) * d * table.dtype.itemsize),
+    )(idx_pad, table.reshape(v, 1, d))
+    return out[:b]

@@ -1,0 +1,183 @@
+"""Lazy sparse gradients and the fused sparse-SGD update.
+
+Reference parity (citations into /root/reference):
+  - `SparseEmbeddingUpdate{S,A,I}`       -> `SparseEmbeddingUpdate`
+    (`src/sparseupdate.jl:5-16`)
+  - `uncompress`                          -> `uncompress` (`src/sparseupdate.jl:18-32`)
+  - `update!(opt::Flux.Descent, table, upd, indexer)` fused SGD
+                                          -> `sgd_update` (`src/sparseupdate.jl:42-178`)
+  - ensemble `update!` two-phase (index all, then update all, disjoint-row
+    partitioning)                         -> `ensemble_sgd_update`
+    (`src/sparseupdate.jl:191-238`)
+  - Flux `Optimise.update!` overload      -> `optim.sparse_descent` optax-style
+    transform (`src/sparseupdate.jl:180-189`)
+
+Semantics (SURVEY.md §2.4 items 5, 6, 8, 9):
+  - the cotangent of a lookup is `(delta, indices)`, NO scatter at pullback time;
+  - duplicate indices accumulate;
+  - SGD math: `table[k] -= lr * Σ_{occurrences of k} delta[col]`, with exactly
+    one write per unique row on the dedup path;
+  - partitioned (IndexerView) updates match the unsplit update.
+
+TPU reinterpretation: the "accumulate in registers then one nontemporal store
+per row" CPU kernel becomes (a) a single XLA scatter-add (`.at[idx].add`),
+which the TPU handles natively with duplicate accumulation, or (b) the dedup
+path: indexer + `segment_sum` + one row-write per unique row (drop-padded
+scatter), or (c) the Pallas scatter-FMA kernel (ops/pallas/scatter.py) that
+DMAs each unique row once, accumulates its delta columns in VMEM, and writes
+`row - lr*acc` back — the roofline-optimal 1-load+1-store-per-unique-row
+discipline of the reference.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from .. import config
+from ..tables import SimpleEmbedding, as_table, is_table
+from .indexer import (DenseIndexer, IndexerResult, IndexerView, SparseIndexer,
+                      flatten_indices, index, indexer_view)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SparseEmbeddingUpdate:
+    """Lazy lookup cotangent: `(delta, indices)` (reference
+    `SparseEmbeddingUpdate`, `src/sparseupdate.jl:5-16`).
+
+    delta:   `(B, dim)` per-output gradient rows.
+    indices: the original lookup indices — `(B,)` (non-reducing) or `(B, bag)`
+             (reducing; one delta row fans out to every row in its bag).
+    """
+
+    delta: jax.Array
+    indices: jax.Array
+
+    @property
+    def reducing(self) -> bool:
+        return self.indices.ndim == 2
+
+
+def uncompress(upd: SparseEmbeddingUpdate, num_rows: int,
+               dtype=None) -> jax.Array:
+    """Scatter-add the lazy update into a dense `(num_rows, dim)` matrix — the
+    test oracle (reference `uncompress`, `src/sparseupdate.jl:18-32`, incl.
+    the `_maybe_columnview` matrix-index fan-out, `src/utils.jl:85-86`)."""
+    rows, cols = flatten_indices(upd.indices)
+    delta = upd.delta.astype(dtype) if dtype is not None else upd.delta
+    dense = jnp.zeros((num_rows, delta.shape[-1]), dtype=delta.dtype)
+    return dense.at[rows].add(delta[cols])
+
+
+# ---------------------------------------------------------------------------
+# Fused SGD update paths
+# ---------------------------------------------------------------------------
+
+def _sgd_scatter(data: jax.Array, upd: SparseEmbeddingUpdate, lr) -> jax.Array:
+    """Direct scatter path: one XLA scatter-add with duplicate accumulation.
+    Mathematically equal to the dedup path for SGD (linear update)."""
+    rows, cols = flatten_indices(upd.indices)
+    return data.at[rows].add((-lr * upd.delta[cols]).astype(data.dtype))
+
+
+def _sgd_dedup(data: jax.Array, upd: SparseEmbeddingUpdate, lr,
+               idx_result: Optional[IndexerResult] = None,
+               view: Optional[IndexerView] = None,
+               indexer=None) -> jax.Array:
+    """Dedup path: accumulate all gradient columns per *unique* row, then one
+    write per unique row (the reference's `_update_specialized_impl!`
+    accumulate-then-single-store discipline, `src/sparseupdate.jl:97-129`).
+
+    Required (beyond SGD) for row-state optimizers (AdaGrad etc.), where the
+    per-row update must be applied once with the accumulated gradient.
+    """
+    rows, cols = flatten_indices(upd.indices)
+    if idx_result is None:
+        idx_result = index(upd.indices, vocab=data.shape[0], indexer=indexer)
+    n = idx_result.capacity
+    # Segment-accumulate delta columns by insertion-order unique group.
+    acc = jax.ops.segment_sum(upd.delta[cols], idx_result.group_of, num_segments=n)
+    target = idx_result.unique
+    active = jnp.arange(n) < idx_result.num_unique
+    if view is not None:
+        gidx = jnp.arange(n)
+        active = active & (gidx >= view.lo) & (gidx < view.hi)
+    # Padding / out-of-view groups scatter with an out-of-bounds row id and
+    # mode="drop" (NOT -1: negative indices wrap under JAX semantics).
+    target = jnp.where(active, target, data.shape[0])
+    return data.at[target].add((-lr * acc).astype(data.dtype), mode="drop")
+
+
+def sgd_update(table, upd: SparseEmbeddingUpdate, lr, *,
+               indexer=None, idx_result: Optional[IndexerResult] = None,
+               view: Optional[IndexerView] = None, method: str | None = None):
+    """Fused sparse SGD step: returns the updated table (functional analog of
+    the reference's in-place `update!`, `src/sparseupdate.jl:160-178`; under
+    jit with donated table buffers XLA performs this in place).
+
+    method: None/"auto" -> config; "scatter" | "dedup" | "pallas".
+    `view`: restrict to a unique-row partition (IndexerView semantics).
+    """
+    method = method or config.update_impl()
+    t = as_table(table)
+    if view is not None and method in ("auto", "scatter"):
+        method = "dedup"  # views are defined over unique-row partitions
+
+    if isinstance(t, SimpleEmbedding):
+        data = t.data
+        if method == "pallas" or (
+                method == "auto" and config.on_tpu()
+                and data.shape[-1] % 128 == 0 and config.update_impl() == "auto"):
+            try:
+                from .pallas.scatter import scatter_sgd
+                if idx_result is None:
+                    idx_result = index(upd.indices, vocab=data.shape[0], indexer=indexer)
+                rows, cols = flatten_indices(upd.indices)
+                new = scatter_sgd(data, upd.delta, idx_result, cols, lr)
+                out = t.replace_data(new)
+                return out if is_table(table) else out.data
+            except NotImplementedError:
+                method = "scatter"
+        if method in ("auto", "scatter"):
+            new = _sgd_scatter(data, upd, lr)
+        else:
+            new = _sgd_dedup(data, upd, lr, idx_result=idx_result, view=view,
+                             indexer=indexer)
+        out = t.replace_data(new)
+        return out if is_table(table) else out.data
+
+    # Generic protocol tables (SplitEmbedding, user tables): fan the
+    # accumulated per-unique-row delta through the table's scatter_apply.
+    rows, cols = flatten_indices(upd.indices)
+    return table.scatter_apply(rows, -lr * upd.delta[cols])
+
+
+def ensemble_sgd_update(tables: Sequence, upds: Sequence[SparseEmbeddingUpdate],
+                        lr, *, indexer=None, num_splits: int = 4,
+                        telemetry_cb=None, method: str | None = None):
+    """Multi-table sparse SGD (reference ensemble `update!`,
+    `src/sparseupdate.jl:191-238`).
+
+    Reference structure: phase 1 indexes every table, `telemetry_cb()` fires,
+    phase 2 applies partitioned updates with disjoint unique-row ownership.
+    Here phase parallelism is XLA's job — all per-table updates are
+    independent ops in one jitted program — but the two-phase shape and the
+    telemetry hook are preserved. `num_splits` is accepted for API parity
+    (partitioning happens inside the kernels' grids).
+    """
+    if len(tables) != len(upds):
+        raise ValueError("tables and updates must have equal length")
+    idx_results = None
+    if (method or config.update_impl()) in ("dedup", "pallas"):
+        idx_results = [index(u.indices, vocab=as_table(t).spec.vocab, indexer=indexer)
+                       for t, u in zip(tables, upds)]
+    if telemetry_cb is not None:
+        telemetry_cb()
+    out = []
+    for i, (t, u) in enumerate(zip(tables, upds)):
+        ir = idx_results[i] if idx_results is not None else None
+        out.append(sgd_update(t, u, lr, idx_result=ir, method=method))
+    return out

@@ -1,0 +1,93 @@
+"""End-to-end verification on the REAL TPU chip (axon backend).
+
+Drives the public package surface: lookup (pallas compiled), reducing lookup,
+fused sparse SGD update (pallas scatter kernel), odd-dim XLA fallback, and a
+toy training loop whose loss must decrease.
+"""
+import time
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import embeddingtables_tpu as et
+
+print("backend:", jax.default_backend(), jax.devices())
+assert jax.default_backend() == "tpu"
+
+rng = np.random.default_rng(0)
+
+# --- 1. non-reducing lookup, compiled Pallas path ---
+V, D, B = 5000, 128, 4096
+data = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+idx = jnp.asarray(rng.integers(0, V, size=B).astype(np.int32))
+table = et.SimpleEmbedding(data)
+t0 = time.time()
+out = et.lookup(table, idx)
+out.block_until_ready()
+print(f"1. lookup compiled in {time.time()-t0:.1f}s")
+expected = np.asarray(data)[np.asarray(idx)]
+assert (np.asarray(out) == expected).all(), "non-reducing lookup mismatch on TPU"
+print("   non-reducing lookup matches oracle:", out.shape)
+
+# --- 2. reducing lookup (bags) ---
+bag_idx = jnp.asarray(rng.integers(0, V, size=(512, 12)).astype(np.int32))
+out2 = et.lookup(table, bag_idx)
+exp2 = np.asarray(data)[np.asarray(bag_idx)].sum(axis=1)
+err = np.abs(np.asarray(out2) - exp2).max()
+assert err < 1e-3, f"reducing lookup err {err}"
+print("   reducing lookup matches oracle, max err", err)
+
+# --- 3. fused sparse SGD update (pallas scatter) ---
+idx3 = jnp.asarray(rng.integers(0, V, size=1024).astype(np.int32))
+delta = jnp.asarray(rng.standard_normal((1024, D)).astype(np.float32))
+upd = et.SparseEmbeddingUpdate(delta=delta, indices=idx3)
+want = np.asarray(data) - 0.5 * np.asarray(et.uncompress(upd, V))
+new = et.sgd_update(et.SimpleEmbedding(data), upd, 0.5, method="pallas")
+err = np.abs(np.asarray(new.data) - want).max()
+assert err < 1e-3, f"pallas update err {err}"
+print("3. pallas scatter-FMA update matches oracle, max err", err)
+
+# --- 4. odd feature dim falls back to XLA path ---
+data_odd = jnp.asarray(rng.standard_normal((100, 65)).astype(np.float32))
+out_odd = et.lookup(et.SimpleEmbedding(data_odd), idx3[:50] % 100)
+assert out_odd.shape == (50, 65)
+print("4. odd dim (65) XLA fallback works")
+
+# --- 5. toy training loop: fused ensemble + lazy grads, loss must drop ---
+dims = 64
+tables = [et.SimpleEmbedding(rng.standard_normal((200, dims)).astype(np.float32))
+          for _ in range(4)]
+target = jnp.asarray(rng.standard_normal((32, 4 * dims)).astype(np.float32))
+# unique indices per table so per-row effective lr is uniform
+idxs = jnp.asarray(np.stack([rng.permutation(200)[:32] for _ in range(4)]).astype(np.int32))
+
+n_elem = 32 * 4 * dims
+lr = n_elem / 4  # contraction factor 0.5 per step for mean-MSE
+losses = []
+for step in range(20):
+    fused, pull = et.maplookup_vjp(et.PreallocationStrategy(), tables, idxs)
+    loss, dfused = jax.value_and_grad(lambda y: ((y - target) ** 2).mean())(fused)
+    upds = pull(dfused)
+    tables = et.ensemble_sgd_update(tables, upds, lr)
+    losses.append(float(loss))
+print("5. training losses:", [f"{l:.4f}" for l in losses[::4]])
+assert losses[-1] < losses[0] * 0.01, "loss did not decrease"
+
+# --- 6. probes ---
+try:
+    et.SimpleEmbedding(np.zeros((4, 8), np.float32), et.Static(16))
+    raise SystemExit("probe fail: Static mismatch not caught")
+except ValueError as e:
+    print("6. probe: Static mismatch ->", e)
+try:
+    et.maplookup(tables, [idxs[0]])
+    raise SystemExit("probe fail: wrong container length not caught")
+except ValueError as e:
+    print("   probe: wrong index-container length ->", e)
+try:
+    et.lookup(tables[0], np.zeros((2, 2, 2), np.int32))
+    raise SystemExit("probe fail: 3-D indices to lookup not caught")
+except ValueError as e:
+    print("   probe: 3-D indices to single-table lookup ->", e)
+
+print("ALL TPU VERIFICATION CHECKS PASSED")

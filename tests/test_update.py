@@ -1,0 +1,184 @@
+"""Backward + sparse update tests — mirrors /root/reference/test/update.jl.
+
+Pattern: (1) pullback on the table vs autodiff on a dense matrix — lookup
+outputs equal, sparse grad `uncompress`ed ≈ dense grad (update.jl:20-45);
+(2) SGD applied to both a dense matrix and a table must match (update.jl:49-61);
+(3) large learning rate (η=10) to amplify errors (update.jl:14);
+(4) split-update equivalence across IndexerView partitions (update.jl:90-120);
+(5) static/dynamic parity (update.jl:127-161).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import embeddingtables_tpu as et
+
+LR = 10.0  # large to amplify errors, like the reference
+NROWS = 100
+
+
+def dense_grad(data, idx, delta):
+    """Oracle: full autodiff through the dense lookup."""
+    def f(d):
+        return (et.lookup_oracle(d, idx) * delta).sum()
+    return jax.grad(f)(data)
+
+
+@pytest.mark.parametrize("dim", [16, 64, 256])
+@pytest.mark.parametrize("reducing", [False, True])
+def test_lazy_pullback_matches_dense_grad(dim, reducing):
+    rng = np.random.default_rng(dim + reducing)
+    data = jnp.asarray(rng.standard_normal((NROWS, dim)).astype(np.float32))
+    if reducing:
+        idx = jnp.asarray(rng.integers(0, NROWS, size=(30, 5)).astype(np.int32))
+    else:
+        # include repeats deliberately (duplicate-index correctness, §2.4 item 6)
+        idx = jnp.asarray(rng.integers(0, NROWS, size=60).astype(np.int32))
+    delta = jnp.asarray(rng.standard_normal((idx.shape[0], dim)).astype(np.float32))
+
+    table = et.SimpleEmbedding(data)
+    out, pull = et.lookup_vjp(table, idx)
+    assert (out == et.lookup_oracle(data, idx)).all()
+
+    upd = pull(delta)
+    assert isinstance(upd, et.SparseEmbeddingUpdate)
+    # Laziness: the update holds exactly (delta, indices) — no scatter yet.
+    assert upd.delta is delta and upd.indices is idx
+
+    got = et.uncompress(upd, NROWS)
+    want = dense_grad(data, idx, delta)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("method", ["scatter", "dedup"])
+@pytest.mark.parametrize("reducing", [False, True])
+def test_sgd_update_matches_dense(method, reducing):
+    # Reference: update! applied to a zeroed dense matrix and a zeroed table
+    # must match (update.jl:49-61). We start from random data instead of zeros
+    # to also exercise the FMA against existing rows.
+    rng = np.random.default_rng(99)
+    dim = 32
+    data = jnp.asarray(rng.standard_normal((NROWS, dim)).astype(np.float32))
+    if reducing:
+        idx = jnp.asarray(rng.integers(0, NROWS, size=(20, 4)).astype(np.int32))
+    else:
+        idx = jnp.asarray(rng.integers(0, NROWS, size=50).astype(np.int32))
+    delta = jnp.asarray(rng.standard_normal((idx.shape[0], dim)).astype(np.float32))
+    upd = et.SparseEmbeddingUpdate(delta=delta, indices=idx)
+
+    dense_expected = data - LR * dense_grad(
+        data, idx, jnp.ones_like(delta) * 0 + delta) * 0  # placeholder, computed below
+    # SGD math (§2.4 item 8): table[k] -= lr * sum of delta cols touching k.
+    dense_expected = data - LR * et.uncompress(upd, NROWS)
+
+    table = et.SimpleEmbedding(data)
+    new = et.sgd_update(table, upd, LR, method=method)
+    np.testing.assert_allclose(new.data, dense_expected, rtol=1e-4, atol=1e-4)
+
+    # Raw-array path returns a raw array.
+    new_raw = et.sgd_update(data, upd, LR, method=method)
+    np.testing.assert_allclose(new_raw, dense_expected, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("indexer", [et.SparseIndexer(), et.DenseIndexer()])
+@pytest.mark.parametrize("num_splits", [1, 2, 4])
+def test_split_update_equivalence(indexer, num_splits):
+    # Partitioned update bit-matches the unsplit update (update.jl:90-120) for
+    # both indexer backends — the de-facto race regression test.
+    rng = np.random.default_rng(123)
+    dim = 48
+    data = jnp.asarray(rng.standard_normal((NROWS, dim)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, NROWS, size=80).astype(np.int32))
+    delta = jnp.asarray(rng.standard_normal((80, dim)).astype(np.float32))
+    upd = et.SparseEmbeddingUpdate(delta=delta, indices=idx)
+
+    ir = et.index(idx, vocab=NROWS, indexer=indexer)
+
+    full = et.sgd_update(et.SimpleEmbedding(data), upd, LR,
+                         idx_result=ir, method="dedup").data
+
+    cur = data
+    for j in range(num_splits):
+        view = et.indexer_view(ir, num_splits, j)
+        cur = et.sgd_update(et.SimpleEmbedding(cur), upd, LR,
+                            idx_result=ir, view=view, method="dedup").data
+    assert (np.asarray(cur) == np.asarray(full)).all()
+
+
+def test_static_dynamic_update_parity():
+    rng = np.random.default_rng(5)
+    dim = 64
+    data = rng.standard_normal((NROWS, dim)).astype(np.float32)
+    idx = rng.integers(0, NROWS, size=40).astype(np.int32)
+    delta = rng.standard_normal((40, dim)).astype(np.float32)
+    upd = et.SparseEmbeddingUpdate(delta=jnp.asarray(delta), indices=jnp.asarray(idx))
+    a = et.sgd_update(et.SimpleEmbedding(data, et.Static(dim)), upd, LR)
+    b = et.sgd_update(et.SimpleEmbedding(data, et.Dynamic()), upd, LR)
+    assert (np.asarray(a.data) == np.asarray(b.data)).all()
+
+
+def test_split_embedding_update():
+    rng = np.random.default_rng(17)
+    dim = 32
+    data = rng.standard_normal((NROWS, dim)).astype(np.float32)
+    idx = rng.integers(0, NROWS, size=30).astype(np.int32)
+    delta = rng.standard_normal((30, dim)).astype(np.float32)
+    upd = et.SparseEmbeddingUpdate(delta=jnp.asarray(delta), indices=jnp.asarray(idx))
+
+    expected = jnp.asarray(data) - LR * et.uncompress(upd, NROWS)
+    split = et.SplitEmbedding(data, 30)
+    new = et.sgd_update(split, upd, LR)
+    np.testing.assert_allclose(new.materialize(), expected, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("reducing", [False, True])
+def test_pallas_scatter_update_parity(reducing):
+    # The Pallas scatter-FMA kernel (interpreter mode on CPU) must match the
+    # uncompress-based dense SGD oracle.
+    rng = np.random.default_rng(55)
+    dim = 128
+    data = jnp.asarray(rng.standard_normal((NROWS, dim)).astype(np.float32))
+    if reducing:
+        idx = jnp.asarray(rng.integers(0, NROWS, size=(12, 3)).astype(np.int32))
+    else:
+        idx = jnp.asarray(rng.integers(0, NROWS, size=40).astype(np.int32))
+    delta = jnp.asarray(rng.standard_normal((idx.shape[0], dim)).astype(np.float32))
+    upd = et.SparseEmbeddingUpdate(delta=delta, indices=idx)
+    expected = data - LR * et.uncompress(upd, NROWS)
+
+    new = et.sgd_update(et.SimpleEmbedding(data), upd, LR, method="pallas")
+    np.testing.assert_allclose(new.data, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_grad_through_jax_autodiff_dense_cotangent():
+    # Plain jax.grad through `lookup` must agree with the uncompressed lazy
+    # update (the reference's ProjectTo bridge makes Zygote accept the sparse
+    # tangent; in JAX the dense path is the bridge, lookup.jl:246).
+    rng = np.random.default_rng(31)
+    dim = 16
+    data = jnp.asarray(rng.standard_normal((NROWS, dim)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, NROWS, size=25).astype(np.int32))
+    delta = jnp.asarray(rng.standard_normal((25, dim)).astype(np.float32))
+
+    g = jax.grad(lambda d: (et.lookup(et.SimpleEmbedding(d), idx) * delta).sum())(data)
+    want = et.uncompress(et.SparseEmbeddingUpdate(delta, idx), NROWS)
+    np.testing.assert_allclose(g, want, rtol=1e-5, atol=1e-5)
+
+
+def test_ensemble_update():
+    rng = np.random.default_rng(77)
+    dims = [16, 16, 32]
+    tables = [et.SimpleEmbedding(rng.standard_normal((50, d)).astype(np.float32))
+              for d in dims]
+    idxs = [jnp.asarray(rng.integers(0, 50, size=20).astype(np.int32)) for _ in dims]
+    upds = [et.SparseEmbeddingUpdate(
+        jnp.asarray(rng.standard_normal((20, d)).astype(np.float32)), i)
+        for d, i in zip(dims, idxs)]
+
+    fired = []
+    new = et.ensemble_sgd_update(tables, upds, LR, telemetry_cb=lambda: fired.append(1))
+    assert fired == [1]  # telemetry hook between phases (sparseupdate.jl:208,214)
+    for t, u, n in zip(tables, upds, new):
+        expected = t.data - LR * et.uncompress(u, 50)
+        np.testing.assert_allclose(n.data, expected, rtol=1e-4, atol=1e-4)
