@@ -1,0 +1,276 @@
+"""Sharded tables: vocab-row sharding + all-to-all-style exchange.
+
+The reference's only sharding seed is the single-node `SplitEmbedding`
+(`/root/reference/src/split.jl`) and its disjoint-ownership update discipline
+(`src/utils.jl:320-338`). This module is the multi-chip realization
+(SURVEY.md §2.3 "TP"/"EP" rows and §5 "Distributed communication backend"):
+
+  - Tables (or a whole ensemble, stacked) are **mod-row-sharded** over a mesh
+    axis: global row `r` lives on device `r % n` at local slot `r // n`.
+    Mod (round-robin) sharding load-balances skewed vocabularies — every
+    device owns `1/n` of every table — which block sharding does not.
+  - Lookup exchange (v1 scheme): `all_gather` the batch's indices along the
+    axis, gather owned rows locally (non-owned rows contribute zeros), then
+    `psum_scatter` the partial embeddings so each device ends with exactly
+    its batch shard. Communication = one index all-gather + one (B, D)
+    reduce-scatter, all over ICI.
+  - Update: `all_gather` the (delta, indices) lazy update, then each device
+    scatter-adds only the rows it owns. Disjoint ownership gives race-freedom
+    by construction — the same philosophy as the reference's IndexerView
+    partitioning, with the partition now being the physical shard.
+
+Everything here is `shard_map`-based and jit-compatible; tests run it on the
+8-device virtual CPU mesh.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.ensemble import StackedTables, normalize_indices
+from ..ops.sparse_update import SparseEmbeddingUpdate
+from ..tables import SimpleEmbedding, as_table
+from ..types import TableSpec, cdiv
+
+
+# ---------------------------------------------------------------------------
+# Sharded container
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedStackedTables:
+    """A (stacked) table mod-row-sharded over one mesh axis.
+
+    data:    `(n_shards, rows_per_shard, dim)` with the leading axis sharded
+             `P(axis)` — device d holds `data[d]`, which stores every global
+             row `r` with `r % n == d` at local slot `r // n`.
+    offsets: per-table global row offsets into the stacked vocab (static).
+    vocab:   total (unpadded) stacked vocab.
+    axis:    mesh axis name the shards live on.
+    """
+
+    data: jax.Array
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    vocab: int = dataclasses.field(metadata=dict(static=True))
+    dim: int = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_shards(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def ntables(self) -> int:
+        return len(self.offsets) - 1
+
+    @classmethod
+    def shard(cls, mesh: Mesh, axis: str, tables, pad_value=0.0
+              ) -> "ShardedStackedTables":
+        """Stack `tables` (a list of tables/arrays, a StackedTables, or one
+        table) along the vocab axis and mod-shard the rows over `mesh[axis]`."""
+        if isinstance(tables, StackedTables):
+            st = tables
+        elif isinstance(tables, (list, tuple)):
+            st = StackedTables.stack(tables)
+        else:
+            t = as_table(tables)
+            st = StackedTables(data=t.data if isinstance(t, SimpleEmbedding)
+                               else t.rows(jnp.arange(t.spec.vocab)),
+                               offsets=(0, t.spec.vocab), dim=t.spec.dim)
+        n = mesh.shape[axis]
+        vocab, dim = st.data.shape
+        v_pad = cdiv(vocab, n) * n
+        data = jnp.pad(st.data, ((0, v_pad - vocab), (0, 0)),
+                       constant_values=pad_value)
+        # Row permutation: global row r -> (r % n, r // n).
+        data = data.reshape(v_pad // n, n, dim).transpose(1, 0, 2)
+        data = jax.device_put(data, NamedSharding(mesh, P(axis)))
+        return cls(data=data, offsets=st.offsets, vocab=vocab, dim=dim,
+                   axis=axis)
+
+    def unshard(self) -> jax.Array:
+        """Dense `(vocab, dim)` view (test oracle only)."""
+        n, rows, dim = self.data.shape
+        return self.data.transpose(1, 0, 2).reshape(n * rows, dim)[:self.vocab]
+
+    def table(self, t: int) -> jax.Array:
+        """Dense view of one member table (test oracle only)."""
+        return self.unshard()[self.offsets[t]:self.offsets[t + 1]]
+
+
+def shard_table(mesh: Mesh, axis: str, table) -> ShardedStackedTables:
+    """Shard a single table (reference `SplitEmbedding`'s role at pod scale)."""
+    return ShardedStackedTables.shard(mesh, axis, table)
+
+
+# ---------------------------------------------------------------------------
+# Lookup
+# ---------------------------------------------------------------------------
+
+def _local_gather(shard: jax.Array, flat_gidx: jax.Array, me, n: int):
+    """Gather owned rows; non-owned positions contribute zeros."""
+    mine = (flat_gidx % n) == me
+    lrow = jnp.where(mine, flat_gidx // n, 0)
+    rows = jnp.take(shard, lrow, axis=0)
+    return jnp.where(mine[:, None], rows, jnp.zeros_like(rows))
+
+
+def sharded_lookup(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
+                   *, batch_sharded: bool = True) -> jax.Array:
+    """Lookup on a sharded (stacked) table.
+
+    idx: `(B,)` or `(B, bag)` *global stacked* row ids, sharded `P(axis)`
+    along the batch when `batch_sharded` (the DLRM configuration) or
+    replicated otherwise. Returns `(B, dim)` batch-sharded the same way.
+    """
+    axis = st.axis
+    n = st.n_shards
+    reducing = idx.ndim == 2
+
+    def body(shard, lidx):
+        # shard: (1, rows, dim) local; lidx: local batch slice of indices.
+        gidx = jax.lax.all_gather(lidx, axis, tiled=True) if batch_sharded else lidx
+        flat = gidx.reshape(-1)
+        me = jax.lax.axis_index(axis)
+        part = _local_gather(shard[0], flat, me, n)
+        part = part.reshape(gidx.shape + (st.dim,))
+        if reducing:
+            part = part.sum(axis=1)
+        if batch_sharded:
+            return jax.lax.psum_scatter(part, axis, scatter_dimension=0,
+                                        tiled=True)
+        return jax.lax.psum(part, axis)
+
+    idx_spec = P(axis) if batch_sharded else P()
+    out_spec = P(axis) if batch_sharded else P()
+    return jax.shard_map(body, mesh=mesh,
+                         in_specs=(P(axis), idx_spec),
+                         out_specs=out_spec)(st.data, idx)
+
+
+def sharded_ensemble_lookup(mesh: Mesh, st: ShardedStackedTables,
+                            indices, *, batch_sharded: bool = True,
+                            fused: bool = False, prependrows: int = 0):
+    """Ensemble lookup over the sharded stack: per-table local indices are
+    shifted by the static stacked offsets, all T tables are looked up in ONE
+    exchange, and results return per-table (or fused concat, the
+    PreallocationStrategy analog)."""
+    idx_list = normalize_indices(indices, st.ntables)
+    shifted = jnp.stack([i + st.offsets[t] for t, i in enumerate(idx_list)])
+    b = shifted.shape[1]
+    flat = shifted.reshape((st.ntables * b,) + shifted.shape[2:])
+    # Flattened (T*B) is NOT batch-sharded contiguously; use replicated-index
+    # mode unless the batch axis is the sharded one. For the batch-sharded
+    # path we keep the (T, B) layout and shard dim 1.
+    axis = st.axis
+    n = st.n_shards
+    reducing = shifted.ndim == 3
+
+    def body(shard, lidx):
+        # lidx: (T, B/n[, bag]) local
+        gidx = (jax.lax.all_gather(lidx, axis, axis=1, tiled=True)
+                if batch_sharded else lidx)
+        me = jax.lax.axis_index(axis)
+        part = _local_gather(shard[0], gidx.reshape(-1), me, n)
+        part = part.reshape(gidx.shape + (st.dim,))
+        if reducing:
+            part = part.sum(axis=2)  # (T, B, dim)
+        if batch_sharded:
+            return jax.lax.psum_scatter(part, axis, scatter_dimension=1,
+                                        tiled=True)
+        return jax.lax.psum(part, axis)
+
+    spec = P(None, axis) if batch_sharded else P()
+    out = jax.shard_map(body, mesh=mesh, in_specs=(P(axis), spec),
+                        out_specs=spec)(st.data, shifted)
+    # out: (T, B, dim) batch-sharded on dim 1.
+    if fused:
+        fusedout = out.transpose(1, 0, 2).reshape(b, st.ntables * st.dim)
+        if prependrows:
+            zeros = jnp.zeros((b, prependrows), fusedout.dtype)
+            fusedout = jnp.concatenate([zeros, fusedout], axis=-1)
+        return fusedout
+    return [out[t] for t in range(st.ntables)]
+
+
+# ---------------------------------------------------------------------------
+# Update
+# ---------------------------------------------------------------------------
+
+def sharded_sgd_update(mesh: Mesh, st: ShardedStackedTables,
+                       upd: SparseEmbeddingUpdate, lr, *,
+                       batch_sharded: bool = True) -> ShardedStackedTables:
+    """Sparse SGD on a sharded table: all-gather the lazy `(delta, indices)`
+    update, scatter-add owned rows locally. One write per owned row region;
+    ownership disjointness = race-freedom (the reference's IndexerView
+    discipline realized as physical sharding)."""
+    axis = st.axis
+    n = st.n_shards
+    reducing = upd.indices.ndim == 2
+
+    def body(shard, lidx, ldelta):
+        if batch_sharded:
+            gidx = jax.lax.all_gather(lidx, axis, tiled=True)
+            gdelta = jax.lax.all_gather(ldelta, axis, tiled=True)
+        else:
+            gidx, gdelta = lidx, ldelta
+        flat = gidx.reshape(-1)
+        if reducing:
+            bag = gidx.shape[1]
+            gdelta = jnp.repeat(gdelta, bag, axis=0)
+        me = jax.lax.axis_index(axis)
+        mine = (flat % n) == me
+        rows_local = shard.shape[1]
+        # Non-owned occurrences are routed out of bounds and dropped.
+        lrow = jnp.where(mine, flat // n, rows_local)
+        new = shard[0].at[lrow].add((-lr * gdelta).astype(shard.dtype),
+                                    mode="drop")
+        return new[None]
+
+    spec = P(axis) if batch_sharded else P()
+    data = jax.shard_map(body, mesh=mesh,
+                         in_specs=(P(axis), spec, spec),
+                         out_specs=P(axis))(st.data, upd.indices, upd.delta)
+    return dataclasses.replace(st, data=data)
+
+
+def sharded_ensemble_update(mesh: Mesh, st: ShardedStackedTables,
+                            upds: Sequence[SparseEmbeddingUpdate], lr, *,
+                            batch_sharded: bool = True) -> ShardedStackedTables:
+    """Apply per-table lazy updates to the sharded stack in ONE exchange:
+    indices are shifted to stacked ids and concatenated along the batch."""
+    shifted = jnp.stack([u.indices + st.offsets[t] for t, u in enumerate(upds)])
+    deltas = jnp.stack([u.delta for u in upds])  # (T, B, dim)
+    axis = st.axis
+    n = st.n_shards
+    reducing = shifted.ndim == 3
+
+    def body(shard, lidx, ldelta):
+        if batch_sharded:
+            gidx = jax.lax.all_gather(lidx, axis, axis=1, tiled=True)
+            gdelta = jax.lax.all_gather(ldelta, axis, axis=1, tiled=True)
+        else:
+            gidx, gdelta = lidx, ldelta
+        flat = gidx.reshape(-1)
+        d = gdelta.reshape(-1, st.dim)
+        if reducing:
+            bag = gidx.shape[2]
+            d = jnp.repeat(gdelta.reshape(-1, st.dim), bag, axis=0)
+        me = jax.lax.axis_index(axis)
+        mine = (flat % n) == me
+        rows_local = shard.shape[1]
+        lrow = jnp.where(mine, flat // n, rows_local)
+        new = shard[0].at[lrow].add((-lr * d).astype(shard.dtype), mode="drop")
+        return new[None]
+
+    spec = P(None, axis) if batch_sharded else P()
+    data = jax.shard_map(body, mesh=mesh,
+                         in_specs=(P(axis), spec, spec),
+                         out_specs=P(axis))(st.data, shifted, deltas)
+    return dataclasses.replace(st, data=data)
