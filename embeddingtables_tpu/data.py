@@ -1,0 +1,146 @@
+"""Input pipelines for DLRM-style training.
+
+The reference ships no data layer (it is a kernel library; SURVEY.md at a
+glance). The DLRM flagship (BASELINE.md config 4: Criteo Kaggle, AUC parity)
+needs one, so this module provides:
+
+  - `SyntheticCriteo`: an infinite, seeded generator with Criteo-like shape
+    (13 dense ints, 26 categorical features) and power-law (Zipf) index
+    distributions — the skew that makes embedding-lookup load-balancing hard
+    (SURVEY.md §7 "All-to-all lookup routing at scale"). Labels come from a
+    hidden ground-truth model so AUC is learnable (sanity target well above
+    0.5), enabling end-to-end quality tests without the 11 GB dataset.
+  - `criteo_kaggle_batches`: a parser for the real Criteo Kaggle TSV format
+    (label \\t 13 ints \\t 26 hex tokens), hashing categoricals into fixed
+    vocabularies. Streams; no torch/TF dependency.
+
+Batches are dicts of host numpy arrays:
+  dense:  (B, num_dense) float32   log1p-normalized
+  cat:    (T, B) int32             per-table local row ids
+  label:  (B,) float32             {0, 1}
+The (T, B) layout matches `normalize_indices`'s 2-D container (row t -> table
+t), so a batch's `cat` feeds `maplookup` / the stacked path directly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+# Criteo Kaggle display-advertising shape.
+CRITEO_NUM_DENSE = 13
+CRITEO_NUM_SPARSE = 26
+
+
+@dataclasses.dataclass
+class SyntheticCriteo:
+    """Seeded synthetic click-log generator with Zipf-skewed categoricals."""
+
+    vocab_sizes: Sequence[int]
+    num_dense: int = CRITEO_NUM_DENSE
+    batch_size: int = 8192
+    zipf_a: float = 1.1          # power-law exponent; ~1.1 matches CTR logs
+    bag: Optional[int] = None    # multi-hot bag size (None = one-hot (T,B))
+    seed: int = 0
+
+    def __post_init__(self):
+        rng = np.random.default_rng(self.seed ^ 0x5EED)
+        t = len(self.vocab_sizes)
+        # Hidden ground-truth model: per-(table,row) logit contributions drawn
+        # from a sparse prior + dense linear weights.
+        self._w_dense = rng.normal(0, 1.0, self.num_dense).astype(np.float32)
+        self._row_logit = [rng.normal(0, 1.5, v).astype(np.float32)
+                           for v in self.vocab_sizes]
+        self._bias = -1.5  # skew toward negatives like real CTR data
+        self._t = t
+
+    def _zipf_indices(self, rng, vocab: int, shape) -> np.ndarray:
+        """Zipf-distributed ids in [0, vocab): rank-r probability ∝ r^-a,
+        drawn via inverse-CDF on a truncated harmonic series."""
+        ranks = np.arange(1, vocab + 1, dtype=np.float64)
+        # Cache per-vocab CDFs (vocabs repeat across tables).
+        cache = getattr(self, "_cdf_cache", None)
+        if cache is None:
+            cache = self._cdf_cache = {}
+        cdf = cache.get(vocab)
+        if cdf is None:
+            p = ranks ** (-self.zipf_a)
+            cdf = cache[vocab] = np.cumsum(p / p.sum())
+        u = rng.random(shape)
+        idx = np.searchsorted(cdf, u).astype(np.int32)
+        # Random rank->id permutation so hot rows are spread over the vocab.
+        perm = cache.get(("perm", vocab))
+        if perm is None:
+            perm = cache[("perm", vocab)] = \
+                np.random.default_rng(self.seed ^ vocab).permutation(vocab).astype(np.int32)
+        return perm[np.clip(idx, 0, vocab - 1)]
+
+    def batches(self, num_batches: Optional[int] = None) -> Iterator[dict]:
+        rng = np.random.default_rng(self.seed)
+        b = self.batch_size
+        i = 0
+        while num_batches is None or i < num_batches:
+            dense_raw = rng.lognormal(0.0, 1.0, (b, self.num_dense)).astype(np.float32)
+            dense = np.log1p(dense_raw)
+            if self.bag is None:
+                cat = np.stack([self._zipf_indices(rng, v, (b,))
+                                for v in self.vocab_sizes])           # (T, B)
+                row_contrib = sum(self._row_logit[t][cat[t]] for t in range(self._t))
+            else:
+                cat = np.stack([self._zipf_indices(rng, v, (b, self.bag))
+                                for v in self.vocab_sizes])           # (T, B, bag)
+                row_contrib = sum(self._row_logit[t][cat[t]].sum(-1) / self.bag
+                                  for t in range(self._t))
+            logit = (dense @ self._w_dense) / np.sqrt(self.num_dense) \
+                + row_contrib / np.sqrt(self._t) + self._bias
+            prob = 1.0 / (1.0 + np.exp(-logit))
+            label = (rng.random(b) < prob).astype(np.float32)
+            yield dict(dense=dense, cat=cat, label=label)
+            i += 1
+
+
+def criteo_kaggle_batches(path: str, vocab_sizes: Sequence[int],
+                          batch_size: int = 8192,
+                          max_batches: Optional[int] = None) -> Iterator[dict]:
+    """Stream batches from a Criteo Kaggle `train.txt` TSV.
+
+    Row format: label \\t I1..I13 (ints, may be empty) \\t C1..C26 (8-hex
+    tokens, may be empty). Missing dense -> 0; categoricals hash (FNV-1a) into
+    `vocab_sizes[t]`. Dense is log1p'd (standard DLRM preprocessing).
+    """
+    t = len(vocab_sizes)
+    assert t == CRITEO_NUM_SPARSE, f"Criteo has 26 sparse features, got {t}"
+
+    def fnv1a(s: str) -> int:
+        h = 0xCBF29CE484222325
+        for ch in s.encode():
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    dense_buf = np.zeros((batch_size, CRITEO_NUM_DENSE), np.float32)
+    cat_buf = np.zeros((t, batch_size), np.int32)
+    label_buf = np.zeros((batch_size,), np.float32)
+    n = 0
+    emitted = 0
+    with open(path, "r") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) != 1 + CRITEO_NUM_DENSE + CRITEO_NUM_SPARSE:
+                continue
+            label_buf[n] = float(parts[0])
+            for j in range(CRITEO_NUM_DENSE):
+                v = parts[1 + j]
+                x = float(v) if v else 0.0
+                dense_buf[n, j] = np.log1p(max(x, 0.0))
+            for j in range(CRITEO_NUM_SPARSE):
+                v = parts[1 + CRITEO_NUM_DENSE + j]
+                cat_buf[j, n] = fnv1a(v) % vocab_sizes[j] if v else 0
+            n += 1
+            if n == batch_size:
+                yield dict(dense=dense_buf.copy(), cat=cat_buf.copy(),
+                           label=label_buf.copy())
+                n = 0
+                emitted += 1
+                if max_batches is not None and emitted >= max_batches:
+                    return

@@ -1,0 +1,72 @@
+"""Training-quality metrics.
+
+The reference has no metrics module (SURVEY.md §5); the BASELINE.md north
+star requires AUC parity on Criteo for the DLRM flagship, so ROC-AUC is
+provided here. Two implementations:
+
+  - `auc`: exact Mann-Whitney rank statistic with tie handling (host numpy;
+    evaluation is a host-side concern).
+  - `auc_jax`: jit-friendly version (average ranks via double argsort) for
+    on-device eval loops.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+
+def auc(labels, scores) -> float:
+    """Exact ROC-AUC: P(score_pos > score_neg) + 0.5 * P(tie).
+
+    Rank-based (Mann-Whitney U) with average ranks for ties.
+    """
+    labels = np.asarray(labels).reshape(-1)
+    scores = np.asarray(scores, dtype=np.float64).reshape(-1)
+    pos = labels > 0.5
+    n_pos = int(pos.sum())
+    n_neg = labels.size - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty_like(scores)
+    ranks[order] = np.arange(1, scores.size + 1, dtype=np.float64)
+    # Average ranks over tie groups.
+    sorted_scores = scores[order]
+    is_new = np.concatenate([[True], sorted_scores[1:] != sorted_scores[:-1]])
+    group = np.cumsum(is_new) - 1
+    gsum = np.zeros(group[-1] + 1)
+    gcnt = np.zeros(group[-1] + 1)
+    np.add.at(gsum, group, ranks[order])
+    np.add.at(gcnt, group, 1)
+    avg = gsum / gcnt
+    ranks[order] = avg[group]
+    u = ranks[pos].sum() - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
+def auc_jax(labels: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
+    """jit-compatible ROC-AUC with average-rank tie handling."""
+    labels = labels.reshape(-1).astype(jnp.float32)
+    scores = scores.reshape(-1).astype(jnp.float32)
+    n = scores.shape[0]
+    order = jnp.argsort(scores)
+    sorted_scores = scores[order]
+    base_ranks = jnp.arange(1, n + 1, dtype=jnp.float32)
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_scores[1:] != sorted_scores[:-1]])
+    group = jnp.cumsum(is_new) - 1
+    gsum = jnp.zeros((n,), jnp.float32).at[group].add(base_ranks)
+    gcnt = jnp.zeros((n,), jnp.float32).at[group].add(1.0)
+    avg = jnp.where(gcnt > 0, gsum / jnp.maximum(gcnt, 1.0), 0.0)
+    ranks = jnp.zeros((n,), jnp.float32).at[order].set(avg[group])
+    n_pos = jnp.sum(labels)
+    n_neg = n - n_pos
+    u = jnp.sum(ranks * labels) - n_pos * (n_pos + 1) / 2.0
+    return u / jnp.maximum(n_pos * n_neg, 1.0)
+
+
+def accuracy(labels, scores, threshold: float = 0.0) -> float:
+    labels = np.asarray(labels).reshape(-1)
+    scores = np.asarray(scores).reshape(-1)
+    return float(((scores > threshold) == (labels > 0.5)).mean())

@@ -1,0 +1,12 @@
+"""Model families built on the embedding engine.
+
+The reference is the kernel library *under* a DLRM implementation
+(`/root/reference/README.md:174-176`: the `PreallocationStrategy(prependrows)`
+design exists to fuse DLRM's bottom-MLP concat); the DLRM model itself is the
+flagship here (BASELINE.md config 4).
+"""
+from .dlrm import (DLRM, DLRMConfig, dlrm_small_config, init_dlrm,
+                   make_train_step, make_eval_step)
+
+__all__ = ["DLRM", "DLRMConfig", "dlrm_small_config", "init_dlrm",
+           "make_train_step", "make_eval_step"]

@@ -1,0 +1,263 @@
+"""DLRM: the flagship model family on top of the embedding engine.
+
+The reference is the kernel library used *under* a DLRM: its
+`PreallocationStrategy(prependrows)` exists to fuse the bottom-MLP output into
+the ensemble-lookup concat (`/root/reference/src/lookup.jl:279-291`,
+`README.md:164-176`). This module is that DLRM, built TPU-first:
+
+  - Embedding ensemble = `StackedTables`: all 26 tables in ONE `(ΣV, D)` HBM
+    array; the ensemble lookup is ONE gather (the XLA-native replacement for
+    the reference's thread-per-table `SimpleParallelStrategy`).
+  - Dense towers (bottom/top MLP) run on the MXU in a configurable compute
+    dtype (bfloat16 by default, f32 accumulation — XLA default for TPU).
+  - Dot interaction = one batched `Z @ Zᵀ` matmul (B, T+1, D)x(B, D, T+1) —
+    MXU-shaped, no gather/scatter.
+  - Concat fusion: the bottom-MLP output occupies the leading `dim` features
+    of the fused activation, i.e. the reference's `prependrows` region is
+    *written by the dense tower* rather than left uninitialized
+    (`src/lookup.jl:336-340` reserves it for exactly this).
+  - Training uses the lazy-sparse-gradient discipline (SURVEY.md §2.4 item 5):
+    the loss is differentiated w.r.t. the *looked-up activations*, giving the
+    `(delta, indices)` cotangent directly; no table-sized dense gradient ever
+    exists. Table rows then take a fused sparse-optimizer step
+    (`optim.SparseSGD` / `SparseRowWiseAdaGrad`).
+
+Everything is functional and jit-compatible; the multi-chip version lives in
+`parallel/dlrm.py`.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.ensemble import StackedTables
+from ..ops.lookup import lookup
+from ..ops.sparse_update import SparseEmbeddingUpdate
+from ..optim import SparseOptState, SparseRowWiseAdaGrad, SparseSGD
+from ..tables import SimpleEmbedding
+
+
+@dataclasses.dataclass(frozen=True)
+class DLRMConfig:
+    vocab_sizes: Tuple[int, ...]
+    num_dense: int = 13
+    dim: int = 128                          # embedding feature size (lane-aligned)
+    bottom_mlp: Tuple[int, ...] = (512, 256, 128)   # last entry must == dim
+    top_mlp: Tuple[int, ...] = (1024, 1024, 512, 256, 1)
+    interaction: str = "dot"                # "dot" | "cat"
+    self_interaction: bool = False          # include diagonal of Z Zᵀ
+    bag: Optional[int] = None               # multi-hot bag size (None = one-hot)
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16  # MXU dtype for the dense towers
+
+    def __post_init__(self):
+        if self.bottom_mlp[-1] != self.dim:
+            raise ValueError(
+                f"bottom_mlp must end at dim={self.dim}, got {self.bottom_mlp}")
+        if self.interaction not in ("dot", "cat"):
+            raise ValueError(self.interaction)
+
+    @property
+    def num_tables(self) -> int:
+        return len(self.vocab_sizes)
+
+    @property
+    def interaction_features(self) -> int:
+        t1 = self.num_tables + 1
+        if self.interaction == "cat":
+            return self.dim * t1
+        pairs = t1 * (t1 - 1) // 2 + (t1 if self.self_interaction else 0)
+        return self.dim + pairs
+
+
+def dlrm_small_config(vocab: int = 100_000, **kw) -> DLRMConfig:
+    """Criteo-Kaggle-shaped small config (26 tables)."""
+    kw.setdefault("vocab_sizes", tuple([vocab] * 26))
+    return DLRMConfig(**kw)
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DLRM:
+    """Parameter pytree: dense towers + the stacked embedding ensemble +
+    sparse-optimizer row state."""
+
+    bottom: list            # [(W, b), ...]
+    top: list               # [(W, b), ...]
+    tables: StackedTables   # (ΣV, dim) single HBM array
+    emb_state: SparseOptState
+    config: DLRMConfig = dataclasses.field(metadata=dict(static=True))
+
+
+def _init_mlp(key, sizes, dtype):
+    layers = []
+    for i in range(len(sizes) - 1):
+        key, k1 = jax.random.split(key)
+        fan_in, fan_out = sizes[i], sizes[i + 1]
+        std = (2.0 / (fan_in + fan_out)) ** 0.5
+        w = (std * jax.random.normal(k1, (fan_in, fan_out))).astype(dtype)
+        layers.append((w, jnp.zeros((fan_out,), dtype)))
+    return layers
+
+
+def init_dlrm(key: jax.Array, cfg: DLRMConfig,
+              sparse_opt=None) -> DLRM:
+    kb, kt, ke = jax.random.split(key, 3)
+    bottom = _init_mlp(kb, (cfg.num_dense,) + cfg.bottom_mlp, cfg.param_dtype)
+    top = _init_mlp(kt, (cfg.interaction_features,) + cfg.top_mlp,
+                    cfg.param_dtype)
+    # One stacked array for the whole ensemble; per-table uniform init
+    # scaled by 1/sqrt(dim) (standard DLRM embedding init).
+    total_v = sum(cfg.vocab_sizes)
+    data = (jax.random.uniform(ke, (total_v, cfg.dim), minval=-1.0, maxval=1.0)
+            / jnp.sqrt(float(cfg.dim))).astype(cfg.param_dtype)
+    offs, acc = [0], 0
+    for v in cfg.vocab_sizes:
+        acc += v
+        offs.append(acc)
+    tables = StackedTables(data=data, offsets=tuple(offs), dim=cfg.dim)
+    sparse_opt = sparse_opt or SparseSGD()
+    return DLRM(bottom=bottom, top=top, tables=tables,
+                emb_state=sparse_opt.init(data), config=cfg)
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _mlp(layers, x, compute_dtype, final_activation=True):
+    x = x.astype(compute_dtype)
+    for i, (w, b) in enumerate(layers):
+        x = x @ w.astype(compute_dtype) + b.astype(compute_dtype)
+        if i < len(layers) - 1 or final_activation:
+            x = jax.nn.relu(x)
+    return x
+
+
+def dot_interaction(bottom_out: jax.Array, emb: jax.Array,
+                    self_interaction: bool) -> jax.Array:
+    """Pairwise feature interactions: Z = [bottom; emb] (B, T+1, D);
+    one batched matmul Z Zᵀ, then the (strict) lower triangle, concatenated
+    after the bottom output. MXU-shaped by construction."""
+    z = jnp.concatenate([bottom_out[:, None, :], emb], axis=1)  # (B, T+1, D)
+    zzt = jnp.einsum("bij,bkj->bik", z, z)                      # (B, T+1, T+1)
+    t1 = z.shape[1]
+    offset = 0 if self_interaction else -1
+    li, lj = jnp.tril_indices(t1, k=offset)
+    flat = zzt[:, li, lj]                                       # (B, pairs)
+    return jnp.concatenate([bottom_out, flat], axis=-1)
+
+
+def embedding_forward(tables: StackedTables, cat: jax.Array) -> jax.Array:
+    """Ensemble lookup as ONE gather on the stacked array.
+
+    cat: (T, B) or (T, B, bag) per-table local ids -> (T, B, dim).
+    """
+    t = tables.ntables
+    idx = [cat[i] for i in range(t)]
+    g = tables.shift_indices(idx)                  # (T, B[, bag]) global rows
+    flat = g.reshape((-1,) + g.shape[2:])          # (T*B[, bag])
+    out = lookup(SimpleEmbedding(tables.data), flat)
+    return out.reshape(t, g.shape[1], tables.dim)
+
+
+def forward_from_embeddings(bottom, top, cfg: DLRMConfig, dense: jax.Array,
+                            emb_t: jax.Array) -> jax.Array:
+    """Dense towers given already-looked-up embeddings `(T, B, dim)`.
+    Split out so training can differentiate w.r.t. `emb_t` (the lazy
+    sparse-gradient boundary)."""
+    cd = cfg.compute_dtype
+    bot = _mlp(bottom, dense, cd)                        # (B, dim)
+    emb = jnp.transpose(emb_t, (1, 0, 2)).astype(cd)     # (B, T, dim)
+    if cfg.interaction == "dot":
+        feat = dot_interaction(bot, emb, cfg.self_interaction)
+    else:
+        # "cat": plain concat fusion — the PreallocationStrategy layout, with
+        # the bottom output occupying the prepend region (reference
+        # `lookup.jl:288-291,336-340`).
+        feat = jnp.concatenate(
+            [bot, emb.reshape(emb.shape[0], -1)], axis=-1)
+    logits = _mlp(top, feat, cd, final_activation=False)  # (B, 1)
+    return logits[:, 0].astype(jnp.float32)
+
+
+def dlrm_forward(model: DLRM, dense: jax.Array, cat: jax.Array) -> jax.Array:
+    emb_t = embedding_forward(model.tables, cat)
+    return forward_from_embeddings(model.bottom, model.top, model.config,
+                                   dense, emb_t)
+
+
+def bce_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Numerically-stable sigmoid binary cross-entropy, mean over batch."""
+    z, y = logits, labels.astype(jnp.float32)
+    return jnp.mean(jnp.maximum(z, 0) - z * y + jnp.log1p(jnp.exp(-jnp.abs(z))))
+
+
+# ---------------------------------------------------------------------------
+# Training step
+# ---------------------------------------------------------------------------
+
+def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
+                    jit: bool = True):
+    """Build the single-chip fused train step.
+
+    Returns `step(model, dense, cat, label) -> (model, loss)`. The embedding
+    gradient is captured lazily as `(delta, indices)` (never a (ΣV, D) dense
+    array) and applied through the fused sparse optimizer; dense towers take
+    a plain SGD step. Donating `model` lets XLA update the stacked table (and
+    the big MLP weights) in place.
+    """
+    sparse_opt = sparse_opt or SparseSGD()
+
+    def step(model: DLRM, dense, cat, label):
+        emb_t = embedding_forward(model.tables, cat)
+
+        def loss_fn(dense_params, emb_act):
+            bottom, top = dense_params
+            logits = forward_from_embeddings(bottom, top, cfg, dense, emb_act)
+            return bce_loss(logits, label)
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            (model.bottom, model.top), emb_t)
+        dense_grads, delta_t = grads           # delta_t: (T, B, dim) lazy delta
+
+        # Dense towers: plain SGD (parity with the reference's Flux.Descent).
+        new_bottom, new_top = jax.tree.map(
+            lambda p, g: (p - dense_lr * g).astype(p.dtype),
+            (model.bottom, model.top), dense_grads)
+
+        # Embedding ensemble: ONE fused sparse step on the stacked array.
+        # Per-table (delta, indices) merge into a single occurrence stream via
+        # the static stacked offsets (the ensemble_update in stacked form).
+        t = cfg.num_tables
+        idx = [cat[i] for i in range(t)]
+        g = model.tables.shift_indices(idx)    # (T, B[, bag]) global rows
+        flat_idx = g.reshape((-1,) + g.shape[2:])
+        flat_delta = delta_t.reshape(-1, cfg.dim).astype(jnp.float32)
+        upd = SparseEmbeddingUpdate(delta=flat_delta, indices=flat_idx)
+        new_data, new_state = sparse_opt.apply(model.tables.data, upd,
+                                               model.emb_state)
+        new_tables = dataclasses.replace(model.tables, data=new_data)
+        new_model = DLRM(bottom=new_bottom, top=new_top, tables=new_tables,
+                         emb_state=new_state, config=cfg)
+        return new_model, loss
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_eval_step(cfg: DLRMConfig, jit: bool = True):
+    def step(model: DLRM, dense, cat):
+        return dlrm_forward(model, dense, cat)
+    if jit:
+        step = jax.jit(step)
+    return step

@@ -56,9 +56,12 @@ def _lookup_xla(data: jax.Array, indices: jax.Array) -> jax.Array:
 
 
 def _use_pallas(data: jax.Array, indices: jax.Array) -> bool:
-    """`dostatic`-analog dispatch heuristic (`src/lookup.jl:30-32`): take the
-    Pallas fast path when the feature dim is lane-aligned and we're on TPU (or
-    interpret mode is forced)."""
+    """`dostatic`-analog dispatch heuristic (`src/lookup.jl:30-32`), tuned by
+    measurement on v5e (2026-08): XLA's native gather wins the non-reducing
+    case (351 vs 312 GB/s at B=1.7M, D=128); the Pallas bag kernel wins the
+    reducing case (172 vs 151 GB/s useful at B=128Ki, bag=12) because it
+    accumulates bags in VREGs instead of materializing `(B, bag, D)`. Both
+    sit near the ~3 ns/row random-DMA ceiling for 512-B rows."""
     impl = config.lookup_impl()
     if impl == "xla":
         return False
@@ -66,8 +69,8 @@ def _use_pallas(data: jax.Array, indices: jax.Array) -> bool:
     aligned = dim % LANES == 0
     if impl == "pallas":
         return aligned
-    # auto
-    return aligned and config.on_tpu()
+    # auto: Pallas only where it measures faster — the reducing path.
+    return aligned and config.on_tpu() and indices.ndim == 2
 
 
 def _lookup_dispatch(data: jax.Array, indices: jax.Array) -> jax.Array:

@@ -14,6 +14,16 @@ TPU-native re-design of the reference's static lookup kernels
     reference's TiledSIMD path ("nontemporal" needs no analog on TPU; VMEM->
     HBM output writes stream by default).
 
+Index delivery: `PrefetchScalarGridSpec` scalar prefetch (SMEM), available
+before the kernel body so DMA source addresses are computable immediately.
+SMEM is ~1 MB, so one call cannot prefetch production-sized index streams
+(26 tables x 64Ki batch = 6.8 MB); the public entry points CHUNK the batch so
+each pallas_call prefetches <= `MAX_PREFETCH_IDX` int32s (256 KB). Chunks are
+independent kernel launches inside one jit — XLA overlaps them.
+(A per-tile SMEM-blocked index input would avoid chunking, but Mosaic requires
+1-D s32 SMEM blocks to match XLA's T(1024) layout — incompatible with
+arbitrary tile sizes; verified on v5e.)
+
 Layout note: Mosaic tiles the two minor dims of an HBM memref — (8,128) for
 2-D f32 — and slices must be tile-aligned, so single-row `(1, D)` DMAs from a
 `(V, D)` table are rejected ("Slice shape along dimension 0 must be aligned to
@@ -21,9 +31,6 @@ tiling (8)"). The escape hatch (verified on v5e): view the table as 3-D
 `(V, 1, D)` — the *leading* dim is untiled, so `table.at[row]` slices freely,
 and the minor dims `(1, D)` take (1,128) tiling with no padding. All row
 buffers here (table, output, scratch) use this `(N, 1, D)` shape.
-
-Indices arrive via `PrefetchScalarGridSpec` scalar prefetch (SMEM), available
-before the kernel body so DMA source addresses are computable immediately.
 
 Feature dim must be a multiple of 128 lanes (the `dostatic`-analog dispatch in
 ops/lookup.py guarantees this; other dims take the XLA path, mirroring the
@@ -45,6 +52,8 @@ from ...types import LANES, cdiv
 DEFAULT_TB = 256
 # Outputs per grid step for the reducing kernel.
 DEFAULT_TB_BAG = 32
+# Max int32 indices scalar-prefetched per pallas_call (256 KB of ~1 MB SMEM).
+MAX_PREFETCH_IDX = 65_536
 
 
 def _pad_to(x: jax.Array, n: int, axis: int = 0, fill=0):
@@ -59,6 +68,11 @@ def _pad_to(x: jax.Array, n: int, axis: int = 0, fill=0):
 def _fit_tile(tb: int, b: int) -> int:
     """Clamp the tile to the (pow2-rounded) batch so tiny batches don't pad."""
     return min(tb, max(8, 1 << (b - 1).bit_length()))
+
+
+def _chunked(b: int, chunk: int):
+    """Static (start, size) spans covering `b` in steps of `chunk`."""
+    return [(s, min(chunk, b - s)) for s in range(0, b, chunk)]
 
 
 # ---------------------------------------------------------------------------
@@ -82,14 +96,11 @@ def _gather_rows_kernel(tb: int, idx_ref, table_ref, out_ref, sems):
         c.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
-def gather_rows(table: jax.Array, idx: jax.Array, *, tb: int = DEFAULT_TB,
-                interpret: bool | None = None) -> jax.Array:
-    """Non-reducing lookup: `(V, D) x (B,) -> (B, D)`, D % 128 == 0."""
-    if interpret is None:
-        interpret = config.pallas_interpret()
+def _gather_rows_call(table3: jax.Array, idx: jax.Array, tb: int,
+                      interpret: bool) -> jax.Array:
+    """One pallas_call over <= MAX_PREFETCH_IDX indices. Returns (b_pad, 1, d)."""
     b = idx.shape[0]
-    v, d = table.shape
+    v, _, d = table3.shape
     tb = _fit_tile(tb, b)
     b_pad = cdiv(b, tb) * tb
     idx_pad = _pad_to(idx.astype(jnp.int32), b_pad)
@@ -102,16 +113,33 @@ def gather_rows(table: jax.Array, idx: jax.Array, *, tb: int = DEFAULT_TB,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((tb,))],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_gather_rows_kernel, tb),
-        out_shape=jax.ShapeDtypeStruct((b_pad, 1, d), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_pad, 1, d), table3.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=0, transcendentals=0,
-            bytes_accessed=2 * b_pad * d * table.dtype.itemsize),
-    )(idx_pad, table.reshape(v, 1, d))
-    return out.reshape(b_pad, d)[:b]
+            bytes_accessed=2 * b_pad * d * table3.dtype.itemsize),
+    )(idx_pad, table3)
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
+def gather_rows(table: jax.Array, idx: jax.Array, *, tb: int = DEFAULT_TB,
+                interpret: bool | None = None) -> jax.Array:
+    """Non-reducing lookup: `(V, D) x (B,) -> (B, D)`, D % 128 == 0."""
+    if interpret is None:
+        interpret = config.pallas_interpret()
+    b = idx.shape[0]
+    v, d = table.shape
+    table3 = table.reshape(v, 1, d)
+    outs = []
+    for start, size in _chunked(b, MAX_PREFETCH_IDX):
+        part = _gather_rows_call(
+            table3, jax.lax.dynamic_slice_in_dim(idx, start, size), tb,
+            interpret)
+        outs.append(part.reshape(-1, d)[:size])
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -139,17 +167,13 @@ def _gather_bags_kernel(tb: int, bag: int, d: int, idx_ref, table_ref, out_ref,
     out_ref[:, :] = scratch[:].reshape(tb, bag, d).sum(axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
-def gather_bags(table: jax.Array, idx: jax.Array, *, tb: int = DEFAULT_TB_BAG,
-                interpret: bool | None = None) -> jax.Array:
-    """Reducing lookup: `(V, D) x (B, bag) -> (B, D)`, D % 128 == 0."""
-    if interpret is None:
-        interpret = config.pallas_interpret()
+def _gather_bags_call(table3: jax.Array, idx: jax.Array, tb: int,
+                      interpret: bool) -> jax.Array:
     b, bag = idx.shape
-    v, d = table.shape
+    v, _, d = table3.shape
     tb = _fit_tile(tb, b)
     # Keep the scratch tile within a VMEM budget (~4 MB).
-    while tb > 8 and tb * bag * d * table.dtype.itemsize > 4 * 1024 * 1024:
+    while tb > 8 and tb * bag * d * table3.dtype.itemsize > 4 * 1024 * 1024:
         tb //= 2
     b_pad = cdiv(b, tb) * tb
     idx_pad = _pad_to(idx.astype(jnp.int32), b_pad).reshape(-1)
@@ -161,17 +185,35 @@ def gather_bags(table: jax.Array, idx: jax.Array, *, tb: int = DEFAULT_TB_BAG,
         out_specs=pl.BlockSpec((tb, d), lambda i, idx_ref: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((tb * bag, 1, d), table.dtype),
+            pltpu.VMEM((tb * bag, 1, d), table3.dtype),
             pltpu.SemaphoreType.DMA((tb * bag,)),
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_gather_bags_kernel, tb, bag, d),
-        out_shape=jax.ShapeDtypeStruct((b_pad, d), table.dtype),
+        out_shape=jax.ShapeDtypeStruct((b_pad, d), table3.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=b_pad * bag * d, transcendentals=0,
-            bytes_accessed=(b_pad * bag + b_pad) * d * table.dtype.itemsize),
-    )(idx_pad, table.reshape(v, 1, d))
-    return out[:b]
+            bytes_accessed=(b_pad * bag + b_pad) * d * table3.dtype.itemsize),
+    )(idx_pad, table3)
+
+
+@functools.partial(jax.jit, static_argnames=("tb", "interpret"))
+def gather_bags(table: jax.Array, idx: jax.Array, *, tb: int = DEFAULT_TB_BAG,
+                interpret: bool | None = None) -> jax.Array:
+    """Reducing lookup: `(V, D) x (B, bag) -> (B, D)`, D % 128 == 0."""
+    if interpret is None:
+        interpret = config.pallas_interpret()
+    b, bag = idx.shape
+    v, d = table.shape
+    table3 = table.reshape(v, 1, d)
+    chunk = max(1, MAX_PREFETCH_IDX // bag)
+    outs = []
+    for start, size in _chunked(b, chunk):
+        part = _gather_bags_call(
+            table3, jax.lax.dynamic_slice_in_dim(idx, start, size, axis=0),
+            tb, interpret)
+        outs.append(part[:size])
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)

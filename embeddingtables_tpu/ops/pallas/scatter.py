@@ -13,6 +13,13 @@ disjoint slice of the *unique-row* range (the reference's `IndexerView`
 partitioning, `src/utils.jl:320-338`, realized as grid partitioning), hence
 rows written by different grid steps never overlap.
 
+Gradient delivery: the host-side wrapper pre-permutes the delta stream into
+unique-row-grouped order (`delta[idx.map]`, one XLA gather), so each unique
+row's gradient columns are CONTIGUOUS in HBM at `[offsets[g], offsets[g+1])`
+and the kernel needs no per-occurrence index lookups — only `unique` and
+`offsets` slices ride SMEM, chunked per pallas_call to stay within the ~1 MB
+SMEM budget (whole-array prefetch would need 6.8 MB at production batches).
+
 The table buffer is donated (`input_output_aliases`): rows are updated in
 place in HBM, untouched rows keep their values — the functional-API analog of
 the reference's in-place `update!`.
@@ -35,10 +42,12 @@ from ..indexer import IndexerResult
 
 # Unique rows processed per grid step.
 DEFAULT_TU = 64
+# Max unique rows handled per pallas_call (bounds SMEM prefetch to ~256 KB).
+MAX_UNIQUE_PER_CALL = 32_768
 
 
-def _scatter_sgd_kernel(tu: int, unique_ref, offsets_ref, map_ref,
-                        nuniq_ref, table_ref, delta_ref, lr_ref, out_ref,
+def _scatter_sgd_kernel(tu: int, chunk_base: int, unique_ref, offsets_ref,
+                        nuniq_ref, table_ref, dsorted_ref, lr_ref, out_ref,
                         rowbuf, dbuf, acc_buf, rsems, dsem, wsems):
     i = pl.program_id(0)
     nuniq = nuniq_ref[0]
@@ -49,18 +58,18 @@ def _scatter_sgd_kernel(tu: int, unique_ref, offsets_ref, map_ref,
     for u in range(tu):
         g = i * tu + u
 
-        @pl.when(g < nuniq)
+        @pl.when(chunk_base + g < nuniq)
         def _(u=u, g=g):
             row = unique_ref[g]
             pltpu.make_async_copy(
                 out_ref.at[row], rowbuf.at[u], rsems.at[u]).start()
 
-    # Phase 2: per unique row, accumulate its gradient columns then one
-    # write-back. Occurrence counts are dynamic (CSR offsets) -> fori_loop.
+    # Phase 2: per unique row, accumulate its (contiguous) gradient slice then
+    # one write-back. Occurrence counts are dynamic (CSR offsets) -> fori_loop.
     for u in range(tu):
         g = i * tu + u
 
-        @pl.when(g < nuniq)
+        @pl.when(chunk_base + g < nuniq)
         def _(u=u, g=g):
             row = unique_ref[g]
             start = offsets_ref[g]
@@ -69,8 +78,7 @@ def _scatter_sgd_kernel(tu: int, unique_ref, offsets_ref, map_ref,
             acc_buf[:, :] = jnp.zeros(acc_buf.shape, acc_buf.dtype)
 
             def body(k, _):
-                col = map_ref[k]
-                c = pltpu.make_async_copy(delta_ref.at[col], dbuf.at[0], dsem)
+                c = pltpu.make_async_copy(dsorted_ref.at[k], dbuf.at[0], dsem)
                 c.start()
                 c.wait()
                 acc_buf[:, :] = acc_buf[:, :] + dbuf[0].astype(acc_buf.dtype)
@@ -90,11 +98,49 @@ def _scatter_sgd_kernel(tu: int, unique_ref, offsets_ref, map_ref,
     for u in range(tu):
         g = i * tu + u
 
-        @pl.when(g < nuniq)
+        @pl.when(chunk_base + g < nuniq)
         def _(u=u, g=g):
             row = unique_ref[g]
             pltpu.make_async_copy(
                 rowbuf.at[u], out_ref.at[row], wsems.at[u]).wait()
+
+
+def _scatter_sgd_call(table3: jax.Array, dsorted3: jax.Array,
+                      unique_c: jax.Array, offsets_c: jax.Array,
+                      nuniq: jax.Array, lr_arr: jax.Array, chunk_base: int,
+                      tu: int, interpret: bool) -> jax.Array:
+    """One pallas_call over <= MAX_UNIQUE_PER_CALL unique rows."""
+    v, _, d = table3.shape
+    n_c = unique_c.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # unique, offsets, num_unique
+        grid=(n_c // tu,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # table (aliased to out)
+            pl.BlockSpec(memory_space=pl.ANY),      # delta, unique-grouped
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lr
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((tu, 1, d), table3.dtype),    # rowbuf
+            pltpu.VMEM((1, 1, d), dsorted3.dtype),   # dbuf
+            pltpu.VMEM((1, d), jnp.float32),          # acc
+            pltpu.SemaphoreType.DMA((tu,)),           # row-read sems
+            pltpu.SemaphoreType.DMA(()),              # delta sem
+            pltpu.SemaphoreType.DMA((tu,)),           # write-back sems
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_scatter_sgd_kernel, tu, chunk_base),
+        out_shape=jax.ShapeDtypeStruct((v, 1, d), table3.dtype),
+        grid_spec=grid_spec,
+        input_output_aliases={3: 0},  # table (after 3 scalar-prefetch args)
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_c * d, transcendentals=0,
+            bytes_accessed=3 * n_c * d * table3.dtype.itemsize),
+    )(unique_c, offsets_c, nuniq, table3, dsorted3, lr_arr)
 
 
 @functools.partial(jax.jit, static_argnames=("tu", "interpret"),
@@ -102,58 +148,39 @@ def _scatter_sgd_kernel(tu: int, unique_ref, offsets_ref, map_ref,
 def scatter_sgd(table: jax.Array, delta: jax.Array, idx_result: IndexerResult,
                 cols: jax.Array, lr, *, tu: int = DEFAULT_TU,
                 interpret: bool | None = None) -> jax.Array:
-    """Fused dedup scatter-FMA: `table[unique[g]] -= lr * Σ delta[map[k]]`.
+    """Fused dedup scatter-FMA: `table[unique[g]] -= lr * Σ_{k in group g} delta[map[k]]`.
 
     table:      (V, D), D % 128 == 0. Donated/aliased — updated in place.
     delta:      (B, D) per-output gradient rows.
     idx_result: CSR dedup structure from ops/indexer.py (capacity n).
-    cols:       unused here (`map` already encodes gradient columns); kept for
-                signature parity with the generic paths.
+    cols:       per-occurrence gradient-column ids in stream order (from
+                `flatten_indices`); composed with `idx_result.map` to build
+                the unique-row-grouped delta stream.
     """
     if interpret is None:
         interpret = config.pallas_interpret()
     v, d = table.shape
-    b = delta.shape[0]
     n = idx_result.capacity
     tu = min(tu, max(8, 1 << (n - 1).bit_length()))
-    n_pad = cdiv(n, tu) * tu
 
-    unique = jnp.pad(idx_result.unique, (0, n_pad - n), constant_values=0)
-    # Clamp padding/sentinel entries to row 0; they are masked by nuniq.
-    unique = jnp.maximum(unique, 0).astype(jnp.int32)
-    offsets = jnp.pad(idx_result.offsets,
-                      (0, n_pad + 1 - idx_result.offsets.shape[0]))
+    # Unique-row-grouped contiguous gradient stream (one XLA gather):
+    # `map` holds the gradient-column id for each CSR slot (indexer.py).
+    dsorted = delta[idx_result.map]
+    dsorted3 = dsorted.reshape(n, 1, d)
+    table3 = table.reshape(v, 1, d)
     nuniq = idx_result.num_unique.reshape(1).astype(jnp.int32)
     lr_arr = jnp.asarray(lr, dtype=jnp.float32).reshape(1)
+    # Clamp padding/sentinel entries to row 0; they are masked by nuniq.
+    unique = jnp.maximum(idx_result.unique, 0).astype(jnp.int32)
+    offsets = idx_result.offsets.astype(jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # unique, offsets, map, num_unique
-        grid=(n_pad // tu,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # table (aliased to out)
-            pl.BlockSpec(memory_space=pl.ANY),      # delta
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # lr
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((tu, 1, d), table.dtype),     # rowbuf
-            pltpu.VMEM((1, 1, d), delta.dtype),      # dbuf
-            pltpu.VMEM((1, d), jnp.float32),         # acc
-            pltpu.SemaphoreType.DMA((tu,)),           # row-read sems
-            pltpu.SemaphoreType.DMA(()),              # delta sem
-            pltpu.SemaphoreType.DMA((tu,)),           # write-back sems
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(_scatter_sgd_kernel, tu),
-        out_shape=jax.ShapeDtypeStruct((v, 1, d), table.dtype),
-        grid_spec=grid_spec,
-        input_output_aliases={4: 0},  # table (after 4 scalar-prefetch args)
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * d, transcendentals=0,
-            bytes_accessed=3 * n * d * table.dtype.itemsize),
-    )(unique, offsets, idx_result.map, nuniq, table.reshape(v, 1, d),
-      delta.reshape(b, 1, d), lr_arr)
-    return out.reshape(v, d)
+    for base in range(0, n, MAX_UNIQUE_PER_CALL):
+        size = min(MAX_UNIQUE_PER_CALL, n - base)
+        size_pad = cdiv(size, tu) * tu
+        uc = jax.lax.dynamic_slice_in_dim(unique, base, size)
+        uc = jnp.pad(uc, (0, size_pad - size))
+        oc = jax.lax.dynamic_slice_in_dim(offsets, base, size + 1)
+        oc = jnp.pad(oc, (0, size_pad + 1 - (size + 1)))
+        table3 = _scatter_sgd_call(table3, dsorted3, uc, oc, nuniq, lr_arr,
+                                   base, tu, interpret)
+    return table3.reshape(v, d)

@@ -76,11 +76,25 @@ def uncompress(upd: SparseEmbeddingUpdate, num_rows: int,
 # Fused SGD update paths
 # ---------------------------------------------------------------------------
 
+# Above this occurrence count, pre-sorting the scatter stream pays for itself
+# (v5e, 2026-08: sorted scatter 26.2 ms vs unsorted 33.7 ms at n=1.7M, D=128;
+# the locality win in the row read-modify-write exceeds the sort+permute cost).
+SORT_SCATTER_MIN = 1 << 17
+
+
 def _sgd_scatter(data: jax.Array, upd: SparseEmbeddingUpdate, lr) -> jax.Array:
     """Direct scatter path: one XLA scatter-add with duplicate accumulation.
     Mathematically equal to the dedup path for SGD (linear update)."""
-    rows, cols = flatten_indices(upd.indices)
-    return data.at[rows].add((-lr * upd.delta[cols]).astype(data.dtype))
+    if upd.indices.ndim == 1:
+        rows, vals = upd.indices, -lr * upd.delta
+    else:
+        rows, cols = flatten_indices(upd.indices)
+        vals = -lr * upd.delta[cols]
+    if rows.shape[0] >= SORT_SCATTER_MIN:
+        perm = jnp.argsort(rows)
+        return data.at[rows[perm]].add(vals[perm].astype(data.dtype),
+                                       indices_are_sorted=True)
+    return data.at[rows].add(vals.astype(data.dtype))
 
 
 def _sgd_dedup(data: jax.Array, upd: SparseEmbeddingUpdate, lr,
@@ -128,9 +142,12 @@ def sgd_update(table, upd: SparseEmbeddingUpdate, lr, *,
 
     if isinstance(t, SimpleEmbedding):
         data = t.data
-        if method == "pallas" or (
-                method == "auto" and config.on_tpu()
-                and data.shape[-1] % 128 == 0 and config.update_impl() == "auto"):
+        # Measured on v5e (2026-08): the direct XLA scatter-add (131 GB/s
+        # effective at B=1.7M, D=128) beats the sort-based dedup paths (87
+        # GB/s) for SGD on uniform-random indices, so "auto" takes it; the
+        # Pallas scatter-FMA stays available by explicit request (it wins
+        # when an IndexerResult is already amortized or indices are skewed).
+        if method == "pallas":
             try:
                 from .pallas.scatter import scatter_sgd
                 if idx_result is None:

@@ -1,0 +1,213 @@
+"""Multi-chip DLRM: hybrid data-parallel dense + model-parallel embeddings.
+
+This is the pod-scale realization of the classic DLRM decomposition the
+reference never had (SURVEY.md §2.3 DP/TP/EP rows; the reference is
+single-host threads, `/root/reference/src/lookup.jl:262-276`):
+
+  - Dense towers (bottom/top MLP): **replicated** params, batch sharded over
+    the mesh axis. XLA inserts the gradient `psum` automatically from sharding
+    propagation (replicated params x sharded batch -> replicated grads).
+  - Embedding ensemble: the stacked `(ΣV, D)` table is **mod-row-sharded**
+    over the *same* axis (every chip is both a data-parallel worker and an
+    embedding shard owner — the standard DLRM "butterfly"). Lookup and update
+    ride ICI collectives (`all_gather` of indices / lazy deltas +
+    `psum_scatter` of partial embeddings) inside `shard_map`
+    (parallel/sharded.py).
+  - Sparse optimizer state (row-wise AdaGrad accumulators) is sharded
+    identically to the rows it describes: `(n_shards, rows_local)` with
+    `P(axis)`. Disjoint row ownership makes the update race-free by
+    construction — the reference's IndexerView discipline
+    (`src/utils.jl:320-338`) realized as physical sharding.
+
+Tests run on the 8-device virtual CPU mesh; the driver's `dryrun_multichip`
+compiles and executes one step of this path.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.dlrm import (DLRM, DLRMConfig, bce_loss, forward_from_embeddings,
+                           init_dlrm)
+from ..ops.indexer import flatten_indices, index
+from ..optim import SparseRowWiseAdaGrad, SparseSGD
+from .sharded import ShardedStackedTables, sharded_ensemble_lookup
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedDLRM:
+    """DLRM parameter pytree over a mesh: replicated dense towers, mod-row-
+    sharded stacked embedding table, row-sharded sparse-optimizer state."""
+
+    bottom: list
+    top: list
+    tables: ShardedStackedTables
+    emb_accum: jax.Array     # (n_shards, rows_local) f32, or (n_shards, 0)
+    config: DLRMConfig = dataclasses.field(metadata=dict(static=True))
+
+
+def shard_dlrm(model: DLRM, mesh: Mesh, axis: str = "data",
+               sparse_opt=None) -> ShardedDLRM:
+    """Place a single-chip DLRM onto a mesh (replicate dense, mod-shard the
+    stacked table and its row state)."""
+    sparse_opt = sparse_opt or SparseSGD()
+    st = ShardedStackedTables.shard(mesh, axis, model.tables)
+    n, rows_local, _ = st.data.shape
+    repl = NamedSharding(mesh, P())
+    bottom = jax.device_put(model.bottom, repl)
+    top = jax.device_put(model.top, repl)
+    if isinstance(sparse_opt, SparseRowWiseAdaGrad):
+        # Mod-shard the (ΣV,) accumulator exactly like the rows: pad, then
+        # global row r -> (r % n, r // n).
+        acc = model.emb_state.accum
+        v_pad = n * rows_local
+        acc = jnp.pad(acc, (0, v_pad - acc.shape[0]))
+        acc = acc.reshape(rows_local, n).T
+    else:
+        acc = jnp.zeros((n, 0), jnp.float32)
+    acc = jax.device_put(acc, NamedSharding(mesh, P(axis)))
+    return ShardedDLRM(bottom=bottom, top=top, tables=st, emb_accum=acc,
+                       config=model.config)
+
+
+def init_sharded_dlrm(key: jax.Array, cfg: DLRMConfig, mesh: Mesh,
+                      axis: str = "data", sparse_opt=None) -> ShardedDLRM:
+    return shard_dlrm(init_dlrm(key, cfg, sparse_opt=sparse_opt), mesh, axis,
+                      sparse_opt=sparse_opt)
+
+
+def batch_shardings(mesh: Mesh, axis: str = "data"):
+    """NamedShardings for a (dense, cat, label) batch: batch-dim sharded."""
+    return (NamedSharding(mesh, P(axis)),          # dense (B, F)
+            NamedSharding(mesh, P(None, axis)),    # cat   (T, B[, bag])
+            NamedSharding(mesh, P(axis)))          # label (B,)
+
+
+# ---------------------------------------------------------------------------
+# Sharded sparse-optimizer application
+# ---------------------------------------------------------------------------
+
+def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
+                          accum: jax.Array, shifted_idx: jax.Array,
+                          delta_t: jax.Array, sparse_opt, *,
+                          batch_sharded: bool = True):
+    """Apply per-table lazy updates `(delta_t[(T,B,D)], shifted_idx[(T,B[,bag])])`
+    to the mod-sharded stack in ONE exchange.
+
+    Each device all-gathers the occurrence stream, keeps the rows it owns
+    (disjoint ownership = race-freedom), locally dedups (sort-based indexer),
+    and advances each owned row and its optimizer state exactly once —
+    the reference's accumulate-then-single-write contract
+    (`/root/reference/src/sparseupdate.jl:97-129`) per shard.
+    """
+    axis = st.axis
+    n = st.n_shards
+    adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
+    dim = st.dim
+
+    def body(shard, acc, lidx, ldelta):
+        if batch_sharded:
+            gidx = jax.lax.all_gather(lidx, axis, axis=1, tiled=True)
+            gdelta = jax.lax.all_gather(ldelta, axis, axis=1, tiled=True)
+        else:
+            gidx, gdelta = lidx, ldelta
+        # Per-occurrence (global row, delta row) stream; (T,B,bag) indices fan
+        # one delta row out over the bag (reference `columns()` iterator,
+        # `src/utils.jl:69-83`).
+        rows, cols = flatten_indices(gidx.reshape((-1,) + gidx.shape[2:]))
+        g = gdelta.reshape(-1, dim).astype(jnp.float32)[cols]
+        me = jax.lax.axis_index(axis)
+        mine = (rows % n) == me
+        rows_local = shard.shape[1]
+        lrow = jnp.where(mine, rows // n, rows_local)  # sentinel = OOB -> drop
+
+        if not adagrad:
+            new = shard[0].at[lrow].add(
+                (-sparse_opt.lr * g).astype(shard.dtype), mode="drop")
+            return new[None], acc
+        # Row-wise AdaGrad: dedup the owned stream, one write per unique row.
+        ir = index(lrow)
+        cap = ir.capacity
+        acc_g = jax.ops.segment_sum(g, ir.group_of, num_segments=cap)
+        active = jnp.arange(cap) < ir.num_unique
+        target = jnp.where(active, ir.unique, rows_local)
+        g2 = jnp.mean(jnp.square(acc_g), axis=-1)
+        safe = jnp.clip(target, 0, rows_local - 1)
+        new_acc_rows = acc[0, safe] + g2
+        step = (-sparse_opt.lr * acc_g
+                * jax.lax.rsqrt(new_acc_rows + sparse_opt.eps)[:, None])
+        new_shard = shard[0].at[target].add(step.astype(shard.dtype),
+                                            mode="drop")
+        new_acc = acc[0].at[target].set(new_acc_rows, mode="drop")
+        return new_shard[None], new_acc[None]
+
+    spec = P(None, axis) if batch_sharded else P()
+    new_data, new_accum = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axis), P(axis), spec, spec),
+        out_specs=(P(axis), P(axis)))(st.data, accum, shifted_idx, delta_t)
+    return dataclasses.replace(st, data=new_data), new_accum
+
+
+# ---------------------------------------------------------------------------
+# Train step
+# ---------------------------------------------------------------------------
+
+def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
+                            sparse_opt=None, dense_lr: float = 0.01,
+                            jit: bool = True):
+    """Build the multi-chip fused train step.
+
+    `step(model: ShardedDLRM, dense, cat, label) -> (model, loss)` where the
+    batch arrays carry `batch_shardings(mesh, axis)`. One jitted program:
+    sharded ensemble lookup -> local dense fwd/bwd (grad psum by XLA) ->
+    sharded fused sparse update + replicated dense SGD.
+    """
+    sparse_opt = sparse_opt or SparseSGD()
+
+    def step(model: ShardedDLRM, dense, cat, label):
+        st = model.tables
+        # (T, B, D), batch-sharded: indices shift to stacked global rows
+        # inside, one all-gather + psum_scatter exchange.
+        emb_t = sharded_ensemble_lookup(mesh, st, cat, stacked=True)
+
+        def loss_fn(dense_params, emb_act):
+            bottom, top = dense_params
+            logits = forward_from_embeddings(bottom, top, cfg, dense, emb_act)
+            return bce_loss(logits, label)
+
+        loss, (dense_grads, delta_t) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))((model.bottom, model.top), emb_t)
+
+        new_bottom, new_top = jax.tree.map(
+            lambda p, g: (p - dense_lr * g).astype(p.dtype),
+            (model.bottom, model.top), dense_grads)
+
+        shifted = jnp.stack([cat[t] + st.offsets[t]
+                             for t in range(st.ntables)])
+        new_st, new_accum = _sharded_sparse_apply(
+            mesh, st, model.emb_accum, shifted, delta_t, sparse_opt)
+        new_model = ShardedDLRM(bottom=new_bottom, top=new_top,
+                                tables=new_st, emb_accum=new_accum,
+                                config=cfg)
+        return new_model, loss
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_sharded_eval_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
+                           jit: bool = True):
+    def step(model: ShardedDLRM, dense, cat):
+        emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, stacked=True)
+        return forward_from_embeddings(model.bottom, model.top, cfg, dense,
+                                       emb_t)
+    if jit:
+        step = jax.jit(step)
+    return step

@@ -156,7 +156,8 @@ def sharded_lookup(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
 
 def sharded_ensemble_lookup(mesh: Mesh, st: ShardedStackedTables,
                             indices, *, batch_sharded: bool = True,
-                            fused: bool = False, prependrows: int = 0):
+                            fused: bool = False, prependrows: int = 0,
+                            stacked: bool = False):
     """Ensemble lookup over the sharded stack: per-table local indices are
     shifted by the static stacked offsets, all T tables are looked up in ONE
     exchange, and results return per-table (or fused concat, the
@@ -190,6 +191,8 @@ def sharded_ensemble_lookup(mesh: Mesh, st: ShardedStackedTables,
     out = jax.shard_map(body, mesh=mesh, in_specs=(P(axis), spec),
                         out_specs=spec)(st.data, shifted)
     # out: (T, B, dim) batch-sharded on dim 1.
+    if stacked:
+        return out
     if fused:
         fusedout = out.transpose(1, 0, 2).reshape(b, st.ntables * st.dim)
         if prependrows:

@@ -1,0 +1,162 @@
+"""End-to-end DLRM tests: forward shapes, gradient laziness, training quality.
+
+Mirrors the reference's end-to-end grad-through-loss tests
+(`/root/reference/test/map.jl:109-177`) at model scale, plus the new
+obligation (SURVEY.md §4): learnability on synthetic Criteo-like data.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import embeddingtables_tpu as et
+from embeddingtables_tpu.data import SyntheticCriteo
+from embeddingtables_tpu.metrics import auc
+from embeddingtables_tpu.models import (DLRMConfig, init_dlrm, make_eval_step,
+                                        make_train_step)
+from embeddingtables_tpu.models.dlrm import (bce_loss, dlrm_forward,
+                                             dot_interaction,
+                                             embedding_forward)
+from embeddingtables_tpu.optim import SparseRowWiseAdaGrad, SparseSGD
+
+
+def tiny_cfg(**kw):
+    kw.setdefault("vocab_sizes", (50, 70, 30))
+    kw.setdefault("num_dense", 4)
+    kw.setdefault("dim", 8)
+    kw.setdefault("bottom_mlp", (16, 8))
+    kw.setdefault("top_mlp", (16, 1))
+    kw.setdefault("compute_dtype", jnp.float32)
+    return DLRMConfig(**kw)
+
+
+def synth_batch(cfg, b=32, seed=0, bag=None):
+    rng = np.random.default_rng(seed)
+    dense = rng.normal(size=(b, cfg.num_dense)).astype(np.float32)
+    shape = (b,) if bag is None else (b, bag)
+    cat = np.stack([rng.integers(0, v, shape).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    label = rng.integers(0, 2, b).astype(np.float32)
+    return dense, cat, label
+
+
+def test_forward_shapes_and_interaction():
+    cfg = tiny_cfg()
+    model = init_dlrm(jax.random.key(0), cfg)
+    dense, cat, _ = synth_batch(cfg)
+    logits = dlrm_forward(model, dense, cat)
+    assert logits.shape == (32,)
+    assert logits.dtype == jnp.float32
+
+    # dot interaction feature count: dim + C(T+1, 2)
+    t1 = cfg.num_tables + 1
+    assert cfg.interaction_features == cfg.dim + t1 * (t1 - 1) // 2
+
+
+def test_embedding_forward_matches_per_table_lookup():
+    cfg = tiny_cfg()
+    model = init_dlrm(jax.random.key(1), cfg)
+    dense, cat, _ = synth_batch(cfg, seed=3)
+    emb = embedding_forward(model.tables, jnp.asarray(cat))
+    for t in range(cfg.num_tables):
+        table = model.tables.table(t)
+        expect = et.lookup(table, cat[t])
+        np.testing.assert_array_equal(np.asarray(emb[t]), np.asarray(expect))
+
+
+def test_dot_interaction_is_pairwise_dots():
+    b, t, d = 4, 3, 8
+    rng = np.random.default_rng(0)
+    bot = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    out = dot_interaction(bot, emb, self_interaction=False)
+    z = np.concatenate([np.asarray(bot)[:, None], np.asarray(emb)], axis=1)
+    # First d features are the bottom output; rest are strict-lower-tri dots.
+    np.testing.assert_allclose(np.asarray(out[:, :d]), np.asarray(bot))
+    k = d
+    for i in range(t + 1):
+        for j in range(i):
+            expect = (z[:, i] * z[:, j]).sum(-1)
+            np.testing.assert_allclose(np.asarray(out[:, k]), expect,
+                                       rtol=1e-5)
+            k += 1
+    assert k == out.shape[1]
+
+
+@pytest.mark.parametrize("bag", [None, 3])
+def test_train_step_runs_and_matches_dense_oracle_grad(bag):
+    """One train step's embedding update must equal the dense-table oracle:
+    jax.grad through the full model w.r.t. the stacked table (materialized
+    dense), applied as plain SGD."""
+    cfg = tiny_cfg(bag=bag)
+    model = init_dlrm(jax.random.key(2), cfg)
+    dense, cat, label = synth_batch(cfg, b=16, seed=7, bag=bag)
+    lr = 0.5
+
+    # Oracle: dense gradient w.r.t. the whole stacked array.
+    def loss_of(data, bottom, top):
+        from embeddingtables_tpu.models.dlrm import forward_from_embeddings
+        import dataclasses
+        tables = dataclasses.replace(model.tables, data=data)
+        emb = embedding_forward(tables, jnp.asarray(cat))
+        logits = forward_from_embeddings(bottom, top, cfg, dense, emb)
+        return bce_loss(logits, jnp.asarray(label))
+
+    g_data = jax.grad(loss_of, argnums=0)(
+        model.tables.data, model.bottom, model.top)
+    expect_data = model.tables.data - lr * g_data
+
+    step = make_train_step(cfg, sparse_opt=SparseSGD(lr), dense_lr=lr,
+                           jit=False)
+    new_model, loss = step(model, jnp.asarray(dense), jnp.asarray(cat),
+                           jnp.asarray(label))
+    assert np.isfinite(float(loss))
+    np.testing.assert_allclose(np.asarray(new_model.tables.data),
+                               np.asarray(expect_data), rtol=1e-4, atol=1e-6)
+
+
+def test_training_learns_synthetic_criteo():
+    """Loss decreases and AUC beats chance on learnable synthetic data —
+    the AUC-parity smoke test (BASELINE.md north star, scaled down)."""
+    vocab = (100, 100, 100, 100)
+    cfg = DLRMConfig(vocab_sizes=vocab, num_dense=4, dim=16,
+                     bottom_mlp=(32, 16), top_mlp=(32, 1),
+                     compute_dtype=jnp.float32)
+    gen = SyntheticCriteo(vocab_sizes=vocab, num_dense=4, batch_size=512,
+                          seed=5)
+    model = init_dlrm(jax.random.key(3), cfg,
+                      sparse_opt=SparseRowWiseAdaGrad(lr=0.05))
+    step = make_train_step(cfg, sparse_opt=SparseRowWiseAdaGrad(lr=0.05),
+                           dense_lr=0.05)
+    losses = []
+    it = gen.batches()
+    for i in range(60):
+        b = next(it)
+        model, loss = step(model, jnp.asarray(b["dense"]),
+                           jnp.asarray(b["cat"]), jnp.asarray(b["label"]))
+        losses.append(float(loss))
+    eval_step = make_eval_step(cfg)
+    b = next(it)
+    scores = eval_step(model, jnp.asarray(b["dense"]), jnp.asarray(b["cat"]))
+    a = auc(b["label"], np.asarray(scores))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 0.01, losses
+    assert a > 0.65, a
+
+
+def test_adagrad_state_advances_once_per_unique_row():
+    """Row-state single-advance contract (SURVEY.md §2.4 item 8): repeated
+    indices in one batch must bump the AdaGrad accumulator once, with the
+    accumulated gradient."""
+    opt = SparseRowWiseAdaGrad(lr=1.0, eps=0.0)
+    data = jnp.zeros((4, 8), jnp.float32)
+    state = opt.init(data)
+    delta = jnp.ones((3, 8), jnp.float32)
+    idx = jnp.asarray([2, 2, 1], jnp.int32)
+    upd = et.SparseEmbeddingUpdate(delta=delta, indices=idx)
+    new_data, new_state = opt.apply(data, upd, state)
+    # Row 2 sees summed grad 2.0 -> accum = mean(4) = 4; row 1 -> accum 1.
+    np.testing.assert_allclose(np.asarray(new_state.accum),
+                               [0.0, 1.0, 4.0, 0.0])
+    np.testing.assert_allclose(np.asarray(new_data[2]), -2.0 / 2.0)
+    np.testing.assert_allclose(np.asarray(new_data[1]), -1.0)
+    np.testing.assert_allclose(np.asarray(new_data[0]), 0.0)
