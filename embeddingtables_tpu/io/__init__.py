@@ -1,0 +1,6 @@
+"""Input pipeline runtime: native parsing + background prefetch."""
+from .loader import (CriteoFileLoader, PrefetchLoader, native_available,
+                     native_parse_batch)
+
+__all__ = ["CriteoFileLoader", "PrefetchLoader", "native_available",
+           "native_parse_batch"]

@@ -1,0 +1,108 @@
+"""DLRM training loop: the end-to-end driver (BASELINE.md config 4/5).
+
+Single-chip or mesh-sharded, with telemetry phases, periodic AUC evaluation,
+and checkpoint rotation. The reference stops at the kernel library (its
+training loop lives in the external DLRM repo); this loop is the missing top
+of the stack, built on the lazy-sparse-gradient train steps in dlrm.py /
+parallel/dlrm.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..metrics import auc
+from ..utils import telemetry as _telemetry
+from .dlrm import DLRMConfig, init_dlrm, make_eval_step, make_train_step
+
+
+@dataclasses.dataclass
+class TrainResult:
+    model: object
+    losses: list
+    aucs: list            # [(step, auc)]
+    examples_per_sec: float
+
+
+def evaluate_auc(eval_step, model, batches, *, to_device=jnp.asarray) -> float:
+    labels, scores = [], []
+    for b in batches:
+        s = eval_step(model, to_device(b["dense"]), to_device(b["cat"]))
+        labels.append(b["label"])
+        scores.append(np.asarray(s))
+    return auc(np.concatenate(labels), np.concatenate(scores))
+
+
+def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
+               sparse_opt=None, dense_lr: float = 0.01, model=None,
+               seed: int = 0, eval_batches: Optional[list] = None,
+               eval_every: int = 0, ckpt_manager=None, ckpt_every: int = 0,
+               log_every: int = 100, mesh=None, axis: str = "data",
+               verbose: bool = True) -> TrainResult:
+    """Train a DLRM for `num_steps` batches from `train_iter`.
+
+    mesh=None -> single-chip fused step; mesh given -> the hybrid
+    DP-dense x model-parallel-embedding sharded step (parallel/dlrm.py).
+    """
+    tel = _telemetry.get_telemetry()
+    if model is None:
+        with tel.phase("init"):
+            model = init_dlrm(jax.random.key(seed), cfg, sparse_opt=sparse_opt)
+    if mesh is not None:
+        from ..parallel.dlrm import (batch_shardings, make_sharded_eval_step,
+                                     make_sharded_train_step, shard_dlrm)
+        from .dlrm import DLRM
+        if isinstance(model, DLRM):
+            model = shard_dlrm(model, mesh, axis, sparse_opt=sparse_opt)
+        step = make_sharded_train_step(cfg, mesh, axis, sparse_opt=sparse_opt,
+                                       dense_lr=dense_lr)
+        eval_step = make_sharded_eval_step(cfg, mesh, axis)
+        sd, sc, sl = batch_shardings(mesh, axis)
+        put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731
+                         jax.device_put(b["cat"], sc),
+                         jax.device_put(b["label"], sl))
+    else:
+        step = make_train_step(cfg, sparse_opt=sparse_opt, dense_lr=dense_lr)
+        eval_step = make_eval_step(cfg)
+        put = lambda b: (jnp.asarray(b["dense"]),              # noqa: E731
+                         jnp.asarray(b["cat"]),
+                         jnp.asarray(b["label"]))
+
+    losses, aucs = [], []
+    examples = 0
+    t_start = time.perf_counter()
+    for i in range(num_steps):
+        with tel.phase("data"):
+            batch = next(train_iter)
+        dense, cat, label = put(batch)
+        with tel.phase("step"):
+            model, loss = step(model, dense, cat, label)
+        examples += batch["label"].shape[0]
+        if log_every and (i % log_every == 0 or i == num_steps - 1):
+            lv = float(loss)  # fences the chain; keeps timing honest
+            losses.append(lv)
+            if verbose:
+                print(f"step {i:6d}  loss {lv:.5f}", flush=True)
+        if eval_every and eval_batches and (i + 1) % eval_every == 0:
+            with tel.phase("eval"):
+                a = evaluate_auc(eval_step, model, eval_batches)
+            aucs.append((i + 1, a))
+            if verbose:
+                print(f"step {i+1:6d}  eval AUC {a:.4f}", flush=True)
+        if ckpt_manager is not None and ckpt_every and (i + 1) % ckpt_every == 0:
+            with tel.phase("checkpoint"):
+                ckpt_manager.save(i + 1, model)
+
+    # Final fence for an honest rate.
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready") else x,
+        model)
+    dt = time.perf_counter() - t_start
+    return TrainResult(model=model, losses=losses, aucs=aucs,
+                       examples_per_sec=examples / dt)

@@ -1,0 +1,14 @@
+"""Auxiliary subsystems: checkpointing, telemetry, profiling.
+
+The reference has none of these (SURVEY.md §5: no tracing, no checkpoint,
+no metrics — only the `telemetry_cb` hook slot); they are new obligations for
+a production TPU framework.
+"""
+from .checkpoint import CheckpointManager, restore_checkpoint, save_checkpoint
+from .telemetry import (Telemetry, get_telemetry, phase, set_telemetry,
+                        trace_profile)
+
+__all__ = [
+    "CheckpointManager", "save_checkpoint", "restore_checkpoint",
+    "Telemetry", "get_telemetry", "set_telemetry", "phase", "trace_profile",
+]
