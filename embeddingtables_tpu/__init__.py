@@ -18,6 +18,7 @@ from .types import (Dynamic, Forward, IndexingContext, NoContext, Static,
                     TableSpec, Update, cdiv, featuresize)
 from .tables import (SimpleEmbedding, SplitEmbedding, as_table, destination,
                      example, is_table)
+from .offload import HostOffloadEmbedding
 from .ops import (AbstractExecutionStrategy, DefaultStrategy, DenseIndexer,
                   Indexer, IndexerResult, IndexerView, PreallocationStrategy,
                   SimpleParallelStrategy, Slicer, SparseEmbeddingUpdate,
@@ -33,8 +34,8 @@ __all__ = [
     "Static", "Dynamic", "TableSpec", "IndexingContext", "NoContext",
     "Forward", "Update", "featuresize", "cdiv",
     # tables
-    "SimpleEmbedding", "SplitEmbedding", "as_table", "example", "destination",
-    "is_table",
+    "SimpleEmbedding", "SplitEmbedding", "HostOffloadEmbedding", "as_table",
+    "example", "destination", "is_table",
     # lookup
     "lookup", "lookup_oracle", "lookup_vjp",
     # ensemble

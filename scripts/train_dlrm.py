@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Train a DLRM on synthetic or Criteo Kaggle data.
+
+Examples:
+  # Synthetic smoke run on whatever backend is available
+  python scripts/train_dlrm.py --steps 200 --batch 4096
+
+  # Criteo Kaggle (native parser + prefetch), sharded over all devices
+  python scripts/train_dlrm.py --criteo /data/train.txt --mesh \
+      --steps 10000 --batch 65536 --dim 128 --ckpt /tmp/dlrm_ckpt
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--vocab", type=int, default=100_000)
+    ap.add_argument("--tables", type=int, default=26)
+    ap.add_argument("--criteo", type=str, default=None,
+                    help="path to Criteo Kaggle train.txt (else synthetic)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard over all local devices (data axis)")
+    ap.add_argument("--opt", choices=["sgd", "adagrad"], default="adagrad")
+    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--eval-every", type=int, default=0)
+    ap.add_argument("--eval-batches", type=int, default=4)
+    ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--prefetch", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.io import CriteoFileLoader, PrefetchLoader
+    from embeddingtables_tpu.models import DLRMConfig
+    from embeddingtables_tpu.models.train import train_dlrm
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad, SparseSGD
+    from embeddingtables_tpu.utils import CheckpointManager
+    from embeddingtables_tpu.utils.telemetry import get_telemetry
+
+    vocabs = tuple([args.vocab] * args.tables)
+    cfg = DLRMConfig(vocab_sizes=vocabs, dim=args.dim,
+                     bottom_mlp=(512, 256, args.dim),
+                     top_mlp=(1024, 512, 256, 1))
+    if args.criteo:
+        assert args.tables == 26, "Criteo has 26 categorical features"
+        train_it = iter(PrefetchLoader(
+            iter(CriteoFileLoader(args.criteo, vocabs, args.batch)),
+            depth=args.prefetch))
+        eval_batches = list(CriteoFileLoader(args.criteo, vocabs, args.batch,
+                                             max_batches=args.eval_batches))
+    else:
+        gen = SyntheticCriteo(vocab_sizes=vocabs, batch_size=args.batch)
+        eval_batches = list(gen.batches(args.eval_batches))
+        train_it = iter(PrefetchLoader(gen.batches(), depth=args.prefetch))
+
+    mesh = None
+    if args.mesh:
+        from embeddingtables_tpu.parallel.mesh import default_mesh
+        mesh = default_mesh(("data",))
+        print(f"mesh: {mesh}", flush=True)
+
+    opt = (SparseSGD(args.lr) if args.opt == "sgd"
+           else SparseRowWiseAdaGrad(lr=args.lr))
+    mgr = CheckpointManager(args.ckpt) if args.ckpt else None
+
+    print(f"backend={jax.default_backend()} devices={jax.device_count()} "
+          f"T={args.tables} V={args.vocab} D={args.dim} B={args.batch}",
+          flush=True)
+    res = train_dlrm(cfg, train_it, args.steps, sparse_opt=opt,
+                     dense_lr=args.lr, eval_batches=eval_batches,
+                     eval_every=args.eval_every, ckpt_manager=mgr,
+                     ckpt_every=args.ckpt_every, log_every=args.log_every,
+                     mesh=mesh)
+    print(f"\n{res.examples_per_sec:,.0f} examples/s")
+    if res.aucs:
+        print(f"final AUC {res.aucs[-1][1]:.4f}")
+    print("\ntelemetry:\n" + get_telemetry().summary())
+
+
+if __name__ == "__main__":
+    main()
