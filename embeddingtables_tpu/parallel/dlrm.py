@@ -35,7 +35,8 @@ from ..models.dlrm import (DLRM, DLRMConfig, bce_loss, forward_from_embeddings,
                            init_dlrm)
 from ..ops.indexer import flatten_indices, index
 from ..optim import SparseRowWiseAdaGrad, SparseSGD
-from .sharded import ShardedStackedTables, sharded_ensemble_lookup
+from .sharded import (ShardedStackedTables, _axes_tuple, _flat_axis_index,
+                      sharded_ensemble_lookup)
 
 
 @jax.tree_util.register_dataclass
@@ -51,12 +52,14 @@ class ShardedDLRM:
     config: DLRMConfig = dataclasses.field(metadata=dict(static=True))
 
 
-def shard_dlrm(model: DLRM, mesh: Mesh, axis: str = "data",
+def shard_dlrm(model: DLRM, mesh: Mesh, axis="data",
                sparse_opt=None) -> ShardedDLRM:
     """Place a single-chip DLRM onto a mesh (replicate dense, mod-shard the
-    stacked table and its row state)."""
+    stacked table and its row state). `axis` may be a tuple of mesh axes for
+    the 2-D decomposition (rows over data x model, batch over data)."""
     sparse_opt = sparse_opt or SparseSGD()
     st = ShardedStackedTables.shard(mesh, axis, model.tables)
+    axes = _axes_tuple(axis)
     n, rows_local, _ = st.data.shape
     repl = NamedSharding(mesh, P())
     bottom = jax.device_put(model.bottom, repl)
@@ -70,7 +73,7 @@ def shard_dlrm(model: DLRM, mesh: Mesh, axis: str = "data",
         acc = acc.reshape(rows_local, n).T
     else:
         acc = jnp.zeros((n, 0), jnp.float32)
-    acc = jax.device_put(acc, NamedSharding(mesh, P(axis)))
+    acc = jax.device_put(acc, NamedSharding(mesh, P(axes)))
     return ShardedDLRM(bottom=bottom, top=top, tables=st, emb_accum=acc,
                        config=model.config)
 
@@ -81,11 +84,13 @@ def init_sharded_dlrm(key: jax.Array, cfg: DLRMConfig, mesh: Mesh,
                       sparse_opt=sparse_opt)
 
 
-def batch_shardings(mesh: Mesh, axis: str = "data"):
-    """NamedShardings for a (dense, cat, label) batch: batch-dim sharded."""
-    return (NamedSharding(mesh, P(axis)),          # dense (B, F)
-            NamedSharding(mesh, P(None, axis)),    # cat   (T, B[, bag])
-            NamedSharding(mesh, P(axis)))          # label (B,)
+def batch_shardings(mesh: Mesh, axis="data"):
+    """NamedShardings for a (dense, cat, label) batch: batch-dim sharded over
+    the data axis (the first axis when the table spans several)."""
+    baxis = _axes_tuple(axis)[0]
+    return (NamedSharding(mesh, P(baxis)),          # dense (B, F)
+            NamedSharding(mesh, P(None, baxis)),    # cat   (T, B[, bag])
+            NamedSharding(mesh, P(baxis)))          # label (B,)
 
 
 # ---------------------------------------------------------------------------
@@ -105,15 +110,16 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
     the reference's accumulate-then-single-write contract
     (`/root/reference/src/sparseupdate.jl:97-129`) per shard.
     """
-    axis = st.axis
+    axes = st.axes
+    baxis = axes[0]
     n = st.n_shards
     adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
     dim = st.dim
 
     def body(shard, acc, lidx, ldelta):
         if batch_sharded:
-            gidx = jax.lax.all_gather(lidx, axis, axis=1, tiled=True)
-            gdelta = jax.lax.all_gather(ldelta, axis, axis=1, tiled=True)
+            gidx = jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
+            gdelta = jax.lax.all_gather(ldelta, baxis, axis=1, tiled=True)
         else:
             gidx, gdelta = lidx, ldelta
         # Per-occurrence (global row, delta row) stream; (T,B,bag) indices fan
@@ -121,7 +127,7 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
         # `src/utils.jl:69-83`).
         rows, cols = flatten_indices(gidx.reshape((-1,) + gidx.shape[2:]))
         g = gdelta.reshape(-1, dim).astype(jnp.float32)[cols]
-        me = jax.lax.axis_index(axis)
+        me = _flat_axis_index(axes)
         mine = (rows % n) == me
         rows_local = shard.shape[1]
         lrow = jnp.where(mine, rows // n, rows_local)  # sentinel = OOB -> drop
@@ -146,11 +152,11 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
         new_acc = acc[0].at[target].set(new_acc_rows, mode="drop")
         return new_shard[None], new_acc[None]
 
-    spec = P(None, axis) if batch_sharded else P()
+    spec = P(None, baxis) if batch_sharded else P()
     new_data, new_accum = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axis), P(axis), spec, spec),
-        out_specs=(P(axis), P(axis)))(st.data, accum, shifted_idx, delta_t)
+        in_specs=(P(axes), P(axes), spec, spec),
+        out_specs=(P(axes), P(axes)))(st.data, accum, shifted_idx, delta_t)
     return dataclasses.replace(st, data=new_data), new_accum
 
 

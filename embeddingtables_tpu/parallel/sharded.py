@@ -42,24 +42,43 @@ from ..types import TableSpec, cdiv
 # Sharded container
 # ---------------------------------------------------------------------------
 
+def _axes_tuple(axis) -> tuple:
+    return (axis,) if isinstance(axis, str) else tuple(axis)
+
+
+def _flat_axis_index(axes: tuple):
+    """Flattened device id over one or more mesh axes (row-major)."""
+    me = jax.lax.axis_index(axes[0])
+    for a in axes[1:]:
+        me = me * jax.lax.axis_size(a) + jax.lax.axis_index(a)
+    return me
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ShardedStackedTables:
-    """A (stacked) table mod-row-sharded over one mesh axis.
+    """A (stacked) table mod-row-sharded over one or more mesh axes.
 
     data:    `(n_shards, rows_per_shard, dim)` with the leading axis sharded
-             `P(axis)` — device d holds `data[d]`, which stores every global
-             row `r` with `r % n == d` at local slot `r // n`.
+             `P(axes)` — flattened device d holds `data[d]`, which stores
+             every global row `r` with `r % n == d` at local slot `r // n`.
     offsets: per-table global row offsets into the stacked vocab (static).
     vocab:   total (unpadded) stacked vocab.
-    axis:    mesh axis name the shards live on.
+    axis:    mesh axis name (or tuple of names) the shards live on. A tuple
+             realizes the 2-D (data x model) decomposition: vocab rows are
+             sharded over the *product* of the axes while the batch stays
+             sharded over just the data axis.
     """
 
     data: jax.Array
     offsets: tuple = dataclasses.field(metadata=dict(static=True))
     vocab: int = dataclasses.field(metadata=dict(static=True))
     dim: int = dataclasses.field(metadata=dict(static=True))
-    axis: str = dataclasses.field(metadata=dict(static=True))
+    axis: str | tuple = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def axes(self) -> tuple:
+        return _axes_tuple(self.axis)
 
     @property
     def n_shards(self) -> int:
@@ -83,16 +102,19 @@ class ShardedStackedTables:
             st = StackedTables(data=t.data if isinstance(t, SimpleEmbedding)
                                else t.rows(jnp.arange(t.spec.vocab)),
                                offsets=(0, t.spec.vocab), dim=t.spec.dim)
-        n = mesh.shape[axis]
+        axes = _axes_tuple(axis)
+        n = 1
+        for a in axes:
+            n *= mesh.shape[a]
         vocab, dim = st.data.shape
         v_pad = cdiv(vocab, n) * n
         data = jnp.pad(st.data, ((0, v_pad - vocab), (0, 0)),
                        constant_values=pad_value)
         # Row permutation: global row r -> (r % n, r // n).
         data = data.reshape(v_pad // n, n, dim).transpose(1, 0, 2)
-        data = jax.device_put(data, NamedSharding(mesh, P(axis)))
+        data = jax.device_put(data, NamedSharding(mesh, P(axes)))
         return cls(data=data, offsets=st.offsets, vocab=vocab, dim=dim,
-                   axis=axis)
+                   axis=axis if isinstance(axis, str) else tuple(axis))
 
     def unshard(self) -> jax.Array:
         """Dense `(vocab, dim)` view (test oracle only)."""
@@ -125,32 +147,41 @@ def sharded_lookup(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
                    *, batch_sharded: bool = True) -> jax.Array:
     """Lookup on a sharded (stacked) table.
 
-    idx: `(B,)` or `(B, bag)` *global stacked* row ids, sharded `P(axis)`
-    along the batch when `batch_sharded` (the DLRM configuration) or
-    replicated otherwise. Returns `(B, dim)` batch-sharded the same way.
+    idx: `(B,)` or `(B, bag)` *global stacked* row ids, sharded along the
+    batch over the first table axis (the data axis) when `batch_sharded`
+    (the DLRM configuration) or replicated otherwise. Returns `(B, dim)`
+    batch-sharded the same way.
+
+    Multi-axis tables (2-D mesh): rows are owned over the flattened axes;
+    indices all-gather over the data axis only, partial embeddings
+    psum_scatter over data and psum over the remaining (model) axes.
     """
-    axis = st.axis
+    axes = st.axes
+    baxis = axes[0]
     n = st.n_shards
     reducing = idx.ndim == 2
 
     def body(shard, lidx):
         # shard: (1, rows, dim) local; lidx: local batch slice of indices.
-        gidx = jax.lax.all_gather(lidx, axis, tiled=True) if batch_sharded else lidx
+        gidx = jax.lax.all_gather(lidx, baxis, tiled=True) if batch_sharded else lidx
         flat = gidx.reshape(-1)
-        me = jax.lax.axis_index(axis)
+        me = _flat_axis_index(axes)
         part = _local_gather(shard[0], flat, me, n)
         part = part.reshape(gidx.shape + (st.dim,))
         if reducing:
             part = part.sum(axis=1)
         if batch_sharded:
-            return jax.lax.psum_scatter(part, axis, scatter_dimension=0,
+            part = jax.lax.psum_scatter(part, baxis, scatter_dimension=0,
                                         tiled=True)
-        return jax.lax.psum(part, axis)
+            if len(axes) > 1:
+                part = jax.lax.psum(part, axes[1:])
+            return part
+        return jax.lax.psum(part, axes)
 
-    idx_spec = P(axis) if batch_sharded else P()
-    out_spec = P(axis) if batch_sharded else P()
+    idx_spec = P(baxis) if batch_sharded else P()
+    out_spec = P(baxis) if batch_sharded else P()
     return jax.shard_map(body, mesh=mesh,
-                         in_specs=(P(axis), idx_spec),
+                         in_specs=(P(axes), idx_spec),
                          out_specs=out_spec)(st.data, idx)
 
 
@@ -169,26 +200,30 @@ def sharded_ensemble_lookup(mesh: Mesh, st: ShardedStackedTables,
     # Flattened (T*B) is NOT batch-sharded contiguously; use replicated-index
     # mode unless the batch axis is the sharded one. For the batch-sharded
     # path we keep the (T, B) layout and shard dim 1.
-    axis = st.axis
+    axes = st.axes
+    baxis = axes[0]
     n = st.n_shards
     reducing = shifted.ndim == 3
 
     def body(shard, lidx):
         # lidx: (T, B/n[, bag]) local
-        gidx = (jax.lax.all_gather(lidx, axis, axis=1, tiled=True)
+        gidx = (jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
                 if batch_sharded else lidx)
-        me = jax.lax.axis_index(axis)
+        me = _flat_axis_index(axes)
         part = _local_gather(shard[0], gidx.reshape(-1), me, n)
         part = part.reshape(gidx.shape + (st.dim,))
         if reducing:
             part = part.sum(axis=2)  # (T, B, dim)
         if batch_sharded:
-            return jax.lax.psum_scatter(part, axis, scatter_dimension=1,
+            part = jax.lax.psum_scatter(part, baxis, scatter_dimension=1,
                                         tiled=True)
-        return jax.lax.psum(part, axis)
+            if len(axes) > 1:
+                part = jax.lax.psum(part, axes[1:])
+            return part
+        return jax.lax.psum(part, axes)
 
-    spec = P(None, axis) if batch_sharded else P()
-    out = jax.shard_map(body, mesh=mesh, in_specs=(P(axis), spec),
+    spec = P(None, baxis) if batch_sharded else P()
+    out = jax.shard_map(body, mesh=mesh, in_specs=(P(axes), spec),
                         out_specs=spec)(st.data, shifted)
     # out: (T, B, dim) batch-sharded on dim 1.
     if stacked:
@@ -213,21 +248,22 @@ def sharded_sgd_update(mesh: Mesh, st: ShardedStackedTables,
     update, scatter-add owned rows locally. One write per owned row region;
     ownership disjointness = race-freedom (the reference's IndexerView
     discipline realized as physical sharding)."""
-    axis = st.axis
+    axes = st.axes
+    baxis = axes[0]
     n = st.n_shards
     reducing = upd.indices.ndim == 2
 
     def body(shard, lidx, ldelta):
         if batch_sharded:
-            gidx = jax.lax.all_gather(lidx, axis, tiled=True)
-            gdelta = jax.lax.all_gather(ldelta, axis, tiled=True)
+            gidx = jax.lax.all_gather(lidx, baxis, tiled=True)
+            gdelta = jax.lax.all_gather(ldelta, baxis, tiled=True)
         else:
             gidx, gdelta = lidx, ldelta
         flat = gidx.reshape(-1)
         if reducing:
             bag = gidx.shape[1]
             gdelta = jnp.repeat(gdelta, bag, axis=0)
-        me = jax.lax.axis_index(axis)
+        me = _flat_axis_index(axes)
         mine = (flat % n) == me
         rows_local = shard.shape[1]
         # Non-owned occurrences are routed out of bounds and dropped.
@@ -236,10 +272,10 @@ def sharded_sgd_update(mesh: Mesh, st: ShardedStackedTables,
                                     mode="drop")
         return new[None]
 
-    spec = P(axis) if batch_sharded else P()
+    spec = P(baxis) if batch_sharded else P()
     data = jax.shard_map(body, mesh=mesh,
-                         in_specs=(P(axis), spec, spec),
-                         out_specs=P(axis))(st.data, upd.indices, upd.delta)
+                         in_specs=(P(axes), spec, spec),
+                         out_specs=P(axes))(st.data, upd.indices, upd.delta)
     return dataclasses.replace(st, data=data)
 
 
@@ -250,14 +286,15 @@ def sharded_ensemble_update(mesh: Mesh, st: ShardedStackedTables,
     indices are shifted to stacked ids and concatenated along the batch."""
     shifted = jnp.stack([u.indices + st.offsets[t] for t, u in enumerate(upds)])
     deltas = jnp.stack([u.delta for u in upds])  # (T, B, dim)
-    axis = st.axis
+    axes = st.axes
+    baxis = axes[0]
     n = st.n_shards
     reducing = shifted.ndim == 3
 
     def body(shard, lidx, ldelta):
         if batch_sharded:
-            gidx = jax.lax.all_gather(lidx, axis, axis=1, tiled=True)
-            gdelta = jax.lax.all_gather(ldelta, axis, axis=1, tiled=True)
+            gidx = jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
+            gdelta = jax.lax.all_gather(ldelta, baxis, axis=1, tiled=True)
         else:
             gidx, gdelta = lidx, ldelta
         flat = gidx.reshape(-1)
@@ -265,15 +302,15 @@ def sharded_ensemble_update(mesh: Mesh, st: ShardedStackedTables,
         if reducing:
             bag = gidx.shape[2]
             d = jnp.repeat(gdelta.reshape(-1, st.dim), bag, axis=0)
-        me = jax.lax.axis_index(axis)
+        me = _flat_axis_index(axes)
         mine = (flat % n) == me
         rows_local = shard.shape[1]
         lrow = jnp.where(mine, flat // n, rows_local)
         new = shard[0].at[lrow].add((-lr * d).astype(shard.dtype), mode="drop")
         return new[None]
 
-    spec = P(None, axis) if batch_sharded else P()
+    spec = P(None, baxis) if batch_sharded else P()
     data = jax.shard_map(body, mesh=mesh,
-                         in_specs=(P(axis), spec, spec),
-                         out_specs=P(axis))(st.data, shifted, deltas)
+                         in_specs=(P(axes), spec, spec),
+                         out_specs=P(axes))(st.data, shifted, deltas)
     return dataclasses.replace(st, data=data)
