@@ -56,12 +56,16 @@ def _lookup_xla(data: jax.Array, indices: jax.Array) -> jax.Array:
 
 
 def _use_pallas(data: jax.Array, indices: jax.Array) -> bool:
-    """`dostatic`-analog dispatch heuristic (`src/lookup.jl:30-32`), tuned by
-    measurement on v5e (2026-08): XLA's native gather wins the non-reducing
-    case (351 vs 312 GB/s at B=1.7M, D=128); the Pallas bag kernel wins the
-    reducing case (172 vs 151 GB/s useful at B=128Ki, bag=12) because it
-    accumulates bags in VREGs instead of materializing `(B, bag, D)`. Both
-    sit near the ~3 ns/row random-DMA ceiling for 512-B rows."""
+    """`dostatic`-analog dispatch heuristic (`src/lookup.jl:30-32`).
+
+    Measured on v5e with the only DCE/CSE/hoist-proof methodology (the full
+    DLRM train step, docs/DESIGN.md): XLA's native gather runs at the chip's
+    ~13 ns/row DMA-issue ceiling and beats the chunked Pallas gather by ~30%
+    (78 vs 91 ms/step at T=26 B=64Ki D=128) — the chunking glue (26 calls +
+    concat) costs more than the kernel saves. Synthetic microbenches that
+    said otherwise were artifacts (XLA dead-code-eliminated unconsumed
+    chunks). Auto therefore uses XLA; the Pallas kernels remain forceable
+    via config for re-evaluation on other chips/shapes."""
     impl = config.lookup_impl()
     if impl == "xla":
         return False
@@ -69,8 +73,7 @@ def _use_pallas(data: jax.Array, indices: jax.Array) -> bool:
     aligned = dim % LANES == 0
     if impl == "pallas":
         return aligned
-    # auto: Pallas only where it measures faster — the reducing path.
-    return aligned and config.on_tpu() and indices.ndim == 2
+    return False
 
 
 def _lookup_dispatch(data: jax.Array, indices: jax.Array) -> jax.Array:

@@ -1,31 +1,36 @@
-"""Pallas TPU scatter-FMA update kernel: the fused sparse-SGD fast path.
+"""Pallas TPU run-scatter kernel: the fused sparse-update fast path.
 
 TPU-native re-design of the reference's `_update_specialized_impl!`
 (`/root/reference/src/sparseupdate.jl:97-129`): for each *unique* table row,
-accumulate every gradient column touching it in on-chip VMEM, then apply
-`row -= lr * acc` with exactly one read and one write of the row — the
+accumulate every gradient row touching it in on-chip VMEM, then apply
+`row += scale * acc` with exactly one read and one write of the row — the
 bandwidth-roofline discipline the reference gets from TiledSIMD + nontemporal
 stores.
 
-Race-freedom story (SURVEY.md §5): identical philosophy to the reference —
-dedup before scatter, so no aliased writes exist. Each grid step owns a
-disjoint slice of the *unique-row* range (the reference's `IndexerView`
-partitioning, `src/utils.jl:320-338`, realized as grid partitioning), hence
-rows written by different grid steps never overlap.
+Algorithm (measured v5e, 2026-08): XLA's scatter-add runs ~10x off the DMA
+roofline (33.6 ms for n=1.7M, D=128), while this package's DMA-pipelined
+gather moves the same rows at 768 GB/s (2.3 ms). So the update is built from
+the same primitive:
 
-Gradient delivery: the host-side wrapper pre-permutes the delta stream into
-unique-row-grouped order (`delta[idx.map]`, one XLA gather), so each unique
-row's gradient columns are CONTIGUOUS in HBM at `[offsets[g], offsets[g+1])`
-and the kernel needs no per-occurrence index lookups — only `unique` and
-`offsets` slices ride SMEM, chunked per pallas_call to stay within the ~1 MB
-SMEM budget (whole-array prefetch would need 6.8 MB at production batches).
+  1. XLA `sort_key_val(rows, iota)` — sorted rows + permutation (4.9 ms);
+  2. permute the value stream with the *Pallas gather* (2.3 ms, not XLA's
+     18 ms take);
+  3. THIS kernel: stream the sorted value blocks through VMEM (pipelined
+     contiguous copies); walk each block once, accumulating the current run
+     in a VMEM accumulator that persists across sequential grid steps; at
+     each run boundary (row change), combine with the old table row
+     (DMA-read issued ahead in a batched phase, like the gather) and DMA the
+     updated row back. One read + one write per unique row, no aliased
+     writes anywhere (runs are disjoint) — race-freedom identical in spirit
+     to the reference's IndexerView partitioning (`src/utils.jl:320-338`).
 
 The table buffer is donated (`input_output_aliases`): rows are updated in
 place in HBM, untouched rows keep their values — the functional-API analog of
 the reference's in-place `update!`.
 
-Layout: like the gather kernels, table/delta/scratch use `(N, 1, D)` 3-D
-views so row DMAs slice the untiled leading dim (see gather.py layout note).
+Layout: table/value/scratch buffers use `(N, 1, D)` 3-D views so row DMAs
+slice the untiled leading dim (see gather.py layout note). Row-id chunks ride
+scalar prefetch, <= 64Ki per pallas_call (SMEM budget).
 """
 from __future__ import annotations
 
@@ -40,147 +45,178 @@ from ... import config
 from ...types import cdiv
 from ..indexer import IndexerResult
 
-# Unique rows processed per grid step.
-DEFAULT_TU = 64
-# Max unique rows handled per pallas_call (bounds SMEM prefetch to ~256 KB).
-MAX_UNIQUE_PER_CALL = 32_768
+# Occurrences per grid step.
+DEFAULT_TB = 256
+# Max occurrences per pallas_call (row-id chunk must fit SMEM).
+MAX_OCC_PER_CALL = 65_536
 
 
-def _scatter_sgd_kernel(tu: int, chunk_base: int, unique_ref, offsets_ref,
-                        nuniq_ref, table_ref, dsorted_ref, lr_ref, out_ref,
-                        rowbuf, dbuf, acc_buf, rsems, dsem, wsems):
+def _runscatter_kernel(tb: int, rows_ref, scale_ref, vals_ref, table_ref,
+                       out_ref, acc, rowbuf, sems):
     i = pl.program_id(0)
-    nuniq = nuniq_ref[0]
-    neg_lr = -lr_ref[0]
+    base = i * tb
+    scale = scale_ref[0]
 
-    # Phase 1: start DMAs for all TU old table rows (aliased buffer: out_ref
-    # IS the table). All TU row-reads are in flight at once.
-    for u in range(tu):
-        g = i * tu + u
+    # Scratch is uninitialized at launch; the accumulator must start at zero
+    # (it then persists across the sequential grid steps of this call).
+    @pl.when(i == 0)
+    def _():
+        acc[:, :] = jnp.zeros(acc.shape, acc.dtype)
 
-        @pl.when(chunk_base + g < nuniq)
-        def _(u=u, g=g):
-            row = unique_ref[g]
+    # Phase 1: issue the old-row reads for every run that ENDS in this tile.
+    # All reads are in flight together (the gather kernel's discipline).
+    for j in range(tb):
+        g = base + j
+        row = rows_ref[g]
+        boundary = jnp.logical_and(row != rows_ref[g + 1], row >= 0)
+
+        @pl.when(boundary)
+        def _(j=j, row=row):
             pltpu.make_async_copy(
-                out_ref.at[row], rowbuf.at[u], rsems.at[u]).start()
+                out_ref.at[row], rowbuf.at[j], sems.at[j]).start()
 
-    # Phase 2: per unique row, accumulate its (contiguous) gradient slice then
-    # one write-back. Occurrence counts are dynamic (CSR offsets) -> fori_loop.
-    for u in range(tu):
-        g = i * tu + u
+    # Phase 2: walk the value block once; the run accumulator lives in VMEM
+    # scratch and persists across (sequential) grid steps, so runs spanning
+    # tile boundaries accumulate correctly.
+    for j in range(tb):
+        g = base + j
+        row = rows_ref[g]
+        boundary = jnp.logical_and(row != rows_ref[g + 1], row >= 0)
 
-        @pl.when(chunk_base + g < nuniq)
-        def _(u=u, g=g):
-            row = unique_ref[g]
-            start = offsets_ref[g]
-            end = offsets_ref[g + 1]
+        acc[:, :] = acc[:, :] + vals_ref[j].astype(acc.dtype)
 
-            acc_buf[:, :] = jnp.zeros(acc_buf.shape, acc_buf.dtype)
+        @pl.when(boundary)
+        def _(j=j, row=row):
+            c = pltpu.make_async_copy(out_ref.at[row], rowbuf.at[j],
+                                      sems.at[j])
+            c.wait()
+            rowbuf[j] = (rowbuf[j].astype(acc.dtype)
+                         + scale * acc[:, :]).astype(rowbuf.dtype)
+            # The read semaphore is consumed; reuse the same slot for the
+            # write-back (sflag space is ~2 KB — two tb-sized arrays blow it).
+            pltpu.make_async_copy(rowbuf.at[j], out_ref.at[row],
+                                  sems.at[j]).start()
+            acc[:, :] = jnp.zeros(acc.shape, acc.dtype)
 
-            def body(k, _):
-                c = pltpu.make_async_copy(dsorted_ref.at[k], dbuf.at[0], dsem)
-                c.start()
-                c.wait()
-                acc_buf[:, :] = acc_buf[:, :] + dbuf[0].astype(acc_buf.dtype)
-                return 0
+    # Phase 3: drain this tile's write-backs.
+    for j in range(tb):
+        g = base + j
+        row = rows_ref[g]
+        boundary = jnp.logical_and(row != rows_ref[g + 1], row >= 0)
 
-            jax.lax.fori_loop(start, end, body, 0)
-
-            # Wait for the old row, FMA, write back (one store per unique row).
-            pltpu.make_async_copy(
-                out_ref.at[row], rowbuf.at[u], rsems.at[u]).wait()
-            rowbuf[u] = (rowbuf[u].astype(acc_buf.dtype)
-                         + neg_lr * acc_buf[:, :]).astype(rowbuf.dtype)
-            pltpu.make_async_copy(
-                rowbuf.at[u], out_ref.at[row], wsems.at[u]).start()
-
-    # Drain write-backs before the grid step retires.
-    for u in range(tu):
-        g = i * tu + u
-
-        @pl.when(chunk_base + g < nuniq)
-        def _(u=u, g=g):
-            row = unique_ref[g]
-            pltpu.make_async_copy(
-                rowbuf.at[u], out_ref.at[row], wsems.at[u]).wait()
+        @pl.when(boundary)
+        def _(j=j, row=row):
+            pltpu.make_async_copy(rowbuf.at[j], out_ref.at[row],
+                                  sems.at[j]).wait()
 
 
-def _scatter_sgd_call(table3: jax.Array, dsorted3: jax.Array,
-                      unique_c: jax.Array, offsets_c: jax.Array,
-                      nuniq: jax.Array, lr_arr: jax.Array, chunk_base: int,
-                      tu: int, interpret: bool) -> jax.Array:
-    """One pallas_call over <= MAX_UNIQUE_PER_CALL unique rows."""
+def _runscatter_call(table3, vals3, rows_ext, scale_arr, tb, interpret):
+    """One pallas_call over <= MAX_OCC_PER_CALL sorted occurrences.
+    rows_ext: (n_c + 1,) row ids with one lookahead element."""
     v, _, d = table3.shape
-    n_c = unique_c.shape[0]
+    n_c = vals3.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # unique, offsets, num_unique
-        grid=(n_c // tu,),
+        num_scalar_prefetch=2,   # rows_ext, scale
+        grid=(n_c // tb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # table (aliased to out)
-            pl.BlockSpec(memory_space=pl.ANY),      # delta, unique-grouped
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # lr
+            pl.BlockSpec((tb, 1, d), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),   # sorted value blocks
+            pl.BlockSpec(memory_space=pl.ANY),       # table (aliased to out)
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((tu, 1, d), table3.dtype),    # rowbuf
-            pltpu.VMEM((1, 1, d), dsorted3.dtype),   # dbuf
-            pltpu.VMEM((1, d), jnp.float32),          # acc
-            pltpu.SemaphoreType.DMA((tu,)),           # row-read sems
-            pltpu.SemaphoreType.DMA(()),              # delta sem
-            pltpu.SemaphoreType.DMA((tu,)),           # write-back sems
+            pltpu.VMEM((1, d), jnp.float32),          # run accumulator
+            pltpu.VMEM((tb, 1, d), table3.dtype),     # row combine buffers
+            pltpu.SemaphoreType.DMA((tb,)),           # read+write sems
         ],
     )
     return pl.pallas_call(
-        functools.partial(_scatter_sgd_kernel, tu, chunk_base),
+        functools.partial(_runscatter_kernel, tb),
         out_shape=jax.ShapeDtypeStruct((v, 1, d), table3.dtype),
         grid_spec=grid_spec,
-        input_output_aliases={3: 0},  # table (after 3 scalar-prefetch args)
+        input_output_aliases={3: 0},  # table (2 prefetch args + vals, table)
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_c * d, transcendentals=0,
             bytes_accessed=3 * n_c * d * table3.dtype.itemsize),
-    )(unique_c, offsets_c, nuniq, table3, dsorted3, lr_arr)
+    )(rows_ext, scale_arr, vals3, table3)
 
 
-@functools.partial(jax.jit, static_argnames=("tu", "interpret"),
+@functools.partial(jax.jit, static_argnames=("tb", "interpret"),
                    donate_argnums=(0,))
-def scatter_sgd(table: jax.Array, delta: jax.Array, idx_result: IndexerResult,
-                cols: jax.Array, lr, *, tu: int = DEFAULT_TU,
-                interpret: bool | None = None) -> jax.Array:
-    """Fused dedup scatter-FMA: `table[unique[g]] -= lr * Σ_{k in group g} delta[map[k]]`.
-
-    table:      (V, D), D % 128 == 0. Donated/aliased — updated in place.
-    delta:      (B, D) per-output gradient rows.
-    idx_result: CSR dedup structure from ops/indexer.py (capacity n).
-    cols:       per-occurrence gradient-column ids in stream order (from
-                `flatten_indices`); composed with `idx_result.map` to build
-                the unique-row-grouped delta stream.
-    """
+def scatter_add_rows_sorted(table: jax.Array, sorted_rows: jax.Array,
+                            sorted_vals: jax.Array, scale=1.0, *,
+                            tb: int = DEFAULT_TB,
+                            interpret: bool | None = None) -> jax.Array:
+    """`table[r] += scale * Σ_{k in run of r} sorted_vals[k]`, one write per
+    unique row. `sorted_rows` must be ascending (runs contiguous); entries
+    < 0 are padding and are dropped. Table is donated/updated in place."""
     if interpret is None:
         interpret = config.pallas_interpret()
     v, d = table.shape
-    n = idx_result.capacity
-    tu = min(tu, max(8, 1 << (n - 1).bit_length()))
-
-    # Unique-row-grouped contiguous gradient stream (one XLA gather):
-    # `map` holds the gradient-column id for each CSR slot (indexer.py).
-    dsorted = delta[idx_result.map]
-    dsorted3 = dsorted.reshape(n, 1, d)
+    n = sorted_rows.shape[0]
     table3 = table.reshape(v, 1, d)
-    nuniq = idx_result.num_unique.reshape(1).astype(jnp.int32)
-    lr_arr = jnp.asarray(lr, dtype=jnp.float32).reshape(1)
-    # Clamp padding/sentinel entries to row 0; they are masked by nuniq.
-    unique = jnp.maximum(idx_result.unique, 0).astype(jnp.int32)
-    offsets = idx_result.offsets.astype(jnp.int32)
+    scale_arr = jnp.asarray(scale, jnp.float32).reshape(1)
 
-    for base in range(0, n, MAX_UNIQUE_PER_CALL):
-        size = min(MAX_UNIQUE_PER_CALL, n - base)
-        size_pad = cdiv(size, tu) * tu
-        uc = jax.lax.dynamic_slice_in_dim(unique, base, size)
-        uc = jnp.pad(uc, (0, size_pad - size))
-        oc = jax.lax.dynamic_slice_in_dim(offsets, base, size + 1)
-        oc = jnp.pad(oc, (0, size_pad + 1 - (size + 1)))
-        table3 = _scatter_sgd_call(table3, dsorted3, uc, oc, nuniq, lr_arr,
-                                   base, tu, interpret)
+    for base in range(0, n, MAX_OCC_PER_CALL):
+        size = min(MAX_OCC_PER_CALL, n - base)
+        tb_c = min(tb, max(8, 1 << (size - 1).bit_length()))
+        size_pad = cdiv(size, tb_c) * tb_c
+        rows_c = jax.lax.dynamic_slice_in_dim(sorted_rows, base, size)
+        # Lookahead slot at index `size` = sentinel -2: forces a flush of the
+        # run in progress at the end of every chunk. A run spanning chunks
+        # then flushes once per chunk — correct, because each flush ADDs its
+        # partial sum to the row and the chunked calls are sequenced by the
+        # donated-table dependency. (VMEM scratch does not survive across
+        # pallas_calls, so cross-chunk carry is not an option.)
+        rows_ext = jnp.full((size_pad + 1,), -1, jnp.int32)
+        rows_ext = jax.lax.dynamic_update_slice(
+            rows_ext, rows_c.astype(jnp.int32), (0,))
+        rows_ext = rows_ext.at[size].set(-2)
+        vals_c = jax.lax.dynamic_slice_in_dim(sorted_vals, base, size)
+        vals_c = jnp.pad(vals_c, ((0, size_pad - size), (0, 0)))
+        table3 = _runscatter_call(table3, vals_c.reshape(size_pad, 1, d),
+                                  rows_ext, scale_arr, tb_c, interpret)
     return table3.reshape(v, d)
+
+
+def scatter_update(table: jax.Array, rows: jax.Array, vals: jax.Array,
+                   scale=1.0, *, interpret: bool | None = None) -> jax.Array:
+    """Duplicate-accumulating scatter-add at DMA speed: sort the occurrence
+    stream, permute values with the Pallas gather, run-scatter.
+
+    Equivalent to `table.at[rows].add(scale * vals)` (which measures ~10x
+    slower on TPU at production sizes)."""
+    from .gather import gather_rows
+    n = rows.shape[0]
+    sorted_rows, perm = jax.lax.sort_key_val(rows.astype(jnp.int32),
+                                             jnp.arange(n, dtype=jnp.int32))
+    if interpret is None:
+        interpret = config.pallas_interpret()
+    if vals.shape[-1] % 128 == 0 and not interpret:
+        sorted_vals = gather_rows(vals, perm)
+    else:
+        sorted_vals = jnp.take(vals, perm, axis=0)
+    return scatter_add_rows_sorted(table, sorted_rows, sorted_vals, scale,
+                                   interpret=interpret)
+
+
+def scatter_sgd(table: jax.Array, delta: jax.Array, idx_result: IndexerResult,
+                cols: jax.Array, lr, *, tb: int = DEFAULT_TB,
+                interpret: bool | None = None) -> jax.Array:
+    """Fused sparse-SGD step via the run-scatter (legacy signature kept for
+    the indexer-based call sites): `table[r] -= lr * Σ delta[cols[k]]` over
+    all occurrences k of row r.
+
+    The IndexerResult is not needed by the new algorithm (the kernel dedups
+    via sorted runs); only the original per-occurrence (rows, cols) stream
+    matters, which the caller passes via `idx_result.map`-free arguments.
+    """
+    # The per-occurrence (stream-order) row of occurrence k is
+    # unique[group_of[k]] (group ids of real occurrences are always
+    # < num_unique by construction, indexer.py).
+    rows_of_occ = idx_result.unique[idx_result.group_of]
+    vals = delta[cols]
+    return scatter_update(table, rows_of_occ, vals, scale=-lr,
+                          interpret=interpret)

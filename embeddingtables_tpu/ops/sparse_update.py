@@ -76,24 +76,20 @@ def uncompress(upd: SparseEmbeddingUpdate, num_rows: int,
 # Fused SGD update paths
 # ---------------------------------------------------------------------------
 
-# Above this occurrence count, pre-sorting the scatter stream pays for itself
-# (v5e, 2026-08: sorted scatter 26.2 ms vs unsorted 33.7 ms at n=1.7M, D=128;
-# the locality win in the row read-modify-write exceeds the sort+permute cost).
-SORT_SCATTER_MIN = 1 << 17
-
-
 def _sgd_scatter(data: jax.Array, upd: SparseEmbeddingUpdate, lr) -> jax.Array:
     """Direct scatter path: one XLA scatter-add with duplicate accumulation.
-    Mathematically equal to the dedup path for SGD (linear update)."""
+    Mathematically equal to the dedup path for SGD (linear update).
+
+    Measured v5e (loop-variant indices, 2026-08): pre-sorting does NOT pay —
+    unsorted 33.6 ms vs sorted 46.1 ms at n=1.7M D=128 once the per-step sort
+    is actually executed (an earlier "sorted wins" readout was an artifact of
+    XLA hoisting a loop-invariant sort). The Pallas run-scatter (scatter.py)
+    is the fast path on TPU."""
     if upd.indices.ndim == 1:
         rows, vals = upd.indices, -lr * upd.delta
     else:
         rows, cols = flatten_indices(upd.indices)
         vals = -lr * upd.delta[cols]
-    if rows.shape[0] >= SORT_SCATTER_MIN:
-        perm = jnp.argsort(rows)
-        return data.at[rows[perm]].add(vals[perm].astype(data.dtype),
-                                       indices_are_sorted=True)
     return data.at[rows].add(vals.astype(data.dtype))
 
 

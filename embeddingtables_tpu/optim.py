@@ -69,16 +69,7 @@ class SparseSGD:
             rows, g = upd.indices + row_offset, upd.delta
         else:
             rows, g = _occurrence_grads(upd, row_offset)
-        vals = -lr * g
-        from .ops.sparse_update import SORT_SCATTER_MIN
-        if rows.shape[0] >= SORT_SCATTER_MIN:
-            # Sorted scatter: locality in the row read-modify-write beats the
-            # sort+permute cost at scale (measured v5e; see sparse_update.py).
-            perm = jnp.argsort(rows)
-            new = data.at[rows[perm]].add(vals[perm].astype(data.dtype),
-                                          indices_are_sorted=True)
-        else:
-            new = data.at[rows].add(vals.astype(data.dtype))
+        new = data.at[rows].add((-lr * g).astype(data.dtype))
         return new, state
 
 
