@@ -44,7 +44,7 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                seed: int = 0, eval_batches: Optional[list] = None,
                eval_every: int = 0, ckpt_manager=None, ckpt_every: int = 0,
                log_every: int = 100, mesh=None, axis: str = "data",
-               verbose: bool = True) -> TrainResult:
+               guard=None, verbose: bool = True) -> TrainResult:
     """Train a DLRM for `num_steps` batches from `train_iter`.
 
     mesh=None -> single-chip fused step; mesh given -> the hybrid
@@ -87,6 +87,13 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
         if log_every and (i % log_every == 0 or i == num_steps - 1):
             lv = float(loss)  # fences the chain; keeps timing honest
             losses.append(lv)
+            if guard is not None:
+                # Divergence watchdog (checked at log cadence — a per-step
+                # device->host fetch would serialize the pipeline).
+                model, rolled = guard.observe(lv, model)
+                if rolled and verbose:
+                    print(f"step {i:6d}  DIVERGED (loss {lv:.3g}) — rolled "
+                          f"back to checkpoint", flush=True)
             if verbose:
                 print(f"step {i:6d}  loss {lv:.5f}", flush=True)
         if eval_every and eval_batches and (i + 1) % eval_every == 0:

@@ -25,9 +25,17 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _size(leaf) -> int:
+    return getattr(leaf, "size", np.asarray(leaf).size)
+
+
 def _leaves_dict(tree) -> dict:
+    """Index leaves by position; zero-size leaves (e.g. a stateless
+    optimizer's empty accumulator) are skipped — orbax refuses them, and the
+    restore template recreates them structurally."""
     leaves = jax.tree_util.tree_leaves(tree)
-    return {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)}
+    return {f"leaf_{i}": leaf for i, leaf in enumerate(leaves)
+            if _size(leaf) > 0}
 
 
 def save_checkpoint(path: str, tree, *, step: Optional[int] = None,
@@ -66,10 +74,13 @@ def restore_checkpoint(path: str, restore_like) -> Any:
         arr = np.asarray(leaf)
         return jax.ShapeDtypeStruct(arr.shape, arr.dtype)
 
-    targets = {f"leaf_{i}": abstract(l) for i, l in enumerate(leaves)}
+    targets = {f"leaf_{i}": abstract(l) for i, l in enumerate(leaves)
+               if _size(l) > 0}
     with ocp.PyTreeCheckpointer() as ckptr:
         restored = ckptr.restore(path, targets)
-    new_leaves = [restored[f"leaf_{i}"] for i in range(len(leaves))]
+    # Zero-size leaves were not serialized; take them from the template.
+    new_leaves = [restored.get(f"leaf_{i}", leaf)
+                  for i, leaf in enumerate(leaves)]
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
