@@ -85,14 +85,22 @@ def _lookup_dispatch(data: jax.Array, indices: jax.Array) -> jax.Array:
     return _lookup_xla(data, indices)
 
 
-def lookup(table, indices) -> jax.Array:
+def lookup(table, indices, context: "IndexingContext | None" = None) -> jax.Array:
     """Embedding lookup (reference `lookup`, `src/lookup.jl:35-44`).
 
     `table` may be a `SimpleEmbedding`, `SplitEmbedding`, any object
     implementing the EmbeddingTable protocol, or a raw `(vocab, dim)` array.
     `indices`: `(B,)` int -> non-reducing; `(B, bag)` int -> sum-reducing.
     Returns `(B, dim)`.
+
+    `context` is the reference's `IndexingContext` phase tag
+    (`src/EmbeddingTables.jl:74-77`): tables whose `rows()` accepts a
+    `context` kwarg (e.g. custom memory-tiered backends like
+    `HostOffloadEmbedding`) can steer reads differently per phase; built-in
+    dense tables ignore it (defaults to `Forward`).
     """
+    from ..types import Forward
+    context = Forward if context is None else context
     indices = jnp.asarray(indices)
     if indices.ndim not in (1, 2):
         raise ValueError(f"indices must be 1-D or 2-D, got shape {indices.shape}")
@@ -102,7 +110,10 @@ def lookup(table, indices) -> jax.Array:
         # Protocol path: the table's own row gather (e.g. SplitEmbedding's
         # divrem shard routing, or a user-defined table as in the reference's
         # DummyEmbedding extension test, `test/constructors.jl:34-54`).
-        got = table.rows(indices)
+        try:
+            got = table.rows(indices, context=context)
+        except TypeError:
+            got = table.rows(indices)
         if indices.ndim == 2:
             got = got.sum(axis=1)
         return got
