@@ -19,6 +19,7 @@ from .types import (Dynamic, Forward, IndexingContext, NoContext, Static,
 from .tables import (SimpleEmbedding, SplitEmbedding, as_table, destination,
                      example, is_table)
 from .offload import HostOffloadEmbedding
+from .quant import QuantizedEmbedding
 from .ops import (AbstractExecutionStrategy, DefaultStrategy, DenseIndexer,
                   Indexer, IndexerResult, IndexerView, PreallocationStrategy,
                   SimpleParallelStrategy, Slicer, SparseEmbeddingUpdate,
@@ -34,8 +35,8 @@ __all__ = [
     "Static", "Dynamic", "TableSpec", "IndexingContext", "NoContext",
     "Forward", "Update", "featuresize", "cdiv",
     # tables
-    "SimpleEmbedding", "SplitEmbedding", "HostOffloadEmbedding", "as_table",
-    "example", "destination", "is_table",
+    "SimpleEmbedding", "SplitEmbedding", "HostOffloadEmbedding",
+    "QuantizedEmbedding", "as_table", "example", "destination", "is_table",
     # lookup
     "lookup", "lookup_oracle", "lookup_vjp",
     # ensemble

@@ -1,0 +1,70 @@
+"""Int8 quantized serving tables: round-trip error bounds, protocol compat,
+end-to-end eval parity."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+import embeddingtables_tpu as et
+from embeddingtables_tpu.quant import (QuantizedEmbedding,
+                                       max_quantization_error, quantize_rows)
+
+
+def test_quantize_roundtrip_error_bound():
+    data = jax.random.normal(jax.random.key(0), (100, 64), jnp.float32)
+    q, scale = quantize_rows(data)
+    assert q.dtype == jnp.int8 and scale.shape == (100,)
+    recon = np.asarray(q, np.float32) * np.asarray(scale)[:, None]
+    err = np.abs(recon - np.asarray(data))
+    bound = np.asarray(scale)[:, None] / 2 + 1e-7
+    assert (err <= bound).all()
+
+
+def test_zero_row_and_spike_row():
+    data = jnp.zeros((3, 8), jnp.float32).at[1, 4].set(100.0)
+    q, scale = quantize_rows(data)
+    np.testing.assert_array_equal(np.asarray(q[0]), 0)
+    assert float(scale[0]) == 0.0
+    assert abs(float(q[1, 4]) * float(scale[1]) - 100.0) < 0.5
+
+
+def test_lookup_through_protocol():
+    data = jax.random.normal(jax.random.key(1), (50, 16), jnp.float32)
+    qt = QuantizedEmbedding.quantize(et.SimpleEmbedding(data))
+    idx = jnp.array([3, 49, 3], jnp.int32)
+    out = et.lookup(qt, idx)
+    expect = np.asarray(data)[np.asarray(idx)]
+    tol = max_quantization_error(et.SimpleEmbedding(data))
+    assert np.abs(np.asarray(out) - expect).max() <= tol + 1e-6
+    # reducing
+    out2 = et.lookup(qt, jnp.array([[1, 2], [3, 3]], jnp.int32))
+    expect2 = np.asarray(data)[[1, 2]].sum(0), np.asarray(data)[[3, 3]].sum(0)
+    assert np.abs(np.asarray(out2[0]) - expect2[0]).max() <= 2 * tol + 1e-6
+
+
+def test_dlrm_eval_with_quantized_tables_tracks_f32():
+    """Serving parity: quantizing a trained DLRM's tables changes logits
+    only within quantization noise."""
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.models.dlrm import forward_from_embeddings
+    cfg = DLRMConfig(vocab_sizes=(40, 60), num_dense=4, dim=16,
+                     bottom_mlp=(16, 16), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    model = init_dlrm(jax.random.key(2), cfg)
+    rng = np.random.default_rng(0)
+    dense = jnp.asarray(rng.normal(size=(32, 4)).astype(np.float32))
+    cat = jnp.asarray(np.stack([rng.integers(0, v, 32).astype(np.int32)
+                                for v in cfg.vocab_sizes]))
+
+    def fwd(rows_fn):
+        emb = jnp.stack([rows_fn(t, cat[t]) for t in range(2)])  # (T, B, D)
+        return forward_from_embeddings(model.bottom, model.top, cfg, dense,
+                                       emb)
+
+    f32 = fwd(lambda t, i: et.lookup(model.tables.table(t), i))
+    qts = [QuantizedEmbedding.quantize(model.tables.table(t))
+           for t in range(2)]
+    q8 = fwd(lambda t, i: et.lookup(qts[t], i))
+    # logits differ by O(quant noise), far below logit scale
+    assert np.abs(np.asarray(q8) - np.asarray(f32)).max() < 0.05
+    assert qts[0].nbytes < model.tables.table(0).data.nbytes / 3
