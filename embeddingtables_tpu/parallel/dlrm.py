@@ -80,8 +80,33 @@ def shard_dlrm(model: DLRM, mesh: Mesh, axis="data",
 
 def init_sharded_dlrm(key: jax.Array, cfg: DLRMConfig, mesh: Mesh,
                       axis: str = "data", sparse_opt=None) -> ShardedDLRM:
-    return shard_dlrm(init_dlrm(key, cfg, sparse_opt=sparse_opt), mesh, axis,
-                      sparse_opt=sparse_opt)
+    """Initialize DIRECTLY onto the mesh: each device generates its own table
+    shard (never materializing the full (ΣV, D) array anywhere) — the path
+    for beyond-single-HBM vocabularies. Dense towers are tiny and init
+    replicated."""
+    from ..models.dlrm import _init_mlp
+    sparse_opt = sparse_opt or SparseSGD()
+    kd, ke = jax.random.split(key)
+    st = ShardedStackedTables.init_sharded(
+        mesh, axis, cfg.vocab_sizes, cfg.dim, ke, dtype=cfg.param_dtype)
+    n, rows_local, _ = st.data.shape
+    repl = NamedSharding(mesh, P())
+    kb, kt = jax.random.split(kd)
+    bottom = jax.device_put(
+        _init_mlp(kb, (cfg.num_dense,) + cfg.bottom_mlp, cfg.param_dtype),
+        repl)
+    top = jax.device_put(
+        _init_mlp(kt, (cfg.interaction_features,) + cfg.top_mlp,
+                  cfg.param_dtype), repl)
+    axes = _axes_tuple(axis)
+    if isinstance(sparse_opt, SparseRowWiseAdaGrad):
+        acc = jax.jit(lambda: jnp.zeros((n, rows_local), jnp.float32),
+                      out_shardings=NamedSharding(mesh, P(axes)))()
+    else:
+        acc = jax.device_put(jnp.zeros((n, 0), jnp.float32),
+                             NamedSharding(mesh, P(axes)))
+    return ShardedDLRM(bottom=bottom, top=top, tables=st, emb_accum=acc,
+                       config=cfg)
 
 
 def batch_shardings(mesh: Mesh, axis="data"):

@@ -116,6 +116,40 @@ class ShardedStackedTables:
         return cls(data=data, offsets=st.offsets, vocab=vocab, dim=dim,
                    axis=axis if isinstance(axis, str) else tuple(axis))
 
+    @classmethod
+    def init_sharded(cls, mesh: Mesh, axis, vocab_sizes, dim: int,
+                     key: jax.Array, *, scale: float | None = None,
+                     dtype=jnp.float32) -> "ShardedStackedTables":
+        """Initialize DIRECTLY sharded: each device generates its own shard
+        under jit (`out_shardings`), so the full `(ΣV, D)` table never exists
+        on any single device — required for beyond-HBM vocabularies. (The
+        keras_rs/TPU-embedding stacks initialize per shard the same way.)
+
+        The init is iid uniform(+-scale), so the mod-row permutation needs no
+        special handling. Default scale = 1/sqrt(dim) (DLRM convention).
+        """
+        axes = _axes_tuple(axis)
+        n = 1
+        for a in axes:
+            n *= mesh.shape[a]
+        offs, acc = [0], 0
+        for v in vocab_sizes:
+            acc += v
+            offs.append(acc)
+        vocab = acc
+        rows_local = cdiv(vocab, n)
+        if scale is None:
+            scale = 1.0 / (dim ** 0.5)
+
+        def gen(key):
+            u = jax.random.uniform(key, (n, rows_local, dim),
+                                   minval=-1.0, maxval=1.0)
+            return (u * scale).astype(dtype)
+
+        data = jax.jit(gen, out_shardings=NamedSharding(mesh, P(axes)))(key)
+        return cls(data=data, offsets=tuple(offs), vocab=vocab, dim=dim,
+                   axis=axis if isinstance(axis, str) else tuple(axis))
+
     def unshard(self) -> jax.Array:
         """Dense `(vocab, dim)` view (test oracle only)."""
         n, rows, dim = self.data.shape

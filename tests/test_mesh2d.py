@@ -93,3 +93,43 @@ def test_dlrm_train_step_2d_matches_single_chip(mesh2d):
     np.testing.assert_allclose(np.asarray(mN.tables.unshard()),
                                np.asarray(m1.tables.data),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_init_sharded_never_materializes_full_table(mesh2d):
+    from embeddingtables_tpu.parallel.sharded import ShardedStackedTables
+    st = ShardedStackedTables.init_sharded(
+        mesh2d, ("data", "model"), (100, 60), 16, jax.random.key(0))
+    assert st.n_shards == 8 and st.vocab == 160 and st.dim == 16
+    from jax.sharding import NamedSharding
+    assert st.data.sharding == NamedSharding(mesh2d, P(("data", "model")))
+    # iid init statistics: uniform(+-1/sqrt(16)) -> std ~ 1/(sqrt(3)*4)
+    sd = float(jnp.std(st.data))
+    assert 0.1 < sd < 0.2, sd
+
+
+def test_init_sharded_dlrm_trains(mesh2d):
+    from embeddingtables_tpu.parallel.dlrm import (init_sharded_dlrm,
+                                                   make_sharded_train_step)
+    cfg = DLRMConfig(vocab_sizes=(16, 24), num_dense=4, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    opt = SparseRowWiseAdaGrad(lr=0.1)
+    model = init_sharded_dlrm(jax.random.key(0), cfg, mesh2d,
+                              ("data", "model"), sparse_opt=opt)
+    step = make_sharded_train_step(cfg, mesh2d, ("data", "model"),
+                                   sparse_opt=opt, dense_lr=0.1)
+    rng = np.random.default_rng(0)
+    sd, sc, sl = batch_shardings(mesh2d, ("data", "model"))
+    losses = []
+    # Learnable structure: label = f(first categorical) so loss must drop
+    # (small vocab + enough steps that rows are revisited and memorized).
+    for i in range(30):
+        dense = rng.normal(size=(32, 4)).astype(np.float32)
+        cat = np.stack([rng.integers(0, v, 32).astype(np.int32)
+                        for v in cfg.vocab_sizes])
+        label = (cat[0] % 2).astype(np.float32)
+        model, loss = step(model, jax.device_put(dense, sd),
+                           jax.device_put(cat, sc), jax.device_put(label, sl))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.05, losses
