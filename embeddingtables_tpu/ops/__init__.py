@@ -6,4 +6,4 @@ from .ensemble import (AbstractExecutionStrategy, DefaultStrategy,
 from .indexer import (DenseIndexer, Indexer, IndexerResult, IndexerView,
                       SparseIndexer, flatten_indices, index, indexer_view)
 from .sparse_update import (SparseEmbeddingUpdate, ensemble_sgd_update,
-                            sgd_update, uncompress)
+                            ensemble_update, sgd_update, uncompress)

@@ -168,6 +168,41 @@ def sgd_update(table, upd: SparseEmbeddingUpdate, lr, *,
     return table.scatter_apply(rows, -lr * upd.delta[cols])
 
 
+def ensemble_update(opt, tables: Sequence, upds: Sequence[SparseEmbeddingUpdate],
+                    states: Sequence | None = None, *, telemetry_cb=None):
+    """Multi-table sparse update with ANY sparse optimizer (`optim.SparseSGD`,
+    `SparseRowWiseAdaGrad`, ...) — the generic form of the reference's
+    ensemble `update!` (`src/sparseupdate.jl:191-238`), which only
+    specializes SGD. Returns (new_tables, new_states).
+
+    Keeps the reference's two-phase shape: all per-table work is independent
+    ops in one jitted program (XLA schedules them concurrently), with the
+    `telemetry_cb` hook preserved between phases.
+    """
+    from ..optim import SparseOptState
+    if len(tables) != len(upds):
+        raise ValueError("tables and updates must have equal length")
+    ts = [as_table(t) for t in tables]
+    if states is None:
+        states = [opt.init(t.data if isinstance(t, SimpleEmbedding)
+                           else t.rows(jnp.arange(t.spec.vocab)))
+                  for t in ts]
+    if telemetry_cb is not None:
+        telemetry_cb()
+    new_tables, new_states = [], []
+    for t, u, s in zip(ts, upds, states):
+        if isinstance(t, SimpleEmbedding):
+            new_data, ns = opt.apply(t.data, u, s)
+            nt = t.replace_data(new_data)
+        else:  # generic protocol tables: SGD-style scatter through the table
+            rows, cols = flatten_indices(u.indices)
+            nt = t.scatter_apply(rows, -getattr(opt, "lr", 0.01) * u.delta[cols])
+            ns = s
+        new_tables.append(nt)
+        new_states.append(ns)
+    return new_tables, new_states
+
+
 def ensemble_sgd_update(tables: Sequence, upds: Sequence[SparseEmbeddingUpdate],
                         lr, *, indexer=None, num_splits: int = 4,
                         telemetry_cb=None, method: str | None = None):

@@ -182,3 +182,29 @@ def test_ensemble_update():
     for t, u, n in zip(tables, upds, new):
         expected = t.data - LR * et.uncompress(u, 50)
         np.testing.assert_allclose(n.data, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_ensemble_update_generic_optimizer():
+    """ensemble_update with row-wise AdaGrad matches per-table opt.apply
+    (generic form of the reference's SGD-only ensemble update!)."""
+    import jax
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    rng = np.random.default_rng(0)
+    opt = SparseRowWiseAdaGrad(lr=0.5)
+    tables = [et.SimpleEmbedding(
+        jnp.asarray(rng.standard_normal((30, 16)).astype(np.float32)))
+        for _ in range(3)]
+    upds = [et.SparseEmbeddingUpdate(
+        delta=jnp.asarray(rng.standard_normal((8, 16)).astype(np.float32)),
+        indices=jnp.asarray(rng.integers(0, 30, 8).astype(np.int32)))
+        for _ in range(3)]
+    fired = []
+    new_tables, new_states = et.ensemble_update(
+        opt, tables, upds, telemetry_cb=lambda: fired.append(1))
+    assert fired == [1]
+    for t, u, nt, ns in zip(tables, upds, new_tables, new_states):
+        expect_data, expect_state = opt.apply(t.data, u, opt.init(t.data))
+        np.testing.assert_allclose(np.asarray(nt.data),
+                                   np.asarray(expect_data), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(ns.accum),
+                                   np.asarray(expect_state.accum), rtol=1e-6)
