@@ -55,26 +55,41 @@ class SyntheticCriteo:
         self._bias = -1.5  # skew toward negatives like real CTR data
         self._t = t
 
-    def _zipf_indices(self, rng, vocab: int, shape) -> np.ndarray:
-        """Zipf-distributed ids in [0, vocab): rank-r probability ∝ r^-a,
-        drawn via inverse-CDF on a truncated harmonic series."""
-        ranks = np.arange(1, vocab + 1, dtype=np.float64)
-        # Cache per-vocab CDFs (vocabs repeat across tables).
-        cache = getattr(self, "_cdf_cache", None)
+    def _zipf_tables(self, vocab: int):
+        """Walker alias tables for rank-r probability ∝ r^-a: O(V) build
+        (cached per vocab), O(1) vectorized sampling — the inverse-CDF
+        searchsorted version made host data generation slower than the
+        device step (35.7 vs 20.5 ms/batch measured)."""
+        cache = getattr(self, "_alias_cache", None)
         if cache is None:
-            cache = self._cdf_cache = {}
-        cdf = cache.get(vocab)
-        if cdf is None:
-            p = ranks ** (-self.zipf_a)
-            cdf = cache[vocab] = np.cumsum(p / p.sum())
-        u = rng.random(shape)
-        idx = np.searchsorted(cdf, u).astype(np.int32)
+            cache = self._alias_cache = {}
+        entry = cache.get(vocab)
+        if entry is None:
+            p = np.arange(1, vocab + 1, dtype=np.float64) ** (-self.zipf_a)
+            p /= p.sum()
+            scaled = p * vocab
+            alias = np.zeros(vocab, np.int32)
+            prob = np.ones(vocab, np.float64)
+            small = [i for i in range(vocab) if scaled[i] < 1.0]
+            large = [i for i in range(vocab) if scaled[i] >= 1.0]
+            while small and large:
+                s, l = small.pop(), large.pop()
+                prob[s] = scaled[s]
+                alias[s] = l
+                scaled[l] = scaled[l] - (1.0 - scaled[s])
+                (small if scaled[l] < 1.0 else large).append(l)
+            perm = np.random.default_rng(
+                self.seed ^ vocab).permutation(vocab).astype(np.int32)
+            entry = cache[vocab] = (prob, alias, perm)
+        return entry
+
+    def _zipf_indices(self, rng, vocab: int, shape) -> np.ndarray:
+        prob, alias, perm = self._zipf_tables(vocab)
+        k = rng.integers(0, vocab, shape)
+        take_alias = rng.random(shape) >= prob[k]
+        idx = np.where(take_alias, alias[k], k).astype(np.int32)
         # Random rank->id permutation so hot rows are spread over the vocab.
-        perm = cache.get(("perm", vocab))
-        if perm is None:
-            perm = cache[("perm", vocab)] = \
-                np.random.default_rng(self.seed ^ vocab).permutation(vocab).astype(np.int32)
-        return perm[np.clip(idx, 0, vocab - 1)]
+        return perm[idx]
 
     def batches(self, num_batches: Optional[int] = None) -> Iterator[dict]:
         rng = np.random.default_rng(self.seed)
