@@ -43,6 +43,10 @@ class SyntheticCriteo:
     zipf_a: float = 1.1          # power-law exponent; ~1.1 matches CTR logs
     bag: Optional[int] = None    # multi-hot bag size (None = one-hot (T,B))
     seed: int = 0
+    # Separate stream for the sample draw (None = `seed`): parallel workers
+    # use one `seed` (shared ground-truth label model) and distinct
+    # `stream_seed`s (disjoint example streams).
+    stream_seed: Optional[int] = None
 
     def __post_init__(self):
         rng = np.random.default_rng(self.seed ^ 0x5EED)
@@ -92,7 +96,8 @@ class SyntheticCriteo:
         return perm[idx]
 
     def batches(self, num_batches: Optional[int] = None) -> Iterator[dict]:
-        rng = np.random.default_rng(self.seed)
+        rng = np.random.default_rng(
+            self.seed if self.stream_seed is None else self.stream_seed)
         b = self.batch_size
         i = 0
         while num_batches is None or i < num_batches:

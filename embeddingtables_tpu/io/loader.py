@@ -178,6 +178,49 @@ class CriteoFileLoader:
         # oracle (data.criteo_kaggle_batches).
 
 
+def parallel_batches(make_iter, workers: int = 3, depth: int = 4):
+    """Interleave `workers` independent batch iterators (each produced by
+    `make_iter(worker_id)`) through one queue — for i.i.d. sources (synthetic
+    generators, sharded files) where inter-batch order is irrelevant. numpy
+    releases the GIL on large ops, so threads scale the host-side pipeline
+    until it outruns the device step."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    errs: list = []
+    stop = threading.Event()
+
+    def run(wid):
+        try:
+            for item in make_iter(wid):
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        except BaseException as e:  # noqa: BLE001
+            errs.append(e)
+            q.put(None)
+
+    threads = [threading.Thread(target=run, args=(w,), daemon=True)
+               for w in range(workers)]
+    for t in threads:
+        t.start()
+
+    def gen():
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    raise errs[0]
+                yield item
+        finally:
+            stop.set()
+
+    return gen()
+
+
 class PrefetchLoader:
     """Wrap any batch iterator with a background prefetch thread.
 

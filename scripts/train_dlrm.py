@@ -62,6 +62,10 @@ def main():
     else:
         gen = SyntheticCriteo(vocab_sizes=vocabs, batch_size=args.batch)
         eval_batches = list(gen.batches(args.eval_batches))
+        # Single background prefetcher: the alias-method generator (8.3
+        # ms/batch) keeps up with the device; multi-worker threads measured
+        # SLOWER here (GIL contention with the dispatch thread, 135K vs 175K
+        # examples/s). `io.parallel_batches` remains for file-shard sources.
         train_it = iter(PrefetchLoader(gen.batches(), depth=args.prefetch))
 
     mesh = None

@@ -74,3 +74,30 @@ def test_prefetch_loader_order_and_error():
     assert next(it) == dict(i=0)
     with pytest.raises(ValueError, match="producer failed"):
         next(it)
+
+
+def test_parallel_batches_interleaves_and_propagates_errors():
+    from embeddingtables_tpu.io import parallel_batches
+
+    def make_iter(wid):
+        def gen():
+            for i in range(10):
+                yield dict(w=wid, i=i)
+        return gen()
+
+    it = parallel_batches(make_iter, workers=3, depth=2)
+    got = [next(it) for _ in range(25)]
+    assert {g["w"] for g in got} == {0, 1, 2}
+
+    def boom(wid):
+        def gen():
+            yield dict(w=wid)
+            raise RuntimeError("producer died")
+        return gen()
+
+    it2 = parallel_batches(boom, workers=1, depth=2)
+    next(it2)
+    import pytest
+    with pytest.raises(RuntimeError, match="producer died"):
+        while True:
+            next(it2)
