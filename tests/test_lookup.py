@@ -140,3 +140,20 @@ def test_destination_shape():
     assert d.shape == (7, 16) and d.dtype == np.float32
     d2 = et.destination(t, np.zeros((7, 3), np.int32))
     assert d2.shape == (7, 16)
+
+
+def test_gather_rows_v2_large_batch_interpret():
+    """Single-call kernel-side-index-streaming gather (B > 64Ki path),
+    exercised in interpret mode at a reduced threshold."""
+    import embeddingtables_tpu.ops.pallas.gather as G
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.standard_normal((300, 128)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 300, 1500).astype(np.int32))
+    old = G.MAX_PREFETCH_IDX
+    try:
+        G.MAX_PREFETCH_IDX = 512  # force the v2 path
+        out = G.gather_rows(table, idx, interpret=True)
+    finally:
+        G.MAX_PREFETCH_IDX = old
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(table)[np.asarray(idx)])
