@@ -88,8 +88,11 @@ def _sgd_scatter(data: jax.Array, upd: SparseEmbeddingUpdate, lr) -> jax.Array:
     if upd.indices.ndim == 1:
         rows, vals = upd.indices, -lr * upd.delta
     else:
-        rows, cols = flatten_indices(upd.indices)
-        vals = -lr * upd.delta[cols]
+        # Bag fan-out via streaming repeat (not a delta[cols] gather —
+        # ~13 ns/row random DMA vs HBM-rate expansion; see optim.py).
+        b, bag = upd.indices.shape
+        rows = upd.indices.reshape(-1)
+        vals = -lr * jnp.repeat(upd.delta, bag, axis=0)
     return data.at[rows].add(vals.astype(data.dtype))
 
 

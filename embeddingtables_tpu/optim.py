@@ -42,9 +42,17 @@ class SparseOptState(NamedTuple):
 
 def _occurrence_grads(upd: SparseEmbeddingUpdate, row_offset: int = 0):
     """Per-occurrence (rows, grad) streams; `row_offset` shifts local table
-    rows into a stacked-ensemble global row space."""
-    rows, cols = flatten_indices(upd.indices)
-    return rows + row_offset, upd.delta[cols]
+    rows into a stacked-ensemble global row space.
+
+    Bag fan-out uses `jnp.repeat` (a streaming expansion) rather than
+    `delta[cols]` — cols is just repeat(arange(B), bag), and on TPU the
+    equivalent gather runs at the random-row DMA rate (~13 ns/row) while the
+    repeat streams at HBM bandwidth."""
+    if upd.indices.ndim == 1:
+        return upd.indices + row_offset, upd.delta
+    b, bag = upd.indices.shape
+    rows = upd.indices.reshape(-1).astype(jnp.int32) + row_offset
+    return rows, jnp.repeat(upd.delta, bag, axis=0)
 
 
 @dataclasses.dataclass(frozen=True)
