@@ -149,9 +149,15 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
             gidx, gdelta = lidx, ldelta
         # Per-occurrence (global row, delta row) stream; (T,B,bag) indices fan
         # one delta row out over the bag (reference `columns()` iterator,
-        # `src/utils.jl:69-83`).
-        rows, cols = flatten_indices(gidx.reshape((-1,) + gidx.shape[2:]))
-        g = gdelta.reshape(-1, dim).astype(jnp.float32)[cols]
+        # `src/utils.jl:69-83`). Streaming repeat, not a delta[cols] gather
+        # (identity/repeat gathers run at the random-DMA rate — optim.py).
+        flat_idx = gidx.reshape((-1,) + gidx.shape[2:])
+        g = gdelta.reshape(-1, dim).astype(jnp.float32)
+        if flat_idx.ndim == 2:
+            rows = flat_idx.reshape(-1).astype(jnp.int32)
+            g = jnp.repeat(g, flat_idx.shape[1], axis=0)
+        else:
+            rows = flat_idx.astype(jnp.int32)
         me = _flat_axis_index(axes)
         mine = (rows % n) == me
         rows_local = shard.shape[1]
