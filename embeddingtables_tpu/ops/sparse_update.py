@@ -61,6 +61,17 @@ class SparseEmbeddingUpdate:
         return self.indices.ndim == 2
 
 
+def occurrence_values(upd: SparseEmbeddingUpdate) -> tuple:
+    """Per-occurrence (rows, values) streams in reference `columns()` order
+    (`src/utils.jl:69-83`). Values expand via streaming `jnp.repeat` for bag
+    indices (a delta[cols] gather would run at the random-DMA rate)."""
+    if upd.indices.ndim == 1:
+        return upd.indices.astype(jnp.int32), upd.delta
+    b, bag = upd.indices.shape
+    return (upd.indices.reshape(-1).astype(jnp.int32),
+            jnp.repeat(upd.delta, bag, axis=0))
+
+
 def uncompress(upd: SparseEmbeddingUpdate, num_rows: int,
                dtype=None) -> jax.Array:
     """Scatter-add the lazy update into a dense `(num_rows, dim)` matrix — the
@@ -107,12 +118,12 @@ def _sgd_dedup(data: jax.Array, upd: SparseEmbeddingUpdate, lr,
     Required (beyond SGD) for row-state optimizers (AdaGrad etc.), where the
     per-row update must be applied once with the accumulated gradient.
     """
-    rows, cols = flatten_indices(upd.indices)
+    rows, vals = occurrence_values(upd)
     if idx_result is None:
         idx_result = index(upd.indices, vocab=data.shape[0], indexer=indexer)
     n = idx_result.capacity
     # Segment-accumulate delta columns by insertion-order unique group.
-    acc = jax.ops.segment_sum(upd.delta[cols], idx_result.group_of, num_segments=n)
+    acc = jax.ops.segment_sum(vals, idx_result.group_of, num_segments=n)
     target = idx_result.unique
     active = jnp.arange(n) < idx_result.num_unique
     if view is not None:
@@ -166,9 +177,9 @@ def sgd_update(table, upd: SparseEmbeddingUpdate, lr, *,
         return out if is_table(table) else out.data
 
     # Generic protocol tables (SplitEmbedding, user tables): fan the
-    # accumulated per-unique-row delta through the table's scatter_apply.
-    rows, cols = flatten_indices(upd.indices)
-    return table.scatter_apply(rows, -lr * upd.delta[cols])
+    # per-occurrence delta through the table's scatter_apply.
+    rows, vals = occurrence_values(upd)
+    return table.scatter_apply(rows, -lr * vals)
 
 
 def ensemble_update(opt, tables: Sequence, upds: Sequence[SparseEmbeddingUpdate],
@@ -198,8 +209,8 @@ def ensemble_update(opt, tables: Sequence, upds: Sequence[SparseEmbeddingUpdate]
             new_data, ns = opt.apply(t.data, u, s)
             nt = t.replace_data(new_data)
         else:  # generic protocol tables: SGD-style scatter through the table
-            rows, cols = flatten_indices(u.indices)
-            nt = t.scatter_apply(rows, -getattr(opt, "lr", 0.01) * u.delta[cols])
+            rows, vals = occurrence_values(u)
+            nt = t.scatter_apply(rows, -getattr(opt, "lr", 0.01) * vals)
             ns = s
         new_tables.append(nt)
         new_states.append(ns)
