@@ -34,14 +34,25 @@ from ..types import LANES
 from .sparse_update import SparseEmbeddingUpdate
 
 
-def lookup_oracle(data: jax.Array, indices: jax.Array) -> jax.Array:
+def lookup_oracle(data: jax.Array, indices: jax.Array,
+                  combiner: str = "sum", weights=None) -> jax.Array:
     """Naive dense implementation on a raw `(vocab, dim)` array — the test
-    oracle (reference `lookup(A::AbstractMatrix, ...)`, `src/lookup.jl:5-13`)."""
+    oracle (reference `lookup(A::AbstractMatrix, ...)`, `src/lookup.jl:5-13`).
+    Extended with mean/weighted combiners (beyond the reference's sum-only
+    bags)."""
     indices = jnp.asarray(indices)
     if indices.ndim == 1:
         return data[indices, :]
     if indices.ndim == 2:
-        return data[indices, :].sum(axis=1)
+        rows = data[indices, :]
+        if weights is not None:
+            rows = rows * jnp.asarray(weights)[..., None]
+        out = rows.sum(axis=1)
+        if combiner == "mean":
+            denom = (jnp.asarray(weights).sum(axis=1, keepdims=True)
+                     if weights is not None else indices.shape[1])
+            out = out / denom
+        return out
     raise ValueError(f"indices must be 1-D or 2-D, got shape {indices.shape}")
 
 
@@ -85,13 +96,34 @@ def _lookup_dispatch(data: jax.Array, indices: jax.Array) -> jax.Array:
     return _lookup_xla(data, indices)
 
 
-def lookup(table, indices, context: "IndexingContext | None" = None) -> jax.Array:
+def _combine(rows: jax.Array, indices: jax.Array, combiner: str,
+             weights) -> jax.Array:
+    """Reduce `(B, bag, D)` bag rows per the combiner/weights."""
+    if weights is not None:
+        rows = rows * jnp.asarray(weights)[..., None].astype(rows.dtype)
+    out = rows.sum(axis=1)
+    if combiner == "mean":
+        if weights is not None:
+            denom = jnp.asarray(weights).sum(axis=1, keepdims=True)
+            out = out / jnp.maximum(denom, 1e-12).astype(out.dtype)
+        else:
+            out = out / indices.shape[1]
+    return out
+
+
+def lookup(table, indices, context: "IndexingContext | None" = None, *,
+           combiner: str = "sum", weights=None) -> jax.Array:
     """Embedding lookup (reference `lookup`, `src/lookup.jl:35-44`).
 
     `table` may be a `SimpleEmbedding`, `SplitEmbedding`, any object
     implementing the EmbeddingTable protocol, or a raw `(vocab, dim)` array.
-    `indices`: `(B,)` int -> non-reducing; `(B, bag)` int -> sum-reducing.
+    `indices`: `(B,)` int -> non-reducing; `(B, bag)` int -> bag-reducing.
     Returns `(B, dim)`.
+
+    combiner: "sum" (the reference's only bag semantics) or "mean";
+    weights: optional `(B, bag)` per-occurrence weights (weighted bags; with
+    combiner="mean" gives the weighted average). Sum-only unweighted bags
+    take the fast dispatch; other combiners reduce the gathered rows.
 
     `context` is the reference's `IndexingContext` phase tag
     (`src/EmbeddingTables.jl:74-77`): tables whose `rows()` accepts a
@@ -101,11 +133,17 @@ def lookup(table, indices, context: "IndexingContext | None" = None) -> jax.Arra
     """
     from ..types import Forward
     context = Forward if context is None else context
+    if combiner not in ("sum", "mean"):
+        raise ValueError(f"combiner must be 'sum' or 'mean', got {combiner!r}")
     indices = jnp.asarray(indices)
     if indices.ndim not in (1, 2):
         raise ValueError(f"indices must be 1-D or 2-D, got shape {indices.shape}")
+    plain = combiner == "sum" and weights is None
     if isinstance(table, SimpleEmbedding):
-        return _lookup_dispatch(table.data, indices)
+        if plain:
+            return _lookup_dispatch(table.data, indices)
+        rows = jnp.take(table.data, indices, axis=0)
+        return _combine(rows, indices, combiner, weights)
     if is_table(table):
         # Protocol path: the table's own row gather (e.g. SplitEmbedding's
         # divrem shard routing, or a user-defined table as in the reference's
@@ -115,23 +153,43 @@ def lookup(table, indices, context: "IndexingContext | None" = None) -> jax.Arra
         except TypeError:
             got = table.rows(indices)
         if indices.ndim == 2:
-            got = got.sum(axis=1)
+            got = _combine(got, indices, combiner, weights)
         return got
-    return _lookup_dispatch(jnp.asarray(table), indices)
+    if plain:
+        return _lookup_dispatch(jnp.asarray(table), indices)
+    rows = jnp.take(jnp.asarray(table), indices, axis=0)
+    return _combine(rows, indices, combiner, weights)
 
 
-def lookup_vjp(table, indices) -> Tuple[jax.Array, Callable[[jax.Array], SparseEmbeddingUpdate]]:
+def lookup_vjp(table, indices, *, combiner: str = "sum", weights=None
+               ) -> Tuple[jax.Array, Callable[[jax.Array], SparseEmbeddingUpdate]]:
     """Lookup plus the *lazy* pullback (reference `rrule(lookup, A, I)`,
     `src/sparseupdate.jl:35-40`).
 
-    The pullback captures `(delta, indices)` with NO scatter performed — the
-    scatter happens later, fused into the optimizer step (`sparse_update.py`).
-    The gradient w.r.t. `indices` is structurally zero (reference `NoTangent`).
+    The pullback captures `(delta, indices[, weights])` with NO scatter
+    performed — the scatter happens later, fused into the optimizer step
+    (`sparse_update.py`). The gradient w.r.t. `indices` is structurally zero
+    (reference `NoTangent`). Mean/weighted combiners fold into the update's
+    per-occurrence weights, so downstream fused optimizers need no combiner
+    knowledge.
     """
     indices = jnp.asarray(indices)
-    out = lookup(table, indices)
+    out = lookup(table, indices, combiner=combiner, weights=weights)
+
+    eff = None
+    if indices.ndim == 2:
+        b, bag = indices.shape
+        if combiner == "mean":
+            if weights is not None:
+                w = jnp.asarray(weights).astype(jnp.float32)
+                eff = w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+            else:
+                eff = jnp.full((b, bag), 1.0 / bag, jnp.float32)
+        elif weights is not None:
+            eff = jnp.asarray(weights).astype(jnp.float32)
 
     def pullback(delta: jax.Array) -> SparseEmbeddingUpdate:
-        return SparseEmbeddingUpdate(delta=delta, indices=indices)
+        return SparseEmbeddingUpdate(delta=delta, indices=indices,
+                                     weights=eff)
 
     return out, pullback

@@ -45,16 +45,20 @@ from .indexer import (DenseIndexer, IndexerResult, IndexerView, SparseIndexer,
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class SparseEmbeddingUpdate:
-    """Lazy lookup cotangent: `(delta, indices)` (reference
+    """Lazy lookup cotangent: `(delta, indices[, weights])` (reference
     `SparseEmbeddingUpdate`, `src/sparseupdate.jl:5-16`).
 
     delta:   `(B, dim)` per-output gradient rows.
     indices: the original lookup indices — `(B,)` (non-reducing) or `(B, bag)`
              (reducing; one delta row fans out to every row in its bag).
+    weights: optional `(B, bag)` per-occurrence scale applied during the
+             scatter — carries weighted-bag / mean-combiner gradients
+             (beyond the reference's sum-only bags).
     """
 
     delta: jax.Array
     indices: jax.Array
+    weights: Optional[jax.Array] = None
 
     @property
     def reducing(self) -> bool:
@@ -64,12 +68,18 @@ class SparseEmbeddingUpdate:
 def occurrence_values(upd: SparseEmbeddingUpdate) -> tuple:
     """Per-occurrence (rows, values) streams in reference `columns()` order
     (`src/utils.jl:69-83`). Values expand via streaming `jnp.repeat` for bag
-    indices (a delta[cols] gather would run at the random-DMA rate)."""
+    indices (a delta[cols] gather would run at the random-DMA rate); the
+    optional per-occurrence weights scale in the same pass."""
     if upd.indices.ndim == 1:
-        return upd.indices.astype(jnp.int32), upd.delta
+        vals = upd.delta
+        if upd.weights is not None:
+            vals = vals * upd.weights.reshape(-1, 1).astype(vals.dtype)
+        return upd.indices.astype(jnp.int32), vals
     b, bag = upd.indices.shape
-    return (upd.indices.reshape(-1).astype(jnp.int32),
-            jnp.repeat(upd.delta, bag, axis=0))
+    vals = jnp.repeat(upd.delta, bag, axis=0)
+    if upd.weights is not None:
+        vals = vals * upd.weights.reshape(-1, 1).astype(vals.dtype)
+    return upd.indices.reshape(-1).astype(jnp.int32), vals
 
 
 def uncompress(upd: SparseEmbeddingUpdate, num_rows: int,
@@ -77,10 +87,11 @@ def uncompress(upd: SparseEmbeddingUpdate, num_rows: int,
     """Scatter-add the lazy update into a dense `(num_rows, dim)` matrix — the
     test oracle (reference `uncompress`, `src/sparseupdate.jl:18-32`, incl.
     the `_maybe_columnview` matrix-index fan-out, `src/utils.jl:85-86`)."""
-    rows, cols = flatten_indices(upd.indices)
-    delta = upd.delta.astype(dtype) if dtype is not None else upd.delta
-    dense = jnp.zeros((num_rows, delta.shape[-1]), dtype=delta.dtype)
-    return dense.at[rows].add(delta[cols])
+    rows, vals = occurrence_values(upd)
+    if dtype is not None:
+        vals = vals.astype(dtype)
+    dense = jnp.zeros((num_rows, vals.shape[-1]), dtype=vals.dtype)
+    return dense.at[rows].add(vals)
 
 
 # ---------------------------------------------------------------------------
@@ -96,15 +107,8 @@ def _sgd_scatter(data: jax.Array, upd: SparseEmbeddingUpdate, lr) -> jax.Array:
     is actually executed (an earlier "sorted wins" readout was an artifact of
     XLA hoisting a loop-invariant sort). The Pallas run-scatter (scatter.py)
     is the fast path on TPU."""
-    if upd.indices.ndim == 1:
-        rows, vals = upd.indices, -lr * upd.delta
-    else:
-        # Bag fan-out via streaming repeat (not a delta[cols] gather —
-        # ~13 ns/row random DMA vs HBM-rate expansion; see optim.py).
-        b, bag = upd.indices.shape
-        rows = upd.indices.reshape(-1)
-        vals = -lr * jnp.repeat(upd.delta, bag, axis=0)
-    return data.at[rows].add(vals.astype(data.dtype))
+    rows, vals = occurrence_values(upd)
+    return data.at[rows].add((-lr * vals).astype(data.dtype))
 
 
 def _sgd_dedup(data: jax.Array, upd: SparseEmbeddingUpdate, lr,

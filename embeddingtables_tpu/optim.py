@@ -42,17 +42,11 @@ class SparseOptState(NamedTuple):
 
 def _occurrence_grads(upd: SparseEmbeddingUpdate, row_offset: int = 0):
     """Per-occurrence (rows, grad) streams; `row_offset` shifts local table
-    rows into a stacked-ensemble global row space.
-
-    Bag fan-out uses `jnp.repeat` (a streaming expansion) rather than
-    `delta[cols]` — cols is just repeat(arange(B), bag), and on TPU the
-    equivalent gather runs at the random-row DMA rate (~13 ns/row) while the
-    repeat streams at HBM bandwidth."""
-    if upd.indices.ndim == 1:
-        return upd.indices + row_offset, upd.delta
-    b, bag = upd.indices.shape
-    rows = upd.indices.reshape(-1).astype(jnp.int32) + row_offset
-    return rows, jnp.repeat(upd.delta, bag, axis=0)
+    rows into a stacked-ensemble global row space. Streaming-repeat bag
+    fan-out + optional weights (ops.sparse_update.occurrence_values)."""
+    from .ops.sparse_update import occurrence_values
+    rows, vals = occurrence_values(upd)
+    return rows + row_offset, vals
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,11 +66,7 @@ class SparseSGD:
     def apply(self, data: jax.Array, upd: SparseEmbeddingUpdate,
               state: SparseOptState, *, row_offset: int = 0, lr=None):
         lr = self.lr if lr is None else lr
-        if upd.indices.ndim == 1:
-            # Skip the identity delta[arange] gather of the generic path.
-            rows, g = upd.indices + row_offset, upd.delta
-        else:
-            rows, g = _occurrence_grads(upd, row_offset)
+        rows, g = _occurrence_grads(upd, row_offset)
         new = data.at[rows].add((-lr * g).astype(data.dtype))
         return new, state
 
