@@ -161,6 +161,8 @@ def sgd_update(table, upd: SparseEmbeddingUpdate, lr, *,
         # GB/s) for SGD on uniform-random indices, so "auto" takes it; the
         # Pallas scatter-FMA stays available by explicit request (it wins
         # when an IndexerResult is already amortized or indices are skewed).
+        if method == "pallas" and upd.weights is not None:
+            method = "scatter"  # the legacy pallas entry has no weight path
         if method == "pallas":
             try:
                 from .pallas.scatter import scatter_sgd
