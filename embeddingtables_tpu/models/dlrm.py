@@ -51,6 +51,7 @@ class DLRMConfig:
     interaction: str = "dot"                # "dot" | "cat"
     self_interaction: bool = False          # include diagonal of Z Zᵀ
     bag: Optional[int] = None               # multi-hot bag size (None = one-hot)
+    combiner: str = "sum"                   # bag reduction: "sum" | "mean"
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.bfloat16  # MXU dtype for the dense towers
 
@@ -60,6 +61,8 @@ class DLRMConfig:
                 f"bottom_mlp must end at dim={self.dim}, got {self.bottom_mlp}")
         if self.interaction not in ("dot", "cat"):
             raise ValueError(self.interaction)
+        if self.combiner not in ("sum", "mean"):
+            raise ValueError(self.combiner)
 
     @property
     def num_tables(self) -> int:
@@ -156,7 +159,8 @@ def dot_interaction(bottom_out: jax.Array, emb: jax.Array,
     return jnp.concatenate([bottom_out, flat], axis=-1)
 
 
-def embedding_forward(tables: StackedTables, cat: jax.Array) -> jax.Array:
+def embedding_forward(tables: StackedTables, cat: jax.Array,
+                      combiner: str = "sum") -> jax.Array:
     """Ensemble lookup as ONE gather on the stacked array.
 
     cat: (T, B) or (T, B, bag) per-table local ids -> (T, B, dim).
@@ -165,7 +169,7 @@ def embedding_forward(tables: StackedTables, cat: jax.Array) -> jax.Array:
     idx = [cat[i] for i in range(t)]
     g = tables.shift_indices(idx)                  # (T, B[, bag]) global rows
     flat = g.reshape((-1,) + g.shape[2:])          # (T*B[, bag])
-    out = lookup(SimpleEmbedding(tables.data), flat)
+    out = lookup(SimpleEmbedding(tables.data), flat, combiner=combiner)
     return out.reshape(t, g.shape[1], tables.dim)
 
 
@@ -190,7 +194,7 @@ def forward_from_embeddings(bottom, top, cfg: DLRMConfig, dense: jax.Array,
 
 
 def dlrm_forward(model: DLRM, dense: jax.Array, cat: jax.Array) -> jax.Array:
-    emb_t = embedding_forward(model.tables, cat)
+    emb_t = embedding_forward(model.tables, cat, model.config.combiner)
     return forward_from_embeddings(model.bottom, model.top, model.config,
                                    dense, emb_t)
 
@@ -218,7 +222,7 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
     sparse_opt = sparse_opt or SparseSGD()
 
     def step(model: DLRM, dense, cat, label):
-        emb_t = embedding_forward(model.tables, cat)
+        emb_t = embedding_forward(model.tables, cat, cfg.combiner)
 
         def loss_fn(dense_params, emb_act):
             bottom, top = dense_params
@@ -242,7 +246,12 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
         g = model.tables.shift_indices(idx)    # (T, B[, bag]) global rows
         flat_idx = g.reshape((-1,) + g.shape[2:])
         flat_delta = delta_t.reshape(-1, cfg.dim).astype(jnp.float32)
-        upd = SparseEmbeddingUpdate(delta=flat_delta, indices=flat_idx)
+        # Mean combiner: the per-occurrence gradient is delta / bag, carried
+        # as update weights (lookup_vjp's discipline).
+        w = (jnp.full(flat_idx.shape, 1.0 / flat_idx.shape[1], jnp.float32)
+             if (cfg.combiner == "mean" and flat_idx.ndim == 2) else None)
+        upd = SparseEmbeddingUpdate(delta=flat_delta, indices=flat_idx,
+                                    weights=w)
         new_data, new_state = sparse_opt.apply(model.tables.data, upd,
                                                model.emb_state)
         new_tables = dataclasses.replace(model.tables, data=new_data)

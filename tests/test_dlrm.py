@@ -160,3 +160,31 @@ def test_adagrad_state_advances_once_per_unique_row():
     np.testing.assert_allclose(np.asarray(new_data[2]), -2.0 / 2.0)
     np.testing.assert_allclose(np.asarray(new_data[1]), -1.0)
     np.testing.assert_allclose(np.asarray(new_data[0]), 0.0)
+
+
+def test_mean_combiner_train_step_matches_dense_oracle():
+    """DLRM with combiner='mean' bags: one train step's table update equals
+    jax.grad through the dense mean-bag formulation."""
+    cfg = tiny_cfg(bag=3, combiner="mean")
+    model = init_dlrm(jax.random.key(4), cfg)
+    dense, cat, label = synth_batch(cfg, b=16, seed=11, bag=3)
+    lr = 0.5
+
+    def loss_of(data):
+        import dataclasses
+        from embeddingtables_tpu.models.dlrm import forward_from_embeddings
+        tables = dataclasses.replace(model.tables, data=data)
+        emb = embedding_forward(tables, jnp.asarray(cat), "mean")
+        logits = forward_from_embeddings(model.bottom, model.top, cfg, dense,
+                                         emb)
+        return bce_loss(logits, jnp.asarray(label))
+
+    g_data = jax.grad(loss_of)(model.tables.data)
+    expect = model.tables.data - lr * g_data
+
+    step = make_train_step(cfg, sparse_opt=SparseSGD(lr), dense_lr=lr,
+                           jit=False)
+    new_model, loss = step(model, jnp.asarray(dense), jnp.asarray(cat),
+                           jnp.asarray(label))
+    np.testing.assert_allclose(np.asarray(new_model.tables.data),
+                               np.asarray(expect), rtol=1e-4, atol=1e-6)
