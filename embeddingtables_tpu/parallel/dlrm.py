@@ -212,6 +212,10 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
         # (T, B, D), batch-sharded: indices shift to stacked global rows
         # inside, one all-gather + psum_scatter exchange.
         emb_t = sharded_ensemble_lookup(mesh, st, cat, stacked=True)
+        if cfg.combiner == "mean" and cat.ndim == 3:
+            # mean = sum / bag (linear), so the same scale applies to the
+            # backward delta below.
+            emb_t = emb_t / cat.shape[2]
 
         def loss_fn(dense_params, emb_act):
             bottom, top = dense_params
@@ -220,6 +224,8 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
 
         loss, (dense_grads, delta_t) = jax.value_and_grad(
             loss_fn, argnums=(0, 1))((model.bottom, model.top), emb_t)
+        if cfg.combiner == "mean" and cat.ndim == 3:
+            delta_t = delta_t / cat.shape[2]
 
         new_bottom, new_top = jax.tree.map(
             lambda p, g: (p - dense_lr * g).astype(p.dtype),

@@ -124,3 +124,25 @@ def test_multi_step_training_stays_in_sync():
     np.testing.assert_allclose(np.asarray(smodel.tables.unshard()),
                                np.asarray(model.tables.data),
                                rtol=5e-4, atol=1e-6)
+
+
+def test_sharded_mean_combiner_matches_single_chip():
+    cfg = tiny_cfg(bag=3, combiner="mean")
+    mesh = default_mesh(("data",))
+    opt = lambda: SparseSGD(0.3)  # noqa: E731
+    model = init_dlrm(jax.random.key(0), cfg, sparse_opt=opt())
+    dense, cat, label = synth_batch(cfg, b=32, seed=2, bag=3)
+    m1, loss1 = make_train_step(cfg, sparse_opt=opt(), dense_lr=0.3,
+                                jit=False)(
+        model, jnp.asarray(dense), jnp.asarray(cat), jnp.asarray(label))
+    smodel = shard_dlrm(init_dlrm(jax.random.key(0), cfg, sparse_opt=opt()),
+                        mesh, "data", sparse_opt=opt())
+    sd, sc, sl = batch_shardings(mesh, "data")
+    mN, lossN = make_sharded_train_step(cfg, mesh, "data", sparse_opt=opt(),
+                                        dense_lr=0.3)(
+        smodel, jax.device_put(dense, sd), jax.device_put(cat, sc),
+        jax.device_put(label, sl))
+    np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mN.tables.unshard()),
+                               np.asarray(m1.tables.data),
+                               rtol=2e-4, atol=1e-6)
