@@ -29,6 +29,9 @@ def main():
                     help="path to Criteo Kaggle train.txt (else synthetic)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard over all local devices (data axis)")
+    ap.add_argument("--bag", type=int, default=None,
+                    help="multi-hot bag size (synthetic data only)")
+    ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
     ap.add_argument("--opt", choices=["sgd", "adagrad"], default="adagrad")
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--eval-every", type=int, default=0)
@@ -51,7 +54,8 @@ def main():
     vocabs = tuple([args.vocab] * args.tables)
     cfg = DLRMConfig(vocab_sizes=vocabs, dim=args.dim,
                      bottom_mlp=(512, 256, args.dim),
-                     top_mlp=(1024, 512, 256, 1))
+                     top_mlp=(1024, 512, 256, 1),
+                     bag=args.bag, combiner=args.combiner)
     if args.criteo:
         assert args.tables == 26, "Criteo has 26 categorical features"
         train_it = iter(PrefetchLoader(
@@ -60,7 +64,8 @@ def main():
         eval_batches = list(CriteoFileLoader(args.criteo, vocabs, args.batch,
                                              max_batches=args.eval_batches))
     else:
-        gen = SyntheticCriteo(vocab_sizes=vocabs, batch_size=args.batch)
+        gen = SyntheticCriteo(vocab_sizes=vocabs, batch_size=args.batch,
+                              bag=args.bag)
         eval_batches = list(gen.batches(args.eval_batches))
         # Single background prefetcher: the alias-method generator (8.3
         # ms/batch) keeps up with the device; multi-worker threads measured
