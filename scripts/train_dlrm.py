@@ -40,6 +40,9 @@ def main():
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--prefetch", type=int, default=2)
+    ap.add_argument("--pool", type=int, default=0,
+                    help="pregenerate N synthetic batches and cycle them "
+                         "(device-throughput mode; data repeats)")
     args = ap.parse_args()
 
     import jax
@@ -67,11 +70,25 @@ def main():
         gen = SyntheticCriteo(vocab_sizes=vocabs, batch_size=args.batch,
                               bag=args.bag)
         eval_batches = list(gen.batches(args.eval_batches))
-        # Single background prefetcher: the alias-method generator (8.3
-        # ms/batch) keeps up with the device; multi-worker threads measured
-        # SLOWER here (GIL contention with the dispatch thread, 135K vs 175K
-        # examples/s). `io.parallel_batches` remains for file-shard sources.
-        train_it = iter(PrefetchLoader(gen.batches(), depth=args.prefetch))
+        if args.pool:
+            # Device-throughput mode: cycle a pregenerated pool staged ON
+            # DEVICE up front (at large batch the generator is ~2x slower
+            # than the device step, and in tunneled environments the
+            # per-step host->device batch upload dominates everything).
+            import itertools
+            import jax.numpy as jnp
+            pool = [dict(dense=jnp.asarray(b["dense"]),
+                         cat=jnp.asarray(b["cat"]),
+                         label=jnp.asarray(b["label"]))
+                    for b in gen.batches(args.pool)]
+            train_it = itertools.cycle(pool)
+        else:
+            # Single background prefetcher: the alias-method generator (8.3
+            # ms/batch) keeps up with the device at moderate batch sizes;
+            # multi-worker threads measured SLOWER here (GIL contention with
+            # the dispatch thread, 135K vs 175K examples/s).
+            # `io.parallel_batches` remains for file-shard sources.
+            train_it = iter(PrefetchLoader(gen.batches(), depth=args.prefetch))
 
     mesh = None
     if args.mesh:
