@@ -23,8 +23,8 @@ from .quant import QuantizedEmbedding
 from .ops import (AbstractExecutionStrategy, DefaultStrategy, DenseIndexer,
                   Indexer, IndexerResult, IndexerView, PreallocationStrategy,
                   SimpleParallelStrategy, Slicer, SparseEmbeddingUpdate,
-                  SparseIndexer, StackedTables, ensemble_sgd_update,
-                  ensemble_update,
+                  SparseIndexer, StackedTables, accumulate_updates,
+                  ensemble_sgd_update, ensemble_update,
                   flatten_indices, index, indexer_view, lookup, lookup_oracle,
                   lookup_vjp, maplookup, maplookup_vjp, normalize_indices,
                   sgd_update, uncompress)
@@ -49,6 +49,6 @@ __all__ = [
     "index", "indexer_view", "flatten_indices",
     # sparse update
     "SparseEmbeddingUpdate", "uncompress", "sgd_update", "ensemble_sgd_update",
-    "ensemble_update",
+    "ensemble_update", "accumulate_updates",
     "config",
 ]

@@ -5,5 +5,6 @@ from .ensemble import (AbstractExecutionStrategy, DefaultStrategy,
                        normalize_indices)
 from .indexer import (DenseIndexer, Indexer, IndexerResult, IndexerView,
                       SparseIndexer, flatten_indices, index, indexer_view)
-from .sparse_update import (SparseEmbeddingUpdate, ensemble_sgd_update,
-                            ensemble_update, sgd_update, uncompress)
+from .sparse_update import (SparseEmbeddingUpdate, accumulate_updates,
+                            ensemble_sgd_update, ensemble_update,
+                            sgd_update, uncompress)

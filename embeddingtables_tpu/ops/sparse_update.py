@@ -82,6 +82,35 @@ def occurrence_values(upd: SparseEmbeddingUpdate) -> tuple:
     return upd.indices.reshape(-1).astype(jnp.int32), vals
 
 
+def accumulate_updates(upds: Sequence[SparseEmbeddingUpdate]
+                       ) -> SparseEmbeddingUpdate:
+    """Merge K lazy updates into one (gradient accumulation / microbatching).
+
+    Laziness makes this a pure concatenation along the batch axis — no
+    scatter, no table-sized buffer, O(Σ B_k · D) — so larger-than-memory
+    effective batches cost exactly their occurrence streams. Mixed bag
+    widths are not merged (pad externally); mixed weighted/unweighted
+    updates promote missing weights to ones.
+    """
+    if len(upds) == 1:
+        return upds[0]
+    ndims = {u.indices.ndim for u in upds}
+    if len(ndims) != 1:
+        raise ValueError("cannot merge reducing and non-reducing updates")
+    if ndims == {2} and len({u.indices.shape[1] for u in upds}) != 1:
+        raise ValueError("bag widths differ; pad to a common width first")
+    delta = jnp.concatenate([u.delta for u in upds], axis=0)
+    indices = jnp.concatenate([u.indices for u in upds], axis=0)
+    weights = None
+    if any(u.weights is not None for u in upds):
+        weights = jnp.concatenate(
+            [u.weights if u.weights is not None
+             else jnp.ones(u.indices.shape, jnp.float32) for u in upds],
+            axis=0)
+    return SparseEmbeddingUpdate(delta=delta, indices=indices,
+                                 weights=weights)
+
+
 def uncompress(upd: SparseEmbeddingUpdate, num_rows: int,
                dtype=None) -> jax.Array:
     """Scatter-add the lazy update into a dense `(num_rows, dim)` matrix — the

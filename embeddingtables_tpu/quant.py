@@ -87,6 +87,37 @@ class QuantizedEmbedding:
         return self.q.size + self.scale.size * 4
 
 
+def quantize_dlrm(model):
+    """Serving conversion: replace a trained DLRM's stacked f32/bf16 tables
+    with int8 rows (4x HBM), returning (quantized_tables, eval_fn).
+
+    `eval_fn(dense, cat) -> logits` mirrors `models.dlrm.make_eval_step`'s
+    output but gathers from the quantized stack."""
+    import jax
+    from .models.dlrm import forward_from_embeddings
+
+    cfg = model.config
+    qt = QuantizedEmbedding.quantize(SimpleEmbedding(model.tables.data),
+                                     out_dtype=jnp.float32)
+    offsets = model.tables.offsets
+    bottom, top = model.bottom, model.top
+
+    @jax.jit
+    def eval_fn(dense, cat):
+        t = len(offsets) - 1
+        shifted = jnp.stack([cat[i] + offsets[i] for i in range(t)])
+        flat = shifted.reshape((-1,) + shifted.shape[2:])
+        rows = qt.rows(flat)
+        if flat.ndim == 2:  # bag reduce
+            rows = rows.sum(axis=1)
+            if cfg.combiner == "mean":
+                rows = rows / flat.shape[1]
+        emb = rows.reshape(t, shifted.shape[1], cfg.dim)
+        return forward_from_embeddings(bottom, top, cfg, dense, emb)
+
+    return qt, eval_fn
+
+
 def max_quantization_error(table) -> float:
     """Worst-case absolute error bound of the scheme: scale/2 per element."""
     t = as_table(table)

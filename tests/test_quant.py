@@ -68,3 +68,21 @@ def test_dlrm_eval_with_quantized_tables_tracks_f32():
     # logits differ by O(quant noise), far below logit scale
     assert np.abs(np.asarray(q8) - np.asarray(f32)).max() < 0.05
     assert qts[0].nbytes < model.tables.table(0).data.nbytes / 3
+
+def test_quantize_dlrm_serving_parity():
+    from embeddingtables_tpu.models import (DLRMConfig, init_dlrm,
+                                            make_eval_step)
+    from embeddingtables_tpu.quant import quantize_dlrm
+    cfg = DLRMConfig(vocab_sizes=(40, 60, 30), num_dense=4, dim=16,
+                     bottom_mlp=(16, 16), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    model = init_dlrm(jax.random.key(3), cfg)
+    rng = np.random.default_rng(1)
+    dense = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    cat = jnp.asarray(np.stack([rng.integers(0, v, 16).astype(np.int32)
+                                for v in cfg.vocab_sizes]))
+    f32 = make_eval_step(cfg)(model, dense, cat)
+    qt, eval_fn = quantize_dlrm(model)
+    q8 = eval_fn(dense, cat)
+    assert np.abs(np.asarray(q8) - np.asarray(f32)).max() < 0.05
+    assert qt.nbytes < model.tables.data.nbytes / 3

@@ -208,3 +208,38 @@ def test_ensemble_update_generic_optimizer():
                                    np.asarray(expect_data), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(ns.accum),
                                    np.asarray(expect_state.accum), rtol=1e-6)
+
+
+def test_accumulate_updates_matches_merged_scatter():
+    """Gradient accumulation: K lazy updates concat into one whose
+    uncompress equals the sum of the parts (and drives one fused step)."""
+    from embeddingtables_tpu.ops.sparse_update import accumulate_updates
+    rng = np.random.default_rng(0)
+    V, D = 30, 8
+    parts = []
+    for k in range(3):
+        parts.append(et.SparseEmbeddingUpdate(
+            delta=jnp.asarray(rng.standard_normal((5, D)).astype(np.float32)),
+            indices=jnp.asarray(rng.integers(0, V, 5).astype(np.int32))))
+    merged = accumulate_updates(parts)
+    assert merged.delta.shape == (15, D)
+    total = sum(np.asarray(et.uncompress(p, V)) for p in parts)
+    np.testing.assert_allclose(np.asarray(et.uncompress(merged, V)), total,
+                               rtol=1e-6)
+
+    # weighted + unweighted mix promotes to ones
+    w = jnp.full((5,), 2.0)
+    mixed = accumulate_updates([parts[0],
+                                et.SparseEmbeddingUpdate(
+                                    delta=parts[1].delta,
+                                    indices=parts[1].indices, weights=w)])
+    expect = (np.asarray(et.uncompress(parts[0], V))
+              + 2 * np.asarray(et.uncompress(parts[1], V)))
+    np.testing.assert_allclose(np.asarray(et.uncompress(mixed, V)), expect,
+                               rtol=1e-6)
+
+    import pytest
+    bag = et.SparseEmbeddingUpdate(delta=parts[0].delta,
+                                   indices=jnp.zeros((5, 2), jnp.int32))
+    with pytest.raises(ValueError):
+        accumulate_updates([parts[0], bag])
