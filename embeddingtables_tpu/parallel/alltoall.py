@@ -1,0 +1,177 @@
+"""All-to-all "butterfly" exchange: the bandwidth-optimal sharded lookup.
+
+The v1 exchange (sharded.py) all-gathers the batch's indices and
+psum_scatters (T, B, D) partials in which each device contributed only the
+1/n of rows it owns — i.e. it sums mostly-zeros and moves ~(n-1)/n of the
+FULL activation over ICI. The classic DLRM butterfly (SURVEY.md §2.3 EP row)
+moves only real rows:
+
+  1. bucket each device's local indices by owner shard (`owner = row % n`);
+  2. `all_to_all` the index buckets (tiny);
+  3. owners gather their rows locally;
+  4. `all_to_all` the gathered rows back (exactly B_local x D per device);
+  5. scatter rows to their original positions (+ bag reduce).
+
+ICI volume per device: ~B_local*D both ways, vs ~B*D for the psum_scatter
+scheme — an ~n/2x saving that grows with the mesh.
+
+Capacity: buckets are static-shaped at `C = ceil(B_local/n * capacity_factor)`
+(the ragged-routing hard part, SURVEY.md §7). Overflowing occurrences beyond
+C for one owner are DROPPED from the exchange (their outputs read zero, their
+updates are lost) and counted in the returned `overflow` scalar — the
+standard capacity-factor contract from MoE/embedding routing; size
+`capacity_factor` for the observed skew or use the exact v1 exchange.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops.sparse_update import SparseEmbeddingUpdate
+from ..types import cdiv
+from .sharded import ShardedStackedTables, _axes_tuple
+
+
+def _bucket_by_owner(flat: jax.Array, n: int, cap: int):
+    """Route a local occurrence stream into per-owner buckets.
+
+    flat: (m,) global row ids. Returns:
+      send_slot: (n, cap) LOCAL row ids on the owner (row // n), sentinel -1;
+      send_pos:  (n, cap) position in the local stream, sentinel -1;
+      overflow:  () int32 count of occurrences dropped (rank >= cap).
+    """
+    m = flat.shape[0]
+    owner = (flat % n).astype(jnp.int32)
+    # Rank of each occurrence within its owner bucket (stable by position):
+    # sort by owner, positions within equal owners stay ascending.
+    order = jnp.argsort(owner, stable=True)
+    sowner = owner[order]
+    start = jnp.full((n,), m, jnp.int32).at[sowner].min(
+        jnp.arange(m, dtype=jnp.int32))
+    rank_sorted = jnp.arange(m, dtype=jnp.int32) - start[sowner]
+    rank = jnp.zeros((m,), jnp.int32).at[order].set(rank_sorted)
+
+    ok = rank < cap
+    overflow = (~ok).sum().astype(jnp.int32)
+    dest = jnp.where(ok, owner * cap + rank, n * cap)  # OOB -> dropped
+    send_slot = jnp.full((n * cap,), -1, jnp.int32).at[dest].set(
+        (flat // n).astype(jnp.int32), mode="drop").reshape(n, cap)
+    send_pos = jnp.full((n * cap,), -1, jnp.int32).at[dest].set(
+        jnp.arange(m, dtype=jnp.int32), mode="drop").reshape(n, cap)
+    return send_slot, send_pos, overflow
+
+
+def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
+                       *, capacity_factor: float = 2.0,
+                       reducing: bool | None = None
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Butterfly lookup on a mod-row-sharded (stacked) table.
+
+    idx: `(B,)` or `(B, bag)` global stacked row ids, batch-sharded over the
+    table's (single) mesh axis. Returns `(out, overflow)`: out `(B, D)`
+    batch-sharded; occurrences dropped by capacity read as zero rows.
+
+    reducing: override bag detection — pass False for 2-D index streams that
+    are NOT bags (e.g. an ensemble's `(B, T)` layout, which then returns
+    `(B, T, D)`).
+    """
+    axes = _axes_tuple(st.axis)
+    assert len(axes) == 1, "a2a exchange currently targets a single axis"
+    axis = axes[0]
+    n = st.n_shards
+    if reducing is None:
+        reducing = idx.ndim == 2
+    dim = st.dim
+
+    def body(shard, lidx):
+        flat = lidx.reshape(-1)
+        m = flat.shape[0]
+        cap = max(1, int(-(-cdiv(m, n) * capacity_factor // 1)))
+        send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap)
+
+        # 2. all_to_all the index buckets: recv_slot[j, c] = a local row this
+        # device owns, requested by device j.
+        recv_slot = jax.lax.all_to_all(send_slot, axis, split_axis=0,
+                                       concat_axis=0, tiled=True)
+        # 3. local gather (sentinel -1 -> zero row via drop-mask).
+        safe = jnp.maximum(recv_slot.reshape(-1), 0)
+        rows = jnp.take(shard[0], safe, axis=0)
+        rows = jnp.where((recv_slot.reshape(-1) >= 0)[:, None], rows,
+                         jnp.zeros_like(rows)).reshape(n, cap, dim)
+        # 4. rows back to the requesters.
+        back = jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=0,
+                                  tiled=True)
+        # 5. un-permute to stream positions (sentinel positions dropped).
+        pos = send_pos.reshape(-1)
+        target = jnp.where(pos >= 0, pos, m)
+        out = jnp.zeros((m, dim), back.dtype).at[target].set(
+            back.reshape(-1, dim), mode="drop")
+        out = out.reshape(lidx.shape + (dim,))
+        if reducing:
+            out = out.sum(axis=1)
+        return out, overflow.reshape(1)
+
+    out, ovf = jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes), P(axis)),
+        out_specs=(P(axis), P(axis)),
+    )(st.data, idx)
+    return out, jnp.sum(ovf)
+
+
+def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
+                           upd: SparseEmbeddingUpdate, lr, *,
+                           capacity_factor: float = 2.0
+                           ) -> Tuple[ShardedStackedTables, jax.Array]:
+    """Butterfly sparse-SGD update: route (row, delta) occurrences to their
+    owner shards via all_to_all; owners scatter-add locally. ICI volume
+    ~B_local x D per device (the all-gather scheme moves B x D).
+
+    Returns (new_tables, overflow). Occurrences beyond capacity are dropped
+    (gradient lost) and counted.
+    """
+    axes = _axes_tuple(st.axis)
+    assert len(axes) == 1, "a2a exchange currently targets a single axis"
+    axis = axes[0]
+    n = st.n_shards
+    dim = st.dim
+    reducing = upd.indices.ndim == 2
+
+    def body(shard, lidx, ldelta):
+        flat = lidx.reshape(-1)
+        m = flat.shape[0]
+        vals = ldelta.astype(jnp.float32)
+        if reducing:
+            vals = jnp.repeat(vals, lidx.shape[1], axis=0)
+        cap = max(1, int(-(-cdiv(m, n) * capacity_factor // 1)))
+        send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap)
+
+        # Stage the value rows bucket-shaped (dropped slots carry zeros so
+        # they are harmless adds to row 0 guard below).
+        safe_pos = jnp.maximum(send_pos.reshape(-1), 0)
+        staged = jnp.take(vals, safe_pos, axis=0)
+        staged = jnp.where((send_pos.reshape(-1) >= 0)[:, None], staged,
+                           jnp.zeros_like(staged)).reshape(n, cap, dim)
+
+        recv_slot = jax.lax.all_to_all(send_slot, axis, split_axis=0,
+                                       concat_axis=0, tiled=True)
+        recv_vals = jax.lax.all_to_all(staged, axis, split_axis=0,
+                                       concat_axis=0, tiled=True)
+
+        rows_local = shard.shape[1]
+        slot = recv_slot.reshape(-1)
+        target = jnp.where(slot >= 0, slot, rows_local)  # sentinel -> drop
+        new = shard[0].at[target].add(
+            (-lr * recv_vals.reshape(-1, dim)).astype(shard.dtype),
+            mode="drop")
+        return new[None], overflow.reshape(1)
+
+    spec = P(axis)
+    new_data, ovf = jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes), spec, spec),
+        out_specs=(P(axes), P(axis)),
+    )(st.data, upd.indices, upd.delta)
+    return dataclasses.replace(st, data=new_data), jnp.sum(ovf)

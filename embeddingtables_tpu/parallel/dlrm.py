@@ -197,15 +197,65 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
 
 def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
                             sparse_opt=None, dense_lr: float = 0.01,
-                            jit: bool = True):
+                            jit: bool = True, exchange: str = "gather",
+                            capacity_factor: float = 2.0):
     """Build the multi-chip fused train step.
 
     `step(model: ShardedDLRM, dense, cat, label) -> (model, loss)` where the
     batch arrays carry `batch_shardings(mesh, axis)`. One jitted program:
     sharded ensemble lookup -> local dense fwd/bwd (grad psum by XLA) ->
     sharded fused sparse update + replicated dense SGD.
+
+    exchange: "gather" = exact all_gather + psum_scatter (sharded.py);
+    "a2a" = the butterfly all-to-all (alltoall.py) — ~n/2x less ICI traffic,
+    but occurrences beyond `capacity_factor` headroom per owner are dropped
+    (one-hot only, single-axis tables, SGD-style update semantics apply to
+    the AdaGrad path too since routing happens before dedup).
     """
     sparse_opt = sparse_opt or SparseSGD()
+    if exchange not in ("gather", "a2a"):
+        raise ValueError(exchange)
+    if exchange == "a2a":
+        if cfg.bag is not None:
+            raise NotImplementedError("a2a exchange supports one-hot only")
+        if not isinstance(sparse_opt, SparseSGD):
+            raise NotImplementedError("a2a exchange currently pairs with "
+                                      "SparseSGD")
+
+    def step_a2a(model: ShardedDLRM, dense, cat, label):
+        from .alltoall import sharded_lookup_a2a, sharded_sgd_update_a2a
+        from ..ops.sparse_update import SparseEmbeddingUpdate
+        st = model.tables
+        t = st.ntables
+        # (B, T) batch-major stream, batch-sharded on dim 0.
+        shifted_bt = jnp.stack([cat[i] + st.offsets[i]
+                                for i in range(t)], axis=1)
+        emb_bt, _ = sharded_lookup_a2a(mesh, st, shifted_bt,
+                                       capacity_factor=capacity_factor,
+                                       reducing=False)      # (B, T, D)
+        emb_t = jnp.swapaxes(emb_bt, 0, 1)
+
+        def loss_fn(dense_params, emb_act):
+            bottom, top = dense_params
+            logits = forward_from_embeddings(bottom, top, cfg, dense,
+                                             emb_act)
+            return bce_loss(logits, label)
+
+        loss, (dense_grads, delta_t) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))((model.bottom, model.top), emb_t)
+        new_bottom, new_top = jax.tree.map(
+            lambda p, g: (p - dense_lr * g).astype(p.dtype),
+            (model.bottom, model.top), dense_grads)
+        upd = SparseEmbeddingUpdate(
+            delta=jnp.swapaxes(delta_t, 0, 1).reshape(-1, cfg.dim),
+            indices=shifted_bt.reshape(-1))
+        new_st, _ = sharded_sgd_update_a2a(mesh, st, upd, sparse_opt.lr,
+                                           capacity_factor=capacity_factor)
+        return ShardedDLRM(bottom=new_bottom, top=new_top, tables=new_st,
+                           emb_accum=model.emb_accum, config=cfg), loss
+
+    if exchange == "a2a":
+        return jax.jit(step_a2a, donate_argnums=(0,)) if jit else step_a2a
 
     def step(model: ShardedDLRM, dense, cat, label):
         st = model.tables
