@@ -91,13 +91,16 @@ def dlrm_small_config(vocab: int = 100_000, **kw) -> DLRMConfig:
 @dataclasses.dataclass
 class DLRM:
     """Parameter pytree: dense towers + the stacked embedding ensemble +
-    sparse-optimizer row state."""
+    sparse-optimizer row state (+ optional optax state for the towers)."""
 
     bottom: list            # [(W, b), ...]
     top: list               # [(W, b), ...]
     tables: StackedTables   # (ΣV, dim) single HBM array
     emb_state: SparseOptState
     config: DLRMConfig = dataclasses.field(metadata=dict(static=True))
+    # optax state for the dense towers when a dense_tx is used (None = the
+    # default plain-SGD tower update, the reference's Flux.Descent parity).
+    dense_opt_state: object = None
 
 
 def _init_mlp(key, sizes, dtype):
@@ -112,7 +115,9 @@ def _init_mlp(key, sizes, dtype):
 
 
 def init_dlrm(key: jax.Array, cfg: DLRMConfig,
-              sparse_opt=None) -> DLRM:
+              sparse_opt=None, dense_tx=None) -> DLRM:
+    """dense_tx: optional optax GradientTransformation for the towers (e.g.
+    `optax.adam(1e-3)`); None keeps the plain-SGD tower update."""
     kb, kt, ke = jax.random.split(key, 3)
     bottom = _init_mlp(kb, (cfg.num_dense,) + cfg.bottom_mlp, cfg.param_dtype)
     top = _init_mlp(kt, (cfg.interaction_features,) + cfg.top_mlp,
@@ -128,8 +133,10 @@ def init_dlrm(key: jax.Array, cfg: DLRMConfig,
         offs.append(acc)
     tables = StackedTables(data=data, offsets=tuple(offs), dim=cfg.dim)
     sparse_opt = sparse_opt or SparseSGD()
+    dense_state = dense_tx.init((bottom, top)) if dense_tx is not None else None
     return DLRM(bottom=bottom, top=top, tables=tables,
-                emb_state=sparse_opt.init(data), config=cfg)
+                emb_state=sparse_opt.init(data), config=cfg,
+                dense_opt_state=dense_state)
 
 
 # ---------------------------------------------------------------------------
@@ -210,14 +217,15 @@ def bce_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
-                    jit: bool = True):
+                    jit: bool = True, dense_tx=None):
     """Build the single-chip fused train step.
 
     Returns `step(model, dense, cat, label) -> (model, loss)`. The embedding
     gradient is captured lazily as `(delta, indices)` (never a (ΣV, D) dense
     array) and applied through the fused sparse optimizer; dense towers take
-    a plain SGD step. Donating `model` lets XLA update the stacked table (and
-    the big MLP weights) in place.
+    a plain SGD step, or any optax transform via `dense_tx` (init the model
+    with the same transform). Donating `model` lets XLA update the stacked
+    table (and the big MLP weights) in place.
     """
     sparse_opt = sparse_opt or SparseSGD()
 
@@ -233,10 +241,20 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
             (model.bottom, model.top), emb_t)
         dense_grads, delta_t = grads           # delta_t: (T, B, dim) lazy delta
 
-        # Dense towers: plain SGD (parity with the reference's Flux.Descent).
-        new_bottom, new_top = jax.tree.map(
-            lambda p, g: (p - dense_lr * g).astype(p.dtype),
-            (model.bottom, model.top), dense_grads)
+        # Dense towers: plain SGD (parity with the reference's Flux.Descent)
+        # or an optax transform.
+        if dense_tx is not None:
+            updates, new_dense_state = dense_tx.update(
+                dense_grads, model.dense_opt_state,
+                (model.bottom, model.top))
+            new_bottom, new_top = jax.tree.map(
+                lambda p, u: (p + u).astype(p.dtype),
+                (model.bottom, model.top), updates)
+        else:
+            new_dense_state = model.dense_opt_state
+            new_bottom, new_top = jax.tree.map(
+                lambda p, g: (p - dense_lr * g).astype(p.dtype),
+                (model.bottom, model.top), dense_grads)
 
         # Embedding ensemble: ONE fused sparse step on the stacked array.
         # Per-table (delta, indices) merge into a single occurrence stream via
@@ -256,7 +274,8 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
                                                model.emb_state)
         new_tables = dataclasses.replace(model.tables, data=new_data)
         new_model = DLRM(bottom=new_bottom, top=new_top, tables=new_tables,
-                         emb_state=new_state, config=cfg)
+                         emb_state=new_state, config=cfg,
+                         dense_opt_state=new_dense_state)
         return new_model, loss
 
     if jit:

@@ -188,3 +188,31 @@ def test_mean_combiner_train_step_matches_dense_oracle():
                            jnp.asarray(label))
     np.testing.assert_allclose(np.asarray(new_model.tables.data),
                                np.asarray(expect), rtol=1e-4, atol=1e-6)
+
+
+def test_dense_tx_optax_adam():
+    """Dense towers on optax.adam while tables ride the fused sparse path."""
+    import optax
+    cfg = tiny_cfg()
+    tx = optax.adam(1e-2)
+    model = init_dlrm(jax.random.key(7), cfg, sparse_opt=SparseSGD(0.5),
+                      dense_tx=tx)
+    assert model.dense_opt_state is not None
+    step = make_train_step(cfg, sparse_opt=SparseSGD(0.5), dense_tx=tx,
+                           jit=False)
+    rng = np.random.default_rng(0)
+    losses = []
+    for i in range(60):
+        dense = rng.normal(size=(64, cfg.num_dense)).astype(np.float32)
+        cat = np.stack([rng.integers(0, v, 64).astype(np.int32)
+                        for v in cfg.vocab_sizes])
+        label = (cat[0] % 2).astype(np.float32)
+        model, loss = step(model, jnp.asarray(dense), jnp.asarray(cat),
+                           jnp.asarray(label))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.02, losses
+    # adam state advanced (count > 0)
+    import jax as _jax
+    counts = [x for x in _jax.tree_util.tree_leaves(model.dense_opt_state)
+              if getattr(x, "dtype", None) == jnp.int32]
+    assert counts and int(counts[0]) == 60
