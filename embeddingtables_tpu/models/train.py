@@ -44,7 +44,8 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                seed: int = 0, eval_batches: Optional[list] = None,
                eval_every: int = 0, ckpt_manager=None, ckpt_every: int = 0,
                log_every: int = 100, mesh=None, axis: str = "data",
-               guard=None, verbose: bool = True) -> TrainResult:
+               exchange: str = "gather", guard=None,
+               verbose: bool = True) -> TrainResult:
     """Train a DLRM for `num_steps` batches from `train_iter`.
 
     mesh=None -> single-chip fused step; mesh given -> the hybrid
@@ -61,7 +62,7 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
         if isinstance(model, DLRM):
             model = shard_dlrm(model, mesh, axis, sparse_opt=sparse_opt)
         step = make_sharded_train_step(cfg, mesh, axis, sparse_opt=sparse_opt,
-                                       dense_lr=dense_lr)
+                                       dense_lr=dense_lr, exchange=exchange)
         eval_step = make_sharded_eval_step(cfg, mesh, axis)
         sd, sc, sl = batch_shardings(mesh, axis)
         put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731

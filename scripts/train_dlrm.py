@@ -29,6 +29,9 @@ def main():
                     help="path to Criteo Kaggle train.txt (else synthetic)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard over all local devices (data axis)")
+    ap.add_argument("--exchange", choices=["gather", "a2a"],
+                    default="gather",
+                    help="sharded embedding exchange (a2a = butterfly)")
     ap.add_argument("--bag", type=int, default=None,
                     help="multi-hot bag size (synthetic data only)")
     ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
@@ -107,7 +110,7 @@ def main():
                      dense_lr=args.lr, eval_batches=eval_batches,
                      eval_every=args.eval_every, ckpt_manager=mgr,
                      ckpt_every=args.ckpt_every, log_every=args.log_every,
-                     mesh=mesh)
+                     mesh=mesh, exchange=args.exchange)
     print(f"\n{res.examples_per_sec:,.0f} examples/s")
     if res.aucs:
         print(f"final AUC {res.aucs[-1][1]:.4f}")
