@@ -122,6 +122,73 @@ def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
     return out, jnp.sum(ovf)
 
 
+def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
+                               accum: jax.Array, upd: SparseEmbeddingUpdate,
+                               opt, *, capacity_factor: float = 2.0):
+    """Butterfly row-wise-AdaGrad update: route occurrences to their owners,
+    then each owner DEDUPS its received stream (sort-based indexer) and
+    advances every owned row and its accumulator exactly once — the
+    reference's single-write contract (`src/sparseupdate.jl:97-129`) applied
+    after routing. Returns (new_tables, new_accum, overflow).
+
+    accum: `(n_shards, rows_local)` f32, sharded like the table rows.
+    """
+    from ..ops.indexer import index
+
+    axes = _axes_tuple(st.axis)
+    assert len(axes) == 1, "a2a exchange currently targets a single axis"
+    axis = axes[0]
+    n = st.n_shards
+    dim = st.dim
+    reducing = upd.indices.ndim == 2
+
+    def body(shard, acc, lidx, ldelta):
+        flat = lidx.reshape(-1)
+        m = flat.shape[0]
+        vals = ldelta.astype(jnp.float32)
+        if reducing:
+            vals = jnp.repeat(vals, lidx.shape[1], axis=0)
+        cap = max(1, int(-(-cdiv(m, n) * capacity_factor // 1)))
+        send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap)
+
+        safe_pos = jnp.maximum(send_pos.reshape(-1), 0)
+        staged = jnp.take(vals, safe_pos, axis=0)
+        staged = jnp.where((send_pos.reshape(-1) >= 0)[:, None], staged,
+                           jnp.zeros_like(staged)).reshape(n, cap, dim)
+        recv_slot = jax.lax.all_to_all(send_slot, axis, split_axis=0,
+                                       concat_axis=0, tiled=True)
+        recv_vals = jax.lax.all_to_all(staged, axis, split_axis=0,
+                                       concat_axis=0, tiled=True).reshape(-1, dim)
+
+        rows_local = shard.shape[1]
+        slot = recv_slot.reshape(-1)
+        lrow = jnp.where(slot >= 0, slot, rows_local)  # sentinel group
+        ir = index(lrow)
+        n_occ = ir.capacity
+        acc_g = jax.ops.segment_sum(recv_vals, ir.group_of,
+                                    num_segments=n_occ)
+        active = jnp.arange(n_occ) < ir.num_unique
+        # The sentinel group's "row" is rows_local -> dropped by OOB scatter.
+        target = jnp.where(active, ir.unique, rows_local)
+        target = jnp.where(target >= rows_local, rows_local, target)
+        g2 = jnp.mean(jnp.square(acc_g), axis=-1)
+        safe = jnp.clip(target, 0, rows_local - 1)
+        new_acc_rows = acc[0, safe] + g2
+        step = (-opt.lr * acc_g
+                * jax.lax.rsqrt(new_acc_rows + opt.eps)[:, None])
+        new_shard = shard[0].at[target].add(step.astype(shard.dtype),
+                                            mode="drop")
+        new_acc = acc[0].at[target].set(new_acc_rows, mode="drop")
+        return new_shard[None], new_acc[None], overflow.reshape(1)
+
+    spec = P(axis)
+    new_data, new_accum, ovf = jax.shard_map(
+        body, mesh=mesh, in_specs=(P(axes), P(axes), spec, spec),
+        out_specs=(P(axes), P(axes), P(axis)),
+    )(st.data, accum, upd.indices, upd.delta)
+    return dataclasses.replace(st, data=new_data), new_accum, jnp.sum(ovf)
+
+
 def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
                            upd: SparseEmbeddingUpdate, lr, *,
                            capacity_factor: float = 2.0

@@ -215,24 +215,29 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
     sparse_opt = sparse_opt or SparseSGD()
     if exchange not in ("gather", "a2a"):
         raise ValueError(exchange)
-    if exchange == "a2a":
-        if cfg.bag is not None:
-            raise NotImplementedError("a2a exchange supports one-hot only")
-        if not isinstance(sparse_opt, SparseSGD):
-            raise NotImplementedError("a2a exchange currently pairs with "
-                                      "SparseSGD")
-
     def step_a2a(model: ShardedDLRM, dense, cat, label):
-        from .alltoall import sharded_lookup_a2a, sharded_sgd_update_a2a
+        from .alltoall import (sharded_adagrad_update_a2a, sharded_lookup_a2a,
+                               sharded_sgd_update_a2a)
         from ..ops.sparse_update import SparseEmbeddingUpdate
         st = model.tables
         t = st.ntables
-        # (B, T) batch-major stream, batch-sharded on dim 0.
+        bag = cat.shape[2] if cat.ndim == 3 else None
+        # (B, T[, bag]) batch-major stream, batch-sharded on dim 0.
         shifted_bt = jnp.stack([cat[i] + st.offsets[i]
                                 for i in range(t)], axis=1)
-        emb_bt, _ = sharded_lookup_a2a(mesh, st, shifted_bt,
-                                       capacity_factor=capacity_factor,
-                                       reducing=False)      # (B, T, D)
+        if bag is None:
+            emb_bt, _ = sharded_lookup_a2a(mesh, st, shifted_bt,
+                                           capacity_factor=capacity_factor,
+                                           reducing=False)   # (B, T, D)
+        else:
+            b = shifted_bt.shape[0]
+            flat_bt = shifted_bt.reshape(b, t * bag)
+            rows, _ = sharded_lookup_a2a(mesh, st, flat_bt,
+                                         capacity_factor=capacity_factor,
+                                         reducing=False)     # (B, T*bag, D)
+            emb_bt = rows.reshape(b, t, bag, cfg.dim).sum(axis=2)
+            if cfg.combiner == "mean":
+                emb_bt = emb_bt / bag
         emb_t = jnp.swapaxes(emb_bt, 0, 1)
 
         def loss_fn(dense_params, emb_act):
@@ -246,13 +251,24 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
         new_bottom, new_top = jax.tree.map(
             lambda p, g: (p - dense_lr * g).astype(p.dtype),
             (model.bottom, model.top), dense_grads)
+        delta_bt = jnp.swapaxes(delta_t, 0, 1).reshape(-1, cfg.dim)
+        if bag is not None and cfg.combiner == "mean":
+            delta_bt = delta_bt / bag
         upd = SparseEmbeddingUpdate(
-            delta=jnp.swapaxes(delta_t, 0, 1).reshape(-1, cfg.dim),
-            indices=shifted_bt.reshape(-1))
-        new_st, _ = sharded_sgd_update_a2a(mesh, st, upd, sparse_opt.lr,
-                                           capacity_factor=capacity_factor)
+            delta=delta_bt,
+            indices=shifted_bt.reshape((-1,) if bag is None
+                                       else (shifted_bt.shape[0] * t, bag)))
+        if isinstance(sparse_opt, SparseRowWiseAdaGrad):
+            new_st, new_accum, _ = sharded_adagrad_update_a2a(
+                mesh, st, model.emb_accum, upd, sparse_opt,
+                capacity_factor=capacity_factor)
+        else:
+            new_st, _ = sharded_sgd_update_a2a(
+                mesh, st, upd, sparse_opt.lr,
+                capacity_factor=capacity_factor)
+            new_accum = model.emb_accum
         return ShardedDLRM(bottom=new_bottom, top=new_top, tables=new_st,
-                           emb_accum=model.emb_accum, config=cfg), loss
+                           emb_accum=new_accum, config=cfg), loss
 
     if exchange == "a2a":
         return jax.jit(step_a2a, donate_argnums=(0,)) if jit else step_a2a

@@ -123,3 +123,80 @@ def test_a2a_train_step_matches_gather_exchange(mesh):
     np.testing.assert_allclose(np.asarray(m_a.tables.unshard()),
                                np.asarray(m_g.tables.unshard()),
                                rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("combiner", ["sum", "mean"])
+def test_a2a_train_step_with_bags_matches_gather(mesh, combiner):
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.optim import SparseSGD
+    from embeddingtables_tpu.parallel.dlrm import (batch_shardings,
+                                                   make_sharded_train_step,
+                                                   shard_dlrm)
+    cfg = DLRMConfig(vocab_sizes=(64, 96), num_dense=4, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1), bag=3,
+                     combiner=combiner, compute_dtype=jnp.float32)
+    opt = lambda: SparseSGD(0.3)  # noqa: E731
+    rng = np.random.default_rng(13)
+    dense = rng.normal(size=(32, 4)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, (32, 3)).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    label = rng.integers(0, 2, 32).astype(np.float32)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    args = (jax.device_put(dense, sd), jax.device_put(cat, sc),
+            jax.device_put(label, sl))
+    m_g = shard_dlrm(init_dlrm(jax.random.key(0), cfg, sparse_opt=opt()),
+                     mesh, "data", sparse_opt=opt())
+    m_a = shard_dlrm(init_dlrm(jax.random.key(0), cfg, sparse_opt=opt()),
+                     mesh, "data", sparse_opt=opt())
+    step_g = make_sharded_train_step(cfg, mesh, "data", sparse_opt=opt(),
+                                     dense_lr=0.3)
+    step_a = make_sharded_train_step(cfg, mesh, "data", sparse_opt=opt(),
+                                     dense_lr=0.3, exchange="a2a",
+                                     capacity_factor=32.0)
+    m_g, loss_g = step_g(m_g, *args)
+    m_a, loss_a = step_a(m_a, *args)
+    np.testing.assert_allclose(float(loss_a), float(loss_g), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_a.tables.unshard()),
+                               np.asarray(m_g.tables.unshard()),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_a2a_adagrad_train_step_matches_gather(mesh):
+    """AdaGrad after routing: owner-side dedup must give the same single
+    state-advance-per-row as the gather exchange."""
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    from embeddingtables_tpu.parallel.dlrm import (batch_shardings,
+                                                   make_sharded_train_step,
+                                                   shard_dlrm)
+    cfg = DLRMConfig(vocab_sizes=(64, 96), num_dense=4, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    opt = lambda: SparseRowWiseAdaGrad(lr=0.3, eps=1e-6)  # noqa: E731
+    rng = np.random.default_rng(17)
+    dense = rng.normal(size=(32, 4)).astype(np.float32)
+    # duplicates on purpose: state must advance once per unique row
+    cat = np.stack([rng.integers(0, 8, 32).astype(np.int32),
+                    rng.integers(0, 96, 32).astype(np.int32)])
+    label = rng.integers(0, 2, 32).astype(np.float32)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    args = (jax.device_put(dense, sd), jax.device_put(cat, sc),
+            jax.device_put(label, sl))
+    m_g = shard_dlrm(init_dlrm(jax.random.key(0), cfg, sparse_opt=opt()),
+                     mesh, "data", sparse_opt=opt())
+    m_a = shard_dlrm(init_dlrm(jax.random.key(0), cfg, sparse_opt=opt()),
+                     mesh, "data", sparse_opt=opt())
+    m_g, loss_g = make_sharded_train_step(cfg, mesh, "data",
+                                          sparse_opt=opt(), dense_lr=0.3)(
+        m_g, *args)
+    m_a, loss_a = make_sharded_train_step(cfg, mesh, "data",
+                                          sparse_opt=opt(), dense_lr=0.3,
+                                          exchange="a2a",
+                                          capacity_factor=32.0)(m_a, *args)
+    np.testing.assert_allclose(float(loss_a), float(loss_g), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_a.tables.unshard()),
+                               np.asarray(m_g.tables.unshard()),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_a.emb_accum),
+                               np.asarray(m_g.emb_accum),
+                               rtol=2e-4, atol=1e-7)
