@@ -78,24 +78,40 @@ def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
     reducing: override bag detection — pass False for 2-D index streams that
     are NOT bags (e.g. an ensemble's `(B, T)` layout, which then returns
     `(B, T, D)`).
+
+    2-D meshes (`axis=("data", "model")`): the batch is sharded over `data`
+    (replicated across `model`); each model column routes a 1/n_model slice
+    of its data shard's occurrence stream over the FLATTENED axes, and the
+    returned rows all_gather over `model` to reassemble — no duplicate
+    requests across replicas.
     """
     axes = _axes_tuple(st.axis)
-    assert len(axes) == 1, "a2a exchange currently targets a single axis"
-    axis = axes[0]
+    axis0 = axes[0]
     n = st.n_shards
     if reducing is None:
         reducing = idx.ndim == 2
     dim = st.dim
+    n_model = 1 if len(axes) == 1 else mesh.shape[axes[1]]
 
     def body(shard, lidx):
         flat = lidx.reshape(-1)
-        m = flat.shape[0]
-        cap = max(1, int(-(-cdiv(m, n) * capacity_factor // 1)))
-        send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap)
+        m_all = flat.shape[0]
+        if n_model > 1:
+            # Column-slice the (model-replicated) stream so each replica
+            # routes a disjoint 1/n_model share.
+            assert m_all % n_model == 0, \
+                "local occurrence count must divide the model axis"
+            sub = m_all // n_model
+            col = jax.lax.axis_index(axes[1])
+            flat_part = jax.lax.dynamic_slice_in_dim(flat, col * sub, sub)
+        else:
+            sub = m_all
+            flat_part = flat
+        cap = max(1, int(-(-cdiv(sub, n) * capacity_factor // 1)))
+        send_slot, send_pos, overflow = _bucket_by_owner(flat_part, n, cap)
 
-        # 2. all_to_all the index buckets: recv_slot[j, c] = a local row this
-        # device owns, requested by device j.
-        recv_slot = jax.lax.all_to_all(send_slot, axis, split_axis=0,
+        # 2. all_to_all the index buckets over the flattened owner axes.
+        recv_slot = jax.lax.all_to_all(send_slot, axes, split_axis=0,
                                        concat_axis=0, tiled=True)
         # 3. local gather (sentinel -1 -> zero row via drop-mask).
         safe = jnp.maximum(recv_slot.reshape(-1), 0)
@@ -103,21 +119,30 @@ def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
         rows = jnp.where((recv_slot.reshape(-1) >= 0)[:, None], rows,
                          jnp.zeros_like(rows)).reshape(n, cap, dim)
         # 4. rows back to the requesters.
-        back = jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=0,
+        back = jax.lax.all_to_all(rows, axes, split_axis=0, concat_axis=0,
                                   tiled=True)
-        # 5. un-permute to stream positions (sentinel positions dropped).
+        # 5. un-permute to this column's stream positions.
         pos = send_pos.reshape(-1)
-        target = jnp.where(pos >= 0, pos, m)
-        out = jnp.zeros((m, dim), back.dtype).at[target].set(
+        target = jnp.where(pos >= 0, pos, sub)
+        part = jnp.zeros((sub, dim), back.dtype).at[target].set(
             back.reshape(-1, dim), mode="drop")
+        if n_model > 1:
+            # Reassemble the full data-shard stream across model columns.
+            out = jax.lax.all_gather(part, axes[1], axis=0, tiled=True)
+            overflow = jax.lax.psum(overflow, axes[1])
+        else:
+            out = part
         out = out.reshape(lidx.shape + (dim,))
         if reducing:
             out = out.sum(axis=1)
         return out, overflow.reshape(1)
 
+    idx_spec = P(axis0)
     out, ovf = jax.shard_map(
-        body, mesh=mesh, in_specs=(P(axes), P(axis)),
-        out_specs=(P(axis), P(axis)),
+        body, mesh=mesh, in_specs=(P(axes), idx_spec),
+        out_specs=(idx_spec, P(axis0)),
+        check_vma=False,   # model-column reassembly is replicated by
+                           # construction (all_gather), unprovable statically
     )(st.data, idx)
     return out, jnp.sum(ovf)
 
@@ -136,28 +161,28 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
     from ..ops.indexer import index
 
     axes = _axes_tuple(st.axis)
-    assert len(axes) == 1, "a2a exchange currently targets a single axis"
-    axis = axes[0]
+    axis0 = axes[0]
     n = st.n_shards
     dim = st.dim
     reducing = upd.indices.ndim == 2
+    n_model = 1 if len(axes) == 1 else mesh.shape[axes[1]]
 
     def body(shard, acc, lidx, ldelta):
         flat = lidx.reshape(-1)
-        m = flat.shape[0]
         vals = ldelta.astype(jnp.float32)
         if reducing:
             vals = jnp.repeat(vals, lidx.shape[1], axis=0)
-        cap = max(1, int(-(-cdiv(m, n) * capacity_factor // 1)))
+        flat, vals, sub = _column_slice(flat, vals, n_model, axes)
+        cap = max(1, int(-(-cdiv(sub, n) * capacity_factor // 1)))
         send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap)
 
         safe_pos = jnp.maximum(send_pos.reshape(-1), 0)
         staged = jnp.take(vals, safe_pos, axis=0)
         staged = jnp.where((send_pos.reshape(-1) >= 0)[:, None], staged,
                            jnp.zeros_like(staged)).reshape(n, cap, dim)
-        recv_slot = jax.lax.all_to_all(send_slot, axis, split_axis=0,
+        recv_slot = jax.lax.all_to_all(send_slot, axes, split_axis=0,
                                        concat_axis=0, tiled=True)
-        recv_vals = jax.lax.all_to_all(staged, axis, split_axis=0,
+        recv_vals = jax.lax.all_to_all(staged, axes, split_axis=0,
                                        concat_axis=0, tiled=True).reshape(-1, dim)
 
         rows_local = shard.shape[1]
@@ -179,14 +204,31 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         new_shard = shard[0].at[target].add(step.astype(shard.dtype),
                                             mode="drop")
         new_acc = acc[0].at[target].set(new_acc_rows, mode="drop")
+        if n_model > 1:
+            overflow = jax.lax.psum(overflow, axes[1])
         return new_shard[None], new_acc[None], overflow.reshape(1)
 
-    spec = P(axis)
+    spec = P(axis0)
     new_data, new_accum, ovf = jax.shard_map(
         body, mesh=mesh, in_specs=(P(axes), P(axes), spec, spec),
-        out_specs=(P(axes), P(axes), P(axis)),
+        out_specs=(P(axes), P(axes), spec), check_vma=False,
     )(st.data, accum, upd.indices, upd.delta)
     return dataclasses.replace(st, data=new_data), new_accum, jnp.sum(ovf)
+
+
+def _column_slice(flat, vals, n_model: int, axes):
+    """On a 2-D mesh, give each model column a disjoint 1/n_model share of
+    the (model-replicated) occurrence stream."""
+    m_all = flat.shape[0]
+    if n_model == 1:
+        return flat, vals, m_all
+    assert m_all % n_model == 0, \
+        "local occurrence count must divide the model axis"
+    sub = m_all // n_model
+    col = jax.lax.axis_index(axes[1])
+    return (jax.lax.dynamic_slice_in_dim(flat, col * sub, sub),
+            jax.lax.dynamic_slice_in_dim(vals, col * sub, sub),
+            sub)
 
 
 def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
@@ -198,22 +240,23 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
     ~B_local x D per device (the all-gather scheme moves B x D).
 
     Returns (new_tables, overflow). Occurrences beyond capacity are dropped
-    (gradient lost) and counted.
+    (gradient lost) and counted. 2-D meshes: each model column routes its
+    disjoint share of the stream (every occurrence routed exactly once).
     """
     axes = _axes_tuple(st.axis)
-    assert len(axes) == 1, "a2a exchange currently targets a single axis"
-    axis = axes[0]
+    axis0 = axes[0]
     n = st.n_shards
     dim = st.dim
     reducing = upd.indices.ndim == 2
+    n_model = 1 if len(axes) == 1 else mesh.shape[axes[1]]
 
     def body(shard, lidx, ldelta):
         flat = lidx.reshape(-1)
-        m = flat.shape[0]
         vals = ldelta.astype(jnp.float32)
         if reducing:
             vals = jnp.repeat(vals, lidx.shape[1], axis=0)
-        cap = max(1, int(-(-cdiv(m, n) * capacity_factor // 1)))
+        flat, vals, sub = _column_slice(flat, vals, n_model, axes)
+        cap = max(1, int(-(-cdiv(sub, n) * capacity_factor // 1)))
         send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap)
 
         # Stage the value rows bucket-shaped (dropped slots carry zeros so
@@ -223,9 +266,9 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         staged = jnp.where((send_pos.reshape(-1) >= 0)[:, None], staged,
                            jnp.zeros_like(staged)).reshape(n, cap, dim)
 
-        recv_slot = jax.lax.all_to_all(send_slot, axis, split_axis=0,
+        recv_slot = jax.lax.all_to_all(send_slot, axes, split_axis=0,
                                        concat_axis=0, tiled=True)
-        recv_vals = jax.lax.all_to_all(staged, axis, split_axis=0,
+        recv_vals = jax.lax.all_to_all(staged, axes, split_axis=0,
                                        concat_axis=0, tiled=True)
 
         rows_local = shard.shape[1]
@@ -234,11 +277,13 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         new = shard[0].at[target].add(
             (-lr * recv_vals.reshape(-1, dim)).astype(shard.dtype),
             mode="drop")
+        if n_model > 1:
+            overflow = jax.lax.psum(overflow, axes[1])
         return new[None], overflow.reshape(1)
 
-    spec = P(axis)
+    spec = P(axis0)
     new_data, ovf = jax.shard_map(
         body, mesh=mesh, in_specs=(P(axes), spec, spec),
-        out_specs=(P(axes), P(axis)),
+        out_specs=(P(axes), spec), check_vma=False,
     )(st.data, upd.indices, upd.delta)
     return dataclasses.replace(st, data=new_data), jnp.sum(ovf)

@@ -200,3 +200,39 @@ def test_a2a_adagrad_train_step_matches_gather(mesh):
     np.testing.assert_allclose(np.asarray(m_a.emb_accum),
                                np.asarray(m_g.emb_accum),
                                rtol=2e-4, atol=1e-7)
+
+
+@pytest.mark.parametrize("reducing", [False, True])
+def test_a2a_lookup_2d_mesh_matches_dense(reducing):
+    mesh2 = default_mesh(("data", "model"), shape=(4, 2))
+    rng = np.random.default_rng(21)
+    data = jax.random.normal(jax.random.key(6), (96, 16), jnp.float32)
+    st = ShardedStackedTables.shard(mesh2, ("data", "model"), data)
+    shape = (32, 2) if reducing else (32,)
+    idx = rng.integers(0, 96, shape).astype(np.int32)
+    gidx = jax.device_put(jnp.asarray(idx), NamedSharding(mesh2, P("data")))
+    out, ovf = sharded_lookup_a2a(mesh2, st, gidx, capacity_factor=16.0)
+    assert int(ovf) == 0
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(et.lookup_oracle(data, idx)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_a2a_update_2d_mesh_matches_dense():
+    mesh2 = default_mesh(("data", "model"), shape=(4, 2))
+    rng = np.random.default_rng(23)
+    data = jnp.zeros((64, 8), jnp.float32)
+    st = ShardedStackedTables.shard(mesh2, ("data", "model"), data)
+    idx = rng.integers(0, 64, (32,)).astype(np.int32)
+    delta = rng.normal(size=(32, 8)).astype(np.float32)
+    sh = NamedSharding(mesh2, P("data"))
+    upd = et.SparseEmbeddingUpdate(delta=jax.device_put(delta, sh),
+                                   indices=jax.device_put(idx, sh))
+    st2, ovf = sharded_sgd_update_a2a(mesh2, st, upd, 0.5,
+                                      capacity_factor=16.0)
+    assert int(ovf) == 0
+    expect = -0.5 * et.uncompress(
+        et.SparseEmbeddingUpdate(delta=jnp.asarray(delta),
+                                 indices=jnp.asarray(idx)), 64)
+    np.testing.assert_allclose(np.asarray(st2.unshard()), np.asarray(expect),
+                               rtol=1e-6, atol=1e-6)
