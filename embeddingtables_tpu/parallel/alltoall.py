@@ -36,6 +36,21 @@ from ..types import cdiv
 from .sharded import ShardedStackedTables, _axes_tuple
 
 
+def suggest_capacity_factor(current: float, overflow_fraction: float,
+                            target: float = 0.0, headroom: float = 1.5
+                            ) -> float:
+    """Retuning policy for the capacity factor (a compile-time constant —
+    applying a new value recompiles the step).
+
+    overflow_fraction: dropped / routed occurrences observed over a window.
+    Returns an increased factor when drops exceed `target` (scaled by the
+    observed overflow plus headroom), or the current factor unchanged.
+    """
+    if overflow_fraction <= target:
+        return current
+    return current * (1.0 + overflow_fraction) * headroom
+
+
 def _bucket_by_owner(flat: jax.Array, n: int, cap: int):
     """Route a local occurrence stream into per-owner buckets.
 

@@ -236,3 +236,10 @@ def test_a2a_update_2d_mesh_matches_dense():
                                  indices=jnp.asarray(idx)), 64)
     np.testing.assert_allclose(np.asarray(st2.unshard()), np.asarray(expect),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_suggest_capacity_factor():
+    from embeddingtables_tpu.parallel.alltoall import suggest_capacity_factor
+    assert suggest_capacity_factor(2.0, 0.0) == 2.0
+    bigger = suggest_capacity_factor(2.0, 0.1)
+    assert bigger > 2.0 * 1.1
