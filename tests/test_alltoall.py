@@ -243,3 +243,39 @@ def test_suggest_capacity_factor():
     assert suggest_capacity_factor(2.0, 0.0) == 2.0
     bigger = suggest_capacity_factor(2.0, 0.1)
     assert bigger > 2.0 * 1.1
+
+
+def test_a2a_train_step_2d_mesh():
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.optim import SparseSGD
+    from embeddingtables_tpu.parallel.dlrm import (batch_shardings,
+                                                   make_sharded_train_step,
+                                                   shard_dlrm)
+    mesh2 = default_mesh(("data", "model"), shape=(4, 2))
+    cfg = DLRMConfig(vocab_sizes=(64, 96), num_dense=4, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    opt = lambda: SparseSGD(0.3)  # noqa: E731
+    rng = np.random.default_rng(31)
+    dense = rng.normal(size=(32, 4)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, 32).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    label = rng.integers(0, 2, 32).astype(np.float32)
+    axes = ("data", "model")
+    sd, sc, sl = batch_shardings(mesh2, axes)
+    args = (jax.device_put(dense, sd), jax.device_put(cat, sc),
+            jax.device_put(label, sl))
+    m_g = shard_dlrm(init_dlrm(jax.random.key(0), cfg, sparse_opt=opt()),
+                     mesh2, axes, sparse_opt=opt())
+    m_a = shard_dlrm(init_dlrm(jax.random.key(0), cfg, sparse_opt=opt()),
+                     mesh2, axes, sparse_opt=opt())
+    m_g, loss_g = make_sharded_train_step(cfg, mesh2, axes,
+                                          sparse_opt=opt(), dense_lr=0.3)(
+        m_g, *args)
+    m_a, loss_a = make_sharded_train_step(cfg, mesh2, axes, sparse_opt=opt(),
+                                          dense_lr=0.3, exchange="a2a",
+                                          capacity_factor=32.0)(m_a, *args)
+    np.testing.assert_allclose(float(loss_a), float(loss_g), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_a.tables.unshard()),
+                               np.asarray(m_g.tables.unshard()),
+                               rtol=2e-4, atol=1e-6)
