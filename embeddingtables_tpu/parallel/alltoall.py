@@ -182,11 +182,15 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
     reducing = upd.indices.ndim == 2
     n_model = 1 if len(axes) == 1 else mesh.shape[axes[1]]
 
-    def body(shard, acc, lidx, ldelta):
+    w = (upd.weights if upd.weights is not None
+         else jnp.ones(upd.indices.shape, jnp.float32))
+
+    def body(shard, acc, lidx, ldelta, lw):
         flat = lidx.reshape(-1)
         vals = ldelta.astype(jnp.float32)
         if reducing:
             vals = jnp.repeat(vals, lidx.shape[1], axis=0)
+        vals = vals * lw.reshape(-1)[:, None]
         flat, vals, sub = _column_slice(flat, vals, n_model, axes)
         cap = max(1, int(-(-cdiv(sub, n) * capacity_factor // 1)))
         send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap)
@@ -225,9 +229,9 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
 
     spec = P(axis0)
     new_data, new_accum, ovf = jax.shard_map(
-        body, mesh=mesh, in_specs=(P(axes), P(axes), spec, spec),
+        body, mesh=mesh, in_specs=(P(axes), P(axes), spec, spec, spec),
         out_specs=(P(axes), P(axes), spec), check_vma=False,
-    )(st.data, accum, upd.indices, upd.delta)
+    )(st.data, accum, upd.indices, upd.delta, w)
     return dataclasses.replace(st, data=new_data), new_accum, jnp.sum(ovf)
 
 
@@ -265,11 +269,15 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
     reducing = upd.indices.ndim == 2
     n_model = 1 if len(axes) == 1 else mesh.shape[axes[1]]
 
-    def body(shard, lidx, ldelta):
+    w = (upd.weights if upd.weights is not None
+         else jnp.ones(upd.indices.shape, jnp.float32))
+
+    def body(shard, lidx, ldelta, lw):
         flat = lidx.reshape(-1)
         vals = ldelta.astype(jnp.float32)
         if reducing:
             vals = jnp.repeat(vals, lidx.shape[1], axis=0)
+        vals = vals * lw.reshape(-1)[:, None]
         flat, vals, sub = _column_slice(flat, vals, n_model, axes)
         cap = max(1, int(-(-cdiv(sub, n) * capacity_factor // 1)))
         send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap)
@@ -298,7 +306,7 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
 
     spec = P(axis0)
     new_data, ovf = jax.shard_map(
-        body, mesh=mesh, in_specs=(P(axes), spec, spec),
+        body, mesh=mesh, in_specs=(P(axes), spec, spec, spec),
         out_specs=(P(axes), spec), check_vma=False,
-    )(st.data, upd.indices, upd.delta)
+    )(st.data, upd.indices, upd.delta, w)
     return dataclasses.replace(st, data=new_data), jnp.sum(ovf)

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.dlrm import (DLRM, DLRMConfig, bce_loss, forward_from_embeddings,
                            init_dlrm)
-from ..ops.indexer import flatten_indices, index
+from ..ops.indexer import index
 from ..optim import SparseRowWiseAdaGrad, SparseSGD
 from .sharded import (ShardedStackedTables, _axes_tuple, _flat_axis_index,
                       sharded_ensemble_lookup)
@@ -100,7 +100,9 @@ def init_sharded_dlrm(key: jax.Array, cfg: DLRMConfig, mesh: Mesh,
                   cfg.param_dtype), repl)
     axes = _axes_tuple(axis)
     if isinstance(sparse_opt, SparseRowWiseAdaGrad):
-        acc = jax.jit(lambda: jnp.zeros((n, rows_local), jnp.float32),
+        init_val = float(sparse_opt.initial_accum)
+        acc = jax.jit(lambda: jnp.full((n, rows_local), init_val,
+                                       jnp.float32),
                       out_shardings=NamedSharding(mesh, P(axes)))()
     else:
         acc = jax.device_put(jnp.zeros((n, 0), jnp.float32),
@@ -198,7 +200,8 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
 def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
                             sparse_opt=None, dense_lr: float = 0.01,
                             jit: bool = True, exchange: str = "gather",
-                            capacity_factor: float = 2.0):
+                            capacity_factor: float = 2.0,
+                            with_overflow: bool = False):
     """Build the multi-chip fused train step.
 
     `step(model: ShardedDLRM, dense, cat, label) -> (model, loss)` where the
@@ -208,9 +211,10 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
 
     exchange: "gather" = exact all_gather + psum_scatter (sharded.py);
     "a2a" = the butterfly all-to-all (alltoall.py) — ~n/2x less ICI traffic,
-    but occurrences beyond `capacity_factor` headroom per owner are dropped
-    (one-hot only, single-axis tables, SGD-style update semantics apply to
-    the AdaGrad path too since routing happens before dedup).
+    but occurrences beyond `capacity_factor` headroom per owner are dropped.
+    Pass `with_overflow=True` to have the a2a step return
+    `(model, (loss, overflow))` — feed the observed drop fraction to
+    `alltoall.suggest_capacity_factor` and rebuild the step when nonzero.
     """
     sparse_opt = sparse_opt or SparseSGD()
     if exchange not in ("gather", "a2a"):
@@ -226,15 +230,15 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
         shifted_bt = jnp.stack([cat[i] + st.offsets[i]
                                 for i in range(t)], axis=1)
         if bag is None:
-            emb_bt, _ = sharded_lookup_a2a(mesh, st, shifted_bt,
-                                           capacity_factor=capacity_factor,
-                                           reducing=False)   # (B, T, D)
+            emb_bt, ovf_fwd = sharded_lookup_a2a(
+                mesh, st, shifted_bt, capacity_factor=capacity_factor,
+                reducing=False)                              # (B, T, D)
         else:
             b = shifted_bt.shape[0]
             flat_bt = shifted_bt.reshape(b, t * bag)
-            rows, _ = sharded_lookup_a2a(mesh, st, flat_bt,
-                                         capacity_factor=capacity_factor,
-                                         reducing=False)     # (B, T*bag, D)
+            rows, ovf_fwd = sharded_lookup_a2a(
+                mesh, st, flat_bt, capacity_factor=capacity_factor,
+                reducing=False)                              # (B, T*bag, D)
             emb_bt = rows.reshape(b, t, bag, cfg.dim).sum(axis=2)
             if cfg.combiner == "mean":
                 emb_bt = emb_bt / bag
@@ -259,16 +263,20 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
             indices=shifted_bt.reshape((-1,) if bag is None
                                        else (shifted_bt.shape[0] * t, bag)))
         if isinstance(sparse_opt, SparseRowWiseAdaGrad):
-            new_st, new_accum, _ = sharded_adagrad_update_a2a(
+            new_st, new_accum, ovf_bwd = sharded_adagrad_update_a2a(
                 mesh, st, model.emb_accum, upd, sparse_opt,
                 capacity_factor=capacity_factor)
         else:
-            new_st, _ = sharded_sgd_update_a2a(
+            new_st, ovf_bwd = sharded_sgd_update_a2a(
                 mesh, st, upd, sparse_opt.lr,
                 capacity_factor=capacity_factor)
             new_accum = model.emb_accum
-        return ShardedDLRM(bottom=new_bottom, top=new_top, tables=new_st,
-                           emb_accum=new_accum, config=cfg), loss
+        new_model = ShardedDLRM(bottom=new_bottom, top=new_top,
+                                tables=new_st, emb_accum=new_accum,
+                                config=cfg)
+        if with_overflow:
+            return new_model, (loss, ovf_fwd + ovf_bwd)
+        return new_model, loss
 
     if exchange == "a2a":
         return jax.jit(step_a2a, donate_argnums=(0,)) if jit else step_a2a
@@ -315,6 +323,8 @@ def make_sharded_eval_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
                            jit: bool = True):
     def step(model: ShardedDLRM, dense, cat):
         emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, stacked=True)
+        if cfg.combiner == "mean" and cat.ndim == 3:
+            emb_t = emb_t / cat.shape[2]
         return forward_from_embeddings(model.bottom, model.top, cfg, dense,
                                        emb_t)
     if jit:

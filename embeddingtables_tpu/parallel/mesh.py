@@ -34,18 +34,19 @@ def local_mesh(n: int, axes: Sequence[str] = ("data",)) -> Mesh:
 
 
 def multihost_mesh(axes: Sequence[str] = ("data", "model"),
-                   model_parallel_within_host: bool = True,
+                   data_parallel_within_host: bool = True,
                    coordinator_address: str | None = None,
                    num_processes: int | None = None,
                    process_id: int | None = None) -> Mesh:
     """Mesh for a multi-host pod slice (DCN across hosts, ICI within).
 
     Calls `jax.distributed.initialize` when coordinator info is given (no-op
-    if already initialized), then lays axes so the *model* axis (vocab-row
-    shards — the all-gather/psum_scatter embedding exchange) stays within a
-    host's ICI domain and the *data* axis crosses DCN, the layout that keeps
-    the heavy embedding collectives off the slow links (SURVEY.md §5
-    "Distributed communication backend").
+    if already initialized), then lays axes so the **data** axis — which
+    carries the heavy embedding-exchange collectives (the batch index
+    all_gather and the (T, B, D) psum_scatter both run over the data axis,
+    sharded.py) — stays WITHIN a host's ICI domain, and the model axis
+    crosses DCN carrying only the smaller residual psum of partials
+    (SURVEY.md §5 "Distributed communication backend").
     """
     if coordinator_address is not None:
         jax.distributed.initialize(coordinator_address=coordinator_address,
@@ -54,7 +55,7 @@ def multihost_mesh(axes: Sequence[str] = ("data", "model"),
     devices = np.asarray(jax.devices())
     n = devices.size
     local = jax.local_device_count()
-    if model_parallel_within_host and len(axes) == 2 and n % local == 0:
-        # (hosts, local) grid: axis 0 = data over DCN, axis 1 = model on ICI.
-        return Mesh(devices.reshape(n // local, local), tuple(axes))
+    if data_parallel_within_host and len(axes) == 2 and n % local == 0:
+        # (local, hosts) grid: axis 0 = data on ICI, axis 1 = model over DCN.
+        return Mesh(devices.reshape(n // local, local).T, tuple(axes))
     return default_mesh(axes, devices=list(devices))

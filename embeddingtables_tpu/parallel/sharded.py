@@ -25,8 +25,7 @@ Everything here is `shard_map`-based and jit-compatible; tests run it on the
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import List, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -35,7 +34,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.ensemble import StackedTables, normalize_indices
 from ..ops.sparse_update import SparseEmbeddingUpdate
 from ..tables import SimpleEmbedding, as_table
-from ..types import TableSpec, cdiv
+from ..types import cdiv
 
 
 # ---------------------------------------------------------------------------
@@ -230,10 +229,8 @@ def sharded_ensemble_lookup(mesh: Mesh, st: ShardedStackedTables,
     idx_list = normalize_indices(indices, st.ntables)
     shifted = jnp.stack([i + st.offsets[t] for t, i in enumerate(idx_list)])
     b = shifted.shape[1]
-    flat = shifted.reshape((st.ntables * b,) + shifted.shape[2:])
-    # Flattened (T*B) is NOT batch-sharded contiguously; use replicated-index
-    # mode unless the batch axis is the sharded one. For the batch-sharded
-    # path we keep the (T, B) layout and shard dim 1.
+    # The (T, B) layout is kept (sharded on dim 1) — a flattened (T*B) view
+    # would not be batch-sharded contiguously.
     axes = st.axes
     baxis = axes[0]
     n = st.n_shards
@@ -286,17 +283,23 @@ def sharded_sgd_update(mesh: Mesh, st: ShardedStackedTables,
     baxis = axes[0]
     n = st.n_shards
     reducing = upd.indices.ndim == 2
+    # Per-occurrence weights (ones when absent) ride the same exchange so
+    # weighted-bag / mean-combiner updates stay correct under sharding.
+    w = (upd.weights if upd.weights is not None
+         else jnp.ones(upd.indices.shape, jnp.float32))
 
-    def body(shard, lidx, ldelta):
+    def body(shard, lidx, ldelta, lw):
         if batch_sharded:
             gidx = jax.lax.all_gather(lidx, baxis, tiled=True)
             gdelta = jax.lax.all_gather(ldelta, baxis, tiled=True)
+            gw = jax.lax.all_gather(lw, baxis, tiled=True)
         else:
-            gidx, gdelta = lidx, ldelta
+            gidx, gdelta, gw = lidx, ldelta, lw
         flat = gidx.reshape(-1)
         if reducing:
             bag = gidx.shape[1]
             gdelta = jnp.repeat(gdelta, bag, axis=0)
+        gdelta = gdelta * gw.reshape(-1)[:, None].astype(gdelta.dtype)
         me = _flat_axis_index(axes)
         mine = (flat % n) == me
         rows_local = shard.shape[1]
@@ -308,8 +311,8 @@ def sharded_sgd_update(mesh: Mesh, st: ShardedStackedTables,
 
     spec = P(baxis) if batch_sharded else P()
     data = jax.shard_map(body, mesh=mesh,
-                         in_specs=(P(axes), spec, spec),
-                         out_specs=P(axes))(st.data, upd.indices, upd.delta)
+                         in_specs=(P(axes), spec, spec, spec),
+                         out_specs=P(axes))(st.data, upd.indices, upd.delta, w)
     return dataclasses.replace(st, data=data)
 
 
@@ -320,22 +323,27 @@ def sharded_ensemble_update(mesh: Mesh, st: ShardedStackedTables,
     indices are shifted to stacked ids and concatenated along the batch."""
     shifted = jnp.stack([u.indices + st.offsets[t] for t, u in enumerate(upds)])
     deltas = jnp.stack([u.delta for u in upds])  # (T, B, dim)
+    weights = jnp.stack([u.weights if u.weights is not None
+                         else jnp.ones(u.indices.shape, jnp.float32)
+                         for u in upds])
     axes = st.axes
     baxis = axes[0]
     n = st.n_shards
     reducing = shifted.ndim == 3
 
-    def body(shard, lidx, ldelta):
+    def body(shard, lidx, ldelta, lw):
         if batch_sharded:
             gidx = jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
             gdelta = jax.lax.all_gather(ldelta, baxis, axis=1, tiled=True)
+            gw = jax.lax.all_gather(lw, baxis, axis=1, tiled=True)
         else:
-            gidx, gdelta = lidx, ldelta
+            gidx, gdelta, gw = lidx, ldelta, lw
         flat = gidx.reshape(-1)
         d = gdelta.reshape(-1, st.dim)
         if reducing:
             bag = gidx.shape[2]
             d = jnp.repeat(gdelta.reshape(-1, st.dim), bag, axis=0)
+        d = d * gw.reshape(-1)[:, None].astype(d.dtype)
         me = _flat_axis_index(axes)
         mine = (flat % n) == me
         rows_local = shard.shape[1]
@@ -345,6 +353,6 @@ def sharded_ensemble_update(mesh: Mesh, st: ShardedStackedTables,
 
     spec = P(None, baxis) if batch_sharded else P()
     data = jax.shard_map(body, mesh=mesh,
-                         in_specs=(P(axes), spec, spec),
-                         out_specs=P(axes))(st.data, shifted, deltas)
+                         in_specs=(P(axes), spec, spec, spec),
+                         out_specs=P(axes))(st.data, shifted, deltas, weights)
     return dataclasses.replace(st, data=data)

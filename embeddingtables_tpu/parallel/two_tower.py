@@ -32,26 +32,87 @@ from ..models.two_tower import (TwoTower, item_embed_from_rows,
 def build_sharded_item_index(model: TwoTower, mesh: Mesh,
                              axis: str = "data") -> jax.Array:
     """`(item_vocab_padded, embed_dim)` corpus index, block-row-sharded
-    `P(axis)`. Padding rows (if vocab % n != 0) embed row 0 and are masked
-    out at retrieval by id bounds."""
+    `P(axis)`. Padding rows (if vocab % n != 0) repeat the last row and are
+    masked out at retrieval by id bounds.
+
+    The item TABLE is block-row-sharded for the build as well — each device
+    embeds only the rows it owns, so the full `(item_vocab, dim)` table is
+    never replicated (corpora beyond one chip's HBM build fine; only the
+    embedded `(v_pad/n, embed_dim)` shard and `(v_pad/n, dim)` table shard
+    live per device)."""
     cfg = model.config
     n = mesh.shape[axis]
     v = cfg.item_vocab
     v_pad = -(-v // n) * n
 
-    ids = jnp.minimum(jnp.arange(v_pad, dtype=jnp.int32), v - 1)
-    ids = jax.device_put(ids, NamedSharding(mesh, P(axis)))
-    data = jax.device_put(model.item_table.data, NamedSharding(mesh, P()))
+    data = model.item_table.data
+    if v_pad != v:
+        data = jnp.concatenate(
+            [data, jnp.repeat(data[-1:], v_pad - v, axis=0)], axis=0)
+    data = jax.device_put(data, NamedSharding(mesh, P(axis)))
     mlp = jax.device_put(model.item_mlp, NamedSharding(mesh, P()))
 
-    @jax.jit
-    def build(mlp, data, ids):
-        rows = jnp.take(data, ids, axis=0)
-        out = item_embed_from_rows(mlp, cfg, rows)
-        return jax.lax.with_sharding_constraint(
-            out, NamedSharding(mesh, P(axis)))
+    def build(mlp, data_shard):
+        # data_shard: this device's (v_pad/n, dim) block — embed in place.
+        return item_embed_from_rows(mlp, cfg, data_shard)
 
-    return build(mlp, data, ids)
+    fn = jax.shard_map(build, mesh=mesh, in_specs=(P(), P(axis)),
+                       out_specs=P(axis))
+    return jax.jit(fn)(mlp, data)
+
+
+def make_sharded_retriever(model: TwoTower, mesh: Mesh, k: int = 10,
+                           axis: str = "data"):
+    """Serving factory: build the jitted sharded top-k retriever ONCE and
+    call it per request — `sharded_retrieve` re-traces on every call (it
+    constructs fresh shard_map/jit wrappers), which costs tracing/lowering
+    on the hot path.
+
+    Returns `retrieve_fn(index, dense, q_cat[, query_mlp, query_tables_data])
+    -> (scores (B,k), ids (B,k))`; the optional trailing args serve updated
+    parameters without rebuilding."""
+    cfg = model.config
+    offsets = model.query_tables.offsets
+    dim = model.query_tables.dim
+    v = cfg.item_vocab
+    n = mesh.shape[axis]
+
+    @jax.jit
+    def run(index, dense, q_cat, qmlp, qdata):
+        t = len(offsets) - 1
+        g = jnp.stack([q_cat[i] + offsets[i] for i in range(t)])
+        rows = jnp.take(qdata, g.reshape(-1), axis=0)
+        q_rows = rows.reshape(t, g.shape[1], dim).transpose(1, 0, 2)
+        rows_local = index.shape[0] // n
+
+        def body(idx_shard, q, mlp_dense):
+            qmlp_, dense_x = mlp_dense
+            qe = query_embed_from_rows(qmlp_, cfg, dense_x, q)
+            scores = qe @ idx_shard.T
+            shard = jax.lax.axis_index(axis)
+            gids = shard * rows_local + jnp.arange(rows_local,
+                                                   dtype=jnp.int32)
+            scores = jnp.where((gids < v)[None, :], scores, -jnp.inf)
+            ls, li = jax.lax.top_k(scores, k)
+            lids = gids[li]
+            cs = jax.lax.all_gather(ls, axis, axis=1, tiled=True)
+            ci = jax.lax.all_gather(lids, axis, axis=1, tiled=True)
+            gs, gi = jax.lax.top_k(cs, k)
+            return gs, jnp.take_along_axis(ci, gi, axis=1)
+
+        return jax.shard_map(body, mesh=mesh,
+                             in_specs=(P(axis), P(), P()),
+                             out_specs=(P(), P()),
+                             check_vma=False)(index, q_rows, (qmlp, dense))
+
+    def retrieve_fn(index, dense, q_cat, query_mlp=None,
+                    query_tables_data=None):
+        return run(index, jnp.asarray(dense), jnp.asarray(q_cat),
+                   query_mlp if query_mlp is not None else model.query_mlp,
+                   query_tables_data if query_tables_data is not None
+                   else model.query_tables.data)
+
+    return retrieve_fn
 
 
 def sharded_retrieve(model: TwoTower, index: jax.Array, mesh: Mesh,
@@ -60,7 +121,10 @@ def sharded_retrieve(model: TwoTower, index: jax.Array, mesh: Mesh,
     """Top-k over a row-sharded index: local top-k per shard + global merge.
 
     dense/q_cat: replicated query batch. Returns (scores (B,k), ids (B,k));
-    ids >= item_vocab never appear (padding is masked)."""
+    ids >= item_vocab never appear (padding is masked).
+
+    NOTE: one-shot convenience — re-traces per call. For serving loops use
+    `make_sharded_retriever` (build once, call per request)."""
     cfg = model.config
     v = cfg.item_vocab
     n = mesh.shape[axis]

@@ -279,3 +279,65 @@ def test_a2a_train_step_2d_mesh():
     np.testing.assert_allclose(np.asarray(m_a.tables.unshard()),
                                np.asarray(m_g.tables.unshard()),
                                rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("reducing", [False, True])
+def test_a2a_weighted_update_matches_dense(mesh, reducing):
+    """Per-occurrence weights ride the butterfly exchange too."""
+    rng = np.random.default_rng(41)
+    data = jnp.zeros((64, 8), jnp.float32)
+    st = ShardedStackedTables.shard(mesh, "data", data)
+    shape = (32, 2) if reducing else (32,)
+    idx = rng.integers(0, 64, shape).astype(np.int32)
+    delta = rng.normal(size=(32, 8)).astype(np.float32)
+    w = rng.uniform(0.1, 2.0, shape).astype(np.float32)
+    upd = et.SparseEmbeddingUpdate(delta=put(mesh, delta),
+                                   indices=put(mesh, idx),
+                                   weights=put(mesh, w))
+    st2, ovf = sharded_sgd_update_a2a(mesh, st, upd, 0.5,
+                                      capacity_factor=16.0)
+    assert int(ovf) == 0
+    expect = -0.5 * et.uncompress(
+        et.SparseEmbeddingUpdate(delta=jnp.asarray(delta),
+                                 indices=jnp.asarray(idx),
+                                 weights=jnp.asarray(w)), 64)
+    np.testing.assert_allclose(np.asarray(st2.unshard()), np.asarray(expect),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_a2a_train_step_with_overflow_output(mesh):
+    """`with_overflow=True` returns (model, (loss, overflow)): zero under
+    ample capacity, positive when every occurrence targets one owner under
+    capacity_factor=1 (the retuning signal for suggest_capacity_factor)."""
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.optim import SparseSGD
+    from embeddingtables_tpu.parallel.dlrm import (batch_shardings,
+                                                   make_sharded_train_step,
+                                                   shard_dlrm)
+    cfg = DLRMConfig(vocab_sizes=(64,), num_dense=4, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    opt = lambda: SparseSGD(0.3)  # noqa: E731
+    rng = np.random.default_rng(43)
+    dense = rng.normal(size=(32, 4)).astype(np.float32)
+    label = rng.integers(0, 2, 32).astype(np.float32)
+    sd, sc, sl = batch_shardings(mesh, "data")
+
+    def run(cat, capacity_factor):
+        m = shard_dlrm(init_dlrm(jax.random.key(0), cfg, sparse_opt=opt()),
+                       mesh, "data", sparse_opt=opt())
+        step = make_sharded_train_step(cfg, mesh, "data", sparse_opt=opt(),
+                                       dense_lr=0.3, exchange="a2a",
+                                       capacity_factor=capacity_factor,
+                                       with_overflow=True)
+        _, (loss, ovf) = step(m, jax.device_put(dense, sd),
+                              jax.device_put(cat, sc),
+                              jax.device_put(label, sl))
+        return float(loss), int(ovf)
+
+    spread = np.stack([rng.integers(0, 64, 32).astype(np.int32)])
+    loss, ovf = run(spread, 16.0)
+    assert np.isfinite(loss) and ovf == 0
+    hot = np.zeros((1, 32), np.int32)  # all -> owner of row 0
+    _, ovf_hot = run(hot, 1.0)
+    assert ovf_hot > 0

@@ -154,3 +154,48 @@ def test_sharded_train_step_jit_end_to_end(mesh):
         st, loss = step(st, idx)
         losses.append(float(loss))
     assert losses[-1] < losses[0] * 0.05, losses
+
+
+@pytest.mark.parametrize("reducing", [False, True])
+def test_sharded_weighted_update_matches_oracle(mesh, reducing):
+    """Per-occurrence weights ride the gather exchange (weighted bags /
+    mean-combiner gradients under sharding)."""
+    rng = np.random.default_rng(6)
+    V, D, B = 120, 16, 40
+    lr = 2.0
+    data = rng.standard_normal((V, D)).astype(np.float32)
+    st = shard_table(mesh, "data", data)
+    shape = (B, 3) if reducing else (B,)
+    idx = jnp.asarray(rng.integers(0, V, size=shape).astype(np.int32))
+    delta = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(0.1, 2.0, size=shape).astype(np.float32))
+    upd = et.SparseEmbeddingUpdate(delta=delta, indices=idx, weights=w)
+
+    expected = jnp.asarray(data) - lr * et.uncompress(upd, V)
+    new = sharded_sgd_update(mesh, st, upd, lr)
+    np.testing.assert_allclose(new.unshard(), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_weighted_ensemble_update(mesh):
+    """Mixed weighted/unweighted per-table updates through the single fused
+    ensemble exchange (missing weights promote to ones)."""
+    rng = np.random.default_rng(7)
+    D, B = 8, 24
+    vocabs = [40, 72]
+    lr = 1.0
+    tables = [rng.standard_normal((v, D)).astype(np.float32) for v in vocabs]
+    st = ShardedStackedTables.shard(mesh, "data",
+                                    [et.SimpleEmbedding(t) for t in tables])
+    idx = [jnp.asarray(rng.integers(0, v, size=(B, 2)).astype(np.int32))
+           for v in vocabs]
+    deltas = [jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+              for _ in vocabs]
+    w0 = jnp.asarray(rng.uniform(0.0, 3.0, size=(B, 2)).astype(np.float32))
+    upds = [et.SparseEmbeddingUpdate(delta=deltas[0], indices=idx[0],
+                                     weights=w0),
+            et.SparseEmbeddingUpdate(delta=deltas[1], indices=idx[1])]
+
+    new = sharded_ensemble_update(mesh, st, upds, lr)
+    for t, v in enumerate(vocabs):
+        exp = jnp.asarray(tables[t]) - lr * et.uncompress(upds[t], v)
+        np.testing.assert_allclose(new.table(t), exp, rtol=1e-4, atol=1e-4)

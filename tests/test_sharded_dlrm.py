@@ -146,3 +146,32 @@ def test_sharded_mean_combiner_matches_single_chip():
     np.testing.assert_allclose(np.asarray(mN.tables.unshard()),
                                np.asarray(m1.tables.data),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_eval_mean_combiner_matches_single_chip():
+    """Eval path divides bag sums by bag width under combiner="mean"."""
+    cfg = tiny_cfg(bag=3, combiner="mean")
+    mesh = default_mesh(("data",))
+    model = init_dlrm(jax.random.key(6), cfg)
+    dense, cat, _ = synth_batch(cfg, b=16, seed=11, bag=3)
+    expect = dlrm_forward(model, jnp.asarray(dense), jnp.asarray(cat))
+
+    smodel = shard_dlrm(model, mesh, "data")
+    sd, sc, _ = batch_shardings(mesh, "data")
+    got = make_sharded_eval_step(cfg, mesh, "data")(
+        smodel, jax.device_put(dense, sd), jax.device_put(cat, sc))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_init_sharded_dlrm_adagrad_initial_accum():
+    """Direct sharded init seeds the AdaGrad accumulator at initial_accum
+    (parity with optim.SparseRowWiseAdaGrad.init state)."""
+    from embeddingtables_tpu.parallel.dlrm import init_sharded_dlrm
+    cfg = tiny_cfg()
+    mesh = default_mesh(("data",))
+    opt = SparseRowWiseAdaGrad(lr=0.1, initial_accum=0.5)
+    smodel = init_sharded_dlrm(jax.random.key(7), cfg, mesh, sparse_opt=opt)
+    acc = np.asarray(smodel.emb_accum)
+    assert acc.size > 0
+    np.testing.assert_allclose(acc, 0.5)
