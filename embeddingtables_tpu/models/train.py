@@ -44,25 +44,44 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                seed: int = 0, eval_batches: Optional[list] = None,
                eval_every: int = 0, ckpt_manager=None, ckpt_every: int = 0,
                log_every: int = 100, mesh=None, axis: str = "data",
-               exchange: str = "gather", guard=None,
+               exchange: str = "gather", capacity_factor: float = 2.0,
+               auto_capacity: bool = False, guard=None,
                verbose: bool = True) -> TrainResult:
     """Train a DLRM for `num_steps` batches from `train_iter`.
 
     mesh=None -> single-chip fused step; mesh given -> the hybrid
     DP-dense x model-parallel-embedding sharded step (parallel/dlrm.py).
+
+    exchange="a2a" routes embeddings through the capacity-bounded butterfly;
+    with `auto_capacity=True` the loop watches the step's overflow counter
+    (sampled at `log_every` cadence, like the divergence guard) and rebuilds
+    the step at `CapacityAutoTuner`'s suggested factor when occurrences are
+    being dropped — trading one recompile for no further drops.
     """
     tel = _telemetry.get_telemetry()
     if model is None:
         with tel.phase("init"):
             model = init_dlrm(jax.random.key(seed), cfg, sparse_opt=sparse_opt)
+    tuner = None
+    with_overflow = False
     if mesh is not None:
         from ..parallel.dlrm import (batch_shardings, make_sharded_eval_step,
                                      make_sharded_train_step, shard_dlrm)
         from .dlrm import DLRM
         if isinstance(model, DLRM):
             model = shard_dlrm(model, mesh, axis, sparse_opt=sparse_opt)
-        step = make_sharded_train_step(cfg, mesh, axis, sparse_opt=sparse_opt,
-                                       dense_lr=dense_lr, exchange=exchange)
+        with_overflow = exchange == "a2a" and auto_capacity
+
+        def build_step(cf):
+            return make_sharded_train_step(
+                cfg, mesh, axis, sparse_opt=sparse_opt, dense_lr=dense_lr,
+                exchange=exchange, capacity_factor=cf,
+                with_overflow=with_overflow)
+
+        step = build_step(capacity_factor)
+        if with_overflow:
+            from ..parallel.alltoall import CapacityAutoTuner
+            tuner = CapacityAutoTuner(capacity_factor, 1)  # occ set on 1st batch
         eval_step = make_sharded_eval_step(cfg, mesh, axis)
         sd, sc, sl = batch_shardings(mesh, axis)
         put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731
@@ -83,10 +102,24 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
             batch = next(train_iter)
         dense, cat, label = put(batch)
         with tel.phase("step"):
-            model, loss = step(model, dense, cat, label)
+            model, out = step(model, dense, cat, label)
+        loss, ovf = out if with_overflow else (out, None)
         examples += batch["label"].shape[0]
+        if tuner is not None and i == 0:
+            # 2x routed occurrences (forward lookup + backward update).
+            tuner.occ = 2 * batch["label"].shape[0] * \
+                len(cfg.vocab_sizes) * (cfg.bag or 1)
         if log_every and (i % log_every == 0 or i == num_steps - 1):
             lv = float(loss)  # fences the chain; keeps timing honest
+            if tuner is not None:
+                new_cf = tuner.observe(int(ovf))
+                if new_cf is not None:
+                    with tel.phase("retune"):
+                        step = build_step(new_cf)
+                    if verbose:
+                        print(f"step {i:6d}  overflow {int(ovf)} — capacity "
+                              f"factor -> {new_cf:.2f} (step rebuilt)",
+                              flush=True)
             losses.append(lv)
             if guard is not None:
                 # Divergence watchdog (checked at log cadence — a per-step

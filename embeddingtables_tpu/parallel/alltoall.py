@@ -51,6 +51,56 @@ def suggest_capacity_factor(current: float, overflow_fraction: float,
     return current * (1.0 + overflow_fraction) * headroom
 
 
+class CapacityAutoTuner:
+    """Feedback controller closing the loop around `suggest_capacity_factor`.
+
+    The capacity factor is a compile-time constant: raising it means
+    rebuilding (recompiling) the train step. This controller consumes the
+    overflow counts a `with_overflow=True` step reports, and tells the
+    training loop when (and to what) to retune:
+
+        tuner = CapacityAutoTuner(2.0, occurrences_per_step=2 * B * T * bag)
+        ...
+        new_cf = tuner.observe(int(overflow))
+        if new_cf is not None:   # rebuild the step at new_cf
+            step = make_sharded_train_step(..., capacity_factor=new_cf, ...)
+
+    `observe` returns the new factor when the observed drop fraction exceeds
+    `target`, else None. `cooldown` observations must pass between retunes so
+    one skewed batch can't trigger a recompile storm.
+    """
+
+    def __init__(self, initial: float, occurrences_per_step: int, *,
+                 target: float = 0.0, headroom: float = 1.5,
+                 cooldown: int = 5, max_factor: float = 64.0):
+        if occurrences_per_step <= 0:
+            raise ValueError("occurrences_per_step must be positive")
+        self.factor = float(initial)
+        self.occ = int(occurrences_per_step)
+        self.target = target
+        self.headroom = headroom
+        self.cooldown = cooldown
+        self.max_factor = max_factor
+        self.retunes = 0          # (factor history length - 1)
+        self._since = cooldown    # allow an immediate first retune
+
+    def observe(self, overflow: int):
+        """Feed one step's overflow count; returns the new capacity factor
+        to rebuild at, or None to keep going."""
+        self._since += 1
+        frac = overflow / self.occ
+        if frac <= self.target or self._since <= self.cooldown:
+            return None
+        new = min(suggest_capacity_factor(self.factor, frac, self.target,
+                                          self.headroom), self.max_factor)
+        if new <= self.factor:
+            return None
+        self.factor = new
+        self.retunes += 1
+        self._since = 0
+        return new
+
+
 def _bucket_by_owner(flat: jax.Array, n: int, cap: int):
     """Route a local occurrence stream into per-owner buckets.
 

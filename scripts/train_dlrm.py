@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--exchange", choices=["gather", "a2a"],
                     default="gather",
                     help="sharded embedding exchange (a2a = butterfly)")
+    ap.add_argument("--capacity-factor", type=float, default=2.0,
+                    help="a2a bucket headroom (compile-time constant)")
+    ap.add_argument("--auto-capacity", action="store_true",
+                    help="watch a2a overflow and rebuild the step at a "
+                         "larger capacity factor when occurrences drop")
     ap.add_argument("--bag", type=int, default=None,
                     help="multi-hot bag size (synthetic data only)")
     ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
@@ -110,7 +115,9 @@ def main():
                      dense_lr=args.lr, eval_batches=eval_batches,
                      eval_every=args.eval_every, ckpt_manager=mgr,
                      ckpt_every=args.ckpt_every, log_every=args.log_every,
-                     mesh=mesh, exchange=args.exchange)
+                     mesh=mesh, exchange=args.exchange,
+                     capacity_factor=args.capacity_factor,
+                     auto_capacity=args.auto_capacity)
     print(f"\n{res.examples_per_sec:,.0f} examples/s")
     if res.aucs:
         print(f"final AUC {res.aucs[-1][1]:.4f}")

@@ -50,3 +50,59 @@ def test_train_loop_sharded_matches_quality():
                      mesh=mesh, log_every=10, verbose=False)
     assert res.losses[-1] < res.losses[0]
     assert res.aucs[-1][1] > 0.6
+
+
+def test_capacity_autotuner_policy():
+    from embeddingtables_tpu.parallel.alltoall import CapacityAutoTuner
+    t = CapacityAutoTuner(2.0, occurrences_per_step=100, cooldown=2)
+    assert t.observe(0) is None           # no drops -> no retune
+    new = t.observe(20)                   # 20% drops -> grow
+    assert new is not None and new > 2.0 and t.factor == new
+    assert t.observe(20) is None          # cooldown holds
+    assert t.observe(20) is None
+    assert t.observe(20) is not None      # cooldown expired -> grow again
+    assert t.retunes == 2
+    capped = CapacityAutoTuner(60.0, 100, cooldown=0, max_factor=64.0)
+    assert capped.observe(90) == 64.0     # clamps at max_factor
+    assert capped.observe(90) is None     # already at the cap
+
+
+def test_train_loop_a2a_auto_capacity_recovers_from_drops():
+    """Start the butterfly exchange at a starved capacity factor on skewed
+    (all-hot) indices: the loop must observe the overflow, rebuild the step
+    at a larger factor, and end with zero drops while still learning."""
+    vocab = (64,)
+    cfg = DLRMConfig(vocab_sizes=vocab, num_dense=4, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    mesh = default_mesh(("data",))
+    rng = np.random.default_rng(0)
+
+    def hot_batches():
+        while True:
+            dense = rng.normal(size=(32, 4)).astype(np.float32)
+            cat = np.zeros((1, 32), np.int32)   # every index -> owner of row 0
+            cat[0, :8] = rng.integers(0, 64, 8) # a little spread for learning
+            label = rng.integers(0, 2, 32).astype(np.float32)
+            yield dict(dense=dense, cat=cat, label=label)
+
+    from embeddingtables_tpu.parallel import alltoall as a2a_mod
+    tuner_seen = []
+    orig = a2a_mod.CapacityAutoTuner.observe
+
+    def spy(self, ovf):
+        r = orig(self, ovf)
+        tuner_seen.append((ovf, r, self.factor))
+        return r
+
+    a2a_mod.CapacityAutoTuner.observe = spy
+    try:
+        res = train_dlrm(cfg, hot_batches(), 12, dense_lr=0.05, mesh=mesh,
+                         exchange="a2a", capacity_factor=1.0,
+                         auto_capacity=True, log_every=1, verbose=False)
+    finally:
+        a2a_mod.CapacityAutoTuner.observe = orig
+    assert any(r is not None for _, r, _ in tuner_seen), tuner_seen
+    assert tuner_seen[0][0] > 0            # starved factor really dropped
+    assert tuner_seen[-1][0] == 0          # retuned factor drops nothing
+    assert np.isfinite(res.losses[-1])
