@@ -1,0 +1,261 @@
+"""Serving layer: request micro-batching over a jitted predictor.
+
+The reference stops at the kernel library; a production embedding model is
+served behind an RPC endpoint where single-example requests arrive
+asynchronously, while the TPU wants large, fixed-shape batches (one XLA
+program per distinct shape; MXU utilization grows with batch). This module
+bridges the two:
+
+  - `MicroBatcher`: a thread-safe coalescer. Callers `submit()` one request
+    (any small batch) and get a `concurrent.futures.Future`; a worker thread
+    concatenates queued requests and flushes when `max_batch` fills or
+    `max_latency_ms` elapses since the oldest queued request. Flushed
+    batches are padded up to power-of-two buckets so the jitted predictor
+    compiles O(log max_batch) programs total, not one per request size.
+  - `DLRMService`: glue from a trained/quantized DLRM to a `predict_fn`.
+  - `serve_http`: a stdlib `ThreadingHTTPServer` JSON endpoint
+    (`POST /predict`) over a `MicroBatcher` — the RPC harness; swap in a
+    production transport behind the same `submit()` surface.
+
+Shapes follow the library convention: dense `(b, num_dense)` float32, cat
+`(T, b[, bag])` int32 (table-major, `normalize_indices`'s 2-D/3-D
+containers); scores `(b,)`.
+"""
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional
+
+import numpy as np
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    """Smallest power-of-two >= n, clamped to max_batch."""
+    b = 1
+    while b < n:
+        b <<= 1
+    return min(b, max_batch)
+
+
+@dataclass
+class _Pending:
+    dense: np.ndarray
+    cat: np.ndarray
+    future: Future
+    size: int
+
+
+@dataclass
+class BatcherStats:
+    requests: int = 0
+    examples: int = 0
+    batches: int = 0
+    padded_examples: int = 0           # wasted compute from bucket padding
+    bucket_sizes: set = field(default_factory=set)
+
+
+class MicroBatcher:
+    """Coalesce concurrent single requests into padded device batches.
+
+    predict_fn: `(dense (B, d), cat (T, B[, bag])) -> scores (B,)`; called
+    from ONE worker thread (the TPU is a serial resource — one stream of
+    device work, matching the one-job-at-a-time discipline), with B drawn
+    from power-of-two bucket sizes only.
+    """
+
+    def __init__(self, predict_fn: Callable, *, max_batch: int = 1024,
+                 max_latency_ms: float = 5.0):
+        if max_batch < 1:
+            raise ValueError("max_batch must be >= 1")
+        self._predict = predict_fn
+        self.max_batch = max_batch
+        self.max_latency = max_latency_ms / 1e3
+        self.stats = BatcherStats()
+        self._q: queue.Queue = queue.Queue()
+        self._carry: Optional[_Pending] = None
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True,
+                                        name="microbatcher")
+        self._worker.start()
+
+    # -- client side --------------------------------------------------------
+    def submit(self, dense, cat) -> Future:
+        """Queue one request; resolves to its `(b,)` float32 scores."""
+        if self._stop.is_set():
+            raise RuntimeError("MicroBatcher is stopped")
+        dense = np.asarray(dense, np.float32)
+        cat = np.asarray(cat, np.int32)
+        if dense.ndim == 1:                   # single example convenience
+            dense = dense[None, :]
+            cat = cat[:, None] if cat.ndim == 1 else cat[:, None, :]
+        b = dense.shape[0]
+        if cat.shape[1] != b:
+            raise ValueError(f"dense batch {b} != cat batch {cat.shape[1]}")
+        if b > self.max_batch:
+            raise ValueError(f"request batch {b} exceeds max_batch "
+                             f"{self.max_batch}; split the request")
+        fut: Future = Future()
+        self._q.put(_Pending(dense, cat, fut, b))
+        return fut
+
+    def predict(self, dense, cat, timeout: Optional[float] = None):
+        """Blocking convenience wrapper around submit()."""
+        return self.submit(dense, cat).result(timeout)
+
+    def stop(self):
+        self._stop.set()
+        self._q.put(None)                     # wake the worker
+        self._worker.join(timeout=10)
+
+    # -- worker side --------------------------------------------------------
+    def _next_pending(self, timeout):
+        if self._carry is not None:
+            p, self._carry = self._carry, None
+            return p
+        try:
+            return self._q.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def _run(self):
+        while not self._stop.is_set():
+            first = self._next_pending(timeout=0.1)
+            if first is None:
+                continue
+            batch = [first]
+            size = first.size
+            deadline = time.monotonic() + self.max_latency
+            while size < self.max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                nxt = self._next_pending(timeout=remaining)
+                if nxt is None:
+                    break
+                if size + nxt.size > self.max_batch:
+                    self._carry = nxt         # flush now; nxt leads next batch
+                    break
+                batch.append(nxt)
+                size += nxt.size
+            self._flush(batch, size)
+        # Drain: fail anything still queued so callers never hang.
+        while True:
+            p = self._next_pending(timeout=0)
+            if p is None:
+                break
+            p.future.set_exception(RuntimeError("MicroBatcher stopped"))
+
+    def _flush(self, batch, size):
+        dense = np.concatenate([p.dense for p in batch], axis=0)
+        cat = np.concatenate([p.cat for p in batch], axis=1)
+        padded = _bucket(size, self.max_batch)
+        if padded > size:
+            pad = padded - size
+            dense = np.concatenate(
+                [dense, np.zeros((pad,) + dense.shape[1:], dense.dtype)], 0)
+            cat = np.concatenate(
+                [cat, np.zeros((cat.shape[0], pad) + cat.shape[2:],
+                               cat.dtype)], 1)
+        try:
+            scores = np.asarray(self._predict(dense, cat), np.float32)
+        except Exception as e:                # noqa: BLE001 — fan the error out
+            for p in batch:
+                p.future.set_exception(e)
+            return
+        st = self.stats
+        st.requests += len(batch)
+        st.examples += size
+        st.batches += 1
+        st.padded_examples += padded - size
+        st.bucket_sizes.add(padded)
+        off = 0
+        for p in batch:
+            p.future.set_result(scores[off:off + p.size])
+            off += p.size
+
+
+def make_dlrm_service(model, *, quantized: bool = False,
+                      max_batch: int = 1024,
+                      max_latency_ms: float = 5.0) -> MicroBatcher:
+    """Batched DLRM scoring service.
+
+    model: a trained `models.dlrm.DLRM`. quantized=True converts tables to
+    int8 rows first (`quant.quantize_dlrm` — 4x HBM capacity) and serves the
+    dequantize-in-kernel eval path. Returns a running `MicroBatcher`; use
+    `.predict`/`.submit`, `.stop()` when done.
+    """
+    import jax
+
+    if quantized:
+        from .quant import quantize_dlrm
+        _, predict = quantize_dlrm(model)           # already jitted
+    else:
+        from .models.dlrm import make_eval_step
+        step = make_eval_step(model.config)
+        predict = lambda dense, cat: step(model, dense, cat)  # noqa: E731
+    fn = lambda dense, cat: np.asarray(                       # noqa: E731
+        jax.device_get(predict(dense, cat)))
+    return MicroBatcher(fn, max_batch=max_batch,
+                        max_latency_ms=max_latency_ms)
+
+
+# ---------------------------------------------------------------------------
+# Stdlib HTTP harness
+# ---------------------------------------------------------------------------
+
+def serve_http(batcher: MicroBatcher, host: str = "127.0.0.1",
+               port: int = 0) -> ThreadingHTTPServer:
+    """JSON-over-HTTP front end for a MicroBatcher (started; not blocking).
+
+    POST /predict  {"dense": [[...], ...], "cat": [[...], ...]}
+                -> {"scores": [...]}            (shapes as module docstring)
+    GET  /stats -> batching counters.
+
+    Returns the server; `server.server_address[1]` is the bound port and
+    `server.shutdown()` stops it. Each HTTP thread just blocks on its
+    request's Future — batching happens in the MicroBatcher worker.
+    """
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):            # quiet
+            pass
+
+        def _reply(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/stats":
+                return self._reply(404, {"error": "unknown path"})
+            st = batcher.stats
+            self._reply(200, {
+                "requests": st.requests, "examples": st.examples,
+                "batches": st.batches, "padded_examples": st.padded_examples,
+                "bucket_sizes": sorted(st.bucket_sizes)})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                return self._reply(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n))
+                scores = batcher.predict(req["dense"], req["cat"],
+                                         timeout=30.0)
+                self._reply(200, {"scores": np.asarray(scores).tolist()})
+            except Exception as e:            # noqa: BLE001 — surface to client
+                self._reply(400, {"error": str(e)})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    threading.Thread(target=server.serve_forever, daemon=True,
+                     name="serving-http").start()
+    return server

@@ -137,4 +137,29 @@ err = np.abs(np.asarray(out_q) - np.asarray(data_q)[np.asarray(idx[:64])]).max()
 assert err < 0.05, err
 print("   int8 quantized lookup on-chip, max err", err)
 
+# --- 9. serving layer on-chip: micro-batched DLRM scoring + HTTP ---
+from embeddingtables_tpu.models.dlrm import make_eval_step
+from embeddingtables_tpu.serving import make_dlrm_service, serve_http
+svc = make_dlrm_service(model, max_batch=256, max_latency_ms=5.0)
+sb = next(it)
+want = np.asarray(make_eval_step(cfg)(model, jnp.asarray(sb["dense"][:16]),
+                                      jnp.asarray(sb["cat"][:, :16])))
+futs = [svc.submit(sb["dense"][i:i + 4], sb["cat"][:, i:i + 4])
+        for i in range(0, 16, 4)]
+got = np.concatenate([f.result(timeout=60) for f in futs])
+np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+server = serve_http(svc)
+import json as _json
+import urllib.request as _rq
+port = server.server_address[1]
+body = _json.dumps({"dense": sb["dense"][:2].tolist(),
+                    "cat": sb["cat"][:, :2].tolist()}).encode()
+resp = _json.loads(_rq.urlopen(_rq.Request(
+    f"http://127.0.0.1:{port}/predict", data=body), timeout=60).read())
+np.testing.assert_allclose(np.asarray(resp["scores"], np.float32), want[:2],
+                           rtol=1e-4, atol=1e-5)
+server.shutdown()
+svc.stop()
+print("9. serving layer on-chip: micro-batched + HTTP scores match eval")
+
 print("ALL TPU VERIFICATION CHECKS PASSED")
