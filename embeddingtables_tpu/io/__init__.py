@@ -1,6 +1,8 @@
-"""Input pipeline runtime: native parsing + background prefetch."""
+"""Input pipeline runtime: native parsing, native synthesis, prefetch."""
 from .loader import (CriteoFileLoader, PrefetchLoader, native_available,
                      native_parse_batch, parallel_batches)
+from .synth import NativeSyntheticCriteo, native_synth_available
 
 __all__ = ["CriteoFileLoader", "PrefetchLoader", "native_available",
-           "native_parse_batch", "parallel_batches"]
+           "native_parse_batch", "parallel_batches",
+           "NativeSyntheticCriteo", "native_synth_available"]

@@ -32,25 +32,34 @@ _lib = None
 _lib_err: Optional[str] = None
 
 
+def _compile_and_load(src: str, name: str) -> ctypes.CDLL:
+    """Compile a native source (cached by source mtime) and dlopen it.
+
+    Shared by every native/ component (parser, synth generator). Raises on
+    any failure — callers decide their fallback policy.
+    """
+    cache = os.path.join(os.path.expanduser("~"), ".cache",
+                         "embeddingtables_tpu")
+    os.makedirs(cache, exist_ok=True)
+    tag = f"{int(os.path.getmtime(src))}"
+    so = os.path.join(cache, f"{name}_{tag}.so")
+    if not os.path.exists(so):
+        tmp = so + f".tmp{os.getpid()}"
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-ffast-math", "-shared",
+             "-fPIC", "-pthread", "-o", tmp, src],
+            check=True, capture_output=True)
+        os.replace(tmp, so)
+    return ctypes.CDLL(so)
+
+
 def _build_and_load():
-    """Compile the native parser (cached by source mtime) and dlopen it."""
+    """Load the native parser and declare its prototypes."""
     global _lib, _lib_err
     if _lib is not None or _lib_err is not None:
         return _lib
     try:
-        cache = os.path.join(os.path.expanduser("~"), ".cache",
-                             "embeddingtables_tpu")
-        os.makedirs(cache, exist_ok=True)
-        tag = f"{int(os.path.getmtime(_SRC))}"
-        so = os.path.join(cache, f"criteo_parser_{tag}.so")
-        if not os.path.exists(so):
-            tmp = so + f".tmp{os.getpid()}"
-            subprocess.run(
-                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", tmp, _SRC],
-                check=True, capture_output=True)
-            os.replace(tmp, so)
-        lib = ctypes.CDLL(so)
+        lib = _compile_and_load(_SRC, "criteo_parser")
         lib.criteo_parse.restype = ctypes.c_long
         lib.criteo_parse.argtypes = [
             ctypes.c_char_p, ctypes.c_long, ctypes.c_long,

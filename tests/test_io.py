@@ -101,3 +101,81 @@ def test_parallel_batches_interleaves_and_propagates_errors():
     with pytest.raises(RuntimeError, match="producer died"):
         while True:
             next(it2)
+
+
+# ---------------------------------------------------------------------------
+# Native synthetic generator (native/synth_gen.cpp)
+# ---------------------------------------------------------------------------
+
+def _native_synth():
+    from embeddingtables_tpu.io.synth import (NativeSyntheticCriteo,
+                                              native_synth_available)
+    if not native_synth_available():
+        pytest.skip("native synth generator unavailable (no g++?)")
+    return NativeSyntheticCriteo
+
+
+def test_native_synth_deterministic_and_streams_disjoint():
+    mk = _native_synth()
+    a = next(mk(vocab_sizes=(500, 100), batch_size=256, seed=3).batches(1))
+    b = next(mk(vocab_sizes=(500, 100), batch_size=256, seed=3).batches(1))
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])
+    c = next(mk(vocab_sizes=(500, 100), batch_size=256, seed=3,
+                stream_seed=99).batches(1))
+    assert not np.array_equal(a["cat"], c["cat"])
+    # Consecutive batches differ (batch_index feeds the counter RNG).
+    it = mk(vocab_sizes=(500, 100), batch_size=256, seed=3).batches(2)
+    b0, b1 = next(it), next(it)
+    assert not np.array_equal(b0["cat"], b1["cat"])
+
+
+def test_native_synth_shapes_bounds_and_bags():
+    mk = _native_synth()
+    vocabs = (500, 100, 33)
+    b = next(mk(vocab_sizes=vocabs, num_dense=5, batch_size=128,
+                seed=1).batches(1))
+    assert b["dense"].shape == (128, 5) and b["dense"].dtype == np.float32
+    assert b["cat"].shape == (3, 128) and b["cat"].dtype == np.int32
+    assert b["label"].shape == (128,)
+    assert np.isfinite(b["dense"]).all() and (b["dense"] >= 0).all()
+    for t, v in enumerate(vocabs):
+        assert (b["cat"][t] >= 0).all() and (b["cat"][t] < v).all()
+    assert set(np.unique(b["label"])) <= {0.0, 1.0}
+    bb = next(mk(vocab_sizes=vocabs, num_dense=5, batch_size=128, bag=4,
+                 seed=1).batches(1))
+    assert bb["cat"].shape == (3, 128, 4)
+
+
+def test_native_synth_labels_follow_hidden_model_and_zipf_skew():
+    """Labels must be drawn from the SAME hidden ground-truth model the
+    Python generator owns (AUC of the true logit vs the returned labels is
+    far above chance), and indices must carry the Zipf head."""
+    mk = _native_synth()
+    from embeddingtables_tpu.metrics import auc
+    vocabs = (2000, 1000)
+    g = mk(vocab_sizes=vocabs, num_dense=4, batch_size=8192, seed=5)
+    b = next(g.batches(1))
+    p = g.py
+    logit = (b["dense"] @ p._w_dense) / np.sqrt(4) + sum(
+        p._row_logit[t][b["cat"][t]] for t in range(2)) / np.sqrt(2) + p._bias
+    assert auc(b["label"], logit) > 0.75
+    # Zipf skew: the permuted rank-1 row dominates.
+    _, _, perm = p._zipf_tables(2000)
+    counts = np.bincount(b["cat"][0], minlength=2000)
+    assert counts[perm[0]] > 50 * max(1, np.median(counts))
+
+
+def test_native_synth_api_matches_python_generator():
+    """Drop-in check: same constructor, same dict layout, same CTR regime
+    as data.SyntheticCriteo (distribution-level parity, not bit parity)."""
+    mk = _native_synth()
+    from embeddingtables_tpu.data import SyntheticCriteo
+    kw = dict(vocab_sizes=(300, 80), num_dense=6, batch_size=4096, seed=17)
+    nb = next(mk(**kw).batches(1))
+    pb = next(SyntheticCriteo(**kw).batches(1))
+    assert set(nb) == set(pb)
+    for k in nb:
+        assert nb[k].shape == pb[k].shape and nb[k].dtype == pb[k].dtype
+    assert abs(nb["label"].mean() - pb["label"].mean()) < 0.08
+    assert abs(nb["dense"].mean() - pb["dense"].mean()) < 0.1
