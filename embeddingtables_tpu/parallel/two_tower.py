@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.two_tower import (TwoTower, item_embed_from_rows,
                                 query_embed_from_rows, _query_rows)
+from .sharded import ShardedStackedTables, sharded_ensemble_lookup
 
 
 def build_sharded_item_index(model: TwoTower, mesh: Mesh,
@@ -158,3 +159,155 @@ def sharded_retrieve(model: TwoTower, index: jax.Array, mesh: Mesh,
         # through axis_index-derived ids.
         check_vma=False)
     return jax.jit(fn)(index, q_rows, (model.query_mlp, jnp.asarray(dense)))
+
+
+# ---------------------------------------------------------------------------
+# Sharded training
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedTwoTower:
+    """Two-tower parameter pytree over a mesh: replicated MLPs, mod-row-
+    sharded query/item tables, row-sharded sparse-optimizer accumulators
+    (same decomposition as `dlrm.ShardedDLRM`)."""
+
+    query_tables: "ShardedStackedTables"
+    item_table: "ShardedStackedTables"
+    query_mlp: list
+    item_mlp: list
+    q_accum: jax.Array       # (n_shards, rows_local) f32, or (n_shards, 0)
+    i_accum: jax.Array
+    config: object = dataclasses.field(metadata=dict(static=True))
+
+
+def _shard_accum(mesh: Mesh, axes, accum: jax.Array, n: int,
+                 rows_local: int) -> jax.Array:
+    """Mod-shard a `(ΣV,)` per-row accumulator exactly like the table rows:
+    global row r -> (r % n, r // n)."""
+    if accum.shape[0] == 0:
+        return jax.device_put(jnp.zeros((n, 0), jnp.float32),
+                              NamedSharding(mesh, P(axes)))
+    v_pad = n * rows_local
+    acc = jnp.pad(accum, (0, v_pad - accum.shape[0]))
+    acc = acc.reshape(rows_local, n).T
+    return jax.device_put(acc, NamedSharding(mesh, P(axes)))
+
+
+def shard_two_tower(model: TwoTower, mesh: Mesh, axis="data",
+                    sparse_opt=None) -> ShardedTwoTower:
+    """Place a single-chip TwoTower onto a mesh (replicate the MLPs,
+    mod-shard both tables and their row state). `axis` may be an axis tuple
+    for the 2-D (data x model) decomposition."""
+    from ..optim import SparseSGD
+    from .sharded import ShardedStackedTables, _axes_tuple
+    sparse_opt = sparse_opt or SparseSGD(0.05)
+    st_q = ShardedStackedTables.shard(mesh, axis, model.query_tables)
+    st_i = ShardedStackedTables.shard(mesh, axis, model.item_table)
+    axes = _axes_tuple(axis)
+    repl = NamedSharding(mesh, P())
+    nq, rq, _ = st_q.data.shape
+    ni, ri, _ = st_i.data.shape
+    return ShardedTwoTower(
+        query_tables=st_q, item_table=st_i,
+        query_mlp=jax.device_put(model.query_mlp, repl),
+        item_mlp=jax.device_put(model.item_mlp, repl),
+        q_accum=_shard_accum(mesh, axes, model.q_state.accum, nq, rq),
+        i_accum=_shard_accum(mesh, axes, model.i_state.accum, ni, ri),
+        config=model.config)
+
+
+def tt_batch_shardings(mesh: Mesh, axis="data"):
+    """NamedShardings for a (dense, q_cat, item_ids) training batch."""
+    from .sharded import _axes_tuple
+    baxis = _axes_tuple(axis)[0]
+    return (NamedSharding(mesh, P(baxis)),          # dense (B, nd)
+            NamedSharding(mesh, P(None, baxis)),    # q_cat (T, B)
+            NamedSharding(mesh, P(baxis)))          # item_ids (B,)
+
+
+def make_sharded_tt_train_step(cfg, mesh: Mesh, axis="data", sparse_opt=None,
+                               dense_lr: float = 0.05, jit: bool = True):
+    """Sharded contrastive train step: `step(model, dense, q_cat, item_ids)
+    -> (model, (loss, accuracy))`.
+
+    Decomposition (TPU-first):
+      - batch sharded over the data axis; MLPs replicated (GSPMD inserts the
+        gradient psum);
+      - the in-batch-negatives softmax couples the WHOLE batch: q and i stay
+        batch-sharded and XLA partitions the (B, B) logits matmul, gathering
+        item embeddings across the axis and psum-ing their cotangents — the
+        standard DP contrastive pattern, written as plain jnp under jit;
+      - both tables are mod-row-sharded; their lazy sparse updates ride the
+        gather exchange with per-shard dedup + single-write optimizer-state
+        advance (`dlrm._sharded_sparse_apply`).
+
+    Matches the single-chip `models.two_tower.make_train_step` numerically
+    (parity-tested on the 8-device CPU mesh).
+    """
+    from ..models.two_tower import in_batch_softmax_loss
+    from ..optim import SparseSGD
+    from .dlrm import _sharded_sparse_apply
+    sparse_opt = sparse_opt or SparseSGD(0.05)
+    t = cfg.num_query_tables
+
+    def step(model: ShardedTwoTower, dense, q_cat, item_ids):
+        st_q, st_i = model.query_tables, model.item_table
+        q_rows = sharded_ensemble_lookup(
+            mesh, st_q, q_cat, stacked=True).transpose(1, 0, 2)  # (B, T, dim)
+        i_rows = sharded_ensemble_lookup(
+            mesh, st_i, item_ids[None], stacked=True)[0]         # (B, dim)
+
+        def loss_fn(mlps, q_act, i_act):
+            qmlp, imlp = mlps
+            q = query_embed_from_rows(qmlp, cfg, dense, q_act)
+            i = item_embed_from_rows(imlp, cfg, i_act)
+            return in_batch_softmax_loss(q, i, cfg.temperature)
+
+        (loss, acc), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            (model.query_mlp, model.item_mlp), q_rows, i_rows)
+        mlp_grads, q_delta, i_delta = grads
+        new_qmlp, new_imlp = jax.tree.map(
+            lambda p, g: (p - dense_lr * g).astype(p.dtype),
+            (model.query_mlp, model.item_mlp), mlp_grads)
+
+        shifted_q = jnp.stack([q_cat[i] + st_q.offsets[i] for i in range(t)])
+        new_st_q, new_qacc = _sharded_sparse_apply(
+            mesh, st_q, model.q_accum, shifted_q,
+            q_delta.transpose(1, 0, 2).astype(jnp.float32), sparse_opt)
+        new_st_i, new_iacc = _sharded_sparse_apply(
+            mesh, st_i, model.i_accum, item_ids[None],
+            i_delta[None].astype(jnp.float32), sparse_opt)
+        return ShardedTwoTower(
+            query_tables=new_st_q, item_table=new_st_i,
+            query_mlp=new_qmlp, item_mlp=new_imlp,
+            q_accum=new_qacc, i_accum=new_iacc, config=cfg), (loss, acc)
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def unshard_two_tower(model: ShardedTwoTower) -> TwoTower:
+    """Dense single-chip view (checkpoint export / test oracle)."""
+    from ..models.two_tower import TwoTower as TT
+    from ..ops.ensemble import StackedTables
+    from ..optim import SparseOptState
+    from ..tables import SimpleEmbedding
+
+    def unshard_acc(acc, vocab):
+        if acc.shape[1] == 0:
+            return jnp.zeros((0,), jnp.float32)
+        n, rows = acc.shape
+        return acc.T.reshape(n * rows)[:vocab]
+
+    st_q, st_i = model.query_tables, model.item_table
+    return TT(
+        query_tables=StackedTables(data=st_q.unshard(), offsets=st_q.offsets,
+                                   dim=st_q.dim),
+        item_table=SimpleEmbedding(st_i.unshard()),
+        query_mlp=model.query_mlp, item_mlp=model.item_mlp,
+        q_state=SparseOptState(accum=unshard_acc(model.q_accum, st_q.vocab)),
+        i_state=SparseOptState(accum=unshard_acc(model.i_accum, st_i.vocab)),
+        config=model.config)
