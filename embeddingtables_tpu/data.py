@@ -164,3 +164,44 @@ def criteo_kaggle_batches(path: str, vocab_sizes: Sequence[int],
                 emitted += 1
                 if max_batches is not None and emitted >= max_batches:
                     return
+
+
+@dataclasses.dataclass
+class SyntheticRetrieval:
+    """Seeded synthetic retrieval stream for two-tower training.
+
+    Planted structure: item j "belongs to" query feature cluster `j % vocab`
+    per query table — queries carrying those features click that item, so
+    contrastive training has signal and recall@k is learnable far above
+    chance. `unique_items=True` samples each batch's positives without
+    replacement (duplicate positives are false negatives under in-batch
+    softmax).
+
+    Batches are dicts of host numpy arrays:
+      dense:    (B, num_dense) float32
+      q_cat:    (T, B) int32
+      item_ids: (B,) int32      the positive item per query
+    """
+
+    query_vocab_sizes: Sequence[int]
+    item_vocab: int
+    num_dense: int = 4
+    batch_size: int = 512
+    unique_items: bool = True
+    seed: int = 0
+
+    def batches(self, num_batches: Optional[int] = None) -> Iterator[dict]:
+        rng = np.random.default_rng(self.seed)
+        b = self.batch_size
+        i = 0
+        while num_batches is None or i < num_batches:
+            if self.unique_items and b <= self.item_vocab:
+                items = rng.choice(self.item_vocab, b,
+                                   replace=False).astype(np.int32)
+            else:
+                items = rng.integers(0, self.item_vocab, b).astype(np.int32)
+            q_cat = np.stack([items % v for v in self.query_vocab_sizes]
+                             ).astype(np.int32)
+            dense = rng.normal(size=(b, self.num_dense)).astype(np.float32)
+            yield dict(dense=dense, q_cat=q_cat, item_ids=items)
+            i += 1

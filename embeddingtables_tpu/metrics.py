@@ -70,3 +70,11 @@ def accuracy(labels, scores, threshold: float = 0.0) -> float:
     labels = np.asarray(labels).reshape(-1)
     scores = np.asarray(scores).reshape(-1)
     return float(((scores > threshold) == (labels > 0.5)).mean())
+
+
+def recall_at_k(true_ids, retrieved_ids) -> float:
+    """Fraction of queries whose positive item appears in the retrieved
+    top-k. true_ids: (B,); retrieved_ids: (B, k)."""
+    true_ids = np.asarray(true_ids).reshape(-1, 1)
+    retrieved_ids = np.asarray(retrieved_ids)
+    return float((retrieved_ids == true_ids).any(axis=1).mean())

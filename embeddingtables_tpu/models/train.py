@@ -147,3 +147,112 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     dt = time.perf_counter() - t_start
     return TrainResult(model=model, losses=losses, aucs=aucs,
                        examples_per_sec=examples / dt)
+
+
+# ---------------------------------------------------------------------------
+# Two-tower training loop
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class RetrievalTrainResult:
+    model: object            # TwoTower (unsharded view when mesh was given)
+    losses: list
+    accs: list               # in-batch top-1 accuracy at log cadence
+    recalls: list            # [(step, recall@k)]
+    examples_per_sec: float
+
+
+def train_two_tower(cfg, train_iter, num_steps: int, *, sparse_opt=None,
+                    dense_lr: float = 0.05, model=None, seed: int = 0,
+                    eval_batches=None, eval_every: int = 0, k: int = 10,
+                    ckpt_manager=None, ckpt_every: int = 0,
+                    log_every: int = 100, mesh=None, axis: str = "data",
+                    verbose: bool = True) -> RetrievalTrainResult:
+    """Train a two-tower retriever for `num_steps` batches from `train_iter`
+    (dicts with dense/q_cat/item_ids — `data.SyntheticRetrieval`'s layout).
+
+    mesh=None -> single-chip contrastive step; mesh given -> the sharded
+    step (parallel/two_tower.py: DP batch, GSPMD in-batch softmax,
+    mod-row-sharded tables). Periodic eval rebuilds the item index and
+    measures recall@k of the positive item over `eval_batches`.
+    """
+    from ..metrics import recall_at_k
+    from ..optim import SparseSGD
+    from .two_tower import (build_item_index, init_two_tower, make_train_step
+                            as make_tt_step, retrieve)
+    tel = _telemetry.get_telemetry()
+    sparse_opt = sparse_opt or SparseSGD(0.05)
+    if model is None:
+        with tel.phase("init"):
+            model = init_two_tower(jax.random.key(seed), cfg,
+                                   sparse_opt=sparse_opt)
+    sharded = mesh is not None
+    if sharded:
+        from ..parallel.two_tower import (make_sharded_tt_train_step,
+                                          shard_two_tower,
+                                          tt_batch_shardings,
+                                          unshard_two_tower)
+        from .two_tower import TwoTower
+        if isinstance(model, TwoTower):
+            model = shard_two_tower(model, mesh, axis, sparse_opt=sparse_opt)
+        step = make_sharded_tt_train_step(cfg, mesh, axis,
+                                          sparse_opt=sparse_opt,
+                                          dense_lr=dense_lr)
+        sd, sq, si = tt_batch_shardings(mesh, axis)
+        put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731
+                         jax.device_put(b["q_cat"], sq),
+                         jax.device_put(b["item_ids"], si))
+        to_dense = lambda m: unshard_two_tower(m)              # noqa: E731
+    else:
+        step = make_tt_step(cfg, sparse_opt=sparse_opt, dense_lr=dense_lr)
+        put = lambda b: (jnp.asarray(b["dense"]),              # noqa: E731
+                         jnp.asarray(b["q_cat"]),
+                         jnp.asarray(b["item_ids"]))
+        to_dense = lambda m: m                                 # noqa: E731
+
+    def eval_recall(m):
+        dense_m = to_dense(m)
+        index = build_item_index(dense_m)
+        hits, total = 0.0, 0
+        for b in eval_batches:
+            _, ids = retrieve(dense_m, index, jnp.asarray(b["dense"]),
+                              jnp.asarray(b["q_cat"]), k=k)
+            n = b["item_ids"].shape[0]
+            hits += recall_at_k(b["item_ids"], ids) * n
+            total += n
+        return hits / max(total, 1)
+
+    losses, accs, recalls = [], [], []
+    examples = 0
+    t_start = time.perf_counter()
+    for i in range(num_steps):
+        with tel.phase("data"):
+            batch = next(train_iter)
+        args = put(batch)
+        with tel.phase("step"):
+            model, (loss, acc) = step(model, *args)
+        examples += batch["item_ids"].shape[0]
+        if log_every and (i % log_every == 0 or i == num_steps - 1):
+            lv, av = float(loss), float(acc)
+            losses.append(lv)
+            accs.append(av)
+            if verbose:
+                print(f"step {i:6d}  loss {lv:.5f}  in-batch acc {av:.3f}",
+                      flush=True)
+        if eval_every and eval_batches and (i + 1) % eval_every == 0:
+            with tel.phase("eval"):
+                r = eval_recall(model)
+            recalls.append((i + 1, r))
+            if verbose:
+                print(f"step {i+1:6d}  recall@{k} {r:.4f}", flush=True)
+        if ckpt_manager is not None and ckpt_every and \
+                (i + 1) % ckpt_every == 0:
+            with tel.phase("checkpoint"):
+                ckpt_manager.save(i + 1, model)
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+        else x, model)
+    dt = time.perf_counter() - t_start
+    return RetrievalTrainResult(model=to_dense(model), losses=losses,
+                                accs=accs, recalls=recalls,
+                                examples_per_sec=examples / dt)

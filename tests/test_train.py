@@ -1,6 +1,7 @@
 """End-to-end training-loop driver tests: loss/AUC trajectory, checkpointing,
 single-chip vs sharded loop parity of results."""
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -106,3 +107,66 @@ def test_train_loop_a2a_auto_capacity_recovers_from_drops():
     assert tuner_seen[0][0] > 0            # starved factor really dropped
     assert tuner_seen[-1][0] == 0          # retuned factor drops nothing
     assert np.isfinite(res.losses[-1])
+
+
+def test_two_tower_train_loop_learns_and_evals(tmp_path):
+    from embeddingtables_tpu.data import SyntheticRetrieval
+    from embeddingtables_tpu.models.train import train_two_tower
+    from embeddingtables_tpu.models.two_tower import TwoTowerConfig
+    from embeddingtables_tpu.optim import SparseSGD
+
+    cfg = TwoTowerConfig(query_vocab_sizes=(40, 60), item_vocab=200,
+                         num_dense=3, dim=16, embed_dim=16,
+                         query_mlp=(32, 16), item_mlp=(32, 16))
+    gen = SyntheticRetrieval(query_vocab_sizes=cfg.query_vocab_sizes,
+                             item_vocab=cfg.item_vocab, num_dense=3,
+                             batch_size=64, seed=2)
+    eval_batches = list(SyntheticRetrieval(
+        query_vocab_sizes=cfg.query_vocab_sizes, item_vocab=cfg.item_vocab,
+        num_dense=3, batch_size=64, seed=77).batches(2))
+    mgr = CheckpointManager(str(tmp_path / "tt"), max_to_keep=1)
+    res = train_two_tower(cfg, gen.batches(), 200,
+                          sparse_opt=SparseSGD(0.2), dense_lr=0.2,
+                          eval_batches=eval_batches, eval_every=100, k=10,
+                          ckpt_manager=mgr, ckpt_every=100, log_every=20,
+                          verbose=False)
+    assert res.losses[-1] < res.losses[0]
+    assert res.accs[-1] > res.accs[0] + 0.15
+    # recall@10 over 200 items: chance = 5%; trained should beat it well.
+    assert res.recalls and res.recalls[-1][1] > 0.2, res.recalls
+    assert res.recalls[-1][1] >= res.recalls[0][1] - 0.05
+    assert mgr.latest_step() == 200
+
+
+def test_two_tower_train_loop_sharded():
+    from embeddingtables_tpu.data import SyntheticRetrieval
+    from embeddingtables_tpu.models.train import train_two_tower
+    from embeddingtables_tpu.models.two_tower import TwoTowerConfig
+    from embeddingtables_tpu.optim import SparseSGD
+
+    cfg = TwoTowerConfig(query_vocab_sizes=(40, 60), item_vocab=200,
+                         num_dense=3, dim=16, embed_dim=16,
+                         query_mlp=(32, 16), item_mlp=(32, 16))
+    mesh = default_mesh(("data",))
+    gen = SyntheticRetrieval(query_vocab_sizes=cfg.query_vocab_sizes,
+                             item_vocab=cfg.item_vocab, num_dense=3,
+                             batch_size=64, seed=3)
+    eval_batches = list(SyntheticRetrieval(
+        query_vocab_sizes=cfg.query_vocab_sizes, item_vocab=cfg.item_vocab,
+        num_dense=3, batch_size=64, seed=78).batches(2))
+    res = train_two_tower(cfg, gen.batches(), 120,
+                          sparse_opt=SparseSGD(0.2), dense_lr=0.2,
+                          eval_batches=eval_batches, eval_every=120, k=10,
+                          mesh=mesh, log_every=20, verbose=False)
+    assert res.losses[-1] < res.losses[0]
+    assert res.recalls and res.recalls[-1][1] > 0.15, res.recalls
+    # Result model is the dense single-chip view (serve/checkpoint-ready).
+    from embeddingtables_tpu.models.two_tower import TwoTower
+    assert isinstance(res.model, TwoTower)
+
+
+def test_recall_at_k_metric():
+    from embeddingtables_tpu.metrics import recall_at_k
+    true = np.array([3, 7, 9])
+    retrieved = np.array([[3, 1], [2, 4], [1, 9]])
+    assert recall_at_k(true, retrieved) == pytest.approx(2 / 3)
