@@ -20,7 +20,8 @@ from .tables import (SimpleEmbedding, SplitEmbedding, as_table, destination,
                      example, is_table)
 from .offload import HostOffloadEmbedding
 from .quant import QuantizedEmbedding
-from .serving import MicroBatcher, make_dlrm_service, serve_http
+from .serving import (MicroBatcher, make_dlrm_service,
+                      make_retrieval_service, serve_http)
 from .ops import (AbstractExecutionStrategy, DefaultStrategy, DenseIndexer,
                   Indexer, IndexerResult, IndexerView, PreallocationStrategy,
                   SimpleParallelStrategy, Slicer, SparseEmbeddingUpdate,
@@ -52,6 +53,7 @@ __all__ = [
     "SparseEmbeddingUpdate", "uncompress", "sgd_update", "ensemble_sgd_update",
     "ensemble_update", "accumulate_updates",
     # serving
-    "MicroBatcher", "make_dlrm_service", "serve_http",
+    "MicroBatcher", "make_dlrm_service", "make_retrieval_service",
+    "serve_http",
     "config",
 ]

@@ -220,10 +220,40 @@ def build_item_index(model: TwoTower, batch: int = 65_536) -> jax.Array:
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
+def make_retriever(model: TwoTower, k: int = 10):
+    """Trace-once retriever factory for serving loops (the one-shot
+    `retrieve` constructs a fresh jit wrapper per call, which re-traces on
+    the hot path). Returns `fn(index, dense, q_cat[, query_mlp,
+    query_tables_data]) -> (scores (B, k), ids (B, k))`; the optional
+    trailing args serve updated parameters without rebuilding."""
+    cfg = model.config
+    offsets = model.query_tables.offsets
+    dim = model.query_tables.dim
+    t = len(offsets) - 1
+
+    @jax.jit
+    def run(qmlp, qdata, index, dense, q_cat):
+        g = jnp.stack([q_cat[i] + offsets[i] for i in range(t)])
+        rows = jnp.take(qdata, g.reshape(-1), axis=0)
+        q_rows = rows.reshape(t, g.shape[1], dim).transpose(1, 0, 2)
+        q = query_embed_from_rows(qmlp, cfg, dense, q_rows)
+        scores = q @ index.T
+        return jax.lax.top_k(scores, k)
+
+    def fn(index, dense, q_cat, query_mlp=None, query_tables_data=None):
+        return run(query_mlp if query_mlp is not None else model.query_mlp,
+                   query_tables_data if query_tables_data is not None
+                   else model.query_tables.data,
+                   index, jnp.asarray(dense), jnp.asarray(q_cat))
+
+    return fn
+
+
 def retrieve(model: TwoTower, index: jax.Array, dense, q_cat,
              k: int = 10):
     """Top-k retrieval: query tower + one (B, V) MXU matmul + `lax.top_k`.
-    Returns (scores (B, k), item_ids (B, k))."""
+    Returns (scores (B, k), item_ids (B, k)). One-shot convenience — for
+    serving loops use `make_retriever` (trace once, call per request)."""
 
     @jax.jit
     def run(qmlp, qtables_data, index, dense, q_cat):

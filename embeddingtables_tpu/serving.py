@@ -163,11 +163,15 @@ class MicroBatcher:
                 [cat, np.zeros((cat.shape[0], pad) + cat.shape[2:],
                                cat.dtype)], 1)
         try:
-            scores = np.asarray(self._predict(dense, cat), np.float32)
+            out = self._predict(dense, cat)
         except Exception as e:                # noqa: BLE001 — fan the error out
             for p in batch:
                 p.future.set_exception(e)
             return
+        # predict_fn may return one (B, ...) array or a tuple of them
+        # (retrieval returns (scores, ids)); each is sliced per request.
+        is_tuple = isinstance(out, (tuple, list))
+        outs = [np.asarray(o) for o in (out if is_tuple else (out,))]
         st = self.stats
         st.requests += len(batch)
         st.examples += size
@@ -176,7 +180,8 @@ class MicroBatcher:
         st.bucket_sizes.add(padded)
         off = 0
         for p in batch:
-            p.future.set_result(scores[off:off + p.size])
+            sl = [o[off:off + p.size] for o in outs]
+            p.future.set_result(tuple(sl) if is_tuple else sl[0])
             off += p.size
 
 
@@ -201,6 +206,36 @@ def make_dlrm_service(model, *, quantized: bool = False,
         predict = lambda dense, cat: step(model, dense, cat)  # noqa: E731
     fn = lambda dense, cat: np.asarray(                       # noqa: E731
         jax.device_get(predict(dense, cat)))
+    return MicroBatcher(fn, max_batch=max_batch,
+                        max_latency_ms=max_latency_ms)
+
+
+def make_retrieval_service(model, *, k: int = 10, mesh=None, axis="data",
+                           max_batch: int = 1024,
+                           max_latency_ms: float = 5.0) -> MicroBatcher:
+    """Batched two-tower top-k retrieval service.
+
+    model: a trained `models.two_tower.TwoTower`. Builds the item index once
+    (sharded over `mesh` when given — corpus-scale serving) and traces the
+    retriever once; requests coalesce through the MicroBatcher. Each request
+    resolves to `(scores (b, k), item_ids (b, k))`. The `cat` argument of
+    `submit`/`predict` is the `(T, b)` query feature container.
+    """
+    import jax
+
+    if mesh is not None:
+        from .parallel.two_tower import (build_sharded_item_index,
+                                         make_sharded_retriever)
+        index = build_sharded_item_index(model, mesh, axis)
+        run = make_sharded_retriever(model, mesh, k=k, axis=axis)
+        fn = lambda dense, cat: tuple(                        # noqa: E731
+            np.asarray(jax.device_get(o)) for o in run(index, dense, cat))
+    else:
+        from .models.two_tower import build_item_index, make_retriever
+        index = build_item_index(model)
+        run1 = make_retriever(model, k=k)
+        fn = lambda dense, cat: tuple(                        # noqa: E731
+            np.asarray(jax.device_get(o)) for o in run1(index, dense, cat))
     return MicroBatcher(fn, max_batch=max_batch,
                         max_latency_ms=max_latency_ms)
 
@@ -249,9 +284,16 @@ def serve_http(batcher: MicroBatcher, host: str = "127.0.0.1",
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n))
-                scores = batcher.predict(req["dense"], req["cat"],
-                                         timeout=30.0)
-                self._reply(200, {"scores": np.asarray(scores).tolist()})
+                out = batcher.predict(req["dense"], req["cat"],
+                                      timeout=30.0)
+                if isinstance(out, tuple) and len(out) == 2:
+                    # Retrieval service: (scores, item_ids).
+                    self._reply(200, {
+                        "scores": np.asarray(out[0]).tolist(),
+                        "ids": np.asarray(out[1]).tolist()})
+                else:
+                    self._reply(200,
+                                {"scores": np.asarray(out).tolist()})
             except Exception as e:            # noqa: BLE001 — surface to client
                 self._reply(400, {"error": str(e)})
 

@@ -185,3 +185,82 @@ def test_http_harness_roundtrip():
     assert code == 400
     server.shutdown()
     mb.stop()
+
+
+def test_tuple_output_predictor_slices_per_request():
+    def predict(dense, cat):
+        return ref_scores(dense, cat), cat.T.copy()  # (B,), (B, T)
+
+    mb = MicroBatcher(predict, max_batch=32, max_latency_ms=20.0)
+    rng = np.random.default_rng(6)
+    reqs = [req(rng, b) for b in (2, 3, 1)]
+    futs = [mb.submit(d, c) for d, c in reqs]
+    for (d, c), f in zip(reqs, futs):
+        s, ct = f.result(timeout=10)
+        np.testing.assert_allclose(s, ref_scores(d, c), rtol=1e-6)
+        np.testing.assert_array_equal(ct, c.T)
+    mb.stop()
+
+
+def test_retrieval_service_matches_direct_retrieve():
+    import jax.numpy as jnp
+    from embeddingtables_tpu.models.two_tower import (TwoTowerConfig,
+                                                      build_item_index,
+                                                      init_two_tower,
+                                                      make_retriever,
+                                                      retrieve)
+    from embeddingtables_tpu.serving import make_retrieval_service
+
+    cfg = TwoTowerConfig(query_vocab_sizes=(30, 50), item_vocab=120,
+                         num_dense=3, dim=16, embed_dim=16,
+                         query_mlp=(32, 16), item_mlp=(32, 16))
+    model = init_two_tower(jax.random.key(1), cfg)
+    index = build_item_index(model)
+    rng = np.random.default_rng(7)
+    dense = rng.normal(size=(6, 3)).astype(np.float32)
+    q_cat = np.stack([rng.integers(0, v, 6).astype(np.int32)
+                      for v in cfg.query_vocab_sizes])
+    s1, i1 = retrieve(model, index, jnp.asarray(dense), jnp.asarray(q_cat),
+                      k=5)
+
+    # Trace-once factory parity.
+    run = make_retriever(model, k=5)
+    s2, i2 = run(index, dense, q_cat)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+    # Micro-batched service parity (single-chip path).
+    svc = make_retrieval_service(model, k=5, max_batch=16,
+                                 max_latency_ms=5.0)
+    s3, i3 = svc.predict(dense, q_cat, timeout=60)
+    svc.stop()
+    np.testing.assert_allclose(s3, np.asarray(s1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(i3, np.asarray(i1))
+
+
+def test_retrieval_service_sharded_mesh():
+    from embeddingtables_tpu.models.two_tower import (TwoTowerConfig,
+                                                      init_two_tower)
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    from embeddingtables_tpu.parallel.two_tower import (
+        build_sharded_item_index, sharded_retrieve)
+    from embeddingtables_tpu.serving import make_retrieval_service
+
+    cfg = TwoTowerConfig(query_vocab_sizes=(30,), item_vocab=203,
+                         num_dense=2, dim=16, embed_dim=16,
+                         query_mlp=(32, 16), item_mlp=(32, 16))
+    model = init_two_tower(jax.random.key(2), cfg)
+    mesh = default_mesh(("data",))
+    rng = np.random.default_rng(8)
+    dense = rng.normal(size=(4, 2)).astype(np.float32)
+    q_cat = rng.integers(0, 30, (1, 4)).astype(np.int32)
+    index = build_sharded_item_index(model, mesh)
+    s1, i1 = sharded_retrieve(model, index, mesh, dense, q_cat, k=5)
+
+    svc = make_retrieval_service(model, k=5, mesh=mesh, max_batch=8,
+                                 max_latency_ms=5.0)
+    s2, i2 = svc.predict(dense, q_cat, timeout=60)
+    svc.stop()
+    np.testing.assert_allclose(s2, np.asarray(s1), rtol=1e-5, atol=1e-6)
+    for r in range(4):  # ties may reorder equal scores
+        assert set(i2[r].tolist()) == set(np.asarray(i1[r]).tolist())
