@@ -26,10 +26,10 @@ from .ops import (AbstractExecutionStrategy, DefaultStrategy, DenseIndexer,
                   Indexer, IndexerResult, IndexerView, PreallocationStrategy,
                   SimpleParallelStrategy, Slicer, SparseEmbeddingUpdate,
                   SparseIndexer, StackedTables, accumulate_updates,
-                  ensemble_sgd_update, ensemble_update,
+                  effective_weights, ensemble_sgd_update, ensemble_update,
                   flatten_indices, index, indexer_view, lookup, lookup_oracle,
                   lookup_vjp, maplookup, maplookup_vjp, normalize_indices,
-                  sgd_update, uncompress)
+                  normalize_weights, sgd_update, uncompress)
 
 __version__ = "0.1.0"
 
@@ -45,7 +45,8 @@ __all__ = [
     # ensemble
     "maplookup", "maplookup_vjp", "AbstractExecutionStrategy",
     "DefaultStrategy", "SimpleParallelStrategy", "PreallocationStrategy",
-    "StackedTables", "Slicer", "normalize_indices",
+    "StackedTables", "Slicer", "normalize_indices", "normalize_weights",
+    "effective_weights",
     # indexer
     "Indexer", "SparseIndexer", "DenseIndexer", "IndexerResult", "IndexerView",
     "index", "indexer_view", "flatten_indices",

@@ -148,10 +148,20 @@ def criteo_kaggle_batches(path: str, vocab_sizes: Sequence[int],
             parts = line.rstrip("\n").split("\t")
             if len(parts) != 1 + CRITEO_NUM_DENSE + CRITEO_NUM_SPARSE:
                 continue
-            label_buf[n] = float(parts[0])
+            # Malformed-input policy (matches native/criteo_parser.cpp): an
+            # unparseable label skips the row; an unparseable dense field
+            # becomes 0 — one bad record must not abort the whole stream.
+            try:
+                label = float(parts[0])
+            except ValueError:
+                continue
+            label_buf[n] = label
             for j in range(CRITEO_NUM_DENSE):
                 v = parts[1 + j]
-                x = float(v) if v else 0.0
+                try:
+                    x = float(v) if v else 0.0
+                except ValueError:
+                    x = 0.0
                 dense_buf[n, j] = np.log1p(max(x, 0.0))
             for j in range(CRITEO_NUM_SPARSE):
                 v = parts[1 + CRITEO_NUM_DENSE + j]

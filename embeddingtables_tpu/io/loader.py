@@ -196,21 +196,28 @@ def parallel_batches(make_iter, workers: int = 3, depth: int = 4):
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     errs: list = []
     stop = threading.Event()
+    done = object()  # per-worker completion sentinel
+
+    def put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def run(wid):
         try:
             for item in make_iter(wid):
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not put(item):
                     return
-        except BaseException as e:  # noqa: BLE001
+        except BaseException as e:  # noqa: BLE001 — reraised at consumer
             errs.append(e)
-            q.put(None)
+        finally:
+            # Always announce completion so a consumer of finite iterators
+            # terminates instead of blocking forever on q.get().
+            put(done)
 
     threads = [threading.Thread(target=run, args=(w,), daemon=True)
                for w in range(workers)]
@@ -218,11 +225,15 @@ def parallel_batches(make_iter, workers: int = 3, depth: int = 4):
         t.start()
 
     def gen():
+        live = workers
         try:
-            while True:
+            while live:
                 item = q.get()
-                if item is None:
-                    raise errs[0]
+                if item is done:
+                    if errs:
+                        raise errs[0]
+                    live -= 1
+                    continue
                 yield item
         finally:
             stop.set()

@@ -1,8 +1,8 @@
-from .lookup import lookup, lookup_oracle, lookup_vjp
+from .lookup import effective_weights, lookup, lookup_oracle, lookup_vjp
 from .ensemble import (AbstractExecutionStrategy, DefaultStrategy,
                        PreallocationStrategy, SimpleParallelStrategy, Slicer,
                        StackedTables, maplookup, maplookup_vjp,
-                       normalize_indices)
+                       normalize_indices, normalize_weights)
 from .indexer import (DenseIndexer, Indexer, IndexerResult, IndexerView,
                       SparseIndexer, flatten_indices, index, indexer_view)
 from .sparse_update import (SparseEmbeddingUpdate, accumulate_updates,

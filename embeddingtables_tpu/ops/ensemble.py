@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from ..tables import SimpleEmbedding, as_table
 from ..types import featuresize
-from .lookup import lookup
+from .lookup import effective_weights, lookup
 from .sparse_update import SparseEmbeddingUpdate
 
 
@@ -103,6 +103,25 @@ def normalize_indices(indices, ntables: int) -> List[jax.Array]:
     raise ValueError(f"unsupported index container with ndim={arr.ndim}")
 
 
+def normalize_weights(weights, ntables: int) -> List[Optional[jax.Array]]:
+    """Per-table bag weights in the same container shapes as the indices:
+    None, a list/tuple of per-table `(B, bag)` arrays (None entries allowed),
+    or one `(T, B, bag)` array."""
+    if weights is None:
+        return [None] * ntables
+    if isinstance(weights, (list, tuple)):
+        if len(weights) != ntables:
+            raise ValueError(
+                f"got {len(weights)} weight sets for {ntables} tables")
+        return [None if w is None else jnp.asarray(w) for w in weights]
+    arr = jnp.asarray(weights)
+    if arr.ndim != 3 or arr.shape[0] != ntables:
+        raise ValueError(
+            f"weights array must be (T, B, bag) with T={ntables}, "
+            f"got shape {arr.shape}")
+    return [arr[t] for t in range(ntables)]
+
+
 class Slicer:
     """Stateful feature-offset slicer used to carve the fused delta back into
     per-table slices (reference `Slicer`, `src/utils.jl:50-63`; exported,
@@ -122,20 +141,29 @@ class Slicer:
 # maplookup
 # ---------------------------------------------------------------------------
 
-def maplookup(strategy_or_tables, tables_or_indices=None, maybe_indices=None):
+def maplookup(strategy_or_tables, tables_or_indices=None, maybe_indices=None,
+              *, combiner: str = "sum", weights=None):
     """`maplookup([strategy], tables, indices)` (reference `lookup.jl:186-371`).
 
     Without a strategy, DefaultStrategy is used (`lookup.jl:219`).
     Returns: list of `(B, dim_i)` for Default/SimpleParallel; a single fused
     `(B, prependrows + Σ dim_i)` array for PreallocationStrategy.
+
+    combiner/weights extend the single-table `lookup` contract to the
+    ensemble entry point (the reference is sum-only, `README.md:22-25`):
+    `combiner` applies to every table's bags; `weights` accepts the same
+    per-table container shapes as the indices (see `normalize_weights`).
     """
     strategy, tables, indices = _parse_args(strategy_or_tables, tables_or_indices,
                                             maybe_indices)
     if isinstance(tables, StackedTables):
-        return _maplookup_stacked(strategy, tables, indices)
+        return _maplookup_stacked(strategy, tables, indices,
+                                  combiner=combiner, weights=weights)
     tables = list(tables)
     idx = normalize_indices(indices, len(tables))
-    outs = [lookup(t, i) for t, i in zip(tables, idx)]
+    w = normalize_weights(weights, len(tables))
+    outs = [lookup(t, i, combiner=combiner, weights=wt)
+            for t, i, wt in zip(tables, idx, w)]
     if isinstance(strategy, PreallocationStrategy):
         return _fuse_outputs(strategy, tables, outs)
     return outs
@@ -160,7 +188,8 @@ def _fuse_outputs(strategy: PreallocationStrategy, tables, outs):
     return jnp.concatenate(pieces, axis=-1)
 
 
-def maplookup_vjp(strategy_or_tables, tables_or_indices=None, maybe_indices=None
+def maplookup_vjp(strategy_or_tables, tables_or_indices=None, maybe_indices=None,
+                  *, combiner: str = "sum", weights=None
                   ) -> Tuple[object, Callable]:
     """Ensemble lookup plus the lazy pullback.
 
@@ -169,10 +198,15 @@ def maplookup_vjp(strategy_or_tables, tables_or_indices=None, maybe_indices=None
     - Preallocation (`rrule`, `lookup.jl:374-389`): pullback carves the fused
       delta into per-table feature slices with a `Slicer` starting at
       `prependrows` — views in the reference; XLA slices fuse to views here.
+
+    combiner/weights match `maplookup`; each table's combiner folds into its
+    update's per-occurrence weights (`lookup.effective_weights`), so the
+    ensemble pullback contract matches the single-table `lookup_vjp`.
     """
     strategy, tables, indices = _parse_args(strategy_or_tables, tables_or_indices,
                                             maybe_indices)
-    out = maplookup(strategy, tables, indices)
+    out = maplookup(strategy, tables, indices, combiner=combiner,
+                    weights=weights)
     if isinstance(tables, StackedTables):
         ntables = tables.ntables
         dims = [tables.dim] * ntables
@@ -180,16 +214,19 @@ def maplookup_vjp(strategy_or_tables, tables_or_indices=None, maybe_indices=None
         ntables = len(tables)
         dims = [featuresize(as_table(t)) for t in tables]
     idx = normalize_indices(indices, ntables)
+    w = normalize_weights(weights, ntables)
+    effs = [effective_weights(i, combiner, wt) for i, wt in zip(idx, w)]
 
     if isinstance(strategy, PreallocationStrategy):
         def pullback(delta: jax.Array) -> List[SparseEmbeddingUpdate]:
             slicer = Slicer(strategy.prependrows)
-            return [SparseEmbeddingUpdate(delta=slicer(d, delta), indices=i)
-                    for d, i in zip(dims, idx)]
+            return [SparseEmbeddingUpdate(delta=slicer(d, delta), indices=i,
+                                          weights=e)
+                    for d, i, e in zip(dims, idx, effs)]
     else:
         def pullback(deltas: Sequence[jax.Array]) -> List[SparseEmbeddingUpdate]:
-            return [SparseEmbeddingUpdate(delta=d, indices=i)
-                    for d, i in zip(deltas, idx)]
+            return [SparseEmbeddingUpdate(delta=d, indices=i, weights=e)
+                    for d, i, e in zip(deltas, idx, effs)]
 
     return out, pullback
 
@@ -248,14 +285,22 @@ class StackedTables:
         return SimpleEmbedding(self.data[self.offsets[t]:self.offsets[t + 1]])
 
 
-def _maplookup_stacked(strategy, st: StackedTables, indices):
+def _maplookup_stacked(strategy, st: StackedTables, indices, *,
+                       combiner: str = "sum", weights=None):
     idx = normalize_indices(indices, st.ntables)
     g = st.shift_indices(idx)  # (T, B) or (T, B, bag)
+    w = normalize_weights(weights, st.ntables)
+    flat_w = None
     if g.ndim == 2:
         flat = g.reshape(-1)
     else:
         flat = g.reshape(-1, g.shape[-1])
-    out = lookup(SimpleEmbedding(st.data), flat)  # (T*B, dim) in ONE gather
+        if any(wt is not None for wt in w):
+            flat_w = jnp.concatenate(
+                [jnp.asarray(wt) if wt is not None
+                 else jnp.ones(g.shape[1:], jnp.float32) for wt in w], axis=0)
+    out = lookup(SimpleEmbedding(st.data), flat, combiner=combiner,
+                 weights=flat_w)  # (T*B, dim) in ONE gather
     b = g.shape[1]
     per_table = out.reshape(st.ntables, b, st.dim)
     if isinstance(strategy, PreallocationStrategy):

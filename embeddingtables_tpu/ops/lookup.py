@@ -161,6 +161,23 @@ def lookup(table, indices, context: "IndexingContext | None" = None, *,
     return _combine(rows, indices, combiner, weights)
 
 
+def effective_weights(indices: jax.Array, combiner: str, weights):
+    """Per-occurrence scale that folds the combiner into the lazy update, so
+    downstream fused optimizers need no combiner knowledge: None for plain
+    sum bags / non-reducing lookups, else a `(B, bag)` float32 array."""
+    if indices.ndim != 2:
+        return None
+    b, bag = indices.shape
+    if combiner == "mean":
+        if weights is not None:
+            w = jnp.asarray(weights).astype(jnp.float32)
+            return w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+        return jnp.full((b, bag), 1.0 / bag, jnp.float32)
+    if weights is not None:
+        return jnp.asarray(weights).astype(jnp.float32)
+    return None
+
+
 def lookup_vjp(table, indices, *, combiner: str = "sum", weights=None
                ) -> Tuple[jax.Array, Callable[[jax.Array], SparseEmbeddingUpdate]]:
     """Lookup plus the *lazy* pullback (reference `rrule(lookup, A, I)`,
@@ -175,18 +192,7 @@ def lookup_vjp(table, indices, *, combiner: str = "sum", weights=None
     """
     indices = jnp.asarray(indices)
     out = lookup(table, indices, combiner=combiner, weights=weights)
-
-    eff = None
-    if indices.ndim == 2:
-        b, bag = indices.shape
-        if combiner == "mean":
-            if weights is not None:
-                w = jnp.asarray(weights).astype(jnp.float32)
-                eff = w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
-            else:
-                eff = jnp.full((b, bag), 1.0 / bag, jnp.float32)
-        elif weights is not None:
-            eff = jnp.asarray(weights).astype(jnp.float32)
+    eff = effective_weights(indices, combiner, weights)
 
     def pullback(delta: jax.Array) -> SparseEmbeddingUpdate:
         return SparseEmbeddingUpdate(delta=delta, indices=indices,

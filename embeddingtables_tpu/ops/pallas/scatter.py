@@ -7,14 +7,20 @@ accumulate every gradient row touching it in on-chip VMEM, then apply
 bandwidth-roofline discipline the reference gets from TiledSIMD + nontemporal
 stores.
 
-Algorithm (measured v5e, 2026-08): XLA's scatter-add runs ~10x off the DMA
-roofline (33.6 ms for n=1.7M, D=128), while this package's DMA-pipelined
-gather moves the same rows at 768 GB/s (2.3 ms). So the update is built from
-the same primitive:
+Measured reality (v5e, docs/DESIGN.md §1b — read before trusting any number
+here): XLA's native scatter-add is the PRODUCTION path (33.6 ms at n=1.7M,
+D=128, ~2 row accesses per occurrence); THIS per-occurrence run-scatter
+measured 111 ms — the serial `acc +=` walk underuses the VPU and the
+boundary DMAs serialize against it. `config.update_impl()`'s "auto" therefore
+never selects it. It remains the correctness-tested realization of the
+one-write-per-unique-row contract and the base for the vectorized rebuild
+(scatter_v2) that targets the unclaimed dedup win on skewed traffic
+(Zipf(1.1) duplication is 4.45x and XLA's scatter gets zero benefit from it).
+
+Algorithm:
 
   1. XLA `sort_key_val(rows, iota)` — sorted rows + permutation (4.9 ms);
-  2. permute the value stream with the *Pallas gather* (2.3 ms, not XLA's
-     18 ms take);
+  2. permute the value stream (Pallas gather when lane-aligned);
   3. THIS kernel: stream the sorted value blocks through VMEM (pipelined
      contiguous copies); walk each block once, accumulating the current run
      in a VMEM accumulator that persists across sequential grid steps; at
@@ -83,7 +89,12 @@ def _runscatter_kernel(tb: int, rows_ref, scale_ref, vals_ref, table_ref,
         row = rows_ref[g]
         boundary = jnp.logical_and(row != rows_ref[g + 1], row >= 0)
 
-        acc[:, :] = acc[:, :] + vals_ref[j].astype(acc.dtype)
+        # Padding entries (row < 0) must not leak into the first real run:
+        # sorted-ascending streams put negatives FIRST, so an unmasked
+        # accumulate would fold their values into the first row >= 0.
+        @pl.when(row >= 0)
+        def _(j=j):
+            acc[:, :] = acc[:, :] + vals_ref[j].astype(acc.dtype)
 
         @pl.when(boundary)
         def _(j=j, row=row):
@@ -183,11 +194,13 @@ def scatter_add_rows_sorted(table: jax.Array, sorted_rows: jax.Array,
 
 def scatter_update(table: jax.Array, rows: jax.Array, vals: jax.Array,
                    scale=1.0, *, interpret: bool | None = None) -> jax.Array:
-    """Duplicate-accumulating scatter-add at DMA speed: sort the occurrence
-    stream, permute values with the Pallas gather, run-scatter.
+    """Duplicate-accumulating scatter-add via sorted runs: sort the
+    occurrence stream, permute values with the Pallas gather, run-scatter.
 
-    Equivalent to `table.at[rows].add(scale * vals)` (which measures ~10x
-    slower on TPU at production sizes)."""
+    Mathematically equivalent to `table.at[rows].add(scale * vals)`. NOT the
+    fast path on v5e (XLA scatter 33.6 ms vs this 111 ms at n=1.7M, D=128 —
+    docs/DESIGN.md §1b); kept as the forceable one-write-per-unique-row
+    realization."""
     from .gather import gather_rows
     n = rows.shape[0]
     sorted_rows, perm = jax.lax.sort_key_val(rows.astype(jnp.int32),

@@ -20,13 +20,13 @@ Semantics (SURVEY.md §2.4 items 5, 6, 8, 9):
   - partitioned (IndexerView) updates match the unsplit update.
 
 TPU reinterpretation: the "accumulate in registers then one nontemporal store
-per row" CPU kernel becomes (a) a single XLA scatter-add (`.at[idx].add`),
-which the TPU handles natively with duplicate accumulation, or (b) the dedup
-path: indexer + `segment_sum` + one row-write per unique row (drop-padded
-scatter), or (c) the Pallas scatter-FMA kernel (ops/pallas/scatter.py) that
-DMAs each unique row once, accumulates its delta columns in VMEM, and writes
-`row - lr*acc` back — the roofline-optimal 1-load+1-store-per-unique-row
-discipline of the reference.
+per row" CPU kernel becomes (a) a single XLA scatter-add (`.at[idx].add`) —
+the measured production path on v5e ("auto", docs/DESIGN.md §1b), (b) the
+dedup path: indexer + `segment_sum` + one row-write per unique row
+(drop-padded scatter) — required for row-state optimizers, or (c) the Pallas
+run-scatter kernel (ops/pallas/scatter.py) realizing the reference's
+1-load+1-store-per-unique-row discipline — correct and forceable, but slower
+than XLA's scatter on v5e as shipped in round 1 (111 vs 33.6 ms).
 """
 from __future__ import annotations
 
@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import config
-from ..tables import SimpleEmbedding, as_table, is_table
+from ..tables import SimpleEmbedding, SplitEmbedding, as_table, is_table
 from .indexer import (DenseIndexer, IndexerResult, IndexerView, SparseIndexer,
                       flatten_indices, index, indexer_view)
 
@@ -131,11 +131,11 @@ def _sgd_scatter(data: jax.Array, upd: SparseEmbeddingUpdate, lr) -> jax.Array:
     """Direct scatter path: one XLA scatter-add with duplicate accumulation.
     Mathematically equal to the dedup path for SGD (linear update).
 
-    Measured v5e (loop-variant indices, 2026-08): pre-sorting does NOT pay —
-    unsorted 33.6 ms vs sorted 46.1 ms at n=1.7M D=128 once the per-step sort
-    is actually executed (an earlier "sorted wins" readout was an artifact of
-    XLA hoisting a loop-invariant sort). The Pallas run-scatter (scatter.py)
-    is the fast path on TPU."""
+    Measured v5e (loop-variant indices, docs/DESIGN.md §1b): this IS the fast
+    path — 33.6 ms at n=1.7M D=128. Pre-sorting does NOT pay (46.1 ms once
+    the per-step sort actually executes; an earlier "sorted wins" readout was
+    an artifact of XLA hoisting a loop-invariant sort), and the per-occurrence
+    Pallas run-scatter measured 111 ms (serialized accumulator)."""
     rows, vals = occurrence_values(upd)
     return data.at[rows].add((-lr * vals).astype(data.dtype))
 
@@ -243,10 +243,30 @@ def ensemble_update(opt, tables: Sequence, upds: Sequence[SparseEmbeddingUpdate]
         if isinstance(t, SimpleEmbedding):
             new_data, ns = opt.apply(t.data, u, s)
             nt = t.replace_data(new_data)
-        else:  # generic protocol tables: SGD-style scatter through the table
-            rows, vals = occurrence_values(u)
-            nt = t.scatter_apply(rows, -getattr(opt, "lr", 0.01) * vals)
-            ns = s
+        else:
+            # Protocol tables (SplitEmbedding, user tables) expose only a
+            # scatter — safe for stateless SGD (linear update), but a
+            # STATEFUL optimizer routed through it would silently run plain
+            # SGD with unchanged state (wrong math).
+            stateless = getattr(getattr(s, "accum", None), "size", None) == 0
+            if stateless and hasattr(opt, "lr"):
+                rows, vals = occurrence_values(u)
+                nt = t.scatter_apply(rows, -opt.lr * vals)
+                ns = s
+            elif isinstance(t, SplitEmbedding):
+                # Correct stateful path: apply densely, re-split. O(V*D)
+                # materialization — for sharded production tables use
+                # `parallel.ShardedStackedTables`, whose update dedups and
+                # advances state per owned row without materializing.
+                new_data, ns = opt.apply(t.materialize(), u, s)
+                nt = SplitEmbedding(new_data, t.rows_per_shard,
+                                    name=t.spec.name)
+            else:
+                raise TypeError(
+                    f"{type(opt).__name__} is stateful; applying it through "
+                    f"{type(t).__name__}'s scatter protocol would silently "
+                    "degrade to SGD. Use a SimpleEmbedding/SplitEmbedding, "
+                    "or parallel.ShardedStackedTables for sharded tables.")
         new_tables.append(nt)
         new_states.append(ns)
     return new_tables, new_states

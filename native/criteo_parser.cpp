@@ -49,13 +49,29 @@ inline double parse_number(const char* s, size_t n, bool* ok) {
     i = 1;
   }
   double v = 0.0;
+  bool any_digit = false;
+  double frac_scale = 0.0;  // 0 = before the decimal point
   for (; i < n; ++i) {
     char c = s[i];
+    if (c == '.' && frac_scale == 0.0) {
+      frac_scale = 0.1;
+      continue;
+    }
     if (c < '0' || c > '9') {
       *ok = false;
       return 0.0;
     }
-    v = v * 10.0 + (c - '0');
+    any_digit = true;
+    if (frac_scale == 0.0) {
+      v = v * 10.0 + (c - '0');
+    } else {
+      v += frac_scale * (c - '0');
+      frac_scale *= 0.1;
+    }
+  }
+  if (!any_digit) {
+    *ok = false;
+    return 0.0;
   }
   *ok = true;
   return neg ? -v : v;
@@ -120,7 +136,11 @@ long criteo_parse(const char* buf, long len, long max_rows,
         fstart = i + 1;
       }
     }
-    if (bad || field != 1 + kNumDense + kNumSparse) {
+    // A valid line consumes exactly 40 fields AND the whole line: if the
+    // field walk hit its cap with unconsumed bytes left (fstart <= line_end),
+    // the line has extra fields and is skipped — matching the Python oracle's
+    // `len(parts) != 40 -> skip` policy.
+    if (bad || field != 1 + kNumDense + kNumSparse || fstart <= line_end) {
       ++*skipped;
     } else {
       ++rows;

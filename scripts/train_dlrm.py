@@ -69,9 +69,13 @@ def main():
                      bag=args.bag, combiner=args.combiner)
     if args.criteo:
         assert args.tables == 26, "Criteo has 26 categorical features"
-        train_it = iter(PrefetchLoader(
-            iter(CriteoFileLoader(args.criteo, vocabs, args.batch)),
-            depth=args.prefetch))
+        # Eval takes the FIRST eval_batches of the file; the training stream
+        # skips that prefix so periodic AUC is measured on unseen examples.
+        train_raw = iter(CriteoFileLoader(args.criteo, vocabs, args.batch))
+        if args.eval_every:
+            for _ in range(args.eval_batches):
+                next(train_raw, None)
+        train_it = iter(PrefetchLoader(train_raw, depth=args.prefetch))
         eval_batches = list(CriteoFileLoader(args.criteo, vocabs, args.batch,
                                              max_batches=args.eval_batches))
     else:

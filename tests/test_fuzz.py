@@ -15,7 +15,7 @@ import embeddingtables_tpu as et
 from embeddingtables_tpu.ops.lookup import lookup_oracle
 
 
-@pytest.mark.parametrize("trial", range(20))
+@pytest.mark.parametrize("trial", range(40))
 def test_lookup_fuzz(trial):
     rng = np.random.default_rng(1000 + trial)
     vocab = int(rng.integers(1, 300))
@@ -45,7 +45,7 @@ def test_lookup_fuzz(trial):
                                rtol=5e-3, atol=5e-3)
 
 
-@pytest.mark.parametrize("trial", range(12))
+@pytest.mark.parametrize("trial", range(24))
 def test_update_fuzz_matches_uncompress(trial):
     rng = np.random.default_rng(2000 + trial)
     vocab = int(rng.integers(2, 200))
@@ -66,7 +66,7 @@ def test_update_fuzz_matches_uncompress(trial):
                                    atol=2e-5, err_msg=method)
 
 
-@pytest.mark.parametrize("trial", range(8))
+@pytest.mark.parametrize("trial", range(16))
 def test_split_embedding_fuzz(trial):
     rng = np.random.default_rng(3000 + trial)
     vocab = int(rng.integers(3, 120))
@@ -79,7 +79,7 @@ def test_split_embedding_fuzz(trial):
                                data[idx], rtol=1e-6)
 
 
-@pytest.mark.parametrize("trial", range(8))
+@pytest.mark.parametrize("trial", range(16))
 def test_indexer_fuzz_contract(trial):
     """First-occurrence order + CSR structure on random streams, both
     backends (SURVEY.md §2.4 item 11)."""

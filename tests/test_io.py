@@ -32,6 +32,16 @@ def make_tsv(path, rows=300, seed=0, mangle=True):
         lines.append("\t".join([label] + dense + cats))
         if mangle and r % 37 == 36:
             lines.append("garbage line with\ttoo few fields")
+        if mangle and r % 41 == 40:
+            # Extra-fields line: 41 tab-separated fields — both parsers skip.
+            lines.append("\t".join(["1"] + ["2"] * 13 + ["aa"] * 26
+                                   + ["extra"]))
+        if mangle and r % 43 == 42:
+            # Unparseable label — both parsers skip the row.
+            lines.append("\t".join(["notanumber"] + ["3"] * 13 + ["bb"] * 26))
+        if mangle and r % 47 == 46:
+            # Decimal dense field — parsed as a fraction by both.
+            lines.append("\t".join(["0"] + ["1.5"] * 13 + ["cc"] * 26))
     path.write_text("\n".join(lines) + "\n")
     return path
 
@@ -101,6 +111,22 @@ def test_parallel_batches_interleaves_and_propagates_errors():
     with pytest.raises(RuntimeError, match="producer died"):
         while True:
             next(it2)
+
+
+def test_parallel_batches_finite_iterators_terminate():
+    # Finite worker iterators must end the stream (StopIteration), not block
+    # forever on an empty queue.
+    from embeddingtables_tpu.io import parallel_batches
+
+    def make_iter(wid):
+        def gen():
+            for i in range(5):
+                yield dict(w=wid, i=i)
+        return gen()
+
+    got = list(parallel_batches(make_iter, workers=3, depth=2))
+    assert len(got) == 15
+    assert {g["w"] for g in got} == {0, 1, 2}
 
 
 # ---------------------------------------------------------------------------

@@ -6,9 +6,11 @@ Equality is EXACT for the XLA paths (same-order summation is part of the
 contract, test/lookup.jl:66-108); the Pallas interpreter path is also exact.
 
 Coverage matrix (reference test/lookup.jl:66-138):
-  feature sizes {32, 64, 128, 256, 512, 1504} x index patterns
+  feature sizes {32, 64, 128, 256, 512, 1024, 1504} x index patterns
   {permutation (no repeats), uniform random (repeats)} x
   {non-reducing, reducing bags} x {Dynamic, Static, SplitEmbedding}.
+1024 is the reference's MAX_ACCUMULATOR_SIZE boundary (lookup.jl:30,66-67);
+1504 its oversized-oddball. NROWS matches the reference's 1000-row tables.
 """
 import jax
 import jax.numpy as jnp
@@ -17,8 +19,8 @@ import pytest
 
 import embeddingtables_tpu as et
 
-NROWS = 200
-FEATURE_SIZES = [32, 64, 128, 256, 512, 1504]
+NROWS = 1000
+FEATURE_SIZES = [32, 64, 128, 256, 512, 1024, 1504]
 BAG = 12
 
 
@@ -55,7 +57,7 @@ def test_nonreducing_simple(dim, pattern):
     assert (et.lookup(jnp.asarray(data), idx) == expected).all()
 
 
-@pytest.mark.parametrize("dim", [32, 128, 512, 1504])
+@pytest.mark.parametrize("dim", [32, 128, 512, 1024, 1504])
 def test_reducing_simple(dim):
     rng = np.random.default_rng(0xBEEF + dim)
     data = make_table(rng, NROWS, dim)
@@ -66,7 +68,10 @@ def test_reducing_simple(dim):
                   et.SimpleEmbedding(data, et.Static(dim))):
         out = et.lookup(table, idx)
         assert out.shape == (batch, dim)
-        np.testing.assert_allclose(out, expected, rtol=1e-6)
+        # EXACT equality: the XLA path sums the bag axis of the same gathered
+        # (B, bag, D) array as the oracle — same-order summation is part of
+        # the contract (reference test/lookup.jl:43-57 uses `==`).
+        assert (out == expected).all()
 
 
 @pytest.mark.parametrize("rows_per_shard", [10, 20, 30, 40, 50])
@@ -130,7 +135,9 @@ def test_pallas_interpret_parity_reducing():
     expected = et.lookup_oracle(jnp.asarray(data), jnp.asarray(idx))
     with et.config.use_impl(lookup="pallas"):
         out = et.lookup(et.SimpleEmbedding(data), idx)
-    np.testing.assert_allclose(out, expected, rtol=1e-6)
+    # The kernel accumulates the bag axis of the same gathered tile in the
+    # same order as the oracle: exact equality holds.
+    assert (np.asarray(out) == np.asarray(expected)).all()
 
 
 def test_destination_shape():

@@ -26,6 +26,10 @@ def oracle_concat(tables, idx_list):
         [et.lookup_oracle(t.data, i) for t, i in zip(tables, idx_list)], axis=-1)
 
 
+REPS = 5  # fresh random indices per repetition (reference runs 100-rep
+          # loops, test/map.jl:14-102; shapes are static so jit reuses)
+
+
 @pytest.mark.parametrize("dim", [16, 64, 512])
 @pytest.mark.parametrize("container", ["list_vec", "list_mat", "array2d", "array3d"])
 def test_strategies_match_oracle(dim, container):
@@ -33,33 +37,34 @@ def test_strategies_match_oracle(dim, container):
     ntables, batch, bag = 4, 24, 3
     tables = make_ensemble(rng, [dim] * ntables)
 
-    if container == "list_vec":
-        indices = [jnp.asarray(rng.integers(0, 60, size=batch).astype(np.int32))
-                   for _ in range(ntables)]
-        idx_list = indices
-    elif container == "list_mat":
-        indices = [jnp.asarray(rng.integers(0, 60, size=(batch, bag)).astype(np.int32))
-                   for _ in range(ntables)]
-        idx_list = indices
-    elif container == "array2d":
-        indices = jnp.asarray(
-            rng.integers(0, 60, size=(ntables, batch)).astype(np.int32))
-        idx_list = [indices[t] for t in range(ntables)]
-    else:
-        indices = jnp.asarray(
-            rng.integers(0, 60, size=(ntables, batch, bag)).astype(np.int32))
-        idx_list = [indices[t] for t in range(ntables)]
-
-    expected = oracle_concat(tables, idx_list)
-
-    for strategy in STRATEGIES:
-        out = et.maplookup(strategy, tables, indices)
-        if isinstance(strategy, et.PreallocationStrategy):
-            assert (out == expected).all()
+    for _ in range(REPS):
+        if container == "list_vec":
+            indices = [jnp.asarray(rng.integers(0, 60, size=batch).astype(np.int32))
+                       for _ in range(ntables)]
+            idx_list = indices
+        elif container == "list_mat":
+            indices = [jnp.asarray(rng.integers(0, 60, size=(batch, bag)).astype(np.int32))
+                       for _ in range(ntables)]
+            idx_list = indices
+        elif container == "array2d":
+            indices = jnp.asarray(
+                rng.integers(0, 60, size=(ntables, batch)).astype(np.int32))
+            idx_list = [indices[t] for t in range(ntables)]
         else:
-            assert isinstance(out, list) and len(out) == ntables
-            got = jnp.concatenate(out, axis=-1)
-            assert (got == expected).all()
+            indices = jnp.asarray(
+                rng.integers(0, 60, size=(ntables, batch, bag)).astype(np.int32))
+            idx_list = [indices[t] for t in range(ntables)]
+
+        expected = oracle_concat(tables, idx_list)
+
+        for strategy in STRATEGIES:
+            out = et.maplookup(strategy, tables, indices)
+            if isinstance(strategy, et.PreallocationStrategy):
+                assert (out == expected).all()
+            else:
+                assert isinstance(out, list) and len(out) == ntables
+                got = jnp.concatenate(out, axis=-1)
+                assert (got == expected).all()
 
 
 def test_maplookup_without_strategy():
@@ -167,6 +172,70 @@ def test_end_to_end_gradient_mse():
     for t, u, n in zip(tables, upds_a, new):
         expected = t.data - 1.0 * et.uncompress(u, 60)
         np.testing.assert_allclose(n.data, expected, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+@pytest.mark.parametrize("combiner", ["sum", "mean"])
+def test_maplookup_combiner_weights_match_oracle(combiner, weighted):
+    # The ensemble entry point honors the same combiner/weights contract as
+    # single-table `lookup` (round-1 asymmetry fix): every strategy and the
+    # stacked container must match the per-table lookup_oracle.
+    rng = np.random.default_rng(42)
+    ntables, batch, bag, dim = 3, 14, 4, 32
+    tables = make_ensemble(rng, [dim] * ntables)
+    idx = [jnp.asarray(rng.integers(0, 60, size=(batch, bag)).astype(np.int32))
+           for _ in range(ntables)]
+    w = None
+    w_list = [None] * ntables
+    if weighted:
+        w = jnp.asarray(rng.random((ntables, batch, bag)).astype(np.float32)
+                        + 0.1)
+        w_list = [w[t] for t in range(ntables)]
+
+    expected = [et.lookup_oracle(t.data, i, combiner=combiner, weights=wt)
+                for t, i, wt in zip(tables, idx, w_list)]
+
+    for strategy in STRATEGIES:
+        out = et.maplookup(strategy, tables, idx, combiner=combiner, weights=w)
+        if isinstance(strategy, et.PreallocationStrategy):
+            got = [out[:, t * dim:(t + 1) * dim] for t in range(ntables)]
+        else:
+            got = out
+        for g, e in zip(got, expected):
+            np.testing.assert_allclose(g, e, rtol=1e-5, atol=1e-6)
+
+    # Stacked container takes the same kwargs through the one-gather path.
+    st = et.StackedTables.stack(tables)
+    outs = et.maplookup(st, idx, combiner=combiner, weights=w)
+    for g, e in zip(outs, expected):
+        np.testing.assert_allclose(g, e, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("combiner", ["sum", "mean"])
+def test_maplookup_vjp_combiner_weights_match_dense_grad(combiner):
+    # Ensemble pullback with combiner/weights: uncompressed updates must equal
+    # the dense autodiff gradient of the combined lookup (matches the
+    # single-table lookup_vjp contract).
+    rng = np.random.default_rng(43)
+    ntables, batch, bag, dim = 2, 10, 3, 16
+    tables = make_ensemble(rng, [dim] * ntables)
+    idx = [jnp.asarray(rng.integers(0, 60, size=(batch, bag)).astype(np.int32))
+           for _ in range(ntables)]
+    w = [jnp.asarray(rng.random((batch, bag)).astype(np.float32) + 0.1)
+         for _ in range(ntables)]
+
+    out, pull = et.maplookup_vjp(et.PreallocationStrategy(), tables, idx,
+                                 combiner=combiner, weights=w)
+    delta = jnp.asarray(rng.standard_normal(out.shape).astype(np.float32))
+    upds = pull(delta)
+    off = 0
+    for t, i, wt, u in zip(tables, idx, w, upds):
+        d = delta[:, off:off + dim]
+        off += dim
+        want = jax.grad(lambda dat: (et.lookup_oracle(
+            dat, i, combiner=combiner, weights=wt) * d).sum())(t.data)
+        got = et.uncompress(u, 60)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_stacked_tables():

@@ -67,8 +67,6 @@ def test_sgd_update_matches_dense(method, reducing):
     delta = jnp.asarray(rng.standard_normal((idx.shape[0], dim)).astype(np.float32))
     upd = et.SparseEmbeddingUpdate(delta=delta, indices=idx)
 
-    dense_expected = data - LR * dense_grad(
-        data, idx, jnp.ones_like(delta) * 0 + delta) * 0  # placeholder, computed below
     # SGD math (§2.4 item 8): table[k] -= lr * sum of delta cols touching k.
     dense_expected = data - LR * et.uncompress(upd, NROWS)
 
@@ -149,6 +147,66 @@ def test_pallas_scatter_update_parity(reducing):
 
     new = et.sgd_update(et.SimpleEmbedding(data), upd, LR, method="pallas")
     np.testing.assert_allclose(new.data, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_scatter_sorted_negative_padding_dropped():
+    # Contract: entries < 0 in a sorted run stream are padding and must be
+    # DROPPED even when they carry nonzero values (sorted-ascending puts them
+    # first; an unmasked accumulator would leak them into the first real run).
+    from embeddingtables_tpu.ops.pallas.scatter import scatter_add_rows_sorted
+    dim = 128
+    table = jnp.zeros((8, dim), jnp.float32)
+    rows = jnp.asarray([-1, -1, 2, 2, 5, -1, -1, -1], jnp.int32)
+    # Ascending real rows with leading negative padding carrying garbage.
+    rows = jnp.sort(rows)  # [-1,-1,-1,-1,-1,2,2,5]
+    vals = jnp.full((8, dim), 100.0, jnp.float32)
+    vals = vals.at[5].set(1.0).at[6].set(2.0).at[7].set(7.0)
+    new = scatter_add_rows_sorted(table, rows, vals, 1.0, interpret=True)
+    expect = jnp.zeros((8, dim)).at[2].set(3.0).at[5].set(7.0)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(expect))
+
+
+def test_ensemble_update_stateful_protocol_table():
+    # Round-1 bug: a stateful optimizer on a protocol table silently ran SGD.
+    # Now: SplitEmbedding applies correctly (matches SimpleEmbedding result);
+    # an opaque protocol table raises.
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    rng = np.random.default_rng(11)
+    opt = SparseRowWiseAdaGrad(lr=0.5)
+    data = rng.standard_normal((40, 16)).astype(np.float32)
+    upd = et.SparseEmbeddingUpdate(
+        delta=jnp.asarray(rng.standard_normal((9, 16)).astype(np.float32)),
+        indices=jnp.asarray(rng.integers(0, 40, 9).astype(np.int32)))
+
+    [simple_new], [simple_state] = et.ensemble_update(
+        opt, [et.SimpleEmbedding(jnp.asarray(data))], [upd])
+    [split_new], [split_state] = et.ensemble_update(
+        opt, [et.SplitEmbedding(data, 13)], [upd])
+    np.testing.assert_allclose(np.asarray(split_new.materialize()),
+                               np.asarray(simple_new.data), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(split_state.accum),
+                               np.asarray(simple_state.accum), rtol=1e-6)
+
+    class Opaque:
+        spec = et.TableSpec(vocab=40, dim=16, dtype=jnp.float32,
+                            lookup=et.Dynamic())
+        def rows(self, idx):
+            return jnp.take(jnp.asarray(data), idx, axis=0)
+        def example(self):
+            return jnp.asarray(data)
+        def scatter_apply(self, idx, delta):
+            return self
+
+    with pytest.raises(TypeError, match="stateful"):
+        et.ensemble_update(opt, [Opaque()], [upd])
+
+    # Stateless SGD through the scatter protocol still works.
+    from embeddingtables_tpu.optim import SparseSGD
+    [sgd_new], _ = et.ensemble_update(SparseSGD(2.0), [et.SplitEmbedding(data, 13)], [upd])
+    expect = jnp.asarray(data) - 2.0 * et.uncompress(upd, 40)
+    np.testing.assert_allclose(np.asarray(sgd_new.materialize()),
+                               np.asarray(expect), rtol=1e-5, atol=1e-6)
 
 
 def test_grad_through_jax_autodiff_dense_cotangent():
