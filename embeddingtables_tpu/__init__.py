@@ -22,6 +22,7 @@ from .offload import HostOffloadEmbedding
 from .quant import QuantizedEmbedding
 from .serving import (MicroBatcher, make_dlrm_service,
                       make_retrieval_service, serve_http)
+from .rpc import ModelRouter, RPCClient, RPCServer, serve_rpc
 from .ops import (AbstractExecutionStrategy, DefaultStrategy, DenseIndexer,
                   Indexer, IndexerResult, IndexerView, PreallocationStrategy,
                   SimpleParallelStrategy, Slicer, SparseEmbeddingUpdate,
@@ -55,6 +56,6 @@ __all__ = [
     "ensemble_update", "accumulate_updates",
     # serving
     "MicroBatcher", "make_dlrm_service", "make_retrieval_service",
-    "serve_http",
+    "serve_http", "ModelRouter", "RPCServer", "RPCClient", "serve_rpc",
     "config",
 ]

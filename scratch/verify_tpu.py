@@ -159,7 +159,20 @@ resp = _json.loads(_rq.urlopen(_rq.Request(
 np.testing.assert_allclose(np.asarray(resp["scores"], np.float32), want[:2],
                            rtol=1e-4, atol=1e-5)
 server.shutdown()
+
+# --- 10. RPC transport on-chip: binary framing + routing over the service --
+from embeddingtables_tpu.rpc import ModelRouter, RPCClient, serve_rpc
+router = ModelRouter()
+router.register("dlrm", svc, stop_previous=False)
+rpc_srv = serve_rpc(router)
+cli = RPCClient(*rpc_srv.address)
+assert cli.ping() and cli.list_models() == ["dlrm"]
+rpc_got = cli.predict("dlrm", sb["dense"][:8], sb["cat"][:, :8])
+np.testing.assert_allclose(rpc_got, want[:8], rtol=1e-4, atol=1e-5)
+cli.close()
+rpc_srv.stop()
 svc.stop()
 print("9. serving layer on-chip: micro-batched + HTTP scores match eval")
+print("10. RPC transport on-chip: framed predict matches eval")
 
 print("ALL TPU VERIFICATION CHECKS PASSED")

@@ -24,6 +24,8 @@ jax.config.update("jax_enable_x64", False)
 
 
 def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-process / long-running tests")
     assert jax.default_backend() == "cpu", (
         "tests must run on the virtual CPU mesh, got " + jax.default_backend())
     assert jax.device_count() == 8, jax.devices()
