@@ -16,13 +16,26 @@ writes the donated table. That is what this bench runs (dense towers kept
 small so the embedding engine dominates), chained `CHUNK` steps inside one
 jit (remote-tunnel dispatch costs ~24 ms/call), fenced by a loss fetch.
 
+Three configurations (round-2: the dedup-update work needs a regression
+line for skewed traffic and stateful optimizers, not just the uniform-SGD
+headline):
+
+  uniform+SGD   — the headline (uniform-random indices, worst case for
+                  dedup: ~77% of occurrences are unique rows)
+  zipf+SGD      — Zipf(1.1) indices (realistic CTR skew, ~4.5x duplication;
+                  a dedup-exploiting update must make this FASTER than
+                  uniform, round-1 measured it slower)
+  uniform+AdaGrad — row-wise AdaGrad (the stateful path: indexer +
+                  segment-sum + one state advance per unique row)
+
     bytes/step = fwd:  B*T*D reads + B*T*D writes (emb activations)
                + bwd:  B*T*D delta writes
                + upd:  B*T*D delta reads + 2*B*T*D row read-modify-write
                = 6 * B * T * D * itemsize
 
-`vs_baseline` = achieved_GBps / chip_HBM_roofline_GBps (fraction of
-speed-of-light; target >= 0.80).
+`vs_baseline` = headline achieved_GBps / chip_HBM_roofline_GBps (fraction
+of speed-of-light; target >= 0.80). The other configs ride along as extra
+keys in the SAME single JSON line.
 
 Prints ONE JSON line on stdout; human-readable detail goes to stderr.
 """
@@ -65,6 +78,44 @@ def chip_roofline_gbps() -> float:
     return 819.0
 
 
+def zipf_cat(t: int, vocab: int, batch: int, seed: int = 0) -> np.ndarray:
+    """(T, B) Zipf(1.1) indices via the package's alias-method generator —
+    the same skew family as data.SyntheticCriteo's CTR traffic."""
+    from embeddingtables_tpu.data import SyntheticCriteo
+    gen = SyntheticCriteo(vocab_sizes=tuple([vocab] * t), batch_size=batch)
+    rng = np.random.default_rng(seed)
+    return np.stack([gen._zipf_indices(rng, vocab, (batch,))
+                     for _ in range(t)])
+
+
+def measure(step, model, dense, cat, label, vocab, chunk, reps):
+    """Median per-step seconds for `chunk` chained steps in one jit."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(model, dense, cat, label):
+        def body(k, carry):
+            m, _ = carry
+            # Vary indices per step so nothing is loop-invariant (shifting
+            # preserves the duplication structure of the index stream).
+            m, loss = step(m, dense, (cat + k) % vocab, label)
+            return m, loss
+        return jax.lax.fori_loop(0, chunk, body,
+                                 (model, jnp.zeros((), jnp.float32)))
+
+    model, loss = run_chunk(model, dense, cat, label)   # warmup/compile
+    _ = float(loss)  # loss fetch = the only honest fence over the tunnel
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        model, loss = run_chunk(model, dense, cat, label)
+        lv = float(loss)
+        times.append((time.perf_counter() - t0) / chunk)
+    assert np.isfinite(lv), lv
+    del model
+    return float(np.median(times))
+
+
 def main():
     on_tpu = jax.default_backend() == "tpu"
     # DLRM-shaped single-chip workload: 26 tables stacked into one array,
@@ -76,60 +127,74 @@ def main():
 
     from embeddingtables_tpu.models import DLRMConfig, init_dlrm
     from embeddingtables_tpu.models.dlrm import make_train_step
-    from embeddingtables_tpu.optim import SparseSGD
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad, SparseSGD
 
     cfg = DLRMConfig(vocab_sizes=tuple([vocab] * t), num_dense=13, dim=dim,
                      bottom_mlp=(64, dim), top_mlp=(64, 1))
-    model = init_dlrm(jax.random.key(0), cfg, sparse_opt=SparseSGD(1e-4))
-    step = make_train_step(cfg, sparse_opt=SparseSGD(1e-4), dense_lr=1e-4,
-                           jit=False)
 
     rng = np.random.default_rng(0)
     dense = jnp.asarray(rng.normal(size=(batch, 13)).astype(np.float32))
-    cat = jnp.asarray(np.stack(
+    cat_uni = jnp.asarray(np.stack(
         [rng.integers(0, vocab, (batch,)).astype(np.int32)
          for _ in range(t)]))
+    cat_zipf_np = zipf_cat(t, vocab, batch)
+    nuniq = len(np.unique(cat_zipf_np[0]))
+    cat_zipf = jnp.asarray(cat_zipf_np)
     label = jnp.asarray(rng.integers(0, 2, batch).astype(np.float32))
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def run_chunk(model, dense, cat, label):
-        def body(k, carry):
-            m, _ = carry
-            # Vary indices per step so nothing is loop-invariant.
-            m, loss = step(m, dense, (cat + k) % vocab, label)
-            return m, loss
-        return jax.lax.fori_loop(0, chunk, body,
-                                 (model, jnp.zeros((), jnp.float32)))
+    kind = jax.devices()[0].device_kind
+    results = {}
 
-    # Warmup / compile.
-    model, loss = run_chunk(model, dense, cat, label)
-    _ = float(loss)  # loss fetch = the only honest fence over the tunnel
+    # --- uniform + SGD (headline) and zipf + SGD share one compiled step ---
+    sgd_step = make_train_step(cfg, sparse_opt=SparseSGD(1e-4),
+                               dense_lr=1e-4, jit=False)
+    model = init_dlrm(jax.random.key(0), cfg, sparse_opt=SparseSGD(1e-4))
+    results["uniform_sgd"] = measure(sgd_step, model, dense, cat_uni, label,
+                                     vocab, chunk, reps)
+    print(f"# uniform_sgd {results['uniform_sgd']*1e3:.2f} ms",
+          file=sys.stderr, flush=True)
+    model = init_dlrm(jax.random.key(0), cfg, sparse_opt=SparseSGD(1e-4))
+    results["zipf_sgd"] = measure(sgd_step, model, dense, cat_zipf, label,
+                                  vocab, chunk, reps)
+    print(f"# zipf_sgd {results['zipf_sgd']*1e3:.2f} ms",
+          file=sys.stderr, flush=True)
 
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        model, loss = run_chunk(model, dense, cat, label)
-        lv = float(loss)
-        times.append((time.perf_counter() - t0) / chunk)
-    sec = float(np.median(times))
-    assert np.isfinite(lv), lv
+    # --- uniform + row-wise AdaGrad (the stateful dedup path) -------------
+    ada = SparseRowWiseAdaGrad(lr=1e-3)
+    ada_step = make_train_step(cfg, sparse_opt=ada, dense_lr=1e-4, jit=False)
+    model = init_dlrm(jax.random.key(0), cfg, sparse_opt=ada)
+    results["uniform_adagrad"] = measure(ada_step, model, dense, cat_uni,
+                                         label, vocab, chunk, reps)
+    print(f"# uniform_adagrad {results['uniform_adagrad']*1e3:.2f} ms",
+          file=sys.stderr, flush=True)
 
     itemsize = 4
     bytes_per_step = 6 * batch * t * dim * itemsize
-    gbps = bytes_per_step / sec / 1e9
     roofline = chip_roofline_gbps() if on_tpu else 100.0
-    frac = gbps / roofline
-    exps = batch / sec
 
-    print(f"# backend={jax.default_backend()} kind={jax.devices()[0].device_kind} "
-          f"T={t} V={vocab} D={dim} B={batch} step={sec*1e3:.3f} ms "
-          f"bw={gbps:.1f} GB/s roofline={roofline:.0f} GB/s frac={frac:.3f} "
-          f"({exps:,.0f} examples/s)", file=sys.stderr)
+    for name, sec in results.items():
+        gbps = bytes_per_step / sec / 1e9
+        print(f"# {name:16s} backend={jax.default_backend()} kind={kind} "
+              f"T={t} V={vocab} D={dim} B={batch} step={sec*1e3:.3f} ms "
+              f"bw={gbps:.1f} GB/s frac={gbps/roofline:.3f} "
+              f"({batch/sec:,.0f} examples/s)", file=sys.stderr)
+    print(f"# zipf duplication: {batch/nuniq:.2f}x "
+          f"({nuniq} unique of {batch}); zipf vs uniform step: "
+          f"{results['zipf_sgd']/results['uniform_sgd']:.3f}x",
+          file=sys.stderr)
+
+    sec = results["uniform_sgd"]
+    gbps = bytes_per_step / sec / 1e9
     print(json.dumps({
         "metric": "dlrm_train_step_embedding_bandwidth",
         "value": round(gbps, 2),
         "unit": "GB/s",
-        "vs_baseline": round(frac, 4),
+        "vs_baseline": round(gbps / roofline, 4),
+        "uniform_sgd_ms": round(results["uniform_sgd"] * 1e3, 3),
+        "zipf_sgd_ms": round(results["zipf_sgd"] * 1e3, 3),
+        "uniform_adagrad_ms": round(results["uniform_adagrad"] * 1e3, 3),
+        "zipf_speedup_vs_uniform": round(
+            results["uniform_sgd"] / results["zipf_sgd"], 4),
     }))
 
 

@@ -86,6 +86,20 @@ class SparseRowWiseAdaGrad:
     lr: float = 0.01
     eps: float = 1e-8
     initial_accum: float = 0.0
+    # Dedup realization: "auto" | "dense" | "indexer".
+    #   dense  : scatter-add deltas into a (V, D) f32 gradient buffer, then
+    #            ONE fused elementwise table pass applies the row/state
+    #            update — exactly-deduped by construction (untouched rows
+    #            see g = 0 -> no state advance, no row step), ZERO sorts.
+    #            Measured v5e (docs/DESIGN.md §1e): cuts the stacked-DLRM
+    #            AdaGrad step from 196 ms to ~its scatter+pass floor.
+    #   indexer: the round-1 sort-based path (index + segment_sum +
+    #            drop-scatter) — O(n log n) and V-independent; right when
+    #            the touched set is tiny relative to the vocabulary or the
+    #            (V, D) scratch does not fit.
+    #   auto   : dense when the occurrence count is a non-trivial fraction
+    #            of the vocab (n * 16 >= V), else indexer.
+    method: str = "auto"
 
     def init(self, data: jax.Array) -> SparseOptState:
         return SparseOptState(
@@ -93,9 +107,20 @@ class SparseRowWiseAdaGrad:
 
     def apply(self, data: jax.Array, upd: SparseEmbeddingUpdate,
               state: SparseOptState, *, row_offset: int = 0, lr=None,
-              idx_result: Optional[IndexerResult] = None):
+              idx_result: Optional[IndexerResult] = None,
+              method: str | None = None):
         lr = self.lr if lr is None else lr
         rows, g = _occurrence_grads(upd, row_offset)
+        method = method or self.method
+        if method == "auto":
+            # An explicit idx_result means the caller amortized the sort.
+            if idx_result is not None:
+                method = "indexer"
+            else:
+                method = ("dense" if rows.size * 16 >= data.shape[0]
+                          else "indexer")
+        if method == "dense":
+            return self._apply_dense(data, rows, g, state, lr)
         if idx_result is None:
             # Dedup over the (possibly shifted) occurrence stream.
             idx_result = index(rows.reshape(-1))
@@ -110,4 +135,22 @@ class SparseRowWiseAdaGrad:
         step = -lr * acc_g * jax.lax.rsqrt(new_accum_rows + self.eps)[:, None]
         new_data = data.at[target].add(step.astype(data.dtype), mode="drop")
         new_accum = state.accum.at[target].set(new_accum_rows, mode="drop")
+        return new_data, SparseOptState(accum=new_accum)
+
+    def _apply_dense(self, data, rows, g, state, lr):
+        """Sort-free dedup: one duplicate-accumulating scatter into a dense
+        (V, D) f32 gradient, then one fused elementwise pass.
+
+        The accumulate-per-unique-row-then-single-write contract
+        (`/root/reference/src/sparseupdate.jl:97-129`) holds exactly: the
+        scatter performs the accumulation; the elementwise pass writes each
+        row and its state once. Rows with zero gradient are fixed points
+        (g = 0 -> accum += 0, row -= 0)."""
+        grad = jnp.zeros(data.shape, jnp.float32).at[rows].add(
+            g.astype(jnp.float32))
+        g2 = jnp.mean(jnp.square(grad), axis=-1)          # (V,)
+        new_accum = state.accum + g2
+        denom = jax.lax.rsqrt(new_accum + self.eps)
+        new_data = (data.astype(jnp.float32)
+                    - lr * grad * denom[:, None]).astype(data.dtype)
         return new_data, SparseOptState(accum=new_accum)

@@ -216,15 +216,14 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
                                accum: jax.Array, upd: SparseEmbeddingUpdate,
                                opt, *, capacity_factor: float = 2.0):
     """Butterfly row-wise-AdaGrad update: route occurrences to their owners,
-    then each owner DEDUPS its received stream (sort-based indexer) and
-    advances every owned row and its accumulator exactly once — the
-    reference's single-write contract (`src/sparseupdate.jl:97-129`) applied
-    after routing. Returns (new_tables, new_accum, overflow).
+    then each owner dedups its received stream into a shard-sized dense
+    gradient (sort-free; docs/DESIGN.md §1e) and advances every owned row
+    and its accumulator exactly once — the reference's single-write contract
+    (`src/sparseupdate.jl:97-129`) applied after routing.
+    Returns (new_tables, new_accum, overflow).
 
     accum: `(n_shards, rows_local)` f32, sharded like the table rows.
     """
-    from ..ops.indexer import index
-
     axes = _axes_tuple(st.axis)
     axis0 = axes[0]
     n = st.n_shards
@@ -256,23 +255,19 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
 
         rows_local = shard.shape[1]
         slot = recv_slot.reshape(-1)
-        lrow = jnp.where(slot >= 0, slot, rows_local)  # sentinel group
-        ir = index(lrow)
-        n_occ = ir.capacity
-        acc_g = jax.ops.segment_sum(recv_vals, ir.group_of,
-                                    num_segments=n_occ)
-        active = jnp.arange(n_occ) < ir.num_unique
-        # The sentinel group's "row" is rows_local -> dropped by OOB scatter.
-        target = jnp.where(active, ir.unique, rows_local)
-        target = jnp.where(target >= rows_local, rows_local, target)
-        g2 = jnp.mean(jnp.square(acc_g), axis=-1)
-        safe = jnp.clip(target, 0, rows_local - 1)
-        new_acc_rows = acc[0, safe] + g2
-        step = (-opt.lr * acc_g
-                * jax.lax.rsqrt(new_acc_rows + opt.eps)[:, None])
-        new_shard = shard[0].at[target].add(step.astype(shard.dtype),
-                                            mode="drop")
-        new_acc = acc[0].at[target].set(new_acc_rows, mode="drop")
+        lrow = jnp.where(slot >= 0, slot, rows_local)  # sentinel -> dropped
+        # Dense-grad dedup (sort-free; optim.py `_apply_dense`, measured
+        # far cheaper than the indexer machinery, docs/DESIGN.md §1e):
+        # accumulate the received stream into a shard-sized f32 gradient,
+        # then ONE fused pass advances every owned row and its accumulator
+        # exactly once (untouched rows: g = 0 -> fixed point).
+        grad = jnp.zeros((rows_local, dim), jnp.float32).at[lrow].add(
+            recv_vals, mode="drop")
+        g2 = jnp.mean(jnp.square(grad), axis=-1)
+        new_acc = acc[0] + g2
+        denom = jax.lax.rsqrt(new_acc + opt.eps)
+        new_shard = (shard[0].astype(jnp.float32)
+                     - opt.lr * grad * denom[:, None]).astype(shard.dtype)
         if n_model > 1:
             overflow = jax.lax.psum(overflow, axes[1])
         return new_shard[None], new_acc[None], overflow.reshape(1)

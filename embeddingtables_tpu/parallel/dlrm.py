@@ -33,7 +33,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.dlrm import (DLRM, DLRMConfig, bce_loss, forward_from_embeddings,
                            init_dlrm)
-from ..ops.indexer import index
 from ..optim import SparseRowWiseAdaGrad, SparseSGD
 from .sharded import (ShardedStackedTables, _axes_tuple, _flat_axis_index,
                       sharded_ensemble_lookup)
@@ -132,7 +131,7 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
     to the mod-sharded stack in ONE exchange.
 
     Each device all-gathers the occurrence stream, keeps the rows it owns
-    (disjoint ownership = race-freedom), locally dedups (sort-based indexer),
+    (disjoint ownership = race-freedom), locally dedups (dense-grad, sort-free),
     and advances each owned row and its optimizer state exactly once —
     the reference's accumulate-then-single-write contract
     (`/root/reference/src/sparseupdate.jl:97-129`) per shard.
@@ -169,20 +168,20 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
             new = shard[0].at[lrow].add(
                 (-sparse_opt.lr * g).astype(shard.dtype), mode="drop")
             return new[None], acc
-        # Row-wise AdaGrad: dedup the owned stream, one write per unique row.
-        ir = index(lrow)
-        cap = ir.capacity
-        acc_g = jax.ops.segment_sum(g, ir.group_of, num_segments=cap)
-        active = jnp.arange(cap) < ir.num_unique
-        target = jnp.where(active, ir.unique, rows_local)
-        g2 = jnp.mean(jnp.square(acc_g), axis=-1)
-        safe = jnp.clip(target, 0, rows_local - 1)
-        new_acc_rows = acc[0, safe] + g2
-        step = (-sparse_opt.lr * acc_g
-                * jax.lax.rsqrt(new_acc_rows + sparse_opt.eps)[:, None])
-        new_shard = shard[0].at[target].add(step.astype(shard.dtype),
-                                            mode="drop")
-        new_acc = acc[0].at[target].set(new_acc_rows, mode="drop")
+        # Row-wise AdaGrad, dense-grad dedup (sort-free; optim.py
+        # `_apply_dense`, docs/DESIGN.md §1e): accumulate the owned stream
+        # into a shard-sized f32 gradient, then ONE fused pass advances
+        # each owned row and its accumulator exactly once (non-owned
+        # occurrences carry the OOB sentinel and drop; untouched rows see
+        # g = 0 and are fixed points).
+        grad = jnp.zeros((rows_local, shard.shape[2]), jnp.float32
+                         ).at[lrow].add(g, mode="drop")
+        g2 = jnp.mean(jnp.square(grad), axis=-1)
+        new_acc = acc[0] + g2
+        denom = jax.lax.rsqrt(new_acc + sparse_opt.eps)
+        new_shard = (shard[0].astype(jnp.float32)
+                     - sparse_opt.lr * grad * denom[:, None]
+                     ).astype(shard.dtype)
         return new_shard[None], new_acc[None]
 
     spec = P(None, baxis) if batch_sharded else P()

@@ -209,6 +209,39 @@ def test_ensemble_update_stateful_protocol_table():
                                np.asarray(expect), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("reducing", [False, True])
+def test_adagrad_dense_matches_indexer(reducing):
+    # The sort-free dense-grad AdaGrad realization must match the indexer
+    # path bit-for-bit in semantics (one state advance + one row write per
+    # unique row, duplicates accumulated first).
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    rng = np.random.default_rng(3)
+    V, D = 60, 16
+    data = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+    if reducing:
+        idx = jnp.asarray(rng.integers(0, V, (15, 3)).astype(np.int32))
+    else:
+        idx = jnp.asarray(rng.integers(0, V, (40,)).astype(np.int32))
+    delta = jnp.asarray(
+        rng.standard_normal((idx.shape[0], D)).astype(np.float32))
+    upd = et.SparseEmbeddingUpdate(delta=delta, indices=idx)
+    opt = SparseRowWiseAdaGrad(lr=0.7, initial_accum=0.05)
+    st = opt.init(data)
+    d_dense, s_dense = opt.apply(data, upd, st, method="dense")
+    d_idx, s_idx = opt.apply(data, upd, st, method="indexer")
+    np.testing.assert_allclose(np.asarray(d_dense), np.asarray(d_idx),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_dense.accum),
+                               np.asarray(s_idx.accum), rtol=1e-5, atol=1e-7)
+    # Untouched rows are exact fixed points on the dense path.
+    touched = np.unique(np.asarray(idx).ravel())
+    untouched = np.setdiff1d(np.arange(V), touched)
+    np.testing.assert_array_equal(np.asarray(d_dense)[untouched],
+                                  np.asarray(data)[untouched])
+    np.testing.assert_array_equal(np.asarray(s_dense.accum)[untouched],
+                                  np.full(len(untouched), 0.05, np.float32))
+
+
 def test_grad_through_jax_autodiff_dense_cotangent():
     # Plain jax.grad through `lookup` must agree with the uncompressed lazy
     # update (the reference's ProjectTo bridge makes Zygote accept the sparse
