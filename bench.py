@@ -167,6 +167,13 @@ def main():
                                          label, vocab, chunk, reps)
     print(f"# uniform_adagrad {results['uniform_adagrad']*1e3:.2f} ms",
           file=sys.stderr, flush=True)
+    # Zipf + AdaGrad — the production CTR configuration (same compiled step,
+    # so this line costs only measurement time).
+    model = init_dlrm(jax.random.key(0), cfg, sparse_opt=ada)
+    results["zipf_adagrad"] = measure(ada_step, model, dense, cat_zipf,
+                                      label, vocab, chunk, reps)
+    print(f"# zipf_adagrad {results['zipf_adagrad']*1e3:.2f} ms",
+          file=sys.stderr, flush=True)
 
     itemsize = 4
     bytes_per_step = 6 * batch * t * dim * itemsize
@@ -193,6 +200,7 @@ def main():
         "uniform_sgd_ms": round(results["uniform_sgd"] * 1e3, 3),
         "zipf_sgd_ms": round(results["zipf_sgd"] * 1e3, 3),
         "uniform_adagrad_ms": round(results["uniform_adagrad"] * 1e3, 3),
+        "zipf_adagrad_ms": round(results["zipf_adagrad"] * 1e3, 3),
         "zipf_speedup_vs_uniform": round(
             results["uniform_sgd"] / results["zipf_sgd"], 4),
     }))

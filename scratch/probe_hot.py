@@ -313,6 +313,45 @@ def main():
         _, table = timeit_table("P4e cold delta gather alone",
                                 p4e, table, rows, vals)
 
+    if want("P7"):
+        # Same-harness pair: is there a zipf-specific scatter penalty at
+        # all, and does spreading hot rows across replicas remove it?
+        uni7 = jnp.asarray(rng.integers(0, V, N).astype(np.int32))
+
+        def scat7(k, t, r, v):
+            t = t.at[(r + k) % V].add(v)
+            return t, jnp.sum(t[:2])
+        _, table = timeit_table("P7a scatter uniform rows", scat7, table,
+                                uni7, vals)
+        _, table = timeit_table("P7b scatter zipf rows", scat7, table,
+                                rows, vals)
+
+        # Replica-spread: hot row h scatters into one of R=8 replica slots
+        # appended at [V, V + H*R); fold is a trivial contiguous pass.
+        H7, R7 = 1024, 8
+        pos7 = jnp.arange(N, dtype=jnp.int32)
+        tbig = jax.jit(lambda t: jnp.concatenate(
+            [t, jnp.zeros((H7 * R7, D), jnp.float32)], axis=0))(table)
+        del table
+
+        def scat7c(k, t, r, v):
+            rr = (r + k) % V
+            hot = rr < H7
+            tgt = jnp.where(hot, V + rr * R7 + (pos7 & (R7 - 1)), rr)
+            t = t.at[tgt].add(v)
+            # Fold replicas back into the hot head (contiguous, tiny).
+            rep = jax.lax.dynamic_slice(t, (V, 0), (H7 * R7, D))
+            head = (jax.lax.dynamic_slice(t, (0, 0), (H7, D))
+                    + rep.reshape(H7, R7, D).sum(axis=1))
+            t = jax.lax.dynamic_update_slice(t, head, (0, 0))
+            t = jax.lax.dynamic_update_slice(
+                t, jnp.zeros((H7 * R7, D), jnp.float32), (V, 0))
+            return t, jnp.sum(t[:2])
+        timeit_table("P7c scatter zipf hot-replica-spread", scat7c, tbig,
+                     rows, vals)
+        del tbig
+        return
+
     if want("P3"):
         def hybrid(k, t, r, v, h=1024):
             rr = (r + k) % V
