@@ -40,6 +40,16 @@ class SparseOptState(NamedTuple):
     accum: jax.Array
 
 
+class SparseAdamState(NamedTuple):
+    """Lazy-Adam state: full `(vocab, dim)` f32 first/second moments plus
+    the global step count (bias correction uses the global step, the
+    TF-LazyAdam convention)."""
+
+    m: jax.Array
+    v: jax.Array
+    count: jax.Array
+
+
 def _occurrence_grads(upd: SparseEmbeddingUpdate, row_offset: int = 0):
     """Per-occurrence (rows, grad) streams; `row_offset` shifts local table
     rows into a stacked-ensemble global row space. Streaming-repeat bag
@@ -49,6 +59,30 @@ def _occurrence_grads(upd: SparseEmbeddingUpdate, row_offset: int = 0):
     return rows + row_offset, vals
 
 
+def _dense_grad(data, rows, g):
+    """Duplicate-accumulated (V, D) f32 dense gradient (the sort-free dedup
+    primitive, docs/DESIGN.md §1e)."""
+    return jnp.zeros(data.shape, jnp.float32).at[rows].add(
+        g.astype(jnp.float32))
+
+
+def _touched(grad_dense):
+    """(V,) bool: rows carrying any gradient this step. (A true-zero
+    accumulated gradient is indistinguishable from untouched — for LAZY
+    regularization semantics that coincidence is harmless.)"""
+    return jnp.any(grad_dense != 0.0, axis=-1)
+
+
+def _clip_rows(grad_dense, clipnorm):
+    """Per-row L2 clip of the ACCUMULATED row gradient (clipping must
+    follow dedup: clip(Σg), not Σclip(g))."""
+    if clipnorm is None:
+        return grad_dense
+    norm = jnp.linalg.norm(grad_dense, axis=-1, keepdims=True)
+    scale = jnp.minimum(1.0, clipnorm / jnp.maximum(norm, 1e-12))
+    return grad_dense * scale
+
+
 @dataclasses.dataclass(frozen=True)
 class SparseSGD:
     """Stateless sparse SGD: `table[r] -= lr * Σ_{occ of r} delta` — the
@@ -56,9 +90,17 @@ class SparseSGD:
 
     SGD is linear in the gradient, so a duplicate-accumulating scatter-add is
     bit-equivalent to the dedup path; the direct scatter is used (one XLA op,
-    no sort)."""
+    no sort).
+
+    weight_decay / clipnorm (beyond the reference; both LAZY — they touch
+    only rows with gradient this step, the standard sparse-training
+    semantics): nonzero values route through the dense-grad dedup pass
+    (decay needs one multiply per touched row; clipping must apply to the
+    ACCUMULATED row gradient), costing one extra table pass."""
 
     lr: float = 0.01
+    weight_decay: float = 0.0
+    clipnorm: Optional[float] = None
 
     def init(self, data: jax.Array) -> SparseOptState:
         return SparseOptState(accum=jnp.zeros((0,), data.dtype))
@@ -67,7 +109,15 @@ class SparseSGD:
               state: SparseOptState, *, row_offset: int = 0, lr=None):
         lr = self.lr if lr is None else lr
         rows, g = _occurrence_grads(upd, row_offset)
-        new = data.at[rows].add((-lr * g).astype(data.dtype))
+        if self.weight_decay == 0.0 and self.clipnorm is None:
+            new = data.at[rows].add((-lr * g).astype(data.dtype))
+            return new, state
+        grad = _clip_rows(_dense_grad(data, rows, g), self.clipnorm)
+        touched = _touched(grad)
+        decay = 1.0 - lr * self.weight_decay
+        scale = jnp.where(touched, decay, 1.0)[:, None]
+        new = (data.astype(jnp.float32) * scale - lr * grad).astype(
+            data.dtype)
         return new, state
 
 
@@ -86,6 +136,10 @@ class SparseRowWiseAdaGrad:
     lr: float = 0.01
     eps: float = 1e-8
     initial_accum: float = 0.0
+    # LAZY regularizers (touched rows only); nonzero values force the
+    # dense-grad realization (see SparseSGD docstring for why).
+    weight_decay: float = 0.0
+    clipnorm: Optional[float] = None
     # Dedup realization: "auto" | "dense" | "indexer".
     #   dense  : scatter-add deltas into a (V, D) f32 gradient buffer, then
     #            ONE fused elementwise table pass applies the row/state
@@ -112,13 +166,20 @@ class SparseRowWiseAdaGrad:
         lr = self.lr if lr is None else lr
         rows, g = _occurrence_grads(upd, row_offset)
         method = method or self.method
+        regularized = self.weight_decay != 0.0 or self.clipnorm is not None
         if method == "auto":
             # An explicit idx_result means the caller amortized the sort.
-            if idx_result is not None:
+            if regularized:
+                method = "dense"
+            elif idx_result is not None:
                 method = "indexer"
             else:
                 method = ("dense" if rows.size * 16 >= data.shape[0]
                           else "indexer")
+        if regularized and method != "dense":
+            raise ValueError(
+                "weight_decay/clipnorm require the dense realization "
+                "(lazy regularization applies per touched row)")
         if method == "dense":
             return self._apply_dense(data, rows, g, state, lr)
         if idx_result is None:
@@ -146,11 +207,77 @@ class SparseRowWiseAdaGrad:
         scatter performs the accumulation; the elementwise pass writes each
         row and its state once. Rows with zero gradient are fixed points
         (g = 0 -> accum += 0, row -= 0)."""
-        grad = jnp.zeros(data.shape, jnp.float32).at[rows].add(
-            g.astype(jnp.float32))
+        grad = _clip_rows(_dense_grad(data, rows, g), self.clipnorm)
         g2 = jnp.mean(jnp.square(grad), axis=-1)          # (V,)
         new_accum = state.accum + g2
-        denom = jax.lax.rsqrt(new_accum + self.eps)
+        # Safe denominator: with eps=0 an untouched row has accum 0 and
+        # rsqrt(0) = inf; 0 * inf = NaN. Mask the step to touched rows.
+        touched = _touched(grad)
+        denom = jax.lax.rsqrt(jnp.maximum(new_accum + self.eps, 1e-30))
+        step = lr * grad * denom[:, None]
         new_data = (data.astype(jnp.float32)
-                    - lr * grad * denom[:, None]).astype(data.dtype)
-        return new_data, SparseOptState(accum=new_accum)
+                    - jnp.where(touched[:, None], step, 0.0))
+        if self.weight_decay != 0.0:
+            scale = jnp.where(touched, 1.0 - lr * self.weight_decay, 1.0)
+            new_data = new_data * scale[:, None]
+        return new_data.astype(data.dtype), SparseOptState(accum=new_accum)
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseLazyAdam:
+    """Lazy Adam for embedding tables (beyond the reference): moments and
+    rows advance ONLY for rows touched this step — the standard sparse-Adam
+    semantics (a strict Adam would decay every row's moments every step,
+    costing a full-table pass of state churn and changing untouched rows).
+
+    Realized with the dense-grad dedup pass (docs/DESIGN.md §1e): one
+    duplicate-accumulating scatter + fused elementwise passes over the
+    `(V, D)` moments. Memory: two table-sized f32 buffers — right for
+    models where quality wants Adam and the vocab fits; row-wise AdaGrad
+    remains the memory-frugal default.
+
+        m_r = b1*m_r + (1-b1)*g_r         (touched rows only)
+        v_r = b2*v_r + (1-b2)*g_r^2
+        row_r -= lr * (m_r/(1-b1^t)) / (sqrt(v_r/(1-b2^t)) + eps)
+
+    weight_decay (lazy, decoupled/AdamW-style) and per-row clipnorm apply
+    to touched rows only, like the other optimizers here.
+    """
+
+    lr: float = 0.001
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    clipnorm: Optional[float] = None
+
+    def init(self, data: jax.Array) -> SparseAdamState:
+        # m and v must be DISTINCT buffers: donated train steps alias each
+        # pytree leaf to an output, and two leaves sharing one buffer is a
+        # donation conflict (opaque TPU InvalidArgument at fetch time).
+        return SparseAdamState(m=jnp.zeros(data.shape, jnp.float32),
+                               v=jnp.zeros(data.shape, jnp.float32),
+                               count=jnp.zeros((), jnp.int32))
+
+    def apply(self, data: jax.Array, upd: SparseEmbeddingUpdate,
+              state: SparseAdamState, *, row_offset: int = 0, lr=None):
+        lr = self.lr if lr is None else lr
+        rows, g = _occurrence_grads(upd, row_offset)
+        grad = _clip_rows(_dense_grad(data, rows, g), self.clipnorm)
+        touched = _touched(grad)[:, None]
+        t = state.count + 1
+        new_m = jnp.where(touched,
+                          self.b1 * state.m + (1 - self.b1) * grad, state.m)
+        new_v = jnp.where(touched,
+                          self.b2 * state.v + (1 - self.b2) * grad * grad,
+                          state.v)
+        tf = t.astype(jnp.float32)
+        mhat = new_m / (1 - self.b1 ** tf)
+        vhat = new_v / (1 - self.b2 ** tf)
+        step = lr * mhat / (jnp.sqrt(vhat) + self.eps)
+        new_data = data.astype(jnp.float32) - jnp.where(touched, step, 0.0)
+        if self.weight_decay != 0.0:
+            new_data = new_data * jnp.where(
+                touched, 1.0 - lr * self.weight_decay, 1.0)
+        return (new_data.astype(data.dtype),
+                SparseAdamState(m=new_m, v=new_v, count=t))

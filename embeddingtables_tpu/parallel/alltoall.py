@@ -265,7 +265,7 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
             recv_vals, mode="drop")
         g2 = jnp.mean(jnp.square(grad), axis=-1)
         new_acc = acc[0] + g2
-        denom = jax.lax.rsqrt(new_acc + opt.eps)
+        denom = jax.lax.rsqrt(jnp.maximum(new_acc + opt.eps, 1e-30))
         new_shard = (shard[0].astype(jnp.float32)
                      - opt.lr * grad * denom[:, None]).astype(shard.dtype)
         if n_model > 1:

@@ -178,7 +178,7 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
                          ).at[lrow].add(g, mode="drop")
         g2 = jnp.mean(jnp.square(grad), axis=-1)
         new_acc = acc[0] + g2
-        denom = jax.lax.rsqrt(new_acc + sparse_opt.eps)
+        denom = jax.lax.rsqrt(jnp.maximum(new_acc + sparse_opt.eps, 1e-30))
         new_shard = (shard[0].astype(jnp.float32)
                      - sparse_opt.lr * grad * denom[:, None]
                      ).astype(shard.dtype)
@@ -218,6 +218,13 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
     sparse_opt = sparse_opt or SparseSGD()
     if exchange not in ("gather", "a2a"):
         raise ValueError(exchange)
+    if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
+        # The sharded exchanges implement SGD and row-wise AdaGrad shard
+        # bodies; routing any other optimizer through them would silently
+        # run the wrong math (cf. the round-1 ensemble_update bug).
+        raise NotImplementedError(
+            f"sharded train step supports SparseSGD / SparseRowWiseAdaGrad, "
+            f"got {type(sparse_opt).__name__}")
     def step_a2a(model: ShardedDLRM, dense, cat, label):
         from .alltoall import (sharded_adagrad_update_a2a, sharded_lookup_a2a,
                                sharded_sgd_update_a2a)

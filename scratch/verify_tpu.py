@@ -187,4 +187,21 @@ _err = float(jnp.abs(_got - _want).max())
 assert _err < 1e-3, _err
 print(f"11. MXU segsum kernel on-chip matches oracle, max err {_err:.2g}")
 
+# --- 12. optimizer zoo on-chip: regularized SGD/AdaGrad + lazy Adam -------
+from embeddingtables_tpu.optim import (SparseLazyAdam, SparseRowWiseAdaGrad,
+                                       SparseSGD)
+_d = jnp.asarray(_r.standard_normal((500, 128)).astype(np.float32))
+_i = jnp.asarray(_r.integers(0, 500, 64).astype(np.int32))
+_dl = jnp.asarray(_r.standard_normal((64, 128)).astype(np.float32))
+_u = et.SparseEmbeddingUpdate(delta=_dl, indices=_i)
+for _opt in (SparseSGD(0.1, weight_decay=0.01, clipnorm=1.0),
+             SparseRowWiseAdaGrad(lr=0.1, weight_decay=0.01),
+             SparseLazyAdam(lr=0.01)):
+    _nd, _ns = _opt.apply(_d, _u, _opt.init(_d))
+    _touched = np.unique(np.asarray(_i))
+    _un = np.setdiff1d(np.arange(500), _touched)
+    assert (np.asarray(_nd)[_un] == np.asarray(_d)[_un]).all(), type(_opt)
+    assert not (np.asarray(_nd)[_touched] == np.asarray(_d)[_touched]).all()
+print("12. optimizer zoo on-chip: lazy decay/clip/Adam touch only their rows")
+
 print("ALL TPU VERIFICATION CHECKS PASSED")

@@ -40,7 +40,16 @@ def main():
     ap.add_argument("--bag", type=int, default=None,
                     help="multi-hot bag size (synthetic data only)")
     ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
-    ap.add_argument("--opt", choices=["sgd", "adagrad"], default="adagrad")
+    ap.add_argument("--opt", choices=["sgd", "adagrad", "adam"],
+                    default="adagrad")
+    ap.add_argument("--weight-decay", type=float, default=0.0,
+                    help="lazy L2 on touched rows (sparse opts)")
+    ap.add_argument("--clipnorm", type=float, default=None,
+                    help="per-row L2 clip of the accumulated row gradient")
+    ap.add_argument("--param-dtype", choices=["float32", "bfloat16"],
+                    default="float32",
+                    help="embedding/MLP parameter dtype (bf16 halves table "
+                         "HBM; ~neutral for speed on v5e, DESIGN.md §1e)")
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--eval-every", type=int, default=0)
     ap.add_argument("--eval-batches", type=int, default=4)
@@ -58,15 +67,18 @@ def main():
     from embeddingtables_tpu.io import CriteoFileLoader, PrefetchLoader
     from embeddingtables_tpu.models import DLRMConfig
     from embeddingtables_tpu.models.train import train_dlrm
-    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad, SparseSGD
+    from embeddingtables_tpu.optim import (SparseLazyAdam,
+                                           SparseRowWiseAdaGrad, SparseSGD)
     from embeddingtables_tpu.utils import CheckpointManager
     from embeddingtables_tpu.utils.telemetry import get_telemetry
 
     vocabs = tuple([args.vocab] * args.tables)
+    import jax.numpy as jnp
     cfg = DLRMConfig(vocab_sizes=vocabs, dim=args.dim,
                      bottom_mlp=(512, 256, args.dim),
                      top_mlp=(1024, 512, 256, 1),
-                     bag=args.bag, combiner=args.combiner)
+                     bag=args.bag, combiner=args.combiner,
+                     param_dtype=getattr(jnp, args.param_dtype))
     if args.criteo:
         assert args.tables == 26, "Criteo has 26 categorical features"
         # Eval takes the FIRST eval_batches of the file; the training stream
@@ -108,8 +120,10 @@ def main():
         mesh = default_mesh(("data",))
         print(f"mesh: {mesh}", flush=True)
 
-    opt = (SparseSGD(args.lr) if args.opt == "sgd"
-           else SparseRowWiseAdaGrad(lr=args.lr))
+    reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
+    opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
+           "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg),
+           "adam": lambda: SparseLazyAdam(lr=args.lr, **reg)}[args.opt]()
     mgr = CheckpointManager(args.ckpt) if args.ckpt else None
 
     print(f"backend={jax.default_backend()} devices={jax.device_count()} "
