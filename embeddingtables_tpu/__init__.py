@@ -20,6 +20,8 @@ from .tables import (SimpleEmbedding, SplitEmbedding, as_table, destination,
                      example, is_table)
 from .offload import HostOffloadEmbedding
 from .quant import QuantizedEmbedding
+from .qr import QREmbedding, qr_lookup_vjp
+from .md import MDEmbedding, md_lookup_vjp
 from .serving import (MicroBatcher, make_dlrm_service,
                       make_retrieval_service, serve_http)
 from .rpc import ModelRouter, RPCClient, RPCServer, serve_rpc
@@ -40,7 +42,8 @@ __all__ = [
     "Forward", "Update", "featuresize", "cdiv",
     # tables
     "SimpleEmbedding", "SplitEmbedding", "HostOffloadEmbedding",
-    "QuantizedEmbedding", "as_table", "example", "destination", "is_table",
+    "QuantizedEmbedding", "QREmbedding", "qr_lookup_vjp", "MDEmbedding",
+    "md_lookup_vjp", "as_table", "example", "destination", "is_table",
     # lookup
     "lookup", "lookup_oracle", "lookup_vjp",
     # ensemble
