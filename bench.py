@@ -88,8 +88,10 @@ def zipf_cat(t: int, vocab: int, batch: int, seed: int = 0) -> np.ndarray:
                      for _ in range(t)])
 
 
-def measure(step, model, dense, cat, label, vocab, chunk, reps):
-    """Median per-step seconds for `chunk` chained steps in one jit."""
+def make_runner(step, vocab, chunk):
+    """One jitted `chunk`-step chain per STEP FUNCTION — reused across index
+    configurations (uniform/zipf share a compile; `cat` is an argument, so
+    the jit cache hits instead of recompiling per closure)."""
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run_chunk(model, dense, cat, label):
@@ -102,8 +104,13 @@ def measure(step, model, dense, cat, label, vocab, chunk, reps):
         return jax.lax.fori_loop(0, chunk, body,
                                  (model, jnp.zeros((), jnp.float32)))
 
-    model, loss = run_chunk(model, dense, cat, label)   # warmup/compile
-    _ = float(loss)  # loss fetch = the only honest fence over the tunnel
+    return run_chunk
+
+
+def measure(run_chunk, model, dense, cat, label, chunk, reps):
+    """Median per-step seconds for `chunk` chained steps in one jit."""
+    model, loss = run_chunk(model, dense, cat, label)   # warmup (cached
+    _ = float(loss)  # after the first config); loss fetch = the fence
 
     times = []
     for _ in range(reps):
@@ -145,33 +152,34 @@ def main():
     kind = jax.devices()[0].device_kind
     results = {}
 
-    # --- uniform + SGD (headline) and zipf + SGD share one compiled step ---
+    # --- uniform + SGD (headline) and zipf + SGD share ONE compile --------
     sgd_step = make_train_step(cfg, sparse_opt=SparseSGD(1e-4),
                                dense_lr=1e-4, jit=False)
+    sgd_run = make_runner(sgd_step, vocab, chunk)
     model = init_dlrm(jax.random.key(0), cfg, sparse_opt=SparseSGD(1e-4))
-    results["uniform_sgd"] = measure(sgd_step, model, dense, cat_uni, label,
-                                     vocab, chunk, reps)
+    results["uniform_sgd"] = measure(sgd_run, model, dense, cat_uni, label,
+                                     chunk, reps)
     print(f"# uniform_sgd {results['uniform_sgd']*1e3:.2f} ms",
           file=sys.stderr, flush=True)
     model = init_dlrm(jax.random.key(0), cfg, sparse_opt=SparseSGD(1e-4))
-    results["zipf_sgd"] = measure(sgd_step, model, dense, cat_zipf, label,
-                                  vocab, chunk, reps)
+    results["zipf_sgd"] = measure(sgd_run, model, dense, cat_zipf, label,
+                                  chunk, reps)
     print(f"# zipf_sgd {results['zipf_sgd']*1e3:.2f} ms",
           file=sys.stderr, flush=True)
 
-    # --- uniform + row-wise AdaGrad (the stateful dedup path) -------------
+    # --- row-wise AdaGrad (the stateful dedup path), ONE compile ----------
     ada = SparseRowWiseAdaGrad(lr=1e-3)
     ada_step = make_train_step(cfg, sparse_opt=ada, dense_lr=1e-4, jit=False)
+    ada_run = make_runner(ada_step, vocab, chunk)
     model = init_dlrm(jax.random.key(0), cfg, sparse_opt=ada)
-    results["uniform_adagrad"] = measure(ada_step, model, dense, cat_uni,
-                                         label, vocab, chunk, reps)
+    results["uniform_adagrad"] = measure(ada_run, model, dense, cat_uni,
+                                         label, chunk, reps)
     print(f"# uniform_adagrad {results['uniform_adagrad']*1e3:.2f} ms",
           file=sys.stderr, flush=True)
-    # Zipf + AdaGrad — the production CTR configuration (same compiled step,
-    # so this line costs only measurement time).
+    # Zipf + AdaGrad — the production CTR configuration.
     model = init_dlrm(jax.random.key(0), cfg, sparse_opt=ada)
-    results["zipf_adagrad"] = measure(ada_step, model, dense, cat_zipf,
-                                      label, vocab, chunk, reps)
+    results["zipf_adagrad"] = measure(ada_run, model, dense, cat_zipf,
+                                      label, chunk, reps)
     print(f"# zipf_adagrad {results['zipf_adagrad']*1e3:.2f} ms",
           file=sys.stderr, flush=True)
 

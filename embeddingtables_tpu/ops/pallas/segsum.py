@@ -104,6 +104,10 @@ def hot_accumulate(rows: jax.Array, vals: jax.Array, num_segments: int, *,
     if num_segments % 128 != 0:
         raise ValueError(
             f"num_segments {num_segments} must be a multiple of 128")
+    if n == 0:
+        # A zero-size grid would return the output buffer UNINITIALIZED
+        # (neither the first-tile zeroing nor the last-tile write runs).
+        return jnp.zeros((num_segments, d), jnp.float32)
     tb = min(tb, max(128, 1 << (n - 1).bit_length()))
     n_pad = cdiv(n, tb) * tb
     if n_pad != n:

@@ -245,11 +245,15 @@ def ensemble_update(opt, tables: Sequence, upds: Sequence[SparseEmbeddingUpdate]
             nt = t.replace_data(new_data)
         else:
             # Protocol tables (SplitEmbedding, user tables) expose only a
-            # scatter — safe for stateless SGD (linear update), but a
-            # STATEFUL optimizer routed through it would silently run plain
-            # SGD with unchanged state (wrong math).
+            # scatter — safe for PLAIN stateless SGD (linear update), but a
+            # stateful optimizer routed through it would silently run plain
+            # SGD with unchanged state, and a REGULARIZED SGD would
+            # silently drop its decay/clip (both wrong math).
             stateless = getattr(getattr(s, "accum", None), "size", None) == 0
-            if stateless and hasattr(opt, "lr"):
+            plain = (stateless and hasattr(opt, "lr")
+                     and getattr(opt, "weight_decay", 0.0) == 0.0
+                     and getattr(opt, "clipnorm", None) is None)
+            if plain:
                 rows, vals = occurrence_values(u)
                 nt = t.scatter_apply(rows, -opt.lr * vals)
                 ns = s
@@ -263,10 +267,11 @@ def ensemble_update(opt, tables: Sequence, upds: Sequence[SparseEmbeddingUpdate]
                                     name=t.spec.name)
             else:
                 raise TypeError(
-                    f"{type(opt).__name__} is stateful; applying it through "
-                    f"{type(t).__name__}'s scatter protocol would silently "
-                    "degrade to SGD. Use a SimpleEmbedding/SplitEmbedding, "
-                    "or parallel.ShardedStackedTables for sharded tables.")
+                    f"{type(opt).__name__} is stateful or regularized; "
+                    f"applying it through {type(t).__name__}'s scatter "
+                    "protocol would silently degrade to plain SGD. Use a "
+                    "SimpleEmbedding/SplitEmbedding, or "
+                    "parallel.ShardedStackedTables for sharded tables.")
         new_tables.append(nt)
         new_states.append(ns)
     return new_tables, new_states

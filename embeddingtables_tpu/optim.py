@@ -83,6 +83,48 @@ def _clip_rows(grad_dense, clipnorm):
     return grad_dense * scale
 
 
+# ---------------------------------------------------------------------------
+# Shard-shaped dense-grad update bodies — the ONE source of truth for the
+# sort-free dedup math (docs/DESIGN.md §1e). Used by the single-chip
+# optimizers below AND by the sharded exchanges (parallel/dlrm.py,
+# parallel/alltoall.py), so clip/decay/eps fixes land everywhere at once.
+# `rows` may carry out-of-bounds drop sentinels (>= data.shape[0]).
+# ---------------------------------------------------------------------------
+
+def sgd_dense_body(data: jax.Array, rows: jax.Array, g: jax.Array,
+                   lr, weight_decay: float = 0.0,
+                   clipnorm: Optional[float] = None) -> jax.Array:
+    """`data[r] -= lr * clip(Σ g_r)` with lazy decay on touched rows."""
+    grad = _clip_rows(jnp.zeros(data.shape, jnp.float32).at[rows].add(
+        g.astype(jnp.float32), mode="drop"), clipnorm)
+    touched = _touched(grad)
+    new = data.astype(jnp.float32) - lr * grad
+    if weight_decay != 0.0:
+        new = new * jnp.where(touched, 1.0 - lr * weight_decay, 1.0)[:, None]
+    return new.astype(data.dtype)
+
+
+def adagrad_dense_body(data: jax.Array, accum: jax.Array, rows: jax.Array,
+                       g: jax.Array, lr, eps, weight_decay: float = 0.0,
+                       clipnorm: Optional[float] = None):
+    """Row-wise-AdaGrad dense-grad pass: returns (new_data, new_accum).
+    accum: (V,) f32. One state advance + one row write per touched row;
+    untouched rows are exact fixed points (incl. the eps=0 case — the step
+    is masked so 0 * rsqrt(0) never surfaces)."""
+    grad = _clip_rows(jnp.zeros(data.shape, jnp.float32).at[rows].add(
+        g.astype(jnp.float32), mode="drop"), clipnorm)
+    g2 = jnp.mean(jnp.square(grad), axis=-1)
+    new_accum = accum + g2
+    touched = _touched(grad)
+    denom = jax.lax.rsqrt(jnp.maximum(new_accum + eps, 1e-30))
+    step = lr * grad * denom[:, None]
+    new = (data.astype(jnp.float32)
+           - jnp.where(touched[:, None], step, 0.0))
+    if weight_decay != 0.0:
+        new = new * jnp.where(touched, 1.0 - lr * weight_decay, 1.0)[:, None]
+    return new.astype(data.dtype), new_accum
+
+
 @dataclasses.dataclass(frozen=True)
 class SparseSGD:
     """Stateless sparse SGD: `table[r] -= lr * Σ_{occ of r} delta` — the
@@ -112,13 +154,8 @@ class SparseSGD:
         if self.weight_decay == 0.0 and self.clipnorm is None:
             new = data.at[rows].add((-lr * g).astype(data.dtype))
             return new, state
-        grad = _clip_rows(_dense_grad(data, rows, g), self.clipnorm)
-        touched = _touched(grad)
-        decay = 1.0 - lr * self.weight_decay
-        scale = jnp.where(touched, decay, 1.0)[:, None]
-        new = (data.astype(jnp.float32) * scale - lr * grad).astype(
-            data.dtype)
-        return new, state
+        return sgd_dense_body(data, rows, g, lr, self.weight_decay,
+                              self.clipnorm), state
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,20 +244,10 @@ class SparseRowWiseAdaGrad:
         scatter performs the accumulation; the elementwise pass writes each
         row and its state once. Rows with zero gradient are fixed points
         (g = 0 -> accum += 0, row -= 0)."""
-        grad = _clip_rows(_dense_grad(data, rows, g), self.clipnorm)
-        g2 = jnp.mean(jnp.square(grad), axis=-1)          # (V,)
-        new_accum = state.accum + g2
-        # Safe denominator: with eps=0 an untouched row has accum 0 and
-        # rsqrt(0) = inf; 0 * inf = NaN. Mask the step to touched rows.
-        touched = _touched(grad)
-        denom = jax.lax.rsqrt(jnp.maximum(new_accum + self.eps, 1e-30))
-        step = lr * grad * denom[:, None]
-        new_data = (data.astype(jnp.float32)
-                    - jnp.where(touched[:, None], step, 0.0))
-        if self.weight_decay != 0.0:
-            scale = jnp.where(touched, 1.0 - lr * self.weight_decay, 1.0)
-            new_data = new_data * scale[:, None]
-        return new_data.astype(data.dtype), SparseOptState(accum=new_accum)
+        new_data, new_accum = adagrad_dense_body(
+            data, state.accum, rows, g, lr, self.eps, self.weight_decay,
+            self.clipnorm)
+        return new_data, SparseOptState(accum=new_accum)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -256,18 +256,13 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         rows_local = shard.shape[1]
         slot = recv_slot.reshape(-1)
         lrow = jnp.where(slot >= 0, slot, rows_local)  # sentinel -> dropped
-        # Dense-grad dedup (sort-free; optim.py `_apply_dense`, measured
-        # far cheaper than the indexer machinery, docs/DESIGN.md §1e):
-        # accumulate the received stream into a shard-sized f32 gradient,
-        # then ONE fused pass advances every owned row and its accumulator
-        # exactly once (untouched rows: g = 0 -> fixed point).
-        grad = jnp.zeros((rows_local, dim), jnp.float32).at[lrow].add(
-            recv_vals, mode="drop")
-        g2 = jnp.mean(jnp.square(grad), axis=-1)
-        new_acc = acc[0] + g2
-        denom = jax.lax.rsqrt(jnp.maximum(new_acc + opt.eps, 1e-30))
-        new_shard = (shard[0].astype(jnp.float32)
-                     - opt.lr * grad * denom[:, None]).astype(shard.dtype)
+        # Dense-grad dedup, shared with the single-chip optimizer
+        # (optim.adagrad_dense_body, docs/DESIGN.md §1e) so clip/decay and
+        # numerical guards stay in one place.
+        from ..optim import adagrad_dense_body
+        new_shard, new_acc = adagrad_dense_body(
+            shard[0], acc[0], lrow, recv_vals, opt.lr, opt.eps,
+            opt.weight_decay, opt.clipnorm)
         if n_model > 1:
             overflow = jax.lax.psum(overflow, axes[1])
         return new_shard[None], new_acc[None], overflow.reshape(1)

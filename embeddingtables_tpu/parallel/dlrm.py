@@ -164,24 +164,24 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
         rows_local = shard.shape[1]
         lrow = jnp.where(mine, rows // n, rows_local)  # sentinel = OOB -> drop
 
+        # Shard bodies share the single-chip dense-grad math (optim.py
+        # `sgd_dense_body`/`adagrad_dense_body`), so weight_decay/clipnorm
+        # and numerical guards behave identically on and off the mesh.
+        # Non-owned occurrences carry the OOB sentinel and drop.
         if not adagrad:
-            new = shard[0].at[lrow].add(
-                (-sparse_opt.lr * g).astype(shard.dtype), mode="drop")
+            if sparse_opt.weight_decay == 0.0 and sparse_opt.clipnorm is None:
+                new = shard[0].at[lrow].add(
+                    (-sparse_opt.lr * g).astype(shard.dtype), mode="drop")
+                return new[None], acc
+            from ..optim import sgd_dense_body
+            new = sgd_dense_body(shard[0], lrow, g, sparse_opt.lr,
+                                 sparse_opt.weight_decay,
+                                 sparse_opt.clipnorm)
             return new[None], acc
-        # Row-wise AdaGrad, dense-grad dedup (sort-free; optim.py
-        # `_apply_dense`, docs/DESIGN.md §1e): accumulate the owned stream
-        # into a shard-sized f32 gradient, then ONE fused pass advances
-        # each owned row and its accumulator exactly once (non-owned
-        # occurrences carry the OOB sentinel and drop; untouched rows see
-        # g = 0 and are fixed points).
-        grad = jnp.zeros((rows_local, shard.shape[2]), jnp.float32
-                         ).at[lrow].add(g, mode="drop")
-        g2 = jnp.mean(jnp.square(grad), axis=-1)
-        new_acc = acc[0] + g2
-        denom = jax.lax.rsqrt(jnp.maximum(new_acc + sparse_opt.eps, 1e-30))
-        new_shard = (shard[0].astype(jnp.float32)
-                     - sparse_opt.lr * grad * denom[:, None]
-                     ).astype(shard.dtype)
+        from ..optim import adagrad_dense_body
+        new_shard, new_acc = adagrad_dense_body(
+            shard[0], acc[0], lrow, g, sparse_opt.lr, sparse_opt.eps,
+            sparse_opt.weight_decay, sparse_opt.clipnorm)
         return new_shard[None], new_acc[None]
 
     spec = P(None, baxis) if batch_sharded else P()
@@ -225,6 +225,12 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
         raise NotImplementedError(
             f"sharded train step supports SparseSGD / SparseRowWiseAdaGrad, "
             f"got {type(sparse_opt).__name__}")
+    regularized = (sparse_opt.weight_decay != 0.0
+                   or sparse_opt.clipnorm is not None)
+    if exchange == "a2a" and isinstance(sparse_opt, SparseSGD) and regularized:
+        raise NotImplementedError(
+            "the a2a SGD exchange does not implement weight_decay/clipnorm; "
+            "use exchange='gather' (regularizers are supported there)")
     def step_a2a(model: ShardedDLRM, dense, cat, label):
         from .alltoall import (sharded_adagrad_update_a2a, sharded_lookup_a2a,
                                sharded_sgd_update_a2a)

@@ -187,7 +187,8 @@ class RPCServer:
         self._sock.settimeout(0.5)
         self.address = self._sock.getsockname()
         self._stop = threading.Event()
-        self._conns: list = []
+        self._conns: set = set()
+        self._conns_lock = threading.Lock()
         self._acceptor = threading.Thread(target=self._accept_loop,
                                           daemon=True, name="rpc-accept")
         self._acceptor.start()
@@ -201,7 +202,8 @@ class RPCServer:
             except OSError:
                 break
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            self._conns.append(conn)
+            with self._conns_lock:
+                self._conns.add(conn)
             threading.Thread(target=self._serve_conn, args=(conn,),
                              daemon=True, name="rpc-conn").start()
 
@@ -229,6 +231,8 @@ class RPCServer:
                 conn.close()
             except OSError:
                 pass
+            with self._conns_lock:
+                self._conns.discard(conn)
 
     def _handle(self, frame: memoryview, send: Callable[[bytes], None]):
         req_id, op, nlen = struct.unpack_from("<IBB", frame, 0)
@@ -245,11 +249,8 @@ class RPCServer:
                 send(pack_response(req_id, arrays=(names,)))
                 return
             if op == OP_STATS:
-                st = self.router.get(model).stats
-                blob = json.dumps(dict(
-                    requests=st.requests, examples=st.examples,
-                    batches=st.batches, padded=st.padded_examples,
-                    buckets=sorted(st.bucket_sizes))).encode()
+                blob = json.dumps(
+                    self.router.get(model).stats_snapshot()).encode()
                 send(pack_response(req_id,
                                    arrays=(np.frombuffer(blob, np.uint8),)))
                 return
@@ -285,7 +286,9 @@ class RPCServer:
             self._sock.close()
         except OSError:
             pass
-        for c in self._conns:
+        with self._conns_lock:
+            conns = list(self._conns)
+        for c in conns:
             try:
                 c.close()
             except OSError:
@@ -358,14 +361,23 @@ class RPCClient:
     def _send(self, op: int, model: str, arrays=()) -> Future:
         if self._closed.is_set():
             raise RuntimeError("client closed")
+        if not self._reader.is_alive():
+            # Nobody is left to resolve futures: fail fast instead of
+            # buffering into a half-dead socket and hanging the caller.
+            raise ConnectionError("RPC connection closed")
         fut: Future = Future()
         with self._plock:
             req_id = self._next_id
             self._next_id = (self._next_id + 1) & 0xFFFFFFFF
             self._pending[req_id] = fut
         data = pack_request(req_id, op, model, arrays)
-        with self._wlock:
-            self._sock.sendall(data)
+        try:
+            with self._wlock:
+                self._sock.sendall(data)
+        except OSError as e:
+            with self._plock:
+                self._pending.pop(req_id, None)
+            raise ConnectionError(f"RPC send failed: {e}") from e
         return fut
 
     def submit(self, model: str, dense, cat) -> Future:

@@ -77,6 +77,7 @@ class MicroBatcher:
         self.max_batch = max_batch
         self.max_latency = max_latency_ms / 1e3
         self.stats = BatcherStats()
+        self._stats_lock = threading.Lock()
         self._q: queue.Queue = queue.Queue()
         self._carry: Optional[_Pending] = None
         self._stop = threading.Event()
@@ -108,7 +109,29 @@ class MicroBatcher:
         """Blocking convenience wrapper around submit()."""
         return self.submit(dense, cat).result(timeout)
 
-    def stop(self):
+    def stats_snapshot(self) -> dict:
+        """Consistent copy of the batching counters (the live `stats`
+        fields are mutated by the worker thread; reading them piecemeal —
+        or iterating `bucket_sizes` while it grows — races)."""
+        with self._stats_lock:
+            st = self.stats
+            return dict(requests=st.requests, examples=st.examples,
+                        batches=st.batches,
+                        padded_examples=st.padded_examples,
+                        bucket_sizes=sorted(st.bucket_sizes))
+
+    def stop(self, drain: bool = True, timeout: float = 30.0):
+        """Stop the worker. drain=True (default) first lets queued work
+        flush so in-flight Futures resolve — required for hot-swap
+        (`ModelRouter.register` routes NEW requests to the replacement
+        before stopping the old batcher, so this queue only shrinks).
+        Anything still queued after `timeout` fails with RuntimeError."""
+        if drain:
+            deadline = time.monotonic() + timeout
+            while ((not self._q.empty() or self._carry is not None)
+                   and time.monotonic() < deadline
+                   and self._worker.is_alive()):
+                time.sleep(0.01)
         self._stop.set()
         self._q.put(None)                     # wake the worker
         self._worker.join(timeout=10)
@@ -172,12 +195,13 @@ class MicroBatcher:
         # (retrieval returns (scores, ids)); each is sliced per request.
         is_tuple = isinstance(out, (tuple, list))
         outs = [np.asarray(o) for o in (out if is_tuple else (out,))]
-        st = self.stats
-        st.requests += len(batch)
-        st.examples += size
-        st.batches += 1
-        st.padded_examples += padded - size
-        st.bucket_sizes.add(padded)
+        with self._stats_lock:
+            st = self.stats
+            st.requests += len(batch)
+            st.examples += size
+            st.batches += 1
+            st.padded_examples += padded - size
+            st.bucket_sizes.add(padded)
         off = 0
         for p in batch:
             sl = [o[off:off + p.size] for o in outs]
@@ -272,11 +296,7 @@ def serve_http(batcher: MicroBatcher, host: str = "127.0.0.1",
         def do_GET(self):
             if self.path != "/stats":
                 return self._reply(404, {"error": "unknown path"})
-            st = batcher.stats
-            self._reply(200, {
-                "requests": st.requests, "examples": st.examples,
-                "batches": st.batches, "padded_examples": st.padded_examples,
-                "bucket_sizes": sorted(st.bucket_sizes)})
+            self._reply(200, batcher.stats_snapshot())
 
         def do_POST(self):
             if self.path != "/predict":

@@ -38,6 +38,11 @@ inline uint64_t fnv1a(const char* s, size_t n) {
 inline double parse_number(const char* s, size_t n, bool* ok) {
   // Criteo dense fields are small integers (occasionally negative); a
   // hand-rolled parser avoids strtod locale/allocation overhead.
+  // Accepted grammar (matching Python float() on realistic inputs):
+  // [-]digits[.digits][(e|E)[+|-]digits]. Known divergence from float():
+  // inf/nan/hex/underscore/whitespace forms are rejected here — absent
+  // from real click logs, and a row carrying them differs between the
+  // oracle and this parser (documented, not silently identical).
   if (n == 0) {
     *ok = false;
     return 0.0;
@@ -51,11 +56,37 @@ inline double parse_number(const char* s, size_t n, bool* ok) {
   double v = 0.0;
   bool any_digit = false;
   double frac_scale = 0.0;  // 0 = before the decimal point
+  long expo = 0;
   for (; i < n; ++i) {
     char c = s[i];
-    if (c == '.' && frac_scale == 0.0) {
+    if (c == '.' && frac_scale == 0.0 && expo == 0) {
       frac_scale = 0.1;
       continue;
+    }
+    if ((c == 'e' || c == 'E') && any_digit) {
+      // Exponent suffix (Python float() accepts it; parity requires it).
+      ++i;
+      bool eneg = false;
+      if (i < n && (s[i] == '-' || s[i] == '+')) {
+        eneg = s[i] == '-';
+        ++i;
+      }
+      bool edig = false;
+      long e = 0;
+      for (; i < n; ++i) {
+        if (s[i] < '0' || s[i] > '9') {
+          *ok = false;
+          return 0.0;
+        }
+        edig = true;
+        if (e < 10000) e = e * 10 + (s[i] - '0');
+      }
+      if (!edig) {
+        *ok = false;
+        return 0.0;
+      }
+      expo = eneg ? -e : e;
+      break;
     }
     if (c < '0' || c > '9') {
       *ok = false;
@@ -73,6 +104,7 @@ inline double parse_number(const char* s, size_t n, bool* ok) {
     *ok = false;
     return 0.0;
   }
+  if (expo != 0) v *= pow(10.0, static_cast<double>(expo));
   *ok = true;
   return neg ? -v : v;
 }

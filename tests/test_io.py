@@ -42,6 +42,10 @@ def make_tsv(path, rows=300, seed=0, mangle=True):
         if mangle and r % 47 == 46:
             # Decimal dense field — parsed as a fraction by both.
             lines.append("\t".join(["0"] + ["1.5"] * 13 + ["cc"] * 26))
+        if mangle and r % 53 == 52:
+            # Exponent forms — Python float() accepts them; native must too.
+            lines.append("\t".join(["1"] + ["2e2", "1.5E1", "3e-1"]
+                                    + ["4"] * 10 + ["dd"] * 26))
     path.write_text("\n".join(lines) + "\n")
     return path
 

@@ -30,9 +30,11 @@ def test_sgd_lazy_weight_decay():
     g = dense_grad(upd, V)
     touched = (g != 0).any(axis=1)
     expect = np.asarray(data).copy()
-    expect[touched] = expect[touched] * (1 - 0.5 * 0.1) - 0.5 * g[touched]
-    expect[~touched] -= 0.5 * g[~touched]  # zero
-    np.testing.assert_allclose(np.asarray(new), expect, rtol=1e-6)
+    # Decoupled (AdamW-style) lazy decay: applied AFTER the gradient step,
+    # touched rows only — the one convention shared by all optimizers here.
+    expect[touched] = (expect[touched] - 0.5 * g[touched]) * (1 - 0.5 * 0.1)
+    np.testing.assert_allclose(np.asarray(new), expect, rtol=1e-5,
+                               atol=1e-7)
     # Untouched rows are EXACT fixed points (lazy semantics).
     np.testing.assert_array_equal(np.asarray(new)[~touched],
                                   np.asarray(data)[~touched])
@@ -141,3 +143,62 @@ def test_sharded_step_rejects_unsupported_optimizer():
     mesh = default_mesh(("data",))
     with pytest.raises(NotImplementedError, match="SparseSGD"):
         make_sharded_train_step(cfg, mesh, sparse_opt=SparseLazyAdam())
+
+
+def test_ensemble_update_regularized_sgd_protocol_table():
+    # Review finding: regularized SGD on a protocol table must NOT silently
+    # drop weight_decay/clipnorm through the plain scatter path.
+    rng = np.random.default_rng(7)
+    data = rng.standard_normal((30, 8)).astype(np.float32)
+    upd = et.SparseEmbeddingUpdate(
+        delta=jnp.asarray(rng.standard_normal((9, 8)).astype(np.float32)),
+        indices=jnp.asarray(rng.integers(0, 30, 9).astype(np.int32)))
+    opt = SparseSGD(0.5, weight_decay=0.2, clipnorm=0.8)
+    [simple_new], _ = et.ensemble_update(
+        opt, [et.SimpleEmbedding(jnp.asarray(data))], [upd])
+    [split_new], _ = et.ensemble_update(opt, [et.SplitEmbedding(data, 11)],
+                                        [upd])
+    np.testing.assert_allclose(np.asarray(split_new.materialize()),
+                               np.asarray(simple_new.data), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_sharded_regularized_adagrad_matches_single_chip():
+    # Review finding: the sharded bodies must honor weight_decay/clipnorm
+    # (they share optim.adagrad_dense_body with the single-chip path).
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.models.dlrm import make_train_step
+    from embeddingtables_tpu.parallel.dlrm import (batch_shardings,
+                                                   make_sharded_train_step,
+                                                   shard_dlrm)
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    opt = lambda: SparseRowWiseAdaGrad(lr=0.3, weight_decay=0.05,  # noqa
+                                       clipnorm=0.5)
+    cfg = DLRMConfig(vocab_sizes=(40, 56), num_dense=4, dim=8,
+                     bottom_mlp=(8, 8), top_mlp=(8, 1),
+                     compute_dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    dense = rng.normal(size=(16, 4)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, 16).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    label = rng.integers(0, 2, 16).astype(np.float32)
+
+    m1 = init_dlrm(jax.random.key(0), cfg, sparse_opt=opt())
+    m1, _ = make_train_step(cfg, sparse_opt=opt(), dense_lr=0.3, jit=False)(
+        m1, jnp.asarray(dense), jnp.asarray(cat), jnp.asarray(label))
+
+    mesh = default_mesh(("data",))
+    sm = shard_dlrm(init_dlrm(jax.random.key(0), cfg, sparse_opt=opt()),
+                    mesh, "data", sparse_opt=opt())
+    sd, sc, sl = batch_shardings(mesh)
+    step = make_sharded_train_step(cfg, mesh, sparse_opt=opt(), dense_lr=0.3)
+    sm, _ = step(sm, jax.device_put(dense, sd), jax.device_put(cat, sc),
+                 jax.device_put(label, sl))
+    np.testing.assert_allclose(np.asarray(sm.tables.unshard()),
+                               np.asarray(m1.tables.data), rtol=2e-4,
+                               atol=1e-6)
+
+    from embeddingtables_tpu.parallel.dlrm import make_sharded_train_step as mk
+    with pytest.raises(NotImplementedError, match="a2a"):
+        mk(cfg, mesh, sparse_opt=SparseSGD(0.1, weight_decay=0.1),
+           exchange="a2a")

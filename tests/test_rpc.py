@@ -172,3 +172,50 @@ def test_router_hot_swap(server):
             c.predict("m1", dense, cat)
     finally:
         c.close()
+
+
+def test_hot_swap_resolves_inflight_requests(server):
+    # Review finding: register() must DRAIN the old batcher so queued
+    # futures resolve instead of hanging/failing.
+    import time as _time
+    host, port = server.address
+    c = RPCClient(host, port)
+    try:
+        dense = np.ones((1, 4), np.float32)
+        cat = np.zeros((2, 1), np.int32)
+        futs = [c.submit("m1", dense * i, cat) for i in range(20)]
+        _time.sleep(0.001)
+        server.router.register("m1", _sum_model(5.0))  # swap mid-flight
+        # Every in-flight future must RESOLVE (the old batcher drains before
+        # stopping); whether a given request was served by the old (x1) or
+        # new (x5) model depends on when the server dequeued it — both are
+        # correct under hot-swap.
+        for i, f in enumerate(futs):
+            got = f.result(30)
+            assert np.allclose(got, [4.0 * i]) or \
+                np.allclose(got, [20.0 * i]), (i, got)
+    finally:
+        c.close()
+
+
+def test_client_fails_fast_after_server_gone():
+    # Review finding: submitting after the connection died must raise, not
+    # hang the caller for the full timeout.
+    import embeddingtables_tpu as et
+    router = et.ModelRouter()
+    router.register("m", _sum_model())
+    srv = et.serve_rpc(router)
+    c = RPCClient(*srv.address)
+    try:
+        assert c.ping()
+        srv.stop()
+        import time as _time
+        deadline = _time.monotonic() + 10
+        while c._reader.is_alive() and _time.monotonic() < deadline:
+            _time.sleep(0.02)
+        with pytest.raises((ConnectionError, RuntimeError)):
+            c.predict("m", np.ones((1, 4), np.float32),
+                      np.zeros((2, 1), np.int32), timeout=5)
+    finally:
+        c.close()
+        router.stop_all()

@@ -58,3 +58,10 @@ def test_segsum_validation():
     with pytest.raises(ValueError, match="multiple of 128"):
         hot_accumulate(jnp.zeros(8, jnp.int32), jnp.zeros((8, 128)), 100,
                        interpret=True)
+
+
+def test_segsum_empty_stream_returns_zeros():
+    got = hot_accumulate(jnp.zeros((0,), jnp.int32),
+                         jnp.zeros((0, 128), jnp.float32), 128,
+                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.zeros((128, 128)))
