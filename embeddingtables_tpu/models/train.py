@@ -28,6 +28,7 @@ class TrainResult:
     losses: list
     aucs: list            # [(step, auc)]
     examples_per_sec: float
+    evicted_rows: int = 0
 
 
 def evaluate_auc(eval_step, model, batches, *, to_device=jnp.asarray) -> float:
@@ -46,6 +47,8 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                log_every: int = 100, mesh=None, axis: str = "data",
                exchange: str = "gather", capacity_factor: float = 2.0,
                auto_capacity: bool = False, guard=None,
+               evict_every: int = 0, evict_threshold: float = 1e-3,
+               freq_decay: float = 0.99,
                verbose: bool = True) -> TrainResult:
     """Train a DLRM for `num_steps` batches from `train_iter`.
 
@@ -57,6 +60,13 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     (sampled at `log_every` cadence, like the divergence guard) and rebuilds
     the step at `CapacityAutoTuner`'s suggested factor when occurrences are
     being dropped — trading one recompile for no further drops.
+
+    evict_every > 0 turns on row-lifecycle management (single-chip path):
+    a `utils.rowstats.FrequencyTracker` (decay `freq_decay`) follows each
+    table's traffic from the host batches, and every `evict_every` steps
+    rows whose decayed count fell to `evict_threshold` are reinitialized to
+    zero and their optimizer state reset — TTL eviction for churning id
+    spaces (sessions, ads).
     """
     tel = _telemetry.get_telemetry()
     if model is None:
@@ -94,15 +104,44 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                          jnp.asarray(b["cat"]),
                          jnp.asarray(b["label"]))
 
+    trackers = None
+    if evict_every:
+        if mesh is not None:
+            raise NotImplementedError(
+                "evict_every currently supports the single-chip step "
+                "(sharded eviction needs per-shard row ownership)")
+        from ..utils.rowstats import FrequencyTracker
+        trackers = [FrequencyTracker(v, decay=freq_decay)
+                    for v in cfg.vocab_sizes]
+
     losses, aucs = [], []
     examples = 0
+    evicted_total = 0
     t_start = time.perf_counter()
     for i in range(num_steps):
         with tel.phase("data"):
             batch = next(train_iter)
         dense, cat, label = put(batch)
+        if trackers is not None:
+            for t, tr in enumerate(trackers):
+                tr.observe(batch["cat"][t])
         with tel.phase("step"):
             model, out = step(model, dense, cat, label)
+        if trackers is not None and (i + 1) % evict_every == 0:
+            from ..utils.rowstats import evict_rows, reset_rows_state
+            import numpy as _np
+            # Stacked-table global rows: shift each table's cold set by its
+            # offset, evict in ONE small scatter + one state reset.
+            cold = [tr.cold_rows(evict_threshold) + model.tables.offsets[t]
+                    for t, tr in enumerate(trackers)]
+            cold = _np.concatenate(cold)
+            if cold.size:
+                import dataclasses as _dc
+                new_data = evict_rows(model.tables.data, cold)
+                model = _dc.replace(
+                    model, tables=_dc.replace(model.tables, data=new_data),
+                    emb_state=reset_rows_state(model.emb_state, cold))
+                evicted_total += int(cold.size)
         loss, ovf = out if with_overflow else (out, None)
         examples += batch["label"].shape[0]
         if tuner is not None and i == 0:
@@ -146,6 +185,7 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
         model)
     dt = time.perf_counter() - t_start
     return TrainResult(model=model, losses=losses, aucs=aucs,
+                       evicted_rows=evicted_total,
                        examples_per_sec=examples / dt)
 
 

@@ -1,0 +1,140 @@
+"""Row-lifecycle management: frequency tracking, stale-row eviction, and
+frequency-ordered remapping.
+
+Production CTR tables churn: ids appear, run hot for days, and go stale
+(session ids, ad ids). The reference never faced this (static tables); a
+serving-scale engine needs:
+
+  - **FrequencyTracker** — host-side exponentially-decayed per-row counts,
+    fed from the SAME host batches the input pipeline already holds
+    (numpy bincount; overlapped with the device step via the prefetch
+    pipeline, so it costs zero device time and no extra transfers).
+  - **Eviction** — reinitialize rows that went cold (EMA below threshold):
+    one small device scatter for the rows plus an optimizer-state reset,
+    preserving the lazy/fused update discipline.
+  - **Frequency ordering** — a permutation placing hot rows first, with the
+    inverse map the data loader applies to incoming ids. Useful for
+    hot-head analyses and as the layout contract for head-based schemes
+    (e.g. serving the head from VMEM, QR-ing only the tail).
+
+All device-side operations are functional (return new arrays) and shaped
+for jit; the tracker itself is host state, like the rest of the input
+pipeline.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+class FrequencyTracker:
+    """Exponentially-decayed per-row occurrence counts for one table.
+
+    decay: per-OBSERVATION multiplier on the running EMA (0.99 with one
+    observe() per step ≈ a ~100-step half-life window). Counts are raw
+    occurrence sums within a batch, so hot rows accumulate fast.
+    """
+
+    def __init__(self, vocab: int, decay: float = 0.99):
+        if not 0.0 < decay <= 1.0:
+            raise ValueError("decay must be in (0, 1]")
+        self.vocab = vocab
+        self.decay = decay
+        self.counts = np.zeros(vocab, np.float64)
+        self.observations = 0
+
+    def observe(self, indices) -> None:
+        """Fold one batch of ids (any shape; host numpy/int array)."""
+        flat = np.asarray(indices).reshape(-1)
+        self.counts *= self.decay
+        self.counts += np.bincount(flat, minlength=self.vocab).astype(
+            np.float64)
+        self.observations += 1
+
+    def top_rows(self, k: int) -> np.ndarray:
+        """Ids of the k most frequent rows, hottest first."""
+        k = min(k, self.vocab)
+        part = np.argpartition(self.counts, -k)[-k:]
+        return part[np.argsort(self.counts[part])[::-1]].astype(np.int32)
+
+    def cold_rows(self, threshold: float) -> np.ndarray:
+        """Ids whose decayed count fell to/below `threshold` (stale)."""
+        return np.nonzero(self.counts <= threshold)[0].astype(np.int32)
+
+    def frequency_permutation(self) -> np.ndarray:
+        """(V,) permutation `perm` with `perm[rank] = old_id`, hottest
+        first. `inverse_permutation(perm)[old_id] = rank` is what the data
+        loader applies to incoming ids after a relayout."""
+        return np.argsort(-self.counts, kind="stable").astype(np.int32)
+
+    def coverage(self, k: int) -> float:
+        """Fraction of (decayed) traffic covered by the top-k rows."""
+        total = self.counts.sum()
+        if total <= 0:
+            return 0.0
+        return float(np.sort(self.counts)[::-1][:k].sum() / total)
+
+
+def inverse_permutation(perm: np.ndarray) -> np.ndarray:
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(len(perm), dtype=perm.dtype)
+    return inv
+
+
+def evict_rows(data: jax.Array, rows, *,
+               init_fn: Optional[Callable] = None,
+               key: Optional[jax.Array] = None,
+               value: float = 0.0) -> jax.Array:
+    """Reinitialize the given rows of a `(V, D)` table (functional).
+
+    init_fn(key, (n, D), dtype) generates replacements (pass `key`); with
+    no init_fn rows are set to `value`. Duplicate/OOB ids are dropped.
+    """
+    rows = jnp.asarray(rows, jnp.int32)
+    n = rows.shape[0]
+    if n == 0:
+        return data
+    d = data.shape[1]
+    if init_fn is not None:
+        if key is None:
+            raise ValueError("init_fn needs a PRNG key")
+        fresh = init_fn(key, (n, d), data.dtype)
+    else:
+        fresh = jnp.full((n, d), value, data.dtype)
+    return data.at[rows].set(fresh, mode="drop")
+
+
+def reset_rows_state(state, rows):
+    """Reset optimizer state for evicted rows: `(V,)` accumulators (row-wise
+    AdaGrad) and `(V, D)` moments (lazy Adam) zero at those rows; other
+    leaves (scalars, empty placeholders) pass through."""
+    rows = jnp.asarray(rows, jnp.int32)
+
+    def leaf(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] > rows.size:
+            return x.at[rows].set(0, mode="drop")
+        return x
+
+    return jax.tree_util.tree_map(leaf, state)
+
+
+def relayout(data: jax.Array, perm: np.ndarray) -> jax.Array:
+    """Physically reorder rows so `new[rank] = old[perm[rank]]` (hot rows
+    first under `FrequencyTracker.frequency_permutation`). The data loader
+    must then map incoming ids through `inverse_permutation(perm)`."""
+    return jnp.take(data, jnp.asarray(perm), axis=0)
+
+
+def remap_batch(cat: np.ndarray, inverse_perms: Sequence[np.ndarray]
+                ) -> np.ndarray:
+    """Apply per-table id remaps to a `(T, B[, bag])` host batch — the
+    loader-side half of a relayout (vectorized numpy take; overlapped with
+    the device step like the rest of the pipeline)."""
+    out = np.empty_like(cat)
+    for t in range(cat.shape[0]):
+        out[t] = inverse_perms[t][cat[t]]
+    return out

@@ -222,4 +222,16 @@ np.testing.assert_allclose(np.asarray(_mt.rows(_mi)),
 print(f"13. compressed tables on-chip: QR x{_qt.compression():.0f}, "
       f"MD x{_mt.compression():.1f} memory, lookups match dense")
 
+# --- 14. row lifecycle on-chip: evict + state reset -----------------------
+from embeddingtables_tpu.utils import evict_rows, reset_rows_state
+_t14 = jnp.asarray(_r.standard_normal((200, 128)).astype(np.float32))
+_cold = jnp.asarray([5, 17, 99], jnp.int32)
+_t14b = evict_rows(_t14, _cold, init_fn=jax.random.normal,
+                   key=jax.random.key(3))
+assert not np.allclose(np.asarray(_t14b)[5], np.asarray(_t14)[5])
+_keep14 = np.setdiff1d(np.arange(200), np.asarray(_cold))
+np.testing.assert_array_equal(np.asarray(_t14b)[_keep14],
+                              np.asarray(_t14)[_keep14])
+print("14. row lifecycle on-chip: eviction reinit + survivors intact")
+
 print("ALL TPU VERIFICATION CHECKS PASSED")

@@ -46,6 +46,10 @@ def main():
                     help="lazy L2 on touched rows (sparse opts)")
     ap.add_argument("--clipnorm", type=float, default=None,
                     help="per-row L2 clip of the accumulated row gradient")
+    ap.add_argument("--evict-every", type=int, default=0,
+                    help="row-lifecycle: evict rows whose decayed frequency "
+                         "fell below --evict-threshold every N steps")
+    ap.add_argument("--evict-threshold", type=float, default=1e-3)
     ap.add_argument("--param-dtype", choices=["float32", "bfloat16"],
                     default="float32",
                     help="embedding/MLP parameter dtype (bf16 halves table "
@@ -135,7 +139,11 @@ def main():
                      ckpt_every=args.ckpt_every, log_every=args.log_every,
                      mesh=mesh, exchange=args.exchange,
                      capacity_factor=args.capacity_factor,
-                     auto_capacity=args.auto_capacity)
+                     auto_capacity=args.auto_capacity,
+                     evict_every=args.evict_every,
+                     evict_threshold=args.evict_threshold)
+    if args.evict_every:
+        print(f"evicted rows: {res.evicted_rows}")
     print(f"\n{res.examples_per_sec:,.0f} examples/s")
     if res.aucs:
         print(f"final AUC {res.aucs[-1][1]:.4f}")

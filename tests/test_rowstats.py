@@ -1,0 +1,147 @@
+"""Row-lifecycle management: frequency EMA, eviction, relayout round trips."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import embeddingtables_tpu as et
+from embeddingtables_tpu.optim import SparseLazyAdam, SparseRowWiseAdaGrad
+from embeddingtables_tpu.utils.rowstats import (FrequencyTracker, evict_rows,
+                                                inverse_permutation,
+                                                relayout, remap_batch,
+                                                reset_rows_state)
+
+
+def test_tracker_ema_and_rankings():
+    tr = FrequencyTracker(10, decay=0.5)
+    tr.observe([1, 1, 1, 2])
+    tr.observe([2, 2, 3])
+    # counts: row1 = 3*0.5 = 1.5; row2 = 1*0.5 + 2 = 2.5; row3 = 1.
+    np.testing.assert_allclose(tr.counts[[1, 2, 3]], [1.5, 2.5, 1.0])
+    np.testing.assert_array_equal(tr.top_rows(2), [2, 1])
+    assert set(tr.cold_rows(0.0)) == set(range(10)) - {1, 2, 3}
+    assert 0 < tr.coverage(1) < 1
+    perm = tr.frequency_permutation()
+    assert perm[0] == 2 and perm[1] == 1 and perm[2] == 3
+    inv = inverse_permutation(perm)
+    np.testing.assert_array_equal(perm[inv], np.arange(10))
+
+
+def test_evict_and_state_reset():
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.standard_normal((20, 8)).astype(np.float32))
+    rows = jnp.asarray([3, 7, 15], jnp.int32)
+
+    z = evict_rows(data, rows)
+    np.testing.assert_array_equal(np.asarray(z)[[3, 7, 15]],
+                                  np.zeros((3, 8), np.float32))
+    keep = np.setdiff1d(np.arange(20), [3, 7, 15])
+    np.testing.assert_array_equal(np.asarray(z)[keep], np.asarray(data)[keep])
+
+    fresh = evict_rows(data, rows, init_fn=jax.random.normal,
+                       key=jax.random.key(1))
+    assert not np.allclose(np.asarray(fresh)[3], np.asarray(data)[3])
+    np.testing.assert_array_equal(np.asarray(fresh)[keep],
+                                  np.asarray(data)[keep])
+    with pytest.raises(ValueError, match="PRNG key"):
+        evict_rows(data, rows, init_fn=jax.random.normal)
+    # Empty eviction set: no-op.
+    np.testing.assert_array_equal(
+        np.asarray(evict_rows(data, jnp.zeros((0,), jnp.int32))),
+        np.asarray(data))
+
+    ada = SparseRowWiseAdaGrad()
+    st = ada.init(data)
+    st = type(st)(accum=st.accum + 5.0)
+    st2 = reset_rows_state(st, rows)
+    assert (np.asarray(st2.accum)[[3, 7, 15]] == 0).all()
+    assert (np.asarray(st2.accum)[keep] == 5.0).all()
+
+    adam = SparseLazyAdam()
+    ast = adam.init(data)
+    ast = type(ast)(m=ast.m + 1.0, v=ast.v + 2.0, count=ast.count + 9)
+    ast2 = reset_rows_state(ast, rows)
+    assert (np.asarray(ast2.m)[[3, 7, 15]] == 0).all()
+    assert (np.asarray(ast2.v)[keep] == 2.0).all()
+    assert int(ast2.count) == 9          # scalar leaves untouched
+
+
+def test_relayout_roundtrip_preserves_lookup():
+    rng = np.random.default_rng(2)
+    V, D, B = 30, 8, 50
+    data = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+    tr = FrequencyTracker(V, decay=1.0)
+    cat = rng.integers(0, V, (2, B)).astype(np.int32)
+    tr.observe(cat)
+    perm = tr.frequency_permutation()
+    inv = inverse_permutation(perm)
+
+    new_data = relayout(data, perm)
+    remapped = remap_batch(cat, [inv, inv])
+    # lookup(relayout(data), inv[idx]) == lookup(data, idx)
+    for t in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(et.lookup(new_data, jnp.asarray(remapped[t]))),
+            np.asarray(et.lookup(data, jnp.asarray(cat[t]))))
+    # Hot rows moved to the front: row perm[0] is the most frequent.
+    counts = np.bincount(cat.reshape(-1), minlength=V)
+    assert counts[perm[0]] == counts.max()
+
+
+def test_eviction_in_training_loop():
+    """Evict-and-reinit inside a tiny training loop: evicted rows lose their
+    learned values + state, untouched rows keep training normally."""
+    rng = np.random.default_rng(3)
+    V, D, B = 24, 8, 16
+    data = jnp.zeros((V, D), jnp.float32)
+    target = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+    opt = SparseRowWiseAdaGrad(lr=0.5)
+    st = opt.init(data)
+    tr = FrequencyTracker(V, decay=0.9)
+    hot = np.arange(12)                      # only rows 0..11 ever appear
+    for i in range(30):
+        idx_np = rng.choice(hot, B)
+        tr.observe(idx_np)
+        idx = jnp.asarray(idx_np.astype(np.int32))
+        out, pull = et.lookup_vjp(data, idx)
+        data, st = opt.apply(data, pull(2 * (out - target[idx]) / B), st)
+    cold = tr.cold_rows(1e-6)
+    assert set(cold) == set(range(12, 24))
+    data = evict_rows(data, cold, value=0.0)
+    st = reset_rows_state(st, cold)
+    assert (np.asarray(data)[12:] == 0).all()
+    assert (np.asarray(st.accum)[12:] == 0).all()
+    # Trained rows survived and actually learned.
+    assert float(jnp.abs(data[:12]).sum()) > 0
+
+
+def test_train_loop_eviction_integration():
+    """train_dlrm(evict_every=...) reinitializes never-seen rows and reports
+    the eviction count; training still learns."""
+    from embeddingtables_tpu.models import DLRMConfig
+    from embeddingtables_tpu.models.train import train_dlrm
+    rng = np.random.default_rng(5)
+    cfg = DLRMConfig(vocab_sizes=(20, 20), num_dense=4, dim=8,
+                     bottom_mlp=(8, 8), top_mlp=(8, 1),
+                     compute_dtype=jnp.float32)
+
+    def batches():
+        while True:
+            # Only ids 0..9 ever appear; 10..19 are stale from step one.
+            cat = rng.integers(0, 10, (2, 32)).astype(np.int32)
+            yield dict(dense=rng.normal(size=(32, 4)).astype(np.float32),
+                       cat=cat,
+                       label=(cat[0] % 2).astype(np.float32))
+
+    opt = SparseRowWiseAdaGrad(lr=0.1)
+    res = train_dlrm(cfg, batches(), 12, sparse_opt=opt, dense_lr=0.1,
+                     log_every=0, evict_every=5, evict_threshold=1e-6,
+                     verbose=False)
+    # Two eviction rounds fired; each found >= the 20 never-seen rows.
+    assert res.evicted_rows >= 40, res.evicted_rows
+    data = np.asarray(res.model.tables.data)
+    offs = res.model.tables.offsets
+    for t in range(2):
+        tbl = data[offs[t]:offs[t + 1]]
+        assert (tbl[10:] == 0).all()         # stale rows evicted to zero
+        assert np.abs(tbl[:10]).sum() > 0    # live rows trained
