@@ -292,7 +292,9 @@ def _column_slice(flat, vals, n_model: int, axes):
 
 def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
                            upd: SparseEmbeddingUpdate, lr, *,
-                           capacity_factor: float = 2.0
+                           capacity_factor: float = 2.0,
+                           weight_decay: float = 0.0,
+                           clipnorm=None
                            ) -> Tuple[ShardedStackedTables, jax.Array]:
     """Butterfly sparse-SGD update: route (row, delta) occurrences to their
     owner shards via all_to_all; owners scatter-add locally. ICI volume
@@ -337,9 +339,18 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         rows_local = shard.shape[1]
         slot = recv_slot.reshape(-1)
         target = jnp.where(slot >= 0, slot, rows_local)  # sentinel -> drop
-        new = shard[0].at[target].add(
-            (-lr * recv_vals.reshape(-1, dim)).astype(shard.dtype),
-            mode="drop")
+        if weight_decay == 0.0 and clipnorm is None:
+            new = shard[0].at[target].add(
+                (-lr * recv_vals.reshape(-1, dim)).astype(shard.dtype),
+                mode="drop")
+        else:
+            # Regularized SGD shares the single-chip dense-grad body — each
+            # row is fully owned by one shard, so the accumulated-row clip
+            # and touched-row decay are exact after routing.
+            from ..optim import sgd_dense_body
+            new = sgd_dense_body(shard[0], target,
+                                 recv_vals.reshape(-1, dim), lr,
+                                 weight_decay, clipnorm)
         if n_model > 1:
             overflow = jax.lax.psum(overflow, axes[1])
         return new[None], overflow.reshape(1)

@@ -225,12 +225,6 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
         raise NotImplementedError(
             f"sharded train step supports SparseSGD / SparseRowWiseAdaGrad, "
             f"got {type(sparse_opt).__name__}")
-    regularized = (sparse_opt.weight_decay != 0.0
-                   or sparse_opt.clipnorm is not None)
-    if exchange == "a2a" and isinstance(sparse_opt, SparseSGD) and regularized:
-        raise NotImplementedError(
-            "the a2a SGD exchange does not implement weight_decay/clipnorm; "
-            "use exchange='gather' (regularizers are supported there)")
     def step_a2a(model: ShardedDLRM, dense, cat, label):
         from .alltoall import (sharded_adagrad_update_a2a, sharded_lookup_a2a,
                                sharded_sgd_update_a2a)
@@ -281,7 +275,9 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
         else:
             new_st, ovf_bwd = sharded_sgd_update_a2a(
                 mesh, st, upd, sparse_opt.lr,
-                capacity_factor=capacity_factor)
+                capacity_factor=capacity_factor,
+                weight_decay=sparse_opt.weight_decay,
+                clipnorm=sparse_opt.clipnorm)
             new_accum = model.emb_accum
         new_model = ShardedDLRM(bottom=new_bottom, top=new_top,
                                 tables=new_st, emb_accum=new_accum,

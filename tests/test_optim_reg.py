@@ -198,7 +198,37 @@ def test_sharded_regularized_adagrad_matches_single_chip():
                                np.asarray(m1.tables.data), rtol=2e-4,
                                atol=1e-6)
 
-    from embeddingtables_tpu.parallel.dlrm import make_sharded_train_step as mk
-    with pytest.raises(NotImplementedError, match="a2a"):
-        mk(cfg, mesh, sparse_opt=SparseSGD(0.1, weight_decay=0.1),
-           exchange="a2a")
+def test_a2a_regularized_sgd_matches_single_chip():
+    # The butterfly exchange shares optim.sgd_dense_body per owner shard, so
+    # decay/clip match the single-chip step (ample capacity -> no drops).
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.models.dlrm import make_train_step
+    from embeddingtables_tpu.parallel.dlrm import (batch_shardings,
+                                                   make_sharded_train_step,
+                                                   shard_dlrm)
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    opt = lambda: SparseSGD(0.4, weight_decay=0.1, clipnorm=0.5)  # noqa
+    cfg = DLRMConfig(vocab_sizes=(40, 56), num_dense=4, dim=8,
+                     bottom_mlp=(8, 8), top_mlp=(8, 1),
+                     compute_dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    dense = rng.normal(size=(16, 4)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, 16).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    label = rng.integers(0, 2, 16).astype(np.float32)
+
+    m1 = init_dlrm(jax.random.key(0), cfg, sparse_opt=opt())
+    m1, _ = make_train_step(cfg, sparse_opt=opt(), dense_lr=0.4, jit=False)(
+        m1, jnp.asarray(dense), jnp.asarray(cat), jnp.asarray(label))
+
+    mesh = default_mesh(("data",))
+    sm = shard_dlrm(init_dlrm(jax.random.key(0), cfg, sparse_opt=opt()),
+                    mesh, "data", sparse_opt=opt())
+    sd, sc, sl = batch_shardings(mesh)
+    step = make_sharded_train_step(cfg, mesh, sparse_opt=opt(), dense_lr=0.4,
+                                   exchange="a2a", capacity_factor=32.0)
+    sm, _ = step(sm, jax.device_put(dense, sd), jax.device_put(cat, sc),
+                 jax.device_put(label, sl))
+    np.testing.assert_allclose(np.asarray(sm.tables.unshard()),
+                               np.asarray(m1.tables.data), rtol=2e-4,
+                               atol=1e-6)
