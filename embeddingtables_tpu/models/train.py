@@ -61,12 +61,13 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     the step at `CapacityAutoTuner`'s suggested factor when occurrences are
     being dropped — trading one recompile for no further drops.
 
-    evict_every > 0 turns on row-lifecycle management (single-chip path):
-    a `utils.rowstats.FrequencyTracker` (decay `freq_decay`) follows each
+    evict_every > 0 turns on row-lifecycle management: a
+    `utils.rowstats.FrequencyTracker` (decay `freq_decay`) follows each
     table's traffic from the host batches, and every `evict_every` steps
     rows whose decayed count fell to `evict_threshold` are reinitialized to
     zero and their optimizer state reset — TTL eviction for churning id
-    spaces (sessions, ads).
+    spaces (sessions, ads). Works on both the single-chip and the sharded
+    step (mod-row ownership via `evict_rows_sharded`).
     """
     tel = _telemetry.get_telemetry()
     if model is None:
@@ -106,10 +107,6 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
 
     trackers = None
     if evict_every:
-        if mesh is not None:
-            raise NotImplementedError(
-                "evict_every currently supports the single-chip step "
-                "(sharded eviction needs per-shard row ownership)")
         from ..utils.rowstats import FrequencyTracker
         trackers = [FrequencyTracker(v, decay=freq_decay)
                     for v in cfg.vocab_sizes]
@@ -128,19 +125,29 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
         with tel.phase("step"):
             model, out = step(model, dense, cat, label)
         if trackers is not None and (i + 1) % evict_every == 0:
-            from ..utils.rowstats import evict_rows, reset_rows_state
+            from ..utils.rowstats import (evict_rows, evict_rows_sharded,
+                                          reset_rows_state)
             import numpy as _np
+            import dataclasses as _dc
             # Stacked-table global rows: shift each table's cold set by its
             # offset, evict in ONE small scatter + one state reset.
             cold = [tr.cold_rows(evict_threshold) + model.tables.offsets[t]
                     for t, tr in enumerate(trackers)]
             cold = _np.concatenate(cold)
             if cold.size:
-                import dataclasses as _dc
-                new_data = evict_rows(model.tables.data, cold)
-                model = _dc.replace(
-                    model, tables=_dc.replace(model.tables, data=new_data),
-                    emb_state=reset_rows_state(model.emb_state, cold))
+                if mesh is not None:
+                    # Sharded: mod-row ownership (r % n, r // n); accum is
+                    # the (n, rows_local) row-state sharded like the table.
+                    new_tables, new_accum = evict_rows_sharded(
+                        model.tables, model.emb_accum, cold)
+                    model = _dc.replace(model, tables=new_tables,
+                                        emb_accum=new_accum)
+                else:
+                    new_data = evict_rows(model.tables.data, cold)
+                    model = _dc.replace(
+                        model,
+                        tables=_dc.replace(model.tables, data=new_data),
+                        emb_state=reset_rows_state(model.emb_state, cold))
                 evicted_total += int(cold.size)
         loss, ovf = out if with_overflow else (out, None)
         examples += batch["label"].shape[0]

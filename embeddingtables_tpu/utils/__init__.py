@@ -5,8 +5,9 @@ no metrics — only the `telemetry_cb` hook slot); they are new obligations for
 a production TPU framework.
 """
 from .checkpoint import CheckpointManager, restore_checkpoint, save_checkpoint
-from .rowstats import (FrequencyTracker, evict_rows, inverse_permutation,
-                       relayout, remap_batch, reset_rows_state)
+from .rowstats import (FrequencyTracker, evict_rows, evict_rows_sharded,
+                       inverse_permutation, relayout, remap_batch,
+                       reset_rows_state)
 from .telemetry import (Telemetry, get_telemetry, phase, set_telemetry,
                         trace_profile)
 

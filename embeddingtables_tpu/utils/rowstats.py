@@ -138,3 +138,24 @@ def remap_batch(cat: np.ndarray, inverse_perms: Sequence[np.ndarray]
     for t in range(cat.shape[0]):
         out[t] = inverse_perms[t][cat[t]]
     return out
+
+
+def evict_rows_sharded(tables, accum, global_rows):
+    """Evict global rows of a mod-row-sharded stacked table
+    (`parallel.ShardedStackedTables`: global row r -> shard r % n, slot
+    r // n). Zeroes the rows and, when present, their `(n, rows_local)`
+    accumulator entries. Functional; GSPMD routes each scatter to the
+    owning shard (eviction is occasional, so the cross-shard routing cost
+    is irrelevant).
+    """
+    import dataclasses
+    rows = jnp.asarray(global_rows, jnp.int32)
+    if rows.size == 0:
+        return tables, accum
+    n = tables.n_shards
+    shard, slot = rows % n, rows // n
+    new_data = tables.data.at[shard, slot].set(0.0, mode="drop")
+    new_accum = accum
+    if accum is not None and accum.ndim == 2 and accum.shape[1] > 0:
+        new_accum = accum.at[shard, slot].set(0.0, mode="drop")
+    return dataclasses.replace(tables, data=new_data), new_accum

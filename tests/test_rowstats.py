@@ -145,3 +145,62 @@ def test_train_loop_eviction_integration():
         tbl = data[offs[t]:offs[t + 1]]
         assert (tbl[10:] == 0).all()         # stale rows evicted to zero
         assert np.abs(tbl[:10]).sum() > 0    # live rows trained
+
+
+def test_sharded_eviction_matches_dense():
+    """evict_rows_sharded zeroes exactly the mod-sharded global rows and
+    their accumulator entries."""
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    from embeddingtables_tpu.parallel.sharded import ShardedStackedTables
+    from embeddingtables_tpu.utils.rowstats import evict_rows_sharded
+    rng = np.random.default_rng(11)
+    V, D = 100, 8
+    dense = rng.standard_normal((V, D)).astype(np.float32)
+    mesh = default_mesh(("data",))
+    st = ShardedStackedTables.shard(mesh, "data", jnp.asarray(dense))
+    n, rows_local, _ = st.data.shape
+    accum = jnp.asarray(
+        rng.random((n, rows_local)).astype(np.float32)) + 1.0
+    cold = np.asarray([0, 13, 57, 99], np.int32)
+    st2, accum2 = evict_rows_sharded(st, accum, cold)
+    out = np.asarray(st2.unshard())
+    expect = dense.copy()
+    expect[cold] = 0.0
+    np.testing.assert_array_equal(out, expect)
+    a2 = np.asarray(accum2)
+    for r in cold:
+        assert a2[r % n, r // n] == 0.0
+    assert (a2 > 0).sum() == n * rows_local - len(cold)
+    # Empty set and empty accum pass through.
+    st3, a3 = evict_rows_sharded(st, jnp.zeros((n, 0), jnp.float32),
+                                 np.asarray([5], np.int32))
+    assert a3.shape == (n, 0)
+
+
+def test_sharded_train_loop_eviction():
+    from embeddingtables_tpu.models import DLRMConfig
+    from embeddingtables_tpu.models.train import train_dlrm
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    rng = np.random.default_rng(12)
+    cfg = DLRMConfig(vocab_sizes=(24, 24), num_dense=4, dim=8,
+                     bottom_mlp=(8, 8), top_mlp=(8, 1),
+                     compute_dtype=jnp.float32)
+
+    def batches():
+        while True:
+            cat = rng.integers(0, 12, (2, 32)).astype(np.int32)
+            yield dict(dense=rng.normal(size=(32, 4)).astype(np.float32),
+                       cat=cat,
+                       label=(cat[0] % 2).astype(np.float32))
+
+    res = train_dlrm(cfg, batches(), 10, dense_lr=0.1,
+                     sparse_opt=SparseRowWiseAdaGrad(lr=0.1),
+                     mesh=default_mesh(("data",)), log_every=0,
+                     evict_every=5, evict_threshold=1e-6, verbose=False)
+    assert res.evicted_rows >= 2 * 12 * 2  # 12 stale ids x 2 tables x 2 rounds
+    data = np.asarray(res.model.tables.unshard())
+    offs = res.model.tables.offsets
+    for t in range(2):
+        tbl = data[offs[t]:offs[t + 1]]
+        assert (tbl[12:24] == 0).all()
+        assert np.abs(tbl[:12]).sum() > 0
