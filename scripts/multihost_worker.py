@@ -32,6 +32,8 @@ import numpy as np
 
 def main():
     mode = sys.argv[1]
+    exchange = sys.argv[4] if len(sys.argv) > 4 else (
+        sys.argv[2] if mode == "single" and len(sys.argv) > 2 else "gather")
     import jax
     # JAX_PLATFORMS env is unreliable under the axon wrapper (CLAUDE.md);
     # the pre-init config switch is the supported path.
@@ -70,7 +72,8 @@ def main():
     model = init_sharded_dlrm(jax.random.key(0), cfg, mesh, axes,
                               sparse_opt=opt)
     step = make_sharded_train_step(cfg, mesh, axes, sparse_opt=opt,
-                                   dense_lr=0.2)
+                                   dense_lr=0.2, exchange=exchange,
+                                   capacity_factor=16.0)
 
     sd, sc, sl = batch_shardings(mesh, axes)
 
@@ -97,7 +100,7 @@ def main():
                                 jnp.sum(m.emb_accum),
                                 sum(jnp.vdot(w, w) for w, _ in m.bottom)))(
                                     model)
-    out = dict(mode=mode, losses=losses,
+    out = dict(mode=mode, exchange=exchange, losses=losses,
                table_ss=float(checks[0]), accum_sum=float(checks[1]),
                bottom_ss=float(checks[2]),
                nprocs=jax.process_count(), ndev=jax.device_count())

@@ -34,8 +34,7 @@ def _env(ndev: int) -> dict:
     return env
 
 
-@pytest.mark.slow
-def test_two_process_sharded_dlrm_matches_single_process():
+def _gloo_or_skip():
     try:
         from jax._src.lib import _jax
         if not hasattr(_jax, "make_gloo_tcp_collectives"):
@@ -43,19 +42,23 @@ def test_two_process_sharded_dlrm_matches_single_process():
     except Exception:
         pytest.skip("cannot probe jax for gloo support")
 
+
+def _run_pair(exchange):
     single = subprocess.run(
-        [sys.executable, WORKER, "single"], env=_env(8),
+        [sys.executable, WORKER, "single", exchange], env=_env(8),
         capture_output=True, text=True, timeout=420)
     assert single.returncode == 0, single.stderr[-3000:]
     ref = json.loads(single.stdout.strip().splitlines()[-1])
-    assert ref["ndev"] == 8
+    assert ref["ndev"] == 8 and ref["exchange"] == exchange
 
     port = str(_free_port())
-    p1 = subprocess.Popen([sys.executable, WORKER, "dist", port, "1"],
+    p1 = subprocess.Popen([sys.executable, WORKER, "dist", port, "1",
+                           exchange],
                           env=_env(4), stdout=subprocess.PIPE,
                           stderr=subprocess.PIPE, text=True)
     try:
-        p0 = subprocess.run([sys.executable, WORKER, "dist", port, "0"],
+        p0 = subprocess.run([sys.executable, WORKER, "dist", port, "0",
+                             exchange],
                             env=_env(4), capture_output=True, text=True,
                             timeout=420)
     finally:
@@ -68,6 +71,13 @@ def test_two_process_sharded_dlrm_matches_single_process():
     assert p1.returncode == 0, p1.stderr.read()[-3000:] if p1.stderr else ""
     got = json.loads(p0.stdout.strip().splitlines()[-1])
     assert got["nprocs"] == 2 and got["ndev"] == 8
+    return ref, got
+
+
+@pytest.mark.slow
+def test_two_process_sharded_dlrm_matches_single_process():
+    _gloo_or_skip()
+    ref, got = _run_pair("gather")
 
     # Same logical mesh + same data => same math, across the process
     # boundary. Tolerances cover collective reduction-order differences.
@@ -75,3 +85,15 @@ def test_two_process_sharded_dlrm_matches_single_process():
     np.testing.assert_allclose(got["table_ss"], ref["table_ss"], rtol=1e-4)
     np.testing.assert_allclose(got["accum_sum"], ref["accum_sum"], rtol=1e-4)
     np.testing.assert_allclose(got["bottom_ss"], ref["bottom_ss"], rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_a2a_butterfly_matches_single_process():
+    # The capacity-routed all-to-all exchange across REAL process
+    # boundaries: index routing, value staging, and the owner-side dedup
+    # all ride gloo TCP between the two processes.
+    _gloo_or_skip()
+    ref, got = _run_pair("a2a")
+    np.testing.assert_allclose(got["losses"], ref["losses"], rtol=1e-5)
+    np.testing.assert_allclose(got["table_ss"], ref["table_ss"], rtol=1e-4)
+    np.testing.assert_allclose(got["accum_sum"], ref["accum_sum"], rtol=1e-4)
