@@ -266,3 +266,37 @@ def test_stacked_tables():
     outs2 = et.maplookup(st, bag_idx)
     for o, t, i in zip(outs2, tables, bag_idx):
         np.testing.assert_allclose(o, et.lookup_oracle(t.data, i), rtol=1e-6)
+
+
+def test_maplookup_mixed_table_types():
+    """An ensemble mixing SimpleEmbedding, SplitEmbedding, QREmbedding,
+    MDEmbedding, and a raw array — every container speaking the table
+    protocol — matches the per-table oracles through every strategy."""
+    from embeddingtables_tpu.md import MDEmbedding
+    from embeddingtables_tpu.qr import QREmbedding
+    rng = np.random.default_rng(77)
+    V, D, B = 64, 16, 12
+    simple = et.SimpleEmbedding(
+        rng.standard_normal((V, D)).astype(np.float32))
+    split = et.SplitEmbedding(
+        rng.standard_normal((V, D)).astype(np.float32), 20)
+    qr = QREmbedding.create(jax.random.key(1), V, D, num_remainder=8)
+    md = MDEmbedding.create(jax.random.key(2), V, D, 4)
+    raw = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+    tables = [simple, split, qr, md, raw]
+    dense_views = [simple.data, split.materialize(), qr.materialize(),
+                   md.materialize(), raw]
+
+    idx = [jnp.asarray(rng.integers(0, V, B).astype(np.int32))
+           for _ in tables]
+    expected = [et.lookup_oracle(d, i) for d, i in zip(dense_views, idx)]
+
+    for strategy in STRATEGIES:
+        out = et.maplookup(strategy, tables, idx)
+        if isinstance(strategy, et.PreallocationStrategy):
+            got = [out[:, t * D:(t + 1) * D] for t in range(len(tables))]
+        else:
+            got = out
+        for g, e in zip(got, expected):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(e),
+                                       rtol=1e-5, atol=1e-5)
