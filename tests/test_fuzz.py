@@ -99,3 +99,62 @@ def test_indexer_fuzz_contract(trial):
             cols = mp[offs[g]:offs[g + 1]]
             expect_cols = [c for c, r in enumerate(idx) if r == row]
             np.testing.assert_array_equal(cols, expect_cols)
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_sharded_lookup_fuzz(trial):
+    """Sharded exchange parity under random shapes: mod-row-sharded lookup
+    (1-D mesh) vs the dense oracle, non-reducing and bags, vocab not
+    divisible by the mesh, batch not divisible by the mesh handled by the
+    caller contract (batch % ndev == 0 enforced here)."""
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    from embeddingtables_tpu.parallel.sharded import (ShardedStackedTables,
+                                                      sharded_lookup)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rng = np.random.default_rng(7000 + trial)
+    mesh = default_mesh(("data",))
+    vocab = int(rng.integers(9, 400))
+    dim = int(rng.choice([4, 8, 16, 32]))
+    batch = 8 * int(rng.integers(1, 8))
+    data = jnp.asarray(rng.standard_normal((vocab, dim)).astype(np.float32))
+    st = ShardedStackedTables.shard(mesh, "data", data)
+    if rng.random() < 0.5:
+        idx = rng.integers(0, vocab, (batch,)).astype(np.int32)
+    else:
+        idx = rng.integers(0, vocab, (batch, int(rng.integers(1, 5)))
+                           ).astype(np.int32)
+    gidx = jax.device_put(jnp.asarray(idx), NamedSharding(mesh, P("data")))
+    out = sharded_lookup(mesh, st, gidx)
+    expect = lookup_oracle(data, jnp.asarray(idx))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_sharded_sgd_update_fuzz(trial):
+    """Sharded SGD update parity vs uncompress oracle under random shapes."""
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    from embeddingtables_tpu.parallel.sharded import (ShardedStackedTables,
+                                                      sharded_sgd_update)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rng = np.random.default_rng(8000 + trial)
+    mesh = default_mesh(("data",))
+    vocab = int(rng.integers(17, 300))
+    dim = int(rng.choice([4, 16]))
+    n = 8 * int(rng.integers(1, 6))
+    data = jnp.asarray(rng.standard_normal((vocab, dim)).astype(np.float32))
+    st = ShardedStackedTables.shard(mesh, "data", data)
+    idx = rng.integers(0, vocab, (n,)).astype(np.int32)
+    delta = rng.standard_normal((n, dim)).astype(np.float32)
+    lr = float(rng.uniform(0.05, 1.5))
+    upd = et.SparseEmbeddingUpdate(
+        delta=jax.device_put(jnp.asarray(delta),
+                             NamedSharding(mesh, P("data"))),
+        indices=jax.device_put(jnp.asarray(idx),
+                               NamedSharding(mesh, P("data"))))
+    st2 = sharded_sgd_update(mesh, st, upd, lr)
+    expect = np.asarray(data) - lr * np.asarray(et.uncompress(
+        et.SparseEmbeddingUpdate(jnp.asarray(delta), jnp.asarray(idx)),
+        vocab))
+    np.testing.assert_allclose(np.asarray(st2.unshard()), expect,
+                               rtol=2e-4, atol=1e-5)
