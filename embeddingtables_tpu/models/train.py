@@ -64,9 +64,10 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     evict_every > 0 turns on row-lifecycle management: a
     `utils.rowstats.FrequencyTracker` (decay `freq_decay`) follows each
     table's traffic from the host batches, and every `evict_every` steps
-    rows whose decayed count fell to `evict_threshold` are reinitialized to
-    zero and their optimizer state reset — TTL eviction for churning id
-    spaces (sessions, ads). Works on both the single-chip and the sharded
+    rows that appeared and then went stale (decayed count at/below
+    `evict_threshold`) are reinitialized to zero and their optimizer state
+    reset — TTL eviction for churning id spaces (sessions, ads). Never-seen
+    rows are left at their init values. Works on both the single-chip and the sharded
     step (mod-row ownership via `evict_rows_sharded`).
     """
     tel = _telemetry.get_telemetry()
@@ -131,7 +132,9 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
             import dataclasses as _dc
             # Stacked-table global rows: shift each table's cold set by its
             # offset, evict in ONE small scatter + one state reset.
-            cold = [tr.cold_rows(evict_threshold) + model.tables.offsets[t]
+            # pop_cold: only rows seen-then-stale, marked so they are not
+            # re-evicted every interval (never-seen rows sit at init).
+            cold = [tr.pop_cold(evict_threshold) + model.tables.offsets[t]
                     for t, tr in enumerate(trackers)]
             cold = _np.concatenate(cold)
             if cold.size:

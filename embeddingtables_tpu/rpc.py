@@ -249,8 +249,11 @@ class RPCServer:
                 send(pack_response(req_id, arrays=(names,)))
                 return
             if op == OP_STATS:
-                blob = json.dumps(
-                    self.router.get(model).stats_snapshot()).encode()
+                snap = self.router.get(model).stats_snapshot()
+                # Legacy wire aliases (earlier payloads used these names).
+                snap["padded"] = snap["padded_examples"]
+                snap["buckets"] = snap["bucket_sizes"]
+                blob = json.dumps(snap).encode()
                 send(pack_response(req_id,
                                    arrays=(np.frombuffer(blob, np.uint8),)))
                 return
@@ -378,6 +381,15 @@ class RPCClient:
             with self._plock:
                 self._pending.pop(req_id, None)
             raise ConnectionError(f"RPC send failed: {e}") from e
+        if not self._reader.is_alive():
+            # Raced with reader death: its final flush may have run before
+            # our registration, leaving this future unresolvable. (If the
+            # flush DID cover it, pop returns None and the flush already
+            # failed it.)
+            with self._plock:
+                popped = self._pending.pop(req_id, None)
+            if popped is not None and not fut.done():
+                fut.set_exception(ConnectionError("RPC connection closed"))
         return fut
 
     def submit(self, model: str, dense, cat) -> Future:

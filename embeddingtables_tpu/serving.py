@@ -103,6 +103,14 @@ class MicroBatcher:
                              f"{self.max_batch}; split the request")
         fut: Future = Future()
         self._q.put(_Pending(dense, cat, fut, b))
+        if self._stop.is_set() and not fut.done():
+            # Raced with stop(): the worker may already have run its final
+            # drain, so nobody would ever read this entry. Fail it (the
+            # worker guards against double-resolution on its side too).
+            try:
+                fut.set_exception(RuntimeError("MicroBatcher stopped"))
+            except Exception:  # already resolved by the worker: fine
+                pass
         return fut
 
     def predict(self, dense, cat, timeout: Optional[float] = None):
@@ -205,7 +213,10 @@ class MicroBatcher:
         off = 0
         for p in batch:
             sl = [o[off:off + p.size] for o in outs]
-            p.future.set_result(tuple(sl) if is_tuple else sl[0])
+            try:
+                p.future.set_result(tuple(sl) if is_tuple else sl[0])
+            except Exception:  # submit()'s stop-race already failed it
+                pass
             off += p.size
 
 

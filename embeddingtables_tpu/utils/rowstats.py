@@ -45,6 +45,7 @@ class FrequencyTracker:
         self.vocab = vocab
         self.decay = decay
         self.counts = np.zeros(vocab, np.float64)
+        self.seen = np.zeros(vocab, bool)   # appeared since last eviction
         self.observations = 0
 
     def observe(self, indices) -> None:
@@ -53,17 +54,32 @@ class FrequencyTracker:
         self.counts *= self.decay
         self.counts += np.bincount(flat, minlength=self.vocab).astype(
             np.float64)
+        self.seen[flat] = True
         self.observations += 1
 
     def top_rows(self, k: int) -> np.ndarray:
         """Ids of the k most frequent rows, hottest first."""
         k = min(k, self.vocab)
+        if k <= 0:
+            return np.zeros(0, np.int32)
         part = np.argpartition(self.counts, -k)[-k:]
         return part[np.argsort(self.counts[part])[::-1]].astype(np.int32)
 
     def cold_rows(self, threshold: float) -> np.ndarray:
-        """Ids whose decayed count fell to/below `threshold` (stale)."""
-        return np.nonzero(self.counts <= threshold)[0].astype(np.int32)
+        """Ids that APPEARED (since the last `pop_cold`) but whose decayed
+        count fell to/below `threshold` — stale learned state. Never-seen
+        and already-evicted rows are excluded: they sit at init values, so
+        re-evicting them every interval would be wasted scatter traffic and
+        inflated eviction counts."""
+        return np.nonzero(self.seen & (self.counts <= threshold))[0].astype(
+            np.int32)
+
+    def pop_cold(self, threshold: float) -> np.ndarray:
+        """`cold_rows` + mark them unseen so the next interval does not
+        re-evict the same rows unless they reappear."""
+        cold = self.cold_rows(threshold)
+        self.seen[cold] = False
+        return cold
 
     def frequency_permutation(self) -> np.ndarray:
         """(V,) permutation `perm` with `perm[rank] = old_id`, hottest
@@ -110,12 +126,17 @@ def evict_rows(data: jax.Array, rows, *,
 
 def reset_rows_state(state, rows):
     """Reset optimizer state for evicted rows: `(V,)` accumulators (row-wise
-    AdaGrad) and `(V, D)` moments (lazy Adam) zero at those rows; other
-    leaves (scalars, empty placeholders) pass through."""
+    AdaGrad) and `(V, D)` moments (lazy Adam) zero at those rows; scalar
+    and empty-placeholder leaves pass through.
+
+    Leaf rule: any array leaf with a non-trivial leading dimension is
+    treated as vocab-indexed (shape[0] > 1; the built-in states have only
+    vocab-dim-0 arrays, scalars, and `(0,)` placeholders). Custom states
+    carrying non-vocab leading dimensions must reset their own leaves."""
     rows = jnp.asarray(rows, jnp.int32)
 
     def leaf(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] > rows.size:
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] > 1:
             return x.at[rows].set(0, mode="drop")
         return x
 

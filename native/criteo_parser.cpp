@@ -39,7 +39,7 @@ inline double parse_number(const char* s, size_t n, bool* ok) {
   // Criteo dense fields are small integers (occasionally negative); a
   // hand-rolled parser avoids strtod locale/allocation overhead.
   // Accepted grammar (matching Python float() on realistic inputs):
-  // [-]digits[.digits][(e|E)[+|-]digits]. Known divergence from float():
+  // [+|-]digits[.digits][(e|E)[+|-]digits]. Known divergence from float():
   // inf/nan/hex/underscore/whitespace forms are rejected here — absent
   // from real click logs, and a row carrying them differs between the
   // oracle and this parser (documented, not silently identical).
@@ -49,8 +49,8 @@ inline double parse_number(const char* s, size_t n, bool* ok) {
   }
   bool neg = false;
   size_t i = 0;
-  if (s[0] == '-') {
-    neg = true;
+  if (s[0] == '-' || s[0] == '+') {
+    neg = s[0] == '-';
     i = 1;
   }
   double v = 0.0;

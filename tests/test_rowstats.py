@@ -19,10 +19,20 @@ def test_tracker_ema_and_rankings():
     # counts: row1 = 3*0.5 = 1.5; row2 = 1*0.5 + 2 = 2.5; row3 = 1.
     np.testing.assert_allclose(tr.counts[[1, 2, 3]], [1.5, 2.5, 1.0])
     np.testing.assert_array_equal(tr.top_rows(2), [2, 1])
-    assert set(tr.cold_rows(0.0)) == set(range(10)) - {1, 2, 3}
+    assert tr.top_rows(0).size == 0
+    # Cold = SEEN then stale; never-seen rows are never eviction candidates.
+    assert tr.cold_rows(0.0).size == 0
+    assert set(tr.cold_rows(2.0)) == {1, 3}
+    popped = tr.pop_cold(2.0)
+    assert set(popped) == {1, 3}
+    # Popped rows are not re-reported until they reappear.
+    assert tr.cold_rows(2.0).size == 0
+    tr.observe([1])
+    assert 1 not in set(tr.cold_rows(0.0))  # count now > 0
     assert 0 < tr.coverage(1) < 1
+    # After the extra observe([1]): row1 = 1.75, row2 = 1.25, row3 = 0.5.
     perm = tr.frequency_permutation()
-    assert perm[0] == 2 and perm[1] == 1 and perm[2] == 3
+    assert perm[0] == 1 and perm[1] == 2 and perm[2] == 3
     inv = inverse_permutation(perm)
     np.testing.assert_array_equal(perm[inv], np.arange(10))
 
@@ -89,8 +99,9 @@ def test_relayout_roundtrip_preserves_lookup():
 
 
 def test_eviction_in_training_loop():
-    """Evict-and-reinit inside a tiny training loop: evicted rows lose their
-    learned values + state, untouched rows keep training normally."""
+    """Evict-and-reinit inside a tiny training loop: rows that appeared
+    early then went stale lose their learned values + state; live rows keep
+    training; never-seen rows are not eviction candidates."""
     rng = np.random.default_rng(3)
     V, D, B = 24, 8, 16
     data = jnp.zeros((V, D), jnp.float32)
@@ -98,14 +109,16 @@ def test_eviction_in_training_loop():
     opt = SparseRowWiseAdaGrad(lr=0.5)
     st = opt.init(data)
     tr = FrequencyTracker(V, decay=0.9)
-    hot = np.arange(12)                      # only rows 0..11 ever appear
+    tr.observe(np.arange(12, 24))            # stale rows appear ONCE
+    hot = np.arange(12)                      # then only rows 0..11
     for i in range(30):
         idx_np = rng.choice(hot, B)
         tr.observe(idx_np)
         idx = jnp.asarray(idx_np.astype(np.int32))
         out, pull = et.lookup_vjp(data, idx)
         data, st = opt.apply(data, pull(2 * (out - target[idx]) / B), st)
-    cold = tr.cold_rows(1e-6)
+    # Stale counts decayed to 0.9^30 ~ 0.042; hot counts are >> 1.
+    cold = tr.pop_cold(0.05)
     assert set(cold) == set(range(12, 24))
     data = evict_rows(data, cold, value=0.0)
     st = reset_rows_state(st, cold)
@@ -125,10 +138,17 @@ def test_train_loop_eviction_integration():
                      bottom_mlp=(8, 8), top_mlp=(8, 1),
                      compute_dtype=jnp.float32)
 
+    first = [True]
+
     def batches():
         while True:
-            # Only ids 0..9 ever appear; 10..19 are stale from step one.
-            cat = rng.integers(0, 10, (2, 32)).astype(np.int32)
+            if first[0]:
+                # Rows 10..19 appear ONCE, then go stale.
+                first[0] = False
+                cat = np.tile(np.arange(10, 20, dtype=np.int32),
+                              4)[:32].reshape(1, -1).repeat(2, axis=0)
+            else:
+                cat = rng.integers(0, 10, (2, 32)).astype(np.int32)
             yield dict(dense=rng.normal(size=(32, 4)).astype(np.float32),
                        cat=cat,
                        label=(cat[0] % 2).astype(np.float32))
@@ -136,9 +156,10 @@ def test_train_loop_eviction_integration():
     opt = SparseRowWiseAdaGrad(lr=0.1)
     res = train_dlrm(cfg, batches(), 12, sparse_opt=opt, dense_lr=0.1,
                      log_every=0, evict_every=5, evict_threshold=1e-6,
-                     verbose=False)
-    # Two eviction rounds fired; each found >= the 20 never-seen rows.
-    assert res.evicted_rows >= 40, res.evicted_rows
+                     freq_decay=0.1, verbose=False)
+    # The seen-then-stale rows are evicted exactly ONCE (no re-eviction of
+    # permanently-cold rows; never-seen rows are not candidates).
+    assert res.evicted_rows == 20, res.evicted_rows
     data = np.asarray(res.model.tables.data)
     offs = res.model.tables.offsets
     for t in range(2):
@@ -186,9 +207,16 @@ def test_sharded_train_loop_eviction():
                      bottom_mlp=(8, 8), top_mlp=(8, 1),
                      compute_dtype=jnp.float32)
 
+    first = [True]
+
     def batches():
         while True:
-            cat = rng.integers(0, 12, (2, 32)).astype(np.int32)
+            if first[0]:
+                first[0] = False
+                cat = np.tile(np.arange(12, 24, dtype=np.int32),
+                              3)[:32].reshape(1, -1).repeat(2, axis=0)
+            else:
+                cat = rng.integers(0, 12, (2, 32)).astype(np.int32)
             yield dict(dense=rng.normal(size=(32, 4)).astype(np.float32),
                        cat=cat,
                        label=(cat[0] % 2).astype(np.float32))
@@ -196,8 +224,9 @@ def test_sharded_train_loop_eviction():
     res = train_dlrm(cfg, batches(), 10, dense_lr=0.1,
                      sparse_opt=SparseRowWiseAdaGrad(lr=0.1),
                      mesh=default_mesh(("data",)), log_every=0,
-                     evict_every=5, evict_threshold=1e-6, verbose=False)
-    assert res.evicted_rows >= 2 * 12 * 2  # 12 stale ids x 2 tables x 2 rounds
+                     evict_every=5, evict_threshold=1e-6, freq_decay=0.1,
+                     verbose=False)
+    assert res.evicted_rows == 2 * 12  # seen-then-stale, evicted once each
     data = np.asarray(res.model.tables.unshard())
     offs = res.model.tables.offsets
     for t in range(2):
