@@ -22,6 +22,7 @@ from .offload import HostOffloadEmbedding
 from .quant import QuantizedEmbedding
 from .qr import QREmbedding, qr_lookup_vjp
 from .md import MDEmbedding, md_lookup_vjp
+from .tt import TTEmbedding, tt_lookup_vjp
 from .serving import (MicroBatcher, make_dlrm_service,
                       make_retrieval_service, serve_http)
 from .rpc import ModelRouter, RPCClient, RPCServer, serve_rpc
@@ -43,7 +44,8 @@ __all__ = [
     # tables
     "SimpleEmbedding", "SplitEmbedding", "HostOffloadEmbedding",
     "QuantizedEmbedding", "QREmbedding", "qr_lookup_vjp", "MDEmbedding",
-    "md_lookup_vjp", "as_table", "example", "destination", "is_table",
+    "md_lookup_vjp", "TTEmbedding", "tt_lookup_vjp", "as_table", "example",
+    "destination", "is_table",
     # lookup
     "lookup", "lookup_oracle", "lookup_vjp",
     # ensemble

@@ -219,8 +219,18 @@ _mt = MDEmbedding.create(jax.random.key(8), 10_000, 128, 16)
 np.testing.assert_allclose(np.asarray(_mt.rows(_mi)),
                            np.asarray(_mt.materialize())[np.asarray(_mi)],
                            rtol=1e-4, atol=1e-4)
+from embeddingtables_tpu.tt import TTEmbedding, tt_lookup_vjp
+_tt = TTEmbedding.create(jax.random.key(9), 10_000, 128, rank=8)
+np.testing.assert_allclose(np.asarray(_tt.rows(_mi)),
+                           np.asarray(_tt.materialize())[np.asarray(_mi)],
+                           rtol=1e-4, atol=1e-4)
+_out, _pull = tt_lookup_vjp(_tt, _mi)
+_uts = _pull(jnp.ones_like(_out))
+assert len(_uts) == len(_tt.cores)
+assert all(u.indices.shape == (256,) for u in _uts)
 print(f"13. compressed tables on-chip: QR x{_qt.compression():.0f}, "
-      f"MD x{_mt.compression():.1f} memory, lookups match dense")
+      f"MD x{_mt.compression():.1f}, TT x{_tt.compression():.0f} memory, "
+      f"lookups match dense")
 
 # --- 14. row lifecycle on-chip: evict + state reset -----------------------
 from embeddingtables_tpu.utils import evict_rows, reset_rows_state
