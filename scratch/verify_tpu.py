@@ -244,4 +244,20 @@ np.testing.assert_array_equal(np.asarray(_t14b)[_keep14],
                               np.asarray(_t14)[_keep14])
 print("14. row lifecycle on-chip: eviction reinit + survivors intact")
 
+# --- 15. tiered hot/cold table on-chip -------------------------------------
+from embeddingtables_tpu.tiered import TieredEmbedding
+_td = jnp.asarray(_r.standard_normal((5000, 128)).astype(np.float32))
+_tt15 = TieredEmbedding.from_array(_td, 512)
+assert _tt15.cold.sharding.memory_kind == "pinned_host"
+_ti = jnp.asarray(_r.integers(0, 5000, 256).astype(np.int32))
+np.testing.assert_allclose(np.asarray(_tt15.rows(_ti)),
+                           np.asarray(_td)[np.asarray(_ti)], rtol=1e-6)
+_tt15b = _tt15.scatter_apply(jnp.asarray([3, 3, 4000], jnp.int32),
+                             jnp.ones((3, 128), jnp.float32))
+_m15 = np.asarray(_tt15b.materialize())
+np.testing.assert_allclose(_m15[3], np.asarray(_td)[3] + 2.0, rtol=1e-5)
+np.testing.assert_allclose(_m15[4000], np.asarray(_td)[4000] + 1.0,
+                           rtol=1e-5)
+print("15. tiered hot/cold table on-chip: routed gather + tiered scatter")
+
 print("ALL TPU VERIFICATION CHECKS PASSED")
