@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from .ops.indexer import IndexerResult, flatten_indices, index
 from .ops.sparse_update import SparseEmbeddingUpdate
+from .rounding import stochastic_cast
 
 
 class SparseOptState(NamedTuple):
@@ -93,20 +94,28 @@ def _clip_rows(grad_dense, clipnorm):
 
 def sgd_dense_body(data: jax.Array, rows: jax.Array, g: jax.Array,
                    lr, weight_decay: float = 0.0,
-                   clipnorm: Optional[float] = None) -> jax.Array:
-    """`data[r] -= lr * clip(Σ g_r)` with lazy decay on touched rows."""
+                   clipnorm: Optional[float] = None,
+                   rounding_key=None) -> jax.Array:
+    """`data[r] -= lr * clip(Σ g_r)` with lazy decay on touched rows.
+    `rounding_key` + bf16 storage -> stochastic rounding on the ONE cast
+    back to storage dtype (rounding.py); untouched rows must stay exact
+    fixed points, so SR applies only where a gradient landed."""
     grad = _clip_rows(jnp.zeros(data.shape, jnp.float32).at[rows].add(
         g.astype(jnp.float32), mode="drop"), clipnorm)
     touched = _touched(grad)
     new = data.astype(jnp.float32) - lr * grad
     if weight_decay != 0.0:
         new = new * jnp.where(touched, 1.0 - lr * weight_decay, 1.0)[:, None]
-    return new.astype(data.dtype)
+    out = stochastic_cast(new, data.dtype, rounding_key)
+    if rounding_key is not None:
+        out = jnp.where(touched[:, None], out, data)
+    return out
 
 
 def adagrad_dense_body(data: jax.Array, accum: jax.Array, rows: jax.Array,
                        g: jax.Array, lr, eps, weight_decay: float = 0.0,
-                       clipnorm: Optional[float] = None):
+                       clipnorm: Optional[float] = None,
+                       rounding_key=None):
     """Row-wise-AdaGrad dense-grad pass: returns (new_data, new_accum).
     accum: (V,) f32. One state advance + one row write per touched row;
     untouched rows are exact fixed points (incl. the eps=0 case — the step
@@ -122,7 +131,10 @@ def adagrad_dense_body(data: jax.Array, accum: jax.Array, rows: jax.Array,
            - jnp.where(touched[:, None], step, 0.0))
     if weight_decay != 0.0:
         new = new * jnp.where(touched, 1.0 - lr * weight_decay, 1.0)[:, None]
-    return new.astype(data.dtype), new_accum
+    out = stochastic_cast(new, data.dtype, rounding_key)
+    if rounding_key is not None:
+        out = jnp.where(touched[:, None], out, data)
+    return out, new_accum
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,19 +155,29 @@ class SparseSGD:
     lr: float = 0.01
     weight_decay: float = 0.0
     clipnorm: Optional[float] = None
+    # bf16 tables: round the f32 step result stochastically so sub-ulp
+    # steps accumulate in expectation (rounding.py). Requires `key=` on
+    # apply and routes through the dense-grad realization (the direct
+    # scatter RMWs in storage precision, where SR cannot be expressed).
+    stochastic_rounding: bool = False
 
     def init(self, data: jax.Array) -> SparseOptState:
         return SparseOptState(accum=jnp.zeros((0,), data.dtype))
 
     def apply(self, data: jax.Array, upd: SparseEmbeddingUpdate,
-              state: SparseOptState, *, row_offset: int = 0, lr=None):
+              state: SparseOptState, *, row_offset: int = 0, lr=None,
+              key=None):
         lr = self.lr if lr is None else lr
         rows, g = _occurrence_grads(upd, row_offset)
-        if self.weight_decay == 0.0 and self.clipnorm is None:
+        if self.stochastic_rounding and key is None:
+            raise ValueError("stochastic_rounding=True needs apply(key=...)")
+        rkey = key if self.stochastic_rounding else None
+        if (self.weight_decay == 0.0 and self.clipnorm is None
+                and rkey is None):
             new = data.at[rows].add((-lr * g).astype(data.dtype))
             return new, state
         return sgd_dense_body(data, rows, g, lr, self.weight_decay,
-                              self.clipnorm), state
+                              self.clipnorm, rounding_key=rkey), state
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,6 +199,10 @@ class SparseRowWiseAdaGrad:
     # dense-grad realization (see SparseSGD docstring for why).
     weight_decay: float = 0.0
     clipnorm: Optional[float] = None
+    # bf16 tables: SR on the one cast back to storage (rounding.py).
+    # Needs apply(key=...) and the dense realization (the indexer path
+    # RMWs rows in storage precision).
+    stochastic_rounding: bool = False
     # Dedup realization: "auto" | "dense" | "indexer".
     #   dense  : scatter-add deltas into a (V, D) f32 gradient buffer, then
     #            ONE fused elementwise table pass applies the row/state
@@ -199,11 +225,14 @@ class SparseRowWiseAdaGrad:
     def apply(self, data: jax.Array, upd: SparseEmbeddingUpdate,
               state: SparseOptState, *, row_offset: int = 0, lr=None,
               idx_result: Optional[IndexerResult] = None,
-              method: str | None = None):
+              method: str | None = None, key=None):
         lr = self.lr if lr is None else lr
         rows, g = _occurrence_grads(upd, row_offset)
         method = method or self.method
-        regularized = self.weight_decay != 0.0 or self.clipnorm is not None
+        if self.stochastic_rounding and key is None:
+            raise ValueError("stochastic_rounding=True needs apply(key=...)")
+        regularized = (self.weight_decay != 0.0 or self.clipnorm is not None
+                       or self.stochastic_rounding)
         if method == "auto":
             # An explicit idx_result means the caller amortized the sort.
             if regularized:
@@ -215,10 +244,12 @@ class SparseRowWiseAdaGrad:
                           else "indexer")
         if regularized and method != "dense":
             raise ValueError(
-                "weight_decay/clipnorm require the dense realization "
-                "(lazy regularization applies per touched row)")
+                "weight_decay/clipnorm/stochastic_rounding require the "
+                "dense realization (they apply per touched row)")
         if method == "dense":
-            return self._apply_dense(data, rows, g, state, lr)
+            return self._apply_dense(
+                data, rows, g, state, lr,
+                rounding_key=key if self.stochastic_rounding else None)
         if idx_result is None:
             # Dedup over the (possibly shifted) occurrence stream.
             idx_result = index(rows.reshape(-1))
@@ -235,7 +266,7 @@ class SparseRowWiseAdaGrad:
         new_accum = state.accum.at[target].set(new_accum_rows, mode="drop")
         return new_data, SparseOptState(accum=new_accum)
 
-    def _apply_dense(self, data, rows, g, state, lr):
+    def _apply_dense(self, data, rows, g, state, lr, rounding_key=None):
         """Sort-free dedup: one duplicate-accumulating scatter into a dense
         (V, D) f32 gradient, then one fused elementwise pass.
 
@@ -246,7 +277,7 @@ class SparseRowWiseAdaGrad:
         (g = 0 -> accum += 0, row -= 0)."""
         new_data, new_accum = adagrad_dense_body(
             data, state.accum, rows, g, lr, self.eps, self.weight_decay,
-            self.clipnorm)
+            self.clipnorm, rounding_key=rounding_key)
         return new_data, SparseOptState(accum=new_accum)
 
 
@@ -277,6 +308,9 @@ class SparseLazyAdam:
     eps: float = 1e-8
     weight_decay: float = 0.0
     clipnorm: Optional[float] = None
+    # bf16 tables: SR on the cast back to storage (rounding.py); the f32
+    # moments are exact either way. Needs apply(key=...).
+    stochastic_rounding: bool = False
 
     def init(self, data: jax.Array) -> SparseAdamState:
         # m and v must be DISTINCT buffers: donated train steps alias each
@@ -287,8 +321,11 @@ class SparseLazyAdam:
                                count=jnp.zeros((), jnp.int32))
 
     def apply(self, data: jax.Array, upd: SparseEmbeddingUpdate,
-              state: SparseAdamState, *, row_offset: int = 0, lr=None):
+              state: SparseAdamState, *, row_offset: int = 0, lr=None,
+              key=None):
         lr = self.lr if lr is None else lr
+        if self.stochastic_rounding and key is None:
+            raise ValueError("stochastic_rounding=True needs apply(key=...)")
         rows, g = _occurrence_grads(upd, row_offset)
         grad = _clip_rows(_dense_grad(data, rows, g), self.clipnorm)
         touched = _touched(grad)[:, None]
@@ -306,5 +343,8 @@ class SparseLazyAdam:
         if self.weight_decay != 0.0:
             new_data = new_data * jnp.where(
                 touched, 1.0 - lr * self.weight_decay, 1.0)
-        return (new_data.astype(data.dtype),
-                SparseAdamState(m=new_m, v=new_v, count=t))
+        rkey = key if self.stochastic_rounding else None
+        out = stochastic_cast(new_data, data.dtype, rkey)
+        if rkey is not None:
+            out = jnp.where(touched, out, data)
+        return out, SparseAdamState(m=new_m, v=new_v, count=t)

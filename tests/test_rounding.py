@@ -1,0 +1,170 @@
+"""Stochastic rounding: bit-level contract + bf16 training effect."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import embeddingtables_tpu as et
+from embeddingtables_tpu.optim import (SparseLazyAdam, SparseRowWiseAdaGrad,
+                                       SparseSGD)
+from embeddingtables_tpu.rounding import (stochastic_cast,
+                                          stochastic_round_to_bf16)
+
+
+def _bf16_neighbors(x: float):
+    lo = np.float32(jnp.asarray(x, jnp.float32).astype(jnp.bfloat16)
+                    .astype(jnp.float32))
+    # Walk one bf16 ulp in each direction via the bit pattern.
+    b = np.frombuffer(np.float32(lo).tobytes(), np.uint32)[0]
+    up = np.frombuffer(np.uint32(b + (1 << 16)).tobytes(), np.float32)[0]
+    dn = np.frombuffer(np.uint32(b - (1 << 16)).tobytes(), np.float32)[0]
+    return float(dn), float(lo), float(up)
+
+
+def test_sr_lands_on_neighbors_only():
+    # x strictly between two bf16 representables: SR must return one of
+    # exactly those two, never anything else.
+    x = np.float32(1.0 + 2 ** -10)       # between 1.0 and 1.0078125
+    outs = set()
+    for i in range(200):
+        out = stochastic_round_to_bf16(jnp.full((4,), x), jax.random.key(i))
+        outs.update(np.asarray(out.astype(jnp.float32)).tolist())
+    assert outs == {1.0, 1.0078125}, outs
+
+
+def test_sr_unbiased():
+    # E[SR(x)] = x: frequency of rounding up equals the fractional
+    # distance. x = 1.0 + k/8 ulp -> P(up) = k/8.
+    ulp = 2 ** -7                         # bf16 ulp in [1, 2)
+    for k in (1, 3, 5, 7):
+        x = np.float32(1.0 + (k / 8) * ulp)
+        ups = 0
+        n = 3000
+        out = stochastic_round_to_bf16(
+            jnp.full((n,), x), jax.random.key(k))
+        ups = float((np.asarray(out.astype(jnp.float32)) > 1.0).mean())
+        assert abs(ups - k / 8) < 0.05, (k, ups)
+
+
+def test_sr_exact_and_special_values():
+    vals = jnp.asarray([0.0, -0.0, 1.0, -2.5, 2.0 ** -100,
+                        np.inf, -np.inf, np.nan], jnp.float32)
+    out = stochastic_round_to_bf16(vals, jax.random.key(0))
+    got = np.asarray(out.astype(jnp.float32))
+    # Exactly-representable values unchanged; specials preserved.
+    assert got[0] == 0.0 and got[2] == 1.0 and got[3] == -2.5
+    assert np.isposinf(got[5]) and np.isneginf(got[6]) and np.isnan(got[7])
+
+
+def test_sr_negative_unbiased():
+    # Same contract on the negative side (sign-magnitude truncation).
+    ulp = 2 ** -7
+    x = np.float32(-(1.0 + 0.5 * ulp))
+    out = stochastic_round_to_bf16(jnp.full((4000,), x), jax.random.key(9))
+    frac_dn = float((np.asarray(out.astype(jnp.float32)) < -1.0).mean())
+    assert abs(frac_dn - 0.5) < 0.05, frac_dn
+
+
+def test_stochastic_cast_passthrough():
+    x = jnp.asarray([1.1, 2.2], jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(stochastic_cast(x, jnp.float32, jax.random.key(0))),
+        np.asarray(x))
+    assert stochastic_cast(x, jnp.bfloat16, None).dtype == jnp.bfloat16
+
+
+def test_bf16_sub_ulp_steps_accumulate_under_sr():
+    # The motivating failure: a step of 1/16 ulp rounds to nothing under
+    # nearest, forever. Under SR the row drifts by the true sum in
+    # expectation.
+    V, D, steps = 4, 8, 400
+    ulp = 2 ** -7
+    step = ulp / 16
+    data0 = jnp.ones((V, D), jnp.bfloat16)
+    idx = jnp.arange(V, dtype=jnp.int32)
+    upd = et.SparseEmbeddingUpdate(
+        delta=jnp.full((V, D), step, jnp.float32), indices=idx)
+
+    nearest = SparseSGD(lr=1.0)
+    sr = SparseSGD(lr=1.0, stochastic_rounding=True)
+    d_n, d_s = data0, data0
+    s_n, s_s = nearest.init(d_n), sr.init(d_s)
+    for i in range(steps):
+        d_n, s_n = nearest.apply(d_n, upd, s_n)
+        d_s, s_s = sr.apply(d_s, upd, s_s, key=jax.random.key(i))
+    # Nearest: frozen at 1.0 exactly.
+    np.testing.assert_array_equal(np.asarray(d_n.astype(jnp.float32)), 1.0)
+    # SR: mean drift ~= steps * step = 25/128 ~= 0.195 (downward, since
+    # the update subtracts) within statistical tolerance.
+    drift = 1.0 - float(np.asarray(d_s.astype(jnp.float32)).mean())
+    expect = steps * step
+    assert 0.6 * expect < drift < 1.4 * expect, (drift, expect)
+
+
+def test_sr_untouched_rows_are_exact_fixed_points():
+    V, D = 10, 4
+    data = (1.0 + jnp.arange(V * D, dtype=jnp.float32).reshape(V, D)
+            / 64.0).astype(jnp.bfloat16)
+    upd = et.SparseEmbeddingUpdate(
+        delta=jnp.ones((2, D), jnp.float32) * 0.001,
+        indices=jnp.asarray([3, 7], jnp.int32))
+    for opt in (SparseSGD(lr=0.5, stochastic_rounding=True),
+                SparseRowWiseAdaGrad(lr=0.5, stochastic_rounding=True,
+                                     method="dense"),
+                SparseLazyAdam(lr=0.5, stochastic_rounding=True)):
+        new, _ = opt.apply(data, upd, opt.init(data), key=jax.random.key(0))
+        keep = np.setdiff1d(np.arange(V), [3, 7])
+        np.testing.assert_array_equal(
+            np.asarray(new.astype(jnp.float32))[keep],
+            np.asarray(data.astype(jnp.float32))[keep])
+        assert not np.array_equal(
+            np.asarray(new.astype(jnp.float32))[[3, 7]],
+            np.asarray(data.astype(jnp.float32))[[3, 7]])
+
+
+def test_sr_requires_key_and_dense_method():
+    data = jnp.ones((4, 4), jnp.bfloat16)
+    upd = et.SparseEmbeddingUpdate(delta=jnp.ones((1, 4)),
+                                   indices=jnp.asarray([0]))
+    sgd = SparseSGD(stochastic_rounding=True)
+    with pytest.raises(ValueError, match="key"):
+        sgd.apply(data, upd, sgd.init(data))
+    ada = SparseRowWiseAdaGrad(stochastic_rounding=True, method="indexer")
+    with pytest.raises(ValueError, match="dense"):
+        ada.apply(data, upd, ada.init(data), key=jax.random.key(0))
+
+
+def test_sr_matches_f32_training_in_expectation():
+    # bf16+SR training tracks the f32 trajectory: train the same toy
+    # regression in f32 and bf16+SR; final losses must be close.
+    rng = np.random.default_rng(0)
+    V, D, B = 32, 16, 16
+    target = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+    init = 0.1 * jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+    opt32 = SparseSGD(lr=2.0)
+    opt16 = SparseSGD(lr=2.0, stochastic_rounding=True)
+    d32, d16 = init, init.astype(jnp.bfloat16)
+    s32, s16 = opt32.init(d32), opt16.init(d16)
+    for i in range(200):
+        idx = jnp.asarray(rng.integers(0, V, B).astype(np.int32))
+        for which in ("f32", "bf16"):
+            if which == "f32":
+                out = jnp.take(d32, idx, axis=0)
+                err = out - target[idx]
+                upd = et.SparseEmbeddingUpdate(delta=2 * err / err.size,
+                                               indices=idx)
+                d32, s32 = opt32.apply(d32, upd, s32)
+            else:
+                out = jnp.take(d16, idx, axis=0).astype(jnp.float32)
+                err = out - target[idx]
+                upd = et.SparseEmbeddingUpdate(delta=2 * err / err.size,
+                                               indices=idx)
+                d16, s16 = opt16.apply(d16, upd, s16,
+                                       key=jax.random.key(1000 + i))
+    l32 = float(((d32 - target) ** 2).mean())
+    l16 = float(((d16.astype(jnp.float32) - target) ** 2).mean())
+    assert l32 < 0.05, l32
+    # bf16+SR lands within noise of the f32 result (quantization noise
+    # floor ~ulp^2), far below the initial loss (~1.0).
+    assert l16 < l32 + 0.01, (l32, l16)
