@@ -7,10 +7,15 @@ flagship here (BASELINE.md config 4).
 """
 from .dlrm import (DLRM, DLRMConfig, dlrm_small_config, init_dlrm,
                    make_train_step, make_eval_step)
+from .dcn import (DCN, DCNConfig, dcn_small_config, init_dcn)
+from .dcn import make_train_step as make_dcn_train_step
+from .dcn import make_eval_step as make_dcn_eval_step
 from .two_tower import (TwoTower, TwoTowerConfig, build_item_index,
                         init_two_tower, retrieve)
 
 __all__ = ["DLRM", "DLRMConfig", "dlrm_small_config", "init_dlrm",
            "make_train_step", "make_eval_step",
+           "DCN", "DCNConfig", "dcn_small_config", "init_dcn",
+           "make_dcn_train_step", "make_dcn_eval_step",
            "TwoTower", "TwoTowerConfig", "init_two_tower",
            "build_item_index", "retrieve"]

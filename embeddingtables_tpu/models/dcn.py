@@ -1,0 +1,239 @@
+"""DCN-v2 (Deep & Cross Network): second CTR model family on the engine.
+
+Wang et al., "DCN V2: Improved Deep & Cross Network for Practical CTR
+Prediction" (WWW 2021) — the other production-standard CTR architecture
+next to DLRM, sharing the same embedding-table engine underneath (the
+reference's role is exactly this kernel layer, `README.md:174-176` in
+/root/reference). Where DLRM models feature interactions with one batched
+Z·Zᵀ dot product, DCN-v2 learns BOUNDED-DEGREE polynomial crosses
+explicitly:
+
+    x_{l+1} = x0 ⊙ (W_l x_l + b_l) + x_l
+
+After L layers the network represents all feature crosses up to degree
+L+1. `W_l` is full `(F, F)` or low-rank `U_l V_lᵀ` with rank r («the
+low-rank mixture variant is what deploys in practice»). TPU-first
+realization: the cross layer is two dense `(B,F)x(F,r)` matmuls + one
+elementwise product — all MXU/VPU work on static shapes, zero gathers;
+the embedding path is the same ONE-gather `StackedTables` ensemble as
+DLRM, and training uses the same lazy `(delta, indices)` discipline
+(loss differentiated w.r.t. the looked-up activations, fused sparse
+optimizer on the stacked array; never a (ΣV, D) dense gradient).
+
+Structures: "stacked" (deep net consumes the cross output) and
+"parallel" (cross and deep nets side by side, concatenated into the
+final head) — both from the paper.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.ensemble import StackedTables
+from ..ops.sparse_update import SparseEmbeddingUpdate
+from ..optim import SparseOptState, SparseSGD
+from .dlrm import _init_mlp, _mlp, bce_loss, embedding_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class DCNConfig:
+    vocab_sizes: Tuple[int, ...]
+    num_dense: int = 13
+    dim: int = 128                      # embedding feature size
+    num_cross: int = 3                  # cross layers (degree num_cross+1)
+    cross_rank: Optional[int] = 64      # None = full (F, F) weights
+    deep_mlp: Tuple[int, ...] = (512, 256)
+    structure: str = "stacked"          # "stacked" | "parallel"
+    bag: Optional[int] = None
+    combiner: str = "sum"
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    def __post_init__(self):
+        if self.structure not in ("stacked", "parallel"):
+            raise ValueError(self.structure)
+        if self.combiner not in ("sum", "mean"):
+            raise ValueError(self.combiner)
+        if self.num_cross < 1:
+            raise ValueError("num_cross must be >= 1")
+
+    @property
+    def num_tables(self) -> int:
+        return len(self.vocab_sizes)
+
+    @property
+    def input_features(self) -> int:
+        """x0 width: all embeddings flattened + raw dense features."""
+        return self.num_tables * self.dim + self.num_dense
+
+    @property
+    def head_features(self) -> int:
+        if self.structure == "stacked":
+            return self.deep_mlp[-1]
+        return self.input_features + self.deep_mlp[-1]
+
+
+def dcn_small_config(vocab: int = 100_000, **kw) -> DCNConfig:
+    """Criteo-Kaggle-shaped small config (26 tables)."""
+    kw.setdefault("vocab_sizes", tuple([vocab] * 26))
+    return DCNConfig(**kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DCN:
+    """Parameter pytree: cross layers + deep tower + head + the stacked
+    embedding ensemble + sparse-optimizer row state."""
+
+    cross: list             # [(U, V, b)] low-rank or [(W, b)] full
+    deep: list              # [(W, b), ...]
+    head: tuple             # (W, b) final linear -> 1 logit
+    tables: StackedTables
+    emb_state: SparseOptState
+    config: DCNConfig = dataclasses.field(metadata=dict(static=True))
+    dense_opt_state: object = None
+
+
+def init_dcn(key: jax.Array, cfg: DCNConfig,
+             sparse_opt=None, dense_tx=None) -> DCN:
+    kc, kd, kh, ke = jax.random.split(key, 4)
+    f = cfg.input_features
+    cross = []
+    for i in range(cfg.num_cross):
+        kc, k1, k2 = jax.random.split(kc, 3)
+        if cfg.cross_rank is None:
+            std = (1.0 / f) ** 0.5
+            w = (std * jax.random.normal(k1, (f, f))).astype(cfg.param_dtype)
+            cross.append((w, jnp.zeros((f,), cfg.param_dtype)))
+        else:
+            r = cfg.cross_rank
+            std_v = (1.0 / f) ** 0.5
+            std_u = (1.0 / r) ** 0.5
+            u = (std_u * jax.random.normal(k1, (f, r))).astype(cfg.param_dtype)
+            v = (std_v * jax.random.normal(k2, (f, r))).astype(cfg.param_dtype)
+            cross.append((u, v, jnp.zeros((f,), cfg.param_dtype)))
+    deep_in = cfg.input_features if cfg.structure == "parallel" else f
+    deep = _init_mlp(kd, (deep_in,) + cfg.deep_mlp, cfg.param_dtype)
+    head = _init_mlp(kh, (cfg.head_features, 1), cfg.param_dtype)[0]
+    total_v = sum(cfg.vocab_sizes)
+    data = (jax.random.uniform(ke, (total_v, cfg.dim), minval=-1.0,
+                               maxval=1.0)
+            / jnp.sqrt(float(cfg.dim))).astype(cfg.param_dtype)
+    offs, acc = [0], 0
+    for v in cfg.vocab_sizes:
+        acc += v
+        offs.append(acc)
+    tables = StackedTables(data=data, offsets=tuple(offs), dim=cfg.dim)
+    sparse_opt = sparse_opt or SparseSGD()
+    dense_params = (cross, deep, head)
+    dense_state = dense_tx.init(dense_params) if dense_tx is not None else None
+    return DCN(cross=cross, deep=deep, head=head, tables=tables,
+               emb_state=sparse_opt.init(data), config=cfg,
+               dense_opt_state=dense_state)
+
+
+def cross_layers(cross, x0: jax.Array, compute_dtype) -> jax.Array:
+    """L applications of `x <- x0 * (W x + b) + x` (low-rank W = U Vᵀ)."""
+    x0 = x0.astype(compute_dtype)
+    x = x0
+    for layer in cross:
+        if len(layer) == 2:
+            w, b = layer
+            xw = x @ w.astype(compute_dtype)
+        else:
+            u, v, b = layer
+            xw = (x @ v.astype(compute_dtype)) @ u.astype(compute_dtype).T
+        x = x0 * (xw + b.astype(compute_dtype)) + x
+    return x
+
+
+def forward_from_embeddings(cross, deep, head, cfg: DCNConfig,
+                            dense: jax.Array, emb_t: jax.Array) -> jax.Array:
+    """Full forward given looked-up embeddings `(T, B, dim)` — split out so
+    training can differentiate w.r.t. `emb_t` (the lazy-gradient boundary,
+    same contract as models/dlrm.py)."""
+    cd = cfg.compute_dtype
+    b = emb_t.shape[1]
+    emb = jnp.transpose(emb_t, (1, 0, 2)).reshape(b, -1)   # (B, T*dim)
+    x0 = jnp.concatenate([emb.astype(cd), dense.astype(cd)], axis=-1)
+    xc = cross_layers(cross, x0, cd)
+    if cfg.structure == "stacked":
+        feat = _mlp(deep, xc, cd)
+    else:
+        feat = jnp.concatenate([xc, _mlp(deep, x0, cd)], axis=-1)
+    w, bh = head
+    logits = feat @ w.astype(cd) + bh.astype(cd)
+    return logits[:, 0].astype(jnp.float32)
+
+
+def dcn_forward(model: DCN, dense: jax.Array, cat: jax.Array) -> jax.Array:
+    emb_t = embedding_forward(model.tables, cat, model.config.combiner)
+    return forward_from_embeddings(model.cross, model.deep, model.head,
+                                   model.config, dense, emb_t)
+
+
+def make_train_step(cfg: DCNConfig, sparse_opt=None, dense_lr: float = 0.01,
+                    jit: bool = True, dense_tx=None):
+    """Fused single-chip train step, same lazy-sparse discipline as the
+    DLRM step (models/dlrm.py::make_train_step): `(delta, indices)` on the
+    stacked ensemble, fused sparse-optimizer row update, plain-SGD or
+    optax towers. Returns `step(model, dense, cat, label) -> (model, loss)`.
+    """
+    sparse_opt = sparse_opt or SparseSGD()
+
+    def step(model: DCN, dense, cat, label):
+        emb_t = embedding_forward(model.tables, cat, cfg.combiner)
+
+        def loss_fn(dense_params, emb_act):
+            cross, deep, head = dense_params
+            logits = forward_from_embeddings(cross, deep, head, cfg,
+                                             dense, emb_act)
+            return bce_loss(logits, label)
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+            (model.cross, model.deep, model.head), emb_t)
+        dense_grads, delta_t = grads
+
+        params = (model.cross, model.deep, model.head)
+        if dense_tx is not None:
+            updates, new_dense_state = dense_tx.update(
+                dense_grads, model.dense_opt_state, params)
+            new_cross, new_deep, new_head = jax.tree.map(
+                lambda p, u: (p + u).astype(p.dtype), params, updates)
+        else:
+            new_dense_state = model.dense_opt_state
+            new_cross, new_deep, new_head = jax.tree.map(
+                lambda p, g: (p - dense_lr * g).astype(p.dtype),
+                params, dense_grads)
+
+        t = cfg.num_tables
+        idx = [cat[i] for i in range(t)]
+        g = model.tables.shift_indices(idx)
+        flat_idx = g.reshape((-1,) + g.shape[2:])
+        flat_delta = delta_t.reshape(-1, cfg.dim).astype(jnp.float32)
+        w = (jnp.full(flat_idx.shape, 1.0 / flat_idx.shape[1], jnp.float32)
+             if (cfg.combiner == "mean" and flat_idx.ndim == 2) else None)
+        upd = SparseEmbeddingUpdate(delta=flat_delta, indices=flat_idx,
+                                    weights=w)
+        new_data, new_state = sparse_opt.apply(model.tables.data, upd,
+                                               model.emb_state)
+        new_tables = dataclasses.replace(model.tables, data=new_data)
+        new_model = DCN(cross=new_cross, deep=new_deep, head=new_head,
+                        tables=new_tables, emb_state=new_state, config=cfg,
+                        dense_opt_state=new_dense_state)
+        return new_model, loss
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_eval_step(cfg: DCNConfig, jit: bool = True):
+    def step(model: DCN, dense, cat):
+        return dcn_forward(model, dense, cat)
+    if jit:
+        step = jax.jit(step)
+    return step

@@ -1,0 +1,140 @@
+"""DCN-v2 model family: cross-layer math, training, lazy discipline."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from embeddingtables_tpu.models.dcn import (DCN, DCNConfig, cross_layers,
+                                            dcn_forward, dcn_small_config,
+                                            init_dcn, make_eval_step,
+                                            make_train_step)
+from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+
+
+def _cfg(**kw):
+    kw.setdefault("vocab_sizes", (50, 70, 30))
+    kw.setdefault("num_dense", 4)
+    kw.setdefault("dim", 8)
+    kw.setdefault("deep_mlp", (16, 8))
+    kw.setdefault("cross_rank", 6)
+    kw.setdefault("num_cross", 2)
+    kw.setdefault("compute_dtype", jnp.float32)
+    return DCNConfig(**kw)
+
+
+def _batch(rng, cfg, b):
+    dense = jnp.asarray(rng.standard_normal((b, cfg.num_dense))
+                        .astype(np.float32))
+    cat = jnp.asarray(np.stack(
+        [rng.integers(0, v, b) for v in cfg.vocab_sizes]).astype(np.int32))
+    label = jnp.asarray((rng.random(b) > 0.5).astype(np.float32))
+    return dense, cat, label
+
+
+def test_cross_layer_matches_numpy_low_rank():
+    rng = np.random.default_rng(0)
+    B, F, R = 5, 12, 4
+    x0 = rng.standard_normal((B, F)).astype(np.float32)
+    u = rng.standard_normal((F, R)).astype(np.float32)
+    v = rng.standard_normal((F, R)).astype(np.float32)
+    b = rng.standard_normal(F).astype(np.float32)
+    got = cross_layers([(jnp.asarray(u), jnp.asarray(v), jnp.asarray(b))],
+                       jnp.asarray(x0), jnp.float32)
+    want = x0 * (x0 @ v @ u.T + b) + x0
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_cross_layer_matches_numpy_full_rank():
+    rng = np.random.default_rng(1)
+    B, F = 4, 9
+    x0 = rng.standard_normal((B, F)).astype(np.float32)
+    w = rng.standard_normal((F, F)).astype(np.float32)
+    b = rng.standard_normal(F).astype(np.float32)
+    # Two stacked layers with the same W: x2 = x0*(W x1 + b) + x1.
+    got = cross_layers([(jnp.asarray(w), jnp.asarray(b))] * 2,
+                       jnp.asarray(x0), jnp.float32)
+    x1 = x0 * (x0 @ w + b) + x0
+    want = x0 * (x1 @ w + b) + x1
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("structure", ["stacked", "parallel"])
+@pytest.mark.parametrize("rank", [None, 6])
+def test_dcn_forward_shapes(structure, rank):
+    rng = np.random.default_rng(2)
+    cfg = _cfg(structure=structure, cross_rank=rank)
+    model = init_dcn(jax.random.key(0), cfg)
+    dense, cat, _ = _batch(rng, cfg, 16)
+    out = dcn_forward(model, dense, cat)
+    assert out.shape == (16,) and out.dtype == jnp.float32
+    # jitted eval path agrees.
+    ev = make_eval_step(cfg)
+    np.testing.assert_allclose(np.asarray(ev(model, dense, cat)),
+                               np.asarray(out), rtol=1e-5, atol=1e-6)
+
+
+def test_dcn_training_learns():
+    # A learnable synthetic rule: label depends on one table's id parity.
+    rng = np.random.default_rng(3)
+    cfg = _cfg()
+    model = init_dcn(jax.random.key(1), cfg,
+                     sparse_opt=SparseRowWiseAdaGrad(lr=0.1))
+    step = make_train_step(cfg, sparse_opt=SparseRowWiseAdaGrad(lr=0.1),
+                           dense_lr=0.05)
+    losses = []
+    for _ in range(60):
+        dense, cat, _ = _batch(rng, cfg, 64)
+        label = jnp.asarray((np.asarray(cat[0]) % 2).astype(np.float32))
+        model, loss = step(model, dense, cat, label)
+        losses.append(float(loss))
+    assert np.mean(losses[-10:]) < 0.35, np.mean(losses[-10:])
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) - 0.1
+
+
+def test_dcn_update_touches_only_looked_up_rows():
+    # The lazy discipline: rows outside the batch's id set never move.
+    rng = np.random.default_rng(4)
+    cfg = _cfg()
+    model = init_dcn(jax.random.key(2), cfg)
+    before = np.asarray(model.tables.data).copy()
+    step = make_train_step(cfg, jit=False)
+    dense, cat, label = _batch(rng, cfg, 8)
+    g = model.tables.shift_indices([cat[i] for i in range(cfg.num_tables)])
+    touched = np.unique(np.asarray(g).reshape(-1))
+    model, _ = step(model, dense, cat, label)
+    after = np.asarray(model.tables.data)
+    untouched = np.setdiff1d(np.arange(before.shape[0]), touched)
+    np.testing.assert_array_equal(after[untouched], before[untouched])
+    assert not np.allclose(after[touched], before[touched])
+
+
+def test_dcn_bag_mean_combiner():
+    rng = np.random.default_rng(5)
+    cfg = _cfg(bag=3, combiner="mean")
+    model = init_dcn(jax.random.key(3), cfg)
+    b = 8
+    dense = jnp.asarray(rng.standard_normal((b, cfg.num_dense))
+                        .astype(np.float32))
+    cat = jnp.asarray(np.stack(
+        [rng.integers(0, v, (b, 3)) for v in cfg.vocab_sizes])
+        .astype(np.int32))
+    label = jnp.asarray((rng.random(b) > 0.5).astype(np.float32))
+    out = dcn_forward(model, dense, cat)
+    assert out.shape == (b,)
+    step = make_train_step(cfg, jit=False)
+    model2, loss = step(model, dense, cat, label)
+    assert np.isfinite(float(loss))
+    assert not np.allclose(np.asarray(model2.tables.data),
+                           np.asarray(model.tables.data))
+
+
+def test_dcn_config_validation():
+    with pytest.raises(ValueError):
+        _cfg(structure="bogus")
+    with pytest.raises(ValueError):
+        _cfg(num_cross=0)
+    cfg = dcn_small_config(vocab=1000, dim=8, num_dense=4,
+                           deep_mlp=(16, 8), compute_dtype=jnp.float32)
+    assert cfg.num_tables == 26
+    assert cfg.input_features == 26 * 8 + 4
