@@ -23,6 +23,10 @@ from .quant import QuantizedEmbedding
 from .qr import QREmbedding, qr_lookup_vjp
 from .md import MDEmbedding, md_lookup_vjp
 from .tt import TTEmbedding, tt_lookup_vjp
+from .tiered import TieredEmbedding
+from .rounding import stochastic_cast, stochastic_round_to_bf16
+from .interop import (from_torch, stacked_from_torch, stacked_to_torch,
+                      to_torch_embedding)
 from .serving import (MicroBatcher, make_dlrm_service,
                       make_retrieval_service, serve_http)
 from .rpc import ModelRouter, RPCClient, RPCServer, serve_rpc
@@ -44,8 +48,8 @@ __all__ = [
     # tables
     "SimpleEmbedding", "SplitEmbedding", "HostOffloadEmbedding",
     "QuantizedEmbedding", "QREmbedding", "qr_lookup_vjp", "MDEmbedding",
-    "md_lookup_vjp", "TTEmbedding", "tt_lookup_vjp", "as_table", "example",
-    "destination", "is_table",
+    "md_lookup_vjp", "TTEmbedding", "tt_lookup_vjp", "TieredEmbedding",
+    "as_table", "example", "destination", "is_table",
     # lookup
     "lookup", "lookup_oracle", "lookup_vjp",
     # ensemble
@@ -59,6 +63,11 @@ __all__ = [
     # sparse update
     "SparseEmbeddingUpdate", "uncompress", "sgd_update", "ensemble_sgd_update",
     "ensemble_update", "accumulate_updates",
+    # low-precision training
+    "stochastic_cast", "stochastic_round_to_bf16",
+    # torch interop
+    "from_torch", "to_torch_embedding", "stacked_from_torch",
+    "stacked_to_torch",
     # serving
     "MicroBatcher", "make_dlrm_service", "make_retrieval_service",
     "serve_http", "ModelRouter", "RPCServer", "RPCClient", "serve_rpc",
