@@ -27,7 +27,7 @@ from .tiered import TieredEmbedding
 from .rounding import stochastic_cast, stochastic_round_to_bf16
 from .interop import (from_torch, stacked_from_torch, stacked_to_torch,
                       to_torch_embedding)
-from .serving import (MicroBatcher, make_dlrm_service,
+from .serving import (MicroBatcher, make_dcn_service, make_dlrm_service,
                       make_retrieval_service, serve_http)
 from .rpc import ModelRouter, RPCClient, RPCServer, serve_rpc
 from .ops import (AbstractExecutionStrategy, DefaultStrategy, DenseIndexer,
@@ -69,7 +69,8 @@ __all__ = [
     "from_torch", "to_torch_embedding", "stacked_from_torch",
     "stacked_to_torch",
     # serving
-    "MicroBatcher", "make_dlrm_service", "make_retrieval_service",
+    "MicroBatcher", "make_dcn_service", "make_dlrm_service",
+    "make_retrieval_service",
     "serve_http", "ModelRouter", "RPCServer", "RPCClient", "serve_rpc",
     "config",
 ]

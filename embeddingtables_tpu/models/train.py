@@ -200,6 +200,82 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
 
 
 # ---------------------------------------------------------------------------
+# DCN-v2 training loop
+# ---------------------------------------------------------------------------
+
+def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
+              dense_lr: float = 0.01, model=None, seed: int = 0,
+              eval_batches: Optional[list] = None, eval_every: int = 0,
+              ckpt_manager=None, ckpt_every: int = 0, log_every: int = 100,
+              mesh=None, axis: str = "data",
+              verbose: bool = True) -> TrainResult:
+    """Train a DCN-v2 (`models/dcn.py`) on the same batch layout as
+    `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
+    fused step; mesh given -> the sharded gather-exchange step
+    (parallel/dcn.py). Same telemetry/eval/checkpoint cadence as the DLRM
+    loop."""
+    from .dcn import init_dcn, make_eval_step as make_dcn_eval, \
+        make_train_step as make_dcn_step
+    tel = _telemetry.get_telemetry()
+    if model is None:
+        with tel.phase("init"):
+            model = init_dcn(jax.random.key(seed), cfg, sparse_opt=sparse_opt)
+    if mesh is not None:
+        from ..parallel.dcn import (batch_shardings as dcn_shardings,
+                                    make_sharded_dcn_eval_step,
+                                    make_sharded_dcn_train_step, shard_dcn)
+        from .dcn import DCN
+        if isinstance(model, DCN):
+            model = shard_dcn(model, mesh, axis, sparse_opt=sparse_opt)
+        step = make_sharded_dcn_train_step(cfg, mesh, axis,
+                                           sparse_opt=sparse_opt,
+                                           dense_lr=dense_lr)
+        eval_step = make_sharded_dcn_eval_step(cfg, mesh, axis)
+        sd, sc, sl = dcn_shardings(mesh, axis)
+        put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731
+                         jax.device_put(b["cat"], sc),
+                         jax.device_put(b["label"], sl))
+    else:
+        step = make_dcn_step(cfg, sparse_opt=sparse_opt, dense_lr=dense_lr)
+        eval_step = make_dcn_eval(cfg)
+        put = lambda b: (jnp.asarray(b["dense"]),              # noqa: E731
+                         jnp.asarray(b["cat"]),
+                         jnp.asarray(b["label"]))
+
+    losses, aucs = [], []
+    examples = 0
+    t_start = time.perf_counter()
+    for i in range(num_steps):
+        with tel.phase("data"):
+            batch = next(train_iter)
+        dense, cat, label = put(batch)
+        with tel.phase("step"):
+            model, loss = step(model, dense, cat, label)
+        examples += batch["label"].shape[0]
+        if log_every and (i % log_every == 0 or i == num_steps - 1):
+            lv = float(loss)
+            losses.append(lv)
+            if verbose:
+                print(f"step {i:6d}  loss {lv:.5f}", flush=True)
+        if eval_every and eval_batches and (i + 1) % eval_every == 0:
+            with tel.phase("eval"):
+                a = evaluate_auc(eval_step, model, eval_batches)
+            aucs.append((i + 1, a))
+            if verbose:
+                print(f"step {i+1:6d}  eval AUC {a:.4f}", flush=True)
+        if ckpt_manager is not None and ckpt_every and \
+                (i + 1) % ckpt_every == 0:
+            with tel.phase("checkpoint"):
+                ckpt_manager.save(i + 1, model)
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+        else x, model)
+    dt = time.perf_counter() - t_start
+    return TrainResult(model=model, losses=losses, aucs=aucs,
+                       examples_per_sec=examples / dt)
+
+
+# ---------------------------------------------------------------------------
 # Two-tower training loop
 # ---------------------------------------------------------------------------
 

@@ -118,6 +118,35 @@ def quantize_dlrm(model):
     return qt, eval_fn
 
 
+def quantize_dcn(model):
+    """Serving conversion for DCN-v2 (`models/dcn.py`), mirroring
+    `quantize_dlrm`: int8 rows on the stacked ensemble (4x HBM), dense
+    cross/deep/head untouched. Returns (quantized_tables, eval_fn)."""
+    import jax
+    from .models.dcn import forward_from_embeddings
+
+    cfg = model.config
+    qt = QuantizedEmbedding.quantize(SimpleEmbedding(model.tables.data),
+                                     out_dtype=jnp.float32)
+    offsets = model.tables.offsets
+    cross, deep, head = model.cross, model.deep, model.head
+
+    @jax.jit
+    def eval_fn(dense, cat):
+        t = len(offsets) - 1
+        shifted = jnp.stack([cat[i] + offsets[i] for i in range(t)])
+        flat = shifted.reshape((-1,) + shifted.shape[2:])
+        rows = qt.rows(flat)
+        if flat.ndim == 2:  # bag reduce
+            rows = rows.sum(axis=1)
+            if cfg.combiner == "mean":
+                rows = rows / flat.shape[1]
+        emb = rows.reshape(t, shifted.shape[1], cfg.dim)
+        return forward_from_embeddings(cross, deep, head, cfg, dense, emb)
+
+    return qt, eval_fn
+
+
 def max_quantization_error(table) -> float:
     """Worst-case absolute error bound of the scheme: scale/2 per element."""
     t = as_table(table)

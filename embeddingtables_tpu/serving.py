@@ -245,6 +245,27 @@ def make_dlrm_service(model, *, quantized: bool = False,
                         max_latency_ms=max_latency_ms)
 
 
+def make_dcn_service(model, *, quantized: bool = False,
+                     max_batch: int = 1024,
+                     max_latency_ms: float = 5.0) -> MicroBatcher:
+    """Batched DCN-v2 scoring service (same contract as
+    `make_dlrm_service`): model is a trained `models.dcn.DCN`;
+    quantized=True serves int8 tables via `quant.quantize_dcn`."""
+    import jax
+
+    if quantized:
+        from .quant import quantize_dcn
+        _, predict = quantize_dcn(model)            # already jitted
+    else:
+        from .models.dcn import make_eval_step
+        step = make_eval_step(model.config)
+        predict = lambda dense, cat: step(model, dense, cat)  # noqa: E731
+    fn = lambda dense, cat: np.asarray(                       # noqa: E731
+        jax.device_get(predict(dense, cat)))
+    return MicroBatcher(fn, max_batch=max_batch,
+                        max_latency_ms=max_latency_ms)
+
+
 def make_retrieval_service(model, *, k: int = 10, mesh=None, axis="data",
                            max_batch: int = 1024,
                            max_latency_ms: float = 5.0) -> MicroBatcher:

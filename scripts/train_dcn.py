@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""Train a DCN-v2 on synthetic or Criteo Kaggle data.
+
+Examples:
+  # Synthetic smoke run on whatever backend is available
+  python scripts/train_dcn.py --steps 200 --batch 4096
+
+  # Criteo Kaggle (native parser + prefetch), sharded over all devices
+  python scripts/train_dcn.py --criteo /data/train.txt --mesh \
+      --steps 10000 --batch 65536 --dim 128 --ckpt /tmp/dcn_ckpt
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--vocab", type=int, default=100_000)
+    ap.add_argument("--tables", type=int, default=26)
+    ap.add_argument("--num-cross", type=int, default=3,
+                    help="cross layers (polynomial degree num_cross+1)")
+    ap.add_argument("--cross-rank", type=int, default=64,
+                    help="low-rank cross width; 0 = full (F, F) weights")
+    ap.add_argument("--deep-mlp", type=str, default="512,256",
+                    help="comma-separated deep-tower widths")
+    ap.add_argument("--structure", choices=["stacked", "parallel"],
+                    default="stacked")
+    ap.add_argument("--criteo", type=str, default=None,
+                    help="path to Criteo Kaggle train.txt (else synthetic)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard over all local devices (data axis)")
+    ap.add_argument("--bag", type=int, default=None,
+                    help="multi-hot bag size (synthetic data only)")
+    ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
+    ap.add_argument("--opt", choices=["sgd", "adagrad"], default="adagrad")
+    ap.add_argument("--weight-decay", type=float, default=0.0)
+    ap.add_argument("--clipnorm", type=float, default=None)
+    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--eval-every", type=int, default=0)
+    ap.add_argument("--eval-batches", type=int, default=4)
+    ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--prefetch", type=int, default=2)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.io import CriteoFileLoader, PrefetchLoader
+    from embeddingtables_tpu.models import DCNConfig
+    from embeddingtables_tpu.models.train import train_dcn
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad, SparseSGD
+    from embeddingtables_tpu.utils import CheckpointManager
+    from embeddingtables_tpu.utils.telemetry import get_telemetry
+
+    vocabs = tuple([args.vocab] * args.tables)
+    deep = tuple(int(w) for w in args.deep_mlp.split(",") if w)
+    cfg = DCNConfig(vocab_sizes=vocabs, dim=args.dim,
+                    num_cross=args.num_cross,
+                    cross_rank=args.cross_rank or None,
+                    deep_mlp=deep, structure=args.structure,
+                    bag=args.bag, combiner=args.combiner)
+    if args.criteo:
+        assert args.tables == 26, "Criteo has 26 categorical features"
+        # Eval takes the FIRST eval_batches of the file; the training stream
+        # skips that prefix so periodic AUC is measured on unseen examples.
+        train_raw = iter(CriteoFileLoader(args.criteo, vocabs, args.batch))
+        if args.eval_every:
+            for _ in range(args.eval_batches):
+                next(train_raw, None)
+        train_it = iter(PrefetchLoader(train_raw, depth=args.prefetch))
+        eval_batches = list(CriteoFileLoader(args.criteo, vocabs, args.batch,
+                                             max_batches=args.eval_batches))
+    else:
+        gen = SyntheticCriteo(vocab_sizes=vocabs, batch_size=args.batch,
+                              bag=args.bag)
+        eval_batches = list(gen.batches(args.eval_batches))
+        train_it = iter(PrefetchLoader(gen.batches(), depth=args.prefetch))
+
+    mesh = None
+    if args.mesh:
+        from embeddingtables_tpu.parallel.mesh import default_mesh
+        mesh = default_mesh(("data",))
+        print(f"mesh: {mesh}", flush=True)
+
+    reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
+    opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
+           "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg)
+           }[args.opt]()
+    mgr = CheckpointManager(args.ckpt) if args.ckpt else None
+
+    print(f"backend={jax.default_backend()} devices={jax.device_count()} "
+          f"T={args.tables} V={args.vocab} D={args.dim} B={args.batch} "
+          f"cross={args.num_cross}x r={args.cross_rank}", flush=True)
+    res = train_dcn(cfg, train_it, args.steps, sparse_opt=opt,
+                    dense_lr=args.lr, eval_batches=eval_batches,
+                    eval_every=args.eval_every, ckpt_manager=mgr,
+                    ckpt_every=args.ckpt_every, log_every=args.log_every,
+                    mesh=mesh)
+    print(f"\n{res.examples_per_sec:,.0f} examples/s")
+    if res.aucs:
+        print(f"final AUC {res.aucs[-1][1]:.4f}")
+    print("\ntelemetry:\n" + get_telemetry().summary())
+
+
+if __name__ == "__main__":
+    main()

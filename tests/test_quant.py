@@ -86,3 +86,22 @@ def test_quantize_dlrm_serving_parity():
     q8 = eval_fn(dense, cat)
     assert np.abs(np.asarray(q8) - np.asarray(f32)).max() < 0.05
     assert qt.nbytes < model.tables.data.nbytes / 3
+
+
+def test_quantize_dcn_serving_parity():
+    from embeddingtables_tpu.models import DCNConfig, init_dcn
+    from embeddingtables_tpu.models.dcn import make_eval_step
+    from embeddingtables_tpu.quant import quantize_dcn
+    cfg = DCNConfig(vocab_sizes=(40, 60, 30), num_dense=4, dim=16,
+                    num_cross=2, cross_rank=8, deep_mlp=(16, 8),
+                    compute_dtype=jnp.float32)
+    model = init_dcn(jax.random.key(3), cfg)
+    rng = np.random.default_rng(2)
+    dense = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    cat = jnp.asarray(np.stack([rng.integers(0, v, 16).astype(np.int32)
+                                for v in cfg.vocab_sizes]))
+    f32 = make_eval_step(cfg)(model, dense, cat)
+    qt, eval_fn = quantize_dcn(model)
+    q8 = eval_fn(dense, cat)
+    assert np.abs(np.asarray(q8) - np.asarray(f32)).max() < 0.05
+    assert qt.nbytes < model.tables.data.nbytes / 3

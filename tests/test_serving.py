@@ -264,3 +264,31 @@ def test_retrieval_service_sharded_mesh():
     np.testing.assert_allclose(s2, np.asarray(s1), rtol=1e-5, atol=1e-6)
     for r in range(4):  # ties may reorder equal scores
         assert set(i2[r].tolist()) == set(np.asarray(i1[r]).tolist())
+
+
+def test_dcn_service_matches_direct_eval():
+    import jax
+    import jax.numpy as jnp
+    from embeddingtables_tpu.models import DCNConfig, init_dcn
+    from embeddingtables_tpu.models.dcn import make_eval_step
+    from embeddingtables_tpu.serving import make_dcn_service
+
+    cfg = DCNConfig(vocab_sizes=(40, 60), num_dense=3, dim=8,
+                    num_cross=2, cross_rank=4, deep_mlp=(16, 8),
+                    compute_dtype=jnp.float32)
+    model = init_dcn(jax.random.key(0), cfg)
+    rng = np.random.default_rng(7)
+    dense = rng.normal(size=(5, 3)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, 5).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    want = np.asarray(make_eval_step(cfg)(model, jnp.asarray(dense),
+                                          jnp.asarray(cat)))
+
+    for quantized in (False, True):
+        svc = make_dcn_service(model, quantized=quantized, max_batch=8,
+                               max_latency_ms=5.0)
+        got = svc.predict(dense, cat, timeout=60)
+        svc.stop()
+        tol = dict(rtol=1e-5, atol=1e-6) if not quantized else \
+            dict(rtol=0.1, atol=0.05)       # int8 rows
+        np.testing.assert_allclose(got, want, **tol)

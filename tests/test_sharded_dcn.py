@@ -1,0 +1,120 @@
+"""Sharded-vs-single-chip DCN-v2 parity on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from embeddingtables_tpu.models.dcn import (DCNConfig, dcn_forward, init_dcn,
+                                            make_train_step)
+from embeddingtables_tpu.optim import SparseRowWiseAdaGrad, SparseSGD
+from embeddingtables_tpu.parallel.dcn import (batch_shardings,
+                                              make_sharded_dcn_eval_step,
+                                              make_sharded_dcn_train_step,
+                                              shard_dcn)
+from embeddingtables_tpu.parallel.mesh import default_mesh
+
+
+def tiny_cfg(**kw):
+    kw.setdefault("vocab_sizes", (64, 96, 33))
+    kw.setdefault("num_dense", 4)
+    kw.setdefault("dim", 8)
+    kw.setdefault("num_cross", 2)
+    kw.setdefault("cross_rank", 6)
+    kw.setdefault("deep_mlp", (16, 8))
+    kw.setdefault("compute_dtype", jnp.float32)
+    return DCNConfig(**kw)
+
+
+def synth_batch(cfg, b, seed=0, bag=None):
+    rng = np.random.default_rng(seed)
+    dense = rng.normal(size=(b, cfg.num_dense)).astype(np.float32)
+    shape = (b,) if bag is None else (b, bag)
+    cat = np.stack([rng.integers(0, v, shape).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    label = rng.integers(0, 2, b).astype(np.float32)
+    return dense, cat, label
+
+
+@pytest.mark.parametrize("opt_name,structure",
+                         [("sgd", "stacked"), ("adagrad", "parallel")])
+def test_sharded_dcn_step_matches_single_chip(opt_name, structure):
+    cfg = tiny_cfg(structure=structure)
+    mesh = default_mesh(("data",))
+    make_opt = (lambda: SparseSGD(0.3)) if opt_name == "sgd" else \
+        (lambda: SparseRowWiseAdaGrad(lr=0.3, eps=1e-6))
+
+    model = init_dcn(jax.random.key(0), cfg, sparse_opt=make_opt())
+    dense, cat, label = synth_batch(cfg, b=32, seed=1)
+
+    step1 = make_train_step(cfg, sparse_opt=make_opt(), dense_lr=0.3,
+                            jit=False)
+    m1, loss1 = step1(model, jnp.asarray(dense), jnp.asarray(cat),
+                      jnp.asarray(label))
+
+    smodel = shard_dcn(init_dcn(jax.random.key(0), cfg,
+                                sparse_opt=make_opt()),
+                       mesh, "data", sparse_opt=make_opt())
+    sd, sc, sl = batch_shardings(mesh, "data")
+    stepN = make_sharded_dcn_train_step(cfg, mesh, "data",
+                                        sparse_opt=make_opt(), dense_lr=0.3)
+    mN, lossN = stepN(smodel,
+                      jax.device_put(dense, sd),
+                      jax.device_put(cat, sc),
+                      jax.device_put(label, sl))
+
+    np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mN.tables.unshard()),
+                               np.asarray(m1.tables.data),
+                               rtol=2e-4, atol=1e-6)
+    flat1, _ = jax.tree_util.tree_flatten((m1.cross, m1.deep, m1.head))
+    flatN, _ = jax.tree_util.tree_flatten((mN.cross, mN.deep, mN.head))
+    for a, b in zip(flat1, flatN):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6)
+    if opt_name == "adagrad":
+        acc = np.asarray(mN.emb_accum)
+        n, rows = acc.shape
+        acc_full = acc.T.reshape(n * rows)[:sum(cfg.vocab_sizes)]
+        np.testing.assert_allclose(acc_full, np.asarray(m1.emb_state.accum),
+                                   rtol=2e-4, atol=1e-7)
+
+
+def test_sharded_dcn_eval_matches_single_chip():
+    cfg = tiny_cfg()
+    mesh = default_mesh(("data",))
+    model = init_dcn(jax.random.key(5), cfg)
+    dense, cat, _ = synth_batch(cfg, b=16, seed=9)
+    expect = dcn_forward(model, jnp.asarray(dense), jnp.asarray(cat))
+
+    smodel = shard_dcn(model, mesh, "data")
+    sd, sc, _ = batch_shardings(mesh, "data")
+    stepE = make_sharded_dcn_eval_step(cfg, mesh, "data")
+    got = stepE(smodel, jax.device_put(dense, sd), jax.device_put(cat, sc))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_dcn_bag_mean():
+    cfg = tiny_cfg(bag=2, combiner="mean")
+    mesh = default_mesh(("data",))
+    model = init_dcn(jax.random.key(7), cfg, sparse_opt=SparseSGD(0.2))
+    dense, cat, label = synth_batch(cfg, b=16, seed=3, bag=2)
+
+    step1 = make_train_step(cfg, sparse_opt=SparseSGD(0.2), dense_lr=0.2,
+                            jit=False)
+    m1, loss1 = step1(model, jnp.asarray(dense), jnp.asarray(cat),
+                      jnp.asarray(label))
+
+    smodel = shard_dcn(init_dcn(jax.random.key(7), cfg,
+                                sparse_opt=SparseSGD(0.2)),
+                       mesh, "data", sparse_opt=SparseSGD(0.2))
+    sd, sc, sl = batch_shardings(mesh, "data")
+    stepN = make_sharded_dcn_train_step(cfg, mesh, "data",
+                                        sparse_opt=SparseSGD(0.2),
+                                        dense_lr=0.2)
+    mN, lossN = stepN(smodel, jax.device_put(dense, sd),
+                      jax.device_put(cat, sc), jax.device_put(label, sl))
+    np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mN.tables.unshard()),
+                               np.asarray(m1.tables.data),
+                               rtol=2e-4, atol=1e-6)
