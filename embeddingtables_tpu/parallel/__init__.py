@@ -1,4 +1,6 @@
 from .mesh import default_mesh, local_mesh
+from .planner import (PlannedTables, ShardingPlan, plan_sharding,
+                      planned_apply, planned_lookup)
 from .sharded import (ShardedStackedTables, sharded_ensemble_lookup,
                       sharded_ensemble_update, sharded_lookup,
                       sharded_sgd_update, shard_table)

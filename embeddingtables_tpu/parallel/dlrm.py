@@ -185,6 +185,15 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
         return new_shard[None], new_acc[None]
 
     spec = P(None, baxis) if batch_sharded else P()
+    if not adagrad:
+        # Stateless: don't thread the (n, 0) placeholder through the
+        # exchange — XLA canonicalizes zero-size arrays to a replicated
+        # sharding, which would fight the P(axes) spec in eager shard_map.
+        new_data = jax.shard_map(
+            lambda shard, lidx, ldelta: body(shard, None, lidx, ldelta)[0],
+            mesh=mesh, in_specs=(P(axes), spec, spec),
+            out_specs=P(axes))(st.data, shifted_idx, delta_t)
+        return dataclasses.replace(st, data=new_data), accum
     new_data, new_accum = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axes), P(axes), spec, spec),

@@ -1,0 +1,491 @@
+"""Auto-sharding planner: per-table placement over the mesh.
+
+The reference leaves placement to the caller (`SplitEmbedding`'s `array=`
+kwarg is its only memory-placement hook, `/root/reference/src/split.jl:29-46`).
+At pod scale placement is a real decision with a real cost model, so this
+module makes it a first-class, *testable* component (the role TorchRec's
+sharding planner plays in that stack), TPU-first:
+
+  - **replicate** — the table lives whole on every device (`P()`).
+    Lookup against a batch-sharded index stream is then a LOCAL gather:
+    zero ICI traffic. Cost: `(n-1)/n × table_bytes` of redundant HBM, and
+    the update must apply the full global occurrence stream on every
+    replica (redundant FLOPs, but tiny for small tables).
+  - **row_shard** — mod-row-sharded over the axis (`sharded.py`). HBM cost
+    `1/n × table_bytes` per device; lookup pays the exchange: an index
+    all-gather (4 B/occurrence) plus a `(B, D)` psum_scatter of partial
+    rows; the update all-gathers `(delta, indices)`.
+
+The planner's rule follows directly: replicate while it's cheap (small
+tables — the exchange traffic saved per HBM byte spent is highest there),
+row-shard the big vocabularies, and verify the whole plan (tables +
+optimizer state) fits the per-device HBM budget. Placement is by table;
+each group is stacked so the planned ensemble still does ONE local gather
+per group (`StackedTables` discipline, ops/ensemble.py).
+
+`PlannedTables` + `planned_lookup` + `planned_apply` execute a plan: the
+replicated group at the jnp level (GSPMD keeps replicas in sync — every
+device applies the full update stream), the sharded group through the
+same `sharded_ensemble_lookup` / `_sharded_sparse_apply` exchange the
+model families use. Parity: `tests/test_planner.py` checks mixed-placement
+lookups and SGD/AdaGrad updates against single-chip oracles.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.ensemble import StackedTables, normalize_indices
+from ..optim import SparseRowWiseAdaGrad, SparseSGD
+from .dlrm import _sharded_sparse_apply
+from .sharded import ShardedStackedTables, _axes_tuple, sharded_ensemble_lookup
+
+REPLICATE = "replicate"
+ROW_SHARD = "row_shard"
+
+
+# ---------------------------------------------------------------------------
+# The plan
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class PlacementDecision:
+    """One table's placement and its cost accounting."""
+
+    name: str
+    vocab: int
+    dim: int
+    placement: str                  # REPLICATE | ROW_SHARD
+    table_bytes: int                # full dense size
+    bytes_per_device: int           # after placement (incl. shard padding)
+    reason: str
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardingPlan:
+    decisions: tuple
+    n_devices: int
+    axis: str | tuple
+    opt_state_bytes_per_device: int
+
+    @property
+    def replicated(self) -> tuple:
+        return tuple(i for i, d in enumerate(self.decisions)
+                     if d.placement == REPLICATE)
+
+    @property
+    def sharded(self) -> tuple:
+        return tuple(i for i, d in enumerate(self.decisions)
+                     if d.placement == ROW_SHARD)
+
+    @property
+    def bytes_per_device(self) -> int:
+        return (sum(d.bytes_per_device for d in self.decisions)
+                + self.opt_state_bytes_per_device)
+
+    def summary(self) -> str:
+        lines = [f"sharding plan over {self.n_devices} device(s), "
+                 f"axis={self.axis!r}: "
+                 f"{len(self.replicated)} replicated, "
+                 f"{len(self.sharded)} row-sharded, "
+                 f"{self.bytes_per_device / 2**20:.1f} MiB/device "
+                 f"(opt state {self.opt_state_bytes_per_device / 2**20:.1f})"]
+        for d in self.decisions:
+            lines.append(f"  {d.name:<16} V={d.vocab:<10} D={d.dim:<5} "
+                         f"{d.placement:<10} "
+                         f"{d.bytes_per_device / 2**20:8.2f} MiB/dev  "
+                         f"[{d.reason}]")
+        return "\n".join(lines)
+
+
+def plan_sharding(vocab_sizes: Sequence[int], dim: int, mesh: Mesh,
+                  axis: str | tuple = "data", *,
+                  dtype=jnp.float32, names: Optional[Sequence[str]] = None,
+                  replicate_max_bytes: int = 4 << 20,
+                  replicate_budget_bytes: int = 256 << 20,
+                  hbm_budget_bytes: Optional[int] = None,
+                  opt_state_scalars: int = 0) -> ShardingPlan:
+    """Choose a placement for every table.
+
+    Rule (cost model in the module docstring): a table is replicated iff its
+    full bytes are ≤ `replicate_max_bytes` AND the running total of
+    replicated bytes stays ≤ `replicate_budget_bytes` — smallest tables are
+    admitted first (highest exchange-traffic savings per HBM byte). Everything
+    else is mod-row-sharded over `mesh[axis]`. `opt_state_scalars` = f32
+    scalars of optimizer state per row (1 for row-wise AdaGrad, 0 for SGD);
+    the state is placed like its table. If `hbm_budget_bytes` is given and
+    the final per-device total exceeds it, raises ValueError carrying the
+    plan summary.
+    """
+    axes = _axes_tuple(axis)
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
+    esize = jnp.dtype(dtype).itemsize
+    names = list(names) if names is not None else \
+        [f"table_{i}" for i in range(len(vocab_sizes))]
+    if len(names) != len(vocab_sizes):
+        raise ValueError("names/vocab_sizes length mismatch")
+
+    # Admit smallest-first into the replicate budget.
+    order = sorted(range(len(vocab_sizes)), key=lambda i: vocab_sizes[i])
+    placement = {}
+    repl_total = 0
+    for i in order:
+        tb = vocab_sizes[i] * dim * esize
+        if tb <= replicate_max_bytes and repl_total + tb <= \
+                replicate_budget_bytes and n > 1:
+            placement[i] = REPLICATE
+            repl_total += tb
+        elif n == 1:
+            # Single device: "replicate" and "shard" coincide; keep the
+            # whole ensemble in one stacked group.
+            placement[i] = REPLICATE
+        else:
+            placement[i] = ROW_SHARD
+
+    decisions = []
+    opt_bytes = 0
+    for i, v in enumerate(vocab_sizes):
+        tb = v * dim * esize
+        if placement[i] == REPLICATE:
+            per_dev = tb
+            reason = ("single device" if n == 1 else
+                      f"small ({tb / 2**20:.2f} MiB <= "
+                      f"{replicate_max_bytes / 2**20:.0f} MiB): local gather, "
+                      f"zero exchange")
+            opt_bytes += v * 4 * opt_state_scalars
+        else:
+            rows_local = -(-v // n)           # cdiv: mod-shard padding
+            per_dev = rows_local * dim * esize
+            reason = (f"large: 1/{n} HBM/device, gather exchange "
+                      f"(~{4 * 1}B/idx + (B,D) psum_scatter)")
+            opt_bytes += (-(-v // n)) * 4 * opt_state_scalars
+        decisions.append(PlacementDecision(
+            name=names[i], vocab=v, dim=dim, placement=placement[i],
+            table_bytes=tb, bytes_per_device=per_dev, reason=reason))
+
+    plan = ShardingPlan(decisions=tuple(decisions), n_devices=n, axis=axis,
+                        opt_state_bytes_per_device=opt_bytes)
+    if hbm_budget_bytes is not None and \
+            plan.bytes_per_device > hbm_budget_bytes:
+        raise ValueError(
+            f"plan needs {plan.bytes_per_device / 2**20:.1f} MiB/device, "
+            f"budget is {hbm_budget_bytes / 2**20:.1f} MiB\n" + plan.summary())
+    return plan
+
+
+# ---------------------------------------------------------------------------
+# Executing a plan
+# ---------------------------------------------------------------------------
+
+def _offsets(vocabs) -> tuple:
+    offs, acc = [0], 0
+    for v in vocabs:
+        acc += v
+        offs.append(acc)
+    return tuple(offs)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PlannedTables:
+    """A plan, realized: replicated group stacked in `repl` (`P()` on every
+    device) + row-sharded group in `shard` (mod-row `ShardedStackedTables`).
+    Either group may be absent (zero-size placeholder arrays keep the pytree
+    structure static). `repl_accum`/`shard_accum` carry row-wise AdaGrad
+    state placed like their tables (empty (0,)/(n, 0) arrays for SGD)."""
+
+    repl: jax.Array                 # (ΣV_repl, D) replicated
+    shard: Optional[ShardedStackedTables]
+    repl_accum: jax.Array           # (ΣV_repl,) f32 or (0,)
+    shard_accum: jax.Array          # (n, rows_local) f32 or (n, 0)
+    repl_tables: tuple = dataclasses.field(metadata=dict(static=True))
+    shard_tables: tuple = dataclasses.field(metadata=dict(static=True))
+    repl_offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    vocab_sizes: tuple = dataclasses.field(metadata=dict(static=True))
+    dim: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def ntables(self) -> int:
+        return len(self.vocab_sizes)
+
+    def table(self, t: int) -> jax.Array:
+        """Dense view of one member table (test oracle only)."""
+        if t in self.repl_tables:
+            j = self.repl_tables.index(t)
+            return self.repl[self.repl_offsets[j]:self.repl_offsets[j + 1]]
+        j = self.shard_tables.index(t)
+        return self.shard.table(j)
+
+    @classmethod
+    def init(cls, key: jax.Array, plan: ShardingPlan, mesh: Mesh, *,
+             scale: Optional[float] = None, dtype=jnp.float32,
+             adagrad: bool = False) -> "PlannedTables":
+        """Initialize per the plan. The sharded group is generated directly
+        on its shards (`init_sharded` — the full array never materializes);
+        the replicated group is generated once and placed `P()`."""
+        dim = plan.decisions[0].dim if plan.decisions else 0
+        repl_idx = plan.replicated
+        shard_idx = plan.sharded
+        kr, ks = jax.random.split(key)
+        if scale is None:
+            scale = 1.0 / (dim ** 0.5) if dim else 1.0
+
+        repl_vocabs = tuple(plan.decisions[i].vocab for i in repl_idx)
+        roffs = _offsets(repl_vocabs)
+        vr = roffs[-1]
+        repl = jnp.zeros((0, dim), dtype)
+        if vr:
+            def gen(key):
+                u = jax.random.uniform(key, (vr, dim), minval=-1.0,
+                                       maxval=1.0)
+                return (u * scale).astype(dtype)
+            repl = jax.jit(gen, out_shardings=NamedSharding(mesh, P()))(kr)
+
+        shard = None
+        n = plan.n_devices
+        shard_accum = jnp.zeros((n, 0), jnp.float32)
+        if shard_idx:
+            shard = ShardedStackedTables.init_sharded(
+                mesh, plan.axis,
+                tuple(plan.decisions[i].vocab for i in shard_idx), dim, ks,
+                scale=scale, dtype=dtype)
+            if adagrad:
+                rows_local = shard.data.shape[1]
+                shard_accum = jax.jit(
+                    lambda: jnp.zeros((n, rows_local), jnp.float32),
+                    out_shardings=NamedSharding(
+                        mesh, P(_axes_tuple(plan.axis))))()
+            # (the SGD placeholder stays uncommitted: XLA canonicalizes
+            # zero-size arrays to a replicated sharding, which would then
+            # conflict with the exchange's P(axes) in_spec)
+        repl_accum = (jnp.zeros((vr if adagrad else 0,), jnp.float32))
+        if adagrad and vr:
+            repl_accum = jax.device_put(repl_accum,
+                                        NamedSharding(mesh, P()))
+        return cls(repl=repl, shard=shard, repl_accum=repl_accum,
+                   shard_accum=shard_accum, repl_tables=repl_idx,
+                   shard_tables=shard_idx, repl_offsets=roffs,
+                   vocab_sizes=tuple(d.vocab for d in plan.decisions),
+                   dim=dim)
+
+    @classmethod
+    def from_tables(cls, plan: ShardingPlan, mesh: Mesh,
+                    tables: Sequence, *, adagrad: bool = False
+                    ) -> "PlannedTables":
+        """Place existing `(V, D)` arrays (or tables) per the plan."""
+        from ..tables import as_table
+        arrs = []
+        for t in tables:
+            tt = as_table(t)
+            arrs.append(tt.data if hasattr(tt, "data")
+                        else tt.rows(jnp.arange(tt.spec.vocab)))
+        dim = arrs[0].shape[1] if arrs else 0
+        repl_idx, shard_idx = plan.replicated, plan.sharded
+        repl_vocabs = tuple(arrs[i].shape[0] for i in repl_idx)
+        roffs = _offsets(repl_vocabs)
+        vr = roffs[-1]
+        repl = (jnp.concatenate([arrs[i] for i in repl_idx], axis=0)
+                if repl_idx else jnp.zeros((0, dim), jnp.float32))
+        repl = jax.device_put(repl, NamedSharding(mesh, P()))
+        shard = None
+        n = plan.n_devices
+        shard_accum = jnp.zeros((n, 0), jnp.float32)
+        if shard_idx:
+            shard = ShardedStackedTables.shard(
+                mesh, plan.axis, [arrs[i] for i in shard_idx])
+            if adagrad:
+                rows_local = shard.data.shape[1]
+                shard_accum = jax.device_put(
+                    jnp.zeros((n, rows_local), jnp.float32),
+                    NamedSharding(mesh, P(_axes_tuple(plan.axis))))
+        repl_accum = jnp.zeros((vr if adagrad else 0,), jnp.float32)
+        if adagrad and vr:
+            repl_accum = jax.device_put(repl_accum, NamedSharding(mesh, P()))
+        return cls(repl=repl, shard=shard, repl_accum=repl_accum,
+                   shard_accum=shard_accum, repl_tables=repl_idx,
+                   shard_tables=shard_idx, repl_offsets=roffs,
+                   vocab_sizes=tuple(a.shape[0] for a in arrs), dim=dim)
+
+
+def planned_lookup(mesh: Mesh, pt: PlannedTables, indices) -> jax.Array:
+    """Ensemble lookup under a plan -> `(T, B, dim)` in ORIGINAL table order,
+    batch-sharded like the index stream. Replicated group: one local stacked
+    gather (zero ICI). Sharded group: the standard gather exchange."""
+    idx_list = normalize_indices(indices, pt.ntables)
+    out = [None] * pt.ntables
+
+    if pt.repl_tables:
+        shifted = jnp.stack([idx_list[t] + pt.repl_offsets[j]
+                             for j, t in enumerate(pt.repl_tables)])
+        rows = jnp.take(pt.repl, shifted.reshape(-1), axis=0)
+        rows = rows.reshape(shifted.shape + (pt.dim,))
+        if shifted.ndim == 3:           # (Tr, B, bag) -> bag sum
+            rows = rows.sum(axis=2)
+        for j, t in enumerate(pt.repl_tables):
+            out[t] = rows[j]
+
+    if pt.shard_tables:
+        sub = [idx_list[t] for t in pt.shard_tables]
+        so = sharded_ensemble_lookup(mesh, pt.shard, sub, stacked=True)
+        for j, t in enumerate(pt.shard_tables):
+            out[t] = so[j]
+
+    return jnp.stack(out)
+
+
+def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
+                  delta_t: jax.Array, sparse_opt) -> PlannedTables:
+    """Apply the lazy ensemble update `(delta_t (T, B, dim), indices)` per
+    the plan, advancing AdaGrad state where present.
+
+    Sharded group: `_sharded_sparse_apply` (all-gather the occurrence
+    stream, disjoint-ownership scatter — one write per owned row).
+    Replicated group: every replica applies the FULL stream through the
+    same dense-grad bodies (optim.py), so replicas remain bit-identical
+    without a parameter all-reduce.
+    """
+    if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
+        raise NotImplementedError(
+            f"planned_apply supports SparseSGD / SparseRowWiseAdaGrad, got "
+            f"{type(sparse_opt).__name__}")
+    adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
+    idx_list = normalize_indices(indices, pt.ntables)
+    new_repl, new_repl_acc = pt.repl, pt.repl_accum
+    new_shard, new_shard_acc = pt.shard, pt.shard_accum
+
+    if pt.repl_tables:
+        shifted = jnp.stack([idx_list[t] + pt.repl_offsets[j]
+                             for j, t in enumerate(pt.repl_tables)])
+        dsub = jnp.stack([delta_t[t] for t in pt.repl_tables])
+        g = dsub.reshape(-1, pt.dim).astype(jnp.float32)
+        if shifted.ndim == 3:
+            rows = shifted.reshape(-1).astype(jnp.int32)
+            g = jnp.repeat(g, shifted.shape[2], axis=0)
+        else:
+            rows = shifted.reshape(-1).astype(jnp.int32)
+        if adagrad:
+            from ..optim import adagrad_dense_body
+            new_repl, new_repl_acc = adagrad_dense_body(
+                pt.repl, pt.repl_accum, rows, g, sparse_opt.lr,
+                sparse_opt.eps, sparse_opt.weight_decay, sparse_opt.clipnorm)
+        else:
+            from ..optim import sgd_dense_body
+            new_repl = sgd_dense_body(pt.repl, rows, g, sparse_opt.lr,
+                                      sparse_opt.weight_decay,
+                                      sparse_opt.clipnorm)
+
+    if pt.shard_tables:
+        shifted = jnp.stack(
+            [idx_list[t] + pt.shard.offsets[j]
+             for j, t in enumerate(pt.shard_tables)])
+        dsub = jnp.stack([delta_t[t] for t in pt.shard_tables])
+        new_shard, new_shard_acc = _sharded_sparse_apply(
+            mesh, pt.shard, pt.shard_accum, shifted, dsub, sparse_opt)
+
+    return dataclasses.replace(pt, repl=new_repl, repl_accum=new_repl_acc,
+                               shard=new_shard, shard_accum=new_shard_acc)
+
+
+# ---------------------------------------------------------------------------
+# Planner-driven DLRM: the flagship model on a mixed placement
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PlannedDLRM:
+    """DLRM whose embedding engine is a `PlannedTables` (mixed
+    replicate/row-shard placement) instead of a uniformly sharded stack."""
+
+    bottom: list
+    top: list
+    tables: PlannedTables
+    config: object = dataclasses.field(metadata=dict(static=True))
+
+
+def init_planned_dlrm(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
+                      sparse_opt=None) -> PlannedDLRM:
+    """Initialize directly onto the plan: the sharded group generates
+    per-shard (full array never materializes), dense towers replicate."""
+    from ..models.dlrm import _init_mlp
+    sparse_opt = sparse_opt or SparseSGD()
+    adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
+    kd, ke = jax.random.split(key)
+    pt = PlannedTables.init(ke, plan, mesh, dtype=cfg.param_dtype,
+                            adagrad=adagrad)
+    if adagrad and float(getattr(sparse_opt, "initial_accum", 0.0)):
+        iv = float(sparse_opt.initial_accum)
+        pt = dataclasses.replace(
+            pt,
+            repl_accum=jnp.full_like(pt.repl_accum, iv),
+            shard_accum=jnp.full_like(pt.shard_accum, iv))
+    repl = NamedSharding(mesh, P())
+    kb, kt = jax.random.split(kd)
+    bottom = jax.device_put(
+        _init_mlp(kb, (cfg.num_dense,) + cfg.bottom_mlp, cfg.param_dtype),
+        repl)
+    top = jax.device_put(
+        _init_mlp(kt, (cfg.interaction_features,) + cfg.top_mlp,
+                  cfg.param_dtype), repl)
+    return PlannedDLRM(bottom=bottom, top=top, tables=pt, config=cfg)
+
+
+def make_planned_train_step(cfg, mesh: Mesh, axis: str | tuple = "data",
+                            sparse_opt=None, dense_lr: float = 0.01,
+                            jit: bool = True):
+    """`step(model: PlannedDLRM, dense, cat, label) -> (model, loss)` with
+    `batch_shardings(mesh, axis)` on the batch arrays. Identical math to
+    `make_sharded_train_step` (gather exchange); the embedding engine is the
+    plan's mixed placement."""
+    from ..models.dlrm import bce_loss, forward_from_embeddings
+    sparse_opt = sparse_opt or SparseSGD()
+    if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
+        raise NotImplementedError(
+            f"planned train step supports SparseSGD / SparseRowWiseAdaGrad, "
+            f"got {type(sparse_opt).__name__}")
+
+    def step(model: PlannedDLRM, dense, cat, label):
+        emb_t = planned_lookup(mesh, model.tables, cat)
+        if cfg.combiner == "mean" and cat.ndim == 3:
+            emb_t = emb_t / cat.shape[2]
+
+        def loss_fn(dense_params, emb_act):
+            bottom, top = dense_params
+            logits = forward_from_embeddings(bottom, top, cfg, dense,
+                                             emb_act)
+            return bce_loss(logits, label)
+
+        params = (model.bottom, model.top)
+        loss, (dense_grads, delta_t) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))(params, emb_t)
+        if cfg.combiner == "mean" and cat.ndim == 3:
+            delta_t = delta_t / cat.shape[2]
+        new_bottom, new_top = jax.tree.map(
+            lambda p, g: (p - dense_lr * g).astype(p.dtype),
+            params, dense_grads)
+        new_pt = planned_apply(mesh, model.tables, cat, delta_t, sparse_opt)
+        return PlannedDLRM(bottom=new_bottom, top=new_top, tables=new_pt,
+                           config=cfg), loss
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_planned_eval_step(cfg, mesh: Mesh, jit: bool = True):
+    from ..models.dlrm import forward_from_embeddings
+
+    def step(model: PlannedDLRM, dense, cat):
+        emb_t = planned_lookup(mesh, model.tables, cat)
+        if cfg.combiner == "mean" and cat.ndim == 3:
+            emb_t = emb_t / cat.shape[2]
+        return forward_from_embeddings(model.bottom, model.top, cfg, dense,
+                                       emb_t)
+    if jit:
+        step = jax.jit(step)
+    return step

@@ -1,0 +1,286 @@
+"""Auto-sharding planner: decision rules + mixed-placement parity vs the
+single-chip fused paths on the 8-device virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from embeddingtables_tpu.ops.sparse_update import SparseEmbeddingUpdate
+from embeddingtables_tpu.optim import SparseRowWiseAdaGrad, SparseSGD
+from embeddingtables_tpu.parallel.mesh import default_mesh
+from embeddingtables_tpu.parallel.planner import (REPLICATE, ROW_SHARD,
+                                                  PlannedTables, plan_sharding,
+                                                  planned_apply,
+                                                  planned_lookup)
+
+DIM = 8
+
+
+def _mesh():
+    return default_mesh(("data",))
+
+
+# ---------------------------------------------------------------------------
+# Planning decisions
+# ---------------------------------------------------------------------------
+
+def test_plan_small_replicates_large_shards():
+    mesh = _mesh()
+    # 4-byte f32 rows of DIM=8 -> 32 B/row. 100 rows = 3.2 KB (replicate);
+    # 1M rows = 32 MB (shard at the 4 MiB default threshold).
+    plan = plan_sharding([100, 1_000_000, 500], DIM, mesh)
+    p = [d.placement for d in plan.decisions]
+    assert p == [REPLICATE, ROW_SHARD, REPLICATE]
+    assert plan.replicated == (0, 2) and plan.sharded == (1,)
+    # Sharded bytes account 1/n with padding; replicated account fully.
+    n = plan.n_devices
+    assert plan.decisions[1].bytes_per_device == -(-1_000_000 // n) * DIM * 4
+    assert plan.decisions[0].bytes_per_device == 100 * DIM * 4
+    assert "replicated" in plan.summary() and "row-sharded" in plan.summary()
+
+
+def test_plan_replicate_budget_admits_smallest_first():
+    mesh = _mesh()
+    # Budget fits only the two smallest tables.
+    row = DIM * 4
+    plan = plan_sharding([300, 100, 200, 400], DIM, mesh,
+                         replicate_max_bytes=1 << 20,
+                         replicate_budget_bytes=row * 320)
+    p = [d.placement for d in plan.decisions]
+    assert p == [ROW_SHARD, REPLICATE, REPLICATE, ROW_SHARD]
+
+
+def test_plan_opt_state_and_budget_guard():
+    mesh = _mesh()
+    plan = plan_sharding([100, 1_000_000], DIM, mesh, opt_state_scalars=1)
+    n = plan.n_devices
+    assert plan.opt_state_bytes_per_device == 100 * 4 + (-(-1_000_000 // n)) * 4
+    with pytest.raises(ValueError, match="budget"):
+        plan_sharding([100, 1_000_000], DIM, mesh,
+                      hbm_budget_bytes=1 << 20)
+
+
+def test_plan_single_device_all_replicate():
+    from embeddingtables_tpu.parallel.mesh import local_mesh
+    mesh = local_mesh(1)
+    plan = plan_sharding([100, 1_000_000], DIM, mesh)
+    assert all(d.placement == REPLICATE for d in plan.decisions)
+
+
+# ---------------------------------------------------------------------------
+# Executing the plan: parity vs single-chip
+# ---------------------------------------------------------------------------
+
+def _mixed_setup(bag=None, adagrad=False, seed=0):
+    mesh = _mesh()
+    vocabs = (64, 4096, 96)          # middle table row-shards
+    plan = plan_sharding(vocabs, DIM, mesh, replicate_max_bytes=DIM * 4 * 128)
+    assert [d.placement for d in plan.decisions] == \
+        [REPLICATE, ROW_SHARD, REPLICATE]
+    rng = np.random.default_rng(seed)
+    arrs = [jnp.asarray(rng.normal(size=(v, DIM)).astype(np.float32))
+            for v in vocabs]
+    pt = PlannedTables.from_tables(plan, mesh, arrs, adagrad=adagrad)
+    b = 32
+    shape = (b,) if bag is None else (b, bag)
+    idx = [jnp.asarray(rng.integers(0, v, shape).astype(np.int32))
+           for v in vocabs]
+    return mesh, vocabs, arrs, pt, idx, rng
+
+
+def test_planned_lookup_matches_oracle():
+    mesh, vocabs, arrs, pt, idx, _ = _mixed_setup()
+    out = planned_lookup(mesh, pt, idx)
+    for t in range(3):
+        np.testing.assert_allclose(np.asarray(out[t]),
+                                   np.asarray(arrs[t])[np.asarray(idx[t])],
+                                   rtol=1e-6)
+
+
+def test_planned_lookup_bag_matches_oracle():
+    mesh, vocabs, arrs, pt, idx, _ = _mixed_setup(bag=3)
+    out = planned_lookup(mesh, pt, idx)
+    for t in range(3):
+        want = np.asarray(arrs[t])[np.asarray(idx[t])].sum(axis=1)
+        np.testing.assert_allclose(np.asarray(out[t]), want, rtol=1e-5,
+                                   atol=1e-6)
+
+
+@pytest.mark.parametrize("bag", [None, 2])
+def test_planned_apply_sgd_matches_single_chip(bag):
+    mesh, vocabs, arrs, pt, idx, rng = _mixed_setup(bag=bag)
+    b = idx[0].shape[0]
+    delta_t = jnp.asarray(rng.normal(size=(3, b, DIM)).astype(np.float32))
+    opt = SparseSGD(0.3)
+    new = planned_apply(mesh, pt, idx, delta_t, opt)
+    for t in range(3):
+        upd = SparseEmbeddingUpdate(delta=delta_t[t], indices=idx[t])
+        want, _ = opt.apply(arrs[t], upd, opt.init(arrs[t]))
+        np.testing.assert_allclose(np.asarray(new.table(t)),
+                                   np.asarray(want), rtol=2e-5, atol=1e-6)
+
+
+def test_planned_apply_adagrad_matches_single_chip():
+    mesh, vocabs, arrs, pt, idx, rng = _mixed_setup(adagrad=True, seed=3)
+    b = idx[0].shape[0]
+    delta_t = jnp.asarray(rng.normal(size=(3, b, DIM)).astype(np.float32))
+    opt = SparseRowWiseAdaGrad(lr=0.3, eps=1e-6)
+    new = planned_apply(mesh, pt, idx, delta_t, opt)
+    accs = []
+    for t in range(3):
+        upd = SparseEmbeddingUpdate(delta=delta_t[t], indices=idx[t])
+        want, st = opt.apply(arrs[t], upd, opt.init(arrs[t]))
+        np.testing.assert_allclose(np.asarray(new.table(t)),
+                                   np.asarray(want), rtol=2e-5, atol=1e-6)
+        accs.append(np.asarray(st.accum))
+    # Replicated accum is contiguous per repl_offsets; sharded is mod-laid.
+    np.testing.assert_allclose(np.asarray(new.repl_accum),
+                               np.concatenate([accs[0], accs[2]]),
+                               rtol=2e-5, atol=1e-7)
+    acc = np.asarray(new.shard_accum)
+    n, rows = acc.shape
+    acc_full = acc.T.reshape(n * rows)[:vocabs[1]]
+    np.testing.assert_allclose(acc_full, accs[1], rtol=2e-5, atol=1e-7)
+
+
+def test_planned_init_shapes_and_groups():
+    mesh = _mesh()
+    vocabs = (64, 4096, 96)
+    plan = plan_sharding(vocabs, DIM, mesh,
+                         replicate_max_bytes=DIM * 4 * 128)
+    pt = PlannedTables.init(jax.random.key(0), plan, mesh, adagrad=True)
+    assert pt.repl.shape == (64 + 96, DIM)
+    n = plan.n_devices
+    assert pt.shard.data.shape == (n, -(-4096 // n), DIM)
+    assert pt.repl_accum.shape == (160,)
+    assert pt.shard_accum.shape == (n, -(-4096 // n))
+    # init is usable: lookup returns finite rows
+    idx = [jnp.zeros((8,), jnp.int32)] * 3
+    out = planned_lookup(mesh, pt, idx)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_planned_all_sharded_and_all_replicated_degenerate():
+    mesh = _mesh()
+    rng = np.random.default_rng(9)
+    arrs = [jnp.asarray(rng.normal(size=(v, DIM)).astype(np.float32))
+            for v in (512, 768)]
+    idx = [jnp.asarray(rng.integers(0, v, 16).astype(np.int32))
+           for v in (512, 768)]
+    for kw in (dict(replicate_max_bytes=0),            # all sharded
+               dict(replicate_max_bytes=1 << 30)):     # all replicated
+        plan = plan_sharding((512, 768), DIM, mesh, **kw)
+        pt = PlannedTables.from_tables(plan, mesh, arrs)
+        out = planned_lookup(mesh, pt, idx)
+        for t in range(2):
+            np.testing.assert_allclose(
+                np.asarray(out[t]),
+                np.asarray(arrs[t])[np.asarray(idx[t])], rtol=1e-6)
+
+
+def test_planned_apply_rejects_unknown_optimizer():
+    mesh, vocabs, arrs, pt, idx, rng = _mixed_setup()
+    delta_t = jnp.zeros((3, 32, DIM))
+    with pytest.raises(NotImplementedError):
+        planned_apply(mesh, pt, idx, delta_t, object())
+
+
+# ---------------------------------------------------------------------------
+# Planned DLRM: mixed placement driving the flagship model
+# ---------------------------------------------------------------------------
+
+def _dlrm_cfg():
+    from embeddingtables_tpu.models import DLRMConfig
+    return DLRMConfig(vocab_sizes=(64, 4096, 96), num_dense=4, dim=DIM,
+                      bottom_mlp=(16, DIM), top_mlp=(16, 1),
+                      compute_dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("opt_name", ["sgd", "adagrad"])
+def test_planned_dlrm_step_matches_single_chip(opt_name):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from embeddingtables_tpu.models import init_dlrm, make_train_step
+    from embeddingtables_tpu.parallel.dlrm import batch_shardings
+    from embeddingtables_tpu.parallel.planner import (PlannedDLRM,
+                                                      make_planned_eval_step,
+                                                      make_planned_train_step)
+    cfg = _dlrm_cfg()
+    mesh = _mesh()
+    make_opt = (lambda: SparseSGD(0.3)) if opt_name == "sgd" else \
+        (lambda: SparseRowWiseAdaGrad(lr=0.3, eps=1e-6))
+    plan = plan_sharding(cfg.vocab_sizes, DIM, mesh,
+                         replicate_max_bytes=DIM * 4 * 128)
+    assert plan.replicated and plan.sharded     # genuinely mixed
+
+    model = init_dlrm(jax.random.key(0), cfg, sparse_opt=make_opt())
+    rng = np.random.default_rng(1)
+    b = 32
+    dense = rng.normal(size=(b, cfg.num_dense)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, b).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    label = rng.integers(0, 2, b).astype(np.float32)
+
+    step1 = make_train_step(cfg, sparse_opt=make_opt(), dense_lr=0.3,
+                            jit=False)
+    m1, loss1 = step1(model, jnp.asarray(dense), jnp.asarray(cat),
+                      jnp.asarray(label))
+
+    offs = model.tables.offsets
+    arrs = [model.tables.data[offs[t]:offs[t + 1]] for t in range(3)]
+    pt = PlannedTables.from_tables(plan, mesh, arrs,
+                                   adagrad=opt_name == "adagrad")
+    repl = NamedSharding(mesh, P())
+    pm = PlannedDLRM(bottom=jax.device_put(model.bottom, repl),
+                     top=jax.device_put(model.top, repl),
+                     tables=pt, config=cfg)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    stepN = make_planned_train_step(cfg, mesh, sparse_opt=make_opt(),
+                                    dense_lr=0.3)
+    pmN, lossN = stepN(pm, jax.device_put(dense, sd),
+                       jax.device_put(cat, sc), jax.device_put(label, sl))
+    np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    for t in range(3):
+        want = np.asarray(m1.tables.data[offs[t]:offs[t + 1]])
+        np.testing.assert_allclose(np.asarray(pmN.tables.table(t)), want,
+                                   rtol=2e-4, atol=1e-6)
+    flat1, _ = jax.tree_util.tree_flatten((m1.bottom, m1.top))
+    flatN, _ = jax.tree_util.tree_flatten((pmN.bottom, pmN.top))
+    for a, bb in zip(flat1, flatN):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6)
+    # Eval parity on the updated model.
+    from embeddingtables_tpu.models.dlrm import make_eval_step
+    want = make_eval_step(cfg)(m1, jnp.asarray(dense), jnp.asarray(cat))
+    got = make_planned_eval_step(cfg, mesh)(pmN, jax.device_put(dense, sd),
+                                            jax.device_put(cat, sc))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_init_planned_dlrm_learns():
+    from embeddingtables_tpu.parallel.dlrm import batch_shardings
+    from embeddingtables_tpu.parallel.planner import (init_planned_dlrm,
+                                                      make_planned_train_step)
+    cfg = _dlrm_cfg()
+    mesh = _mesh()
+    plan = plan_sharding(cfg.vocab_sizes, DIM, mesh,
+                         replicate_max_bytes=DIM * 4 * 128)
+    opt = SparseRowWiseAdaGrad(lr=0.1, initial_accum=0.1)
+    pm = init_planned_dlrm(jax.random.key(2), cfg, plan, mesh,
+                           sparse_opt=opt)
+    assert float(pm.tables.repl_accum[0]) == pytest.approx(0.1)
+    step = make_planned_train_step(cfg, mesh, sparse_opt=opt, dense_lr=0.1)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    rng = np.random.default_rng(5)
+    b = 64
+    losses = []
+    for i in range(12):
+        dense = rng.normal(size=(b, cfg.num_dense)).astype(np.float32)
+        cat = np.stack([rng.integers(0, v, b).astype(np.int32)
+                        for v in cfg.vocab_sizes])
+        label = (dense.sum(axis=1) > 0).astype(np.float32)
+        pm, loss = step(pm, jax.device_put(dense, sd),
+                        jax.device_put(cat, sc),
+                        jax.device_put(label, sl))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
