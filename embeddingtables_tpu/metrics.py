@@ -66,6 +66,42 @@ def auc_jax(labels: jnp.ndarray, scores: jnp.ndarray) -> jnp.ndarray:
     return u / jnp.maximum(n_pos * n_neg, 1.0)
 
 
+def log_loss(labels, logits, eps: float = 1e-7) -> float:
+    """Mean binary cross-entropy from LOGITS (the CTR industry's primary
+    loss metric). Computed in float64 with the numerically-stable
+    softplus form: `bce = softplus(logit) - label * logit`."""
+    labels = np.asarray(labels, np.float64).reshape(-1)
+    logits = np.asarray(logits, np.float64).reshape(-1)
+    bce = np.logaddexp(0.0, logits) - labels * logits
+    del eps  # kept for signature stability with probability-space callers
+    return float(bce.mean())
+
+
+def normalized_entropy(labels, logits) -> float:
+    """Log loss normalized by the entropy of the base CTR (He et al.,
+    "Practical Lessons from Predicting Clicks on Ads at Facebook", ADKDD
+    2014). NE < 1 means the model beats the best constant predictor;
+    insensitive to the base rate, unlike raw log loss."""
+    labels = np.asarray(labels, np.float64).reshape(-1)
+    p = labels.mean()
+    if p <= 0.0 or p >= 1.0:
+        return float("nan")
+    base = -(p * np.log(p) + (1.0 - p) * np.log(1.0 - p))
+    return float(log_loss(labels, logits) / base)
+
+
+def calibration(labels, logits) -> float:
+    """Mean predicted CTR / empirical CTR. 1.0 = perfectly calibrated in
+    aggregate; the standard companion metric to NE for ads models."""
+    labels = np.asarray(labels, np.float64).reshape(-1)
+    logits = np.asarray(logits, np.float64).reshape(-1)
+    p = 1.0 / (1.0 + np.exp(-logits))
+    actual = labels.mean()
+    if actual <= 0.0:
+        return float("nan")
+    return float(p.mean() / actual)
+
+
 def accuracy(labels, scores, threshold: float = 0.0) -> float:
     labels = np.asarray(labels).reshape(-1)
     scores = np.asarray(scores).reshape(-1)

@@ -176,15 +176,18 @@ def dcn_forward(model: DCN, dense: jax.Array, cat: jax.Array) -> jax.Array:
 
 
 def make_train_step(cfg: DCNConfig, sparse_opt=None, dense_lr: float = 0.01,
-                    jit: bool = True, dense_tx=None):
+                    jit: bool = True, dense_tx=None,
+                    microbatch: Optional[int] = None):
     """Fused single-chip train step, same lazy-sparse discipline as the
     DLRM step (models/dlrm.py::make_train_step): `(delta, indices)` on the
     stacked ensemble, fused sparse-optimizer row update, plain-SGD or
     optax towers. Returns `step(model, dense, cat, label) -> (model, loss)`.
+    microbatch=k: gradient accumulation over k `lax.scan` slices (see the
+    DLRM step docstring — one optimizer application, B/k activations live).
     """
     sparse_opt = sparse_opt or SparseSGD()
 
-    def step(model: DCN, dense, cat, label):
+    def _grads(model, dense, cat, label):
         emb_t = embedding_forward(model.tables, cat, cfg.combiner)
 
         def loss_fn(dense_params, emb_act):
@@ -193,8 +196,47 @@ def make_train_step(cfg: DCNConfig, sparse_opt=None, dense_lr: float = 0.01,
                                              dense, emb_act)
             return bce_loss(logits, label)
 
-        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
+        return jax.value_and_grad(loss_fn, argnums=(0, 1))(
             (model.cross, model.deep, model.head), emb_t)
+
+    def _grads_micro(model, dense, cat, label, k):
+        b = dense.shape[0]
+        if b % k:
+            raise ValueError(f"batch {b} not divisible by microbatch {k}")
+        mb = b // k
+        dense_s = dense.reshape(k, mb, dense.shape[1])
+        cat_s = jnp.moveaxis(
+            cat.reshape(cat.shape[0], k, mb, *cat.shape[2:]), 1, 0)
+        label_s = label.reshape(k, mb)
+        params = (model.cross, model.deep, model.head)
+
+        def micro(dg_acc, xs):
+            d_i, c_i, l_i = xs
+            emb_t = embedding_forward(model.tables, c_i, cfg.combiner)
+
+            def loss_fn(dense_params, emb_act):
+                cross, deep, head = dense_params
+                logits = forward_from_embeddings(cross, deep, head, cfg,
+                                                 d_i, emb_act)
+                return bce_loss(logits, l_i)
+
+            loss_i, (dg_i, delta_i) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(params, emb_t)
+            return jax.tree.map(jnp.add, dg_acc, dg_i), (loss_i, delta_i)
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        dg_sum, (losses, deltas) = jax.lax.scan(
+            micro, zeros, (dense_s, cat_s, label_s))
+        delta_t = deltas.transpose(1, 0, 2, 3).reshape(
+            cat.shape[0], b, cfg.dim) / k
+        return losses.mean(), (jax.tree.map(lambda x: x / k, dg_sum),
+                               delta_t)
+
+    def step(model: DCN, dense, cat, label):
+        if microbatch and microbatch > 1:
+            loss, grads = _grads_micro(model, dense, cat, label, microbatch)
+        else:
+            loss, grads = _grads(model, dense, cat, label)
         dense_grads, delta_t = grads
 
         params = (model.cross, model.deep, model.head)

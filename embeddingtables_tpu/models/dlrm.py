@@ -217,7 +217,8 @@ def bce_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
-                    jit: bool = True, dense_tx=None):
+                    jit: bool = True, dense_tx=None,
+                    microbatch: Optional[int] = None):
     """Build the single-chip fused train step.
 
     Returns `step(model, dense, cat, label) -> (model, loss)`. The embedding
@@ -226,10 +227,18 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
     a plain SGD step, or any optax transform via `dense_tx` (init the model
     with the same transform). Donating `model` lets XLA update the stacked
     table (and the big MLP weights) in place.
+
+    microbatch=k: gradient accumulation — the forward/backward runs as a
+    `lax.scan` over k equal slices, so MLP/interaction activations for only
+    B/k examples are live at once (the way to push B past the activation
+    HBM limit; the (T, B, dim) lazy delta itself is still materialized for
+    the ONE fused optimizer application). Bit-identical semantics to the
+    monolithic step up to float re-association: one optimizer step on the
+    mean-of-means loss.
     """
     sparse_opt = sparse_opt or SparseSGD()
 
-    def step(model: DLRM, dense, cat, label):
+    def _grads(model, dense, cat, label):
         emb_t = embedding_forward(model.tables, cat, cfg.combiner)
 
         def loss_fn(dense_params, emb_act):
@@ -239,6 +248,49 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
 
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(
             (model.bottom, model.top), emb_t)
+        return loss, grads
+
+    def _grads_micro(model, dense, cat, label, k):
+        b = dense.shape[0]
+        if b % k:
+            raise ValueError(f"batch {b} not divisible by microbatch {k}")
+        mb = b // k
+        dense_s = dense.reshape(k, mb, dense.shape[1])
+        cat_s = jnp.moveaxis(
+            cat.reshape(cat.shape[0], k, mb, *cat.shape[2:]), 1, 0)
+        label_s = label.reshape(k, mb)
+        params = (model.bottom, model.top)
+
+        def micro(dg_acc, xs):
+            d_i, c_i, l_i = xs
+            emb_t = embedding_forward(model.tables, c_i, cfg.combiner)
+
+            def loss_fn(dense_params, emb_act):
+                bottom, top = dense_params
+                logits = forward_from_embeddings(bottom, top, cfg, d_i,
+                                                 emb_act)
+                return bce_loss(logits, l_i)
+
+            loss_i, (dg_i, delta_i) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(params, emb_t)
+            dg_acc = jax.tree.map(jnp.add, dg_acc, dg_i)
+            return dg_acc, (loss_i, delta_i)
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        dg_sum, (losses, deltas) = jax.lax.scan(
+            micro, zeros, (dense_s, cat_s, label_s))
+        dense_grads = jax.tree.map(lambda x: x / k, dg_sum)
+        # deltas: (k, T, mb, dim) -> the full-batch (T, B, dim) delta, scaled
+        # by 1/k (full-batch loss = mean of the k microbatch means).
+        delta_t = deltas.transpose(1, 0, 2, 3).reshape(
+            cat.shape[0], b, cfg.dim) / k
+        return losses.mean(), (dense_grads, delta_t)
+
+    def step(model: DLRM, dense, cat, label):
+        if microbatch and microbatch > 1:
+            loss, grads = _grads_micro(model, dense, cat, label, microbatch)
+        else:
+            loss, grads = _grads(model, dense, cat, label)
         dense_grads, delta_t = grads           # delta_t: (T, B, dim) lazy delta
 
         # Dense towers: plain SGD (parity with the reference's Flux.Descent)

@@ -40,6 +40,23 @@ def evaluate_auc(eval_step, model, batches, *, to_device=jnp.asarray) -> float:
     return auc(np.concatenate(labels), np.concatenate(scores))
 
 
+def evaluate_metrics(eval_step, model, batches, *,
+                     to_device=jnp.asarray) -> dict:
+    """Full CTR eval sweep: AUC + log loss + normalized entropy +
+    calibration over `batches` (one device pass; metrics on host)."""
+    from ..metrics import calibration, log_loss, normalized_entropy
+    labels, scores = [], []
+    for b in batches:
+        s = eval_step(model, to_device(b["dense"]), to_device(b["cat"]))
+        labels.append(b["label"])
+        scores.append(np.asarray(s))
+    y = np.concatenate(labels)
+    z = np.concatenate(scores)
+    return dict(auc=auc(y, z), log_loss=log_loss(y, z),
+                normalized_entropy=normalized_entropy(y, z),
+                calibration=calibration(y, z))
+
+
 def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                sparse_opt=None, dense_lr: float = 0.01, model=None,
                seed: int = 0, eval_batches: Optional[list] = None,
@@ -48,7 +65,7 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                exchange: str = "gather", capacity_factor: float = 2.0,
                auto_capacity: bool = False, guard=None,
                evict_every: int = 0, evict_threshold: float = 1e-3,
-               freq_decay: float = 0.99,
+               freq_decay: float = 0.99, microbatch=None,
                verbose: bool = True) -> TrainResult:
     """Train a DLRM for `num_steps` batches from `train_iter`.
 
@@ -71,6 +88,10 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     step (mod-row ownership via `evict_rows_sharded`).
     """
     tel = _telemetry.get_telemetry()
+    if mesh is not None and microbatch:
+        raise NotImplementedError(
+            "microbatch gradient accumulation is single-chip only (the "
+            "sharded step already splits activations across the mesh)")
     if model is None:
         with tel.phase("init"):
             model = init_dlrm(jax.random.key(seed), cfg, sparse_opt=sparse_opt)
@@ -100,7 +121,8 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                          jax.device_put(b["cat"], sc),
                          jax.device_put(b["label"], sl))
     else:
-        step = make_train_step(cfg, sparse_opt=sparse_opt, dense_lr=dense_lr)
+        step = make_train_step(cfg, sparse_opt=sparse_opt,
+                               dense_lr=dense_lr, microbatch=microbatch)
         eval_step = make_eval_step(cfg)
         put = lambda b: (jnp.asarray(b["dense"]),              # noqa: E731
                          jnp.asarray(b["cat"]),
@@ -207,7 +229,7 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
               dense_lr: float = 0.01, model=None, seed: int = 0,
               eval_batches: Optional[list] = None, eval_every: int = 0,
               ckpt_manager=None, ckpt_every: int = 0, log_every: int = 100,
-              mesh=None, axis: str = "data",
+              mesh=None, axis: str = "data", microbatch=None,
               verbose: bool = True) -> TrainResult:
     """Train a DCN-v2 (`models/dcn.py`) on the same batch layout as
     `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
@@ -217,6 +239,10 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
     from .dcn import init_dcn, make_eval_step as make_dcn_eval, \
         make_train_step as make_dcn_step
     tel = _telemetry.get_telemetry()
+    if mesh is not None and microbatch:
+        raise NotImplementedError(
+            "microbatch gradient accumulation is single-chip only (the "
+            "sharded step already splits activations across the mesh)")
     if model is None:
         with tel.phase("init"):
             model = init_dcn(jax.random.key(seed), cfg, sparse_opt=sparse_opt)
@@ -236,7 +262,8 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                          jax.device_put(b["cat"], sc),
                          jax.device_put(b["label"], sl))
     else:
-        step = make_dcn_step(cfg, sparse_opt=sparse_opt, dense_lr=dense_lr)
+        step = make_dcn_step(cfg, sparse_opt=sparse_opt,
+                             dense_lr=dense_lr, microbatch=microbatch)
         eval_step = make_dcn_eval(cfg)
         put = lambda b: (jnp.asarray(b["dense"]),              # noqa: E731
                          jnp.asarray(b["cat"]),

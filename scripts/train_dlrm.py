@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--prefetch", type=int, default=2)
+    ap.add_argument("--microbatch", type=int, default=None,
+                    help="gradient accumulation: scan the fwd/bwd over N slices\n(single-chip; pushes batch past the activation HBM limit)")
     ap.add_argument("--pool", type=int, default=0,
                     help="pregenerate N synthetic batches and cycle them "
                          "(device-throughput mode; data repeats)")
@@ -141,7 +143,8 @@ def main():
                      capacity_factor=args.capacity_factor,
                      auto_capacity=args.auto_capacity,
                      evict_every=args.evict_every,
-                     evict_threshold=args.evict_threshold)
+                     evict_threshold=args.evict_threshold,
+                     microbatch=args.microbatch)
     if args.evict_every:
         print(f"evicted rows: {res.evicted_rows}")
     print(f"\n{res.examples_per_sec:,.0f} examples/s")

@@ -166,3 +166,29 @@ def test_dcn_config_validation():
                            deep_mlp=(16, 8), compute_dtype=jnp.float32)
     assert cfg.num_tables == 26
     assert cfg.input_features == 26 * 8 + 4
+
+
+def test_dcn_microbatch_step_matches_monolithic():
+    cfg = _cfg(compute_dtype=jnp.float32)
+    model = init_dcn(jax.random.key(0), cfg,
+                     sparse_opt=SparseRowWiseAdaGrad(lr=0.3, eps=1e-6))
+    rng = np.random.default_rng(6)
+    b = 32
+    dense = jnp.asarray(rng.normal(size=(b, cfg.num_dense)).astype(np.float32))
+    cat = jnp.asarray(np.stack([rng.integers(0, v, b).astype(np.int32)
+                                for v in cfg.vocab_sizes]))
+    label = jnp.asarray(rng.integers(0, 2, b).astype(np.float32))
+    mk = lambda **kw: make_train_step(            # noqa: E731
+        cfg, sparse_opt=SparseRowWiseAdaGrad(lr=0.3, eps=1e-6),
+        dense_lr=0.3, jit=False, **kw)
+    m1, loss1 = mk()(model, dense, cat, label)
+    mK, lossK = mk(microbatch=4)(model, dense, cat, label)
+    np.testing.assert_allclose(float(lossK), float(loss1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mK.tables.data),
+                               np.asarray(m1.tables.data),
+                               rtol=2e-5, atol=1e-7)
+    flat1, _ = jax.tree_util.tree_flatten((m1.cross, m1.deep, m1.head))
+    flatK, _ = jax.tree_util.tree_flatten((mK.cross, mK.deep, mK.head))
+    for a, bb in zip(flat1, flatK):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=2e-5, atol=1e-7)

@@ -216,3 +216,48 @@ def test_dense_tx_optax_adam():
     counts = [x for x in _jax.tree_util.tree_leaves(model.dense_opt_state)
               if getattr(x, "dtype", None) == jnp.int32]
     assert counts and int(counts[0]) == 60
+
+
+@pytest.mark.parametrize("bag,opt_name", [(None, "sgd"), (2, "adagrad")])
+def test_microbatch_step_matches_monolithic(bag, opt_name):
+    """Gradient accumulation (lax.scan over B/k slices) is the same step."""
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad, SparseSGD
+    cfg = DLRMConfig(vocab_sizes=(40, 60, 30), num_dense=4, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1), bag=bag,
+                     combiner="mean" if bag else "sum",
+                     compute_dtype=jnp.float32)
+    make_opt = (lambda: SparseSGD(0.3)) if opt_name == "sgd" else \
+        (lambda: SparseRowWiseAdaGrad(lr=0.3, eps=1e-6))
+    model = init_dlrm(jax.random.key(0), cfg, sparse_opt=make_opt())
+    rng = np.random.default_rng(8)
+    b = 32
+    dense = jnp.asarray(rng.normal(size=(b, 4)).astype(np.float32))
+    shape = (b,) if bag is None else (b, bag)
+    cat = jnp.asarray(np.stack([rng.integers(0, v, shape).astype(np.int32)
+                                for v in cfg.vocab_sizes]))
+    label = jnp.asarray(rng.integers(0, 2, b).astype(np.float32))
+
+    step1 = make_train_step(cfg, sparse_opt=make_opt(), dense_lr=0.3,
+                            jit=False)
+    m1, loss1 = step1(model, dense, cat, label)
+    stepK = make_train_step(cfg, sparse_opt=make_opt(), dense_lr=0.3,
+                            jit=False, microbatch=4)
+    mK, lossK = stepK(model, dense, cat, label)
+
+    np.testing.assert_allclose(float(lossK), float(loss1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mK.tables.data),
+                               np.asarray(m1.tables.data),
+                               rtol=2e-5, atol=1e-7)
+    flat1, _ = jax.tree_util.tree_flatten((m1.bottom, m1.top))
+    flatK, _ = jax.tree_util.tree_flatten((mK.bottom, mK.top))
+    for a, bb in zip(flat1, flatK):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=2e-5, atol=1e-7)
+    if opt_name == "adagrad":
+        np.testing.assert_allclose(np.asarray(mK.emb_state.accum),
+                                   np.asarray(m1.emb_state.accum),
+                                   rtol=2e-5, atol=1e-8)
+    # Indivisible batch is rejected.
+    with pytest.raises(ValueError, match="divisible"):
+        make_train_step(cfg, jit=False, microbatch=5)(model, dense, cat,
+                                                      label)

@@ -83,3 +83,42 @@ def test_telemetry_phases_and_callbacks():
     assert "update" in tel.summary()
     tel.callbacks.clear()
     tel.reset()
+
+
+def test_checkpoint_roundtrip_dcn(tmp_path):
+    from embeddingtables_tpu.models.dcn import DCNConfig, init_dcn
+    cfg = DCNConfig(vocab_sizes=(40, 60), num_dense=4, dim=8,
+                    num_cross=2, cross_rank=4, deep_mlp=(16, 8),
+                    compute_dtype=jnp.float32)
+    model = init_dcn(jax.random.key(0), cfg,
+                     sparse_opt=SparseRowWiseAdaGrad(lr=0.1))
+    p = save_checkpoint(str(tmp_path / "ck"), model)
+    template = init_dcn(jax.random.key(1), cfg,
+                        sparse_opt=SparseRowWiseAdaGrad(lr=0.1))
+    restored = restore_checkpoint(p, template)
+    assert_tree_equal(model, restored)
+    assert restored.config == cfg
+
+
+def test_checkpoint_roundtrip_planned_dlrm(tmp_path):
+    """Mixed-placement model: replicated + sharded groups both survive a
+    sharded save/restore with their placements."""
+    from embeddingtables_tpu.parallel.planner import (init_planned_dlrm,
+                                                      plan_sharding)
+    cfg = DLRMConfig(vocab_sizes=(64, 4096, 96), num_dense=4, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    mesh = default_mesh(("data",))
+    plan = plan_sharding(cfg.vocab_sizes, 8, mesh,
+                         replicate_max_bytes=8 * 4 * 128)
+    opt = SparseRowWiseAdaGrad(lr=0.1)
+    model = init_planned_dlrm(jax.random.key(0), cfg, plan, mesh,
+                              sparse_opt=opt)
+    p = save_checkpoint(str(tmp_path / "ck"), model)
+    template = init_planned_dlrm(jax.random.key(1), cfg, plan, mesh,
+                                 sparse_opt=opt)
+    restored = restore_checkpoint(p, template)
+    assert_tree_equal(model, restored)
+    assert restored.tables.shard.data.sharding == \
+        NamedSharding(mesh, P("data"))
+    assert restored.tables.repl.sharding == NamedSharding(mesh, P())
