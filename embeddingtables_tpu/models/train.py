@@ -230,7 +230,7 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
               eval_batches: Optional[list] = None, eval_every: int = 0,
               ckpt_manager=None, ckpt_every: int = 0, log_every: int = 100,
               mesh=None, axis: str = "data", microbatch=None,
-              verbose: bool = True) -> TrainResult:
+              guard=None, verbose: bool = True) -> TrainResult:
     """Train a DCN-v2 (`models/dcn.py`) on the same batch layout as
     `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
     fused step; mesh given -> the sharded gather-exchange step
@@ -282,6 +282,12 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         if log_every and (i % log_every == 0 or i == num_steps - 1):
             lv = float(loss)
             losses.append(lv)
+            if guard is not None:
+                # Divergence watchdog (log cadence, like the DLRM loop).
+                model, rolled = guard.observe(lv, model)
+                if rolled and verbose:
+                    print(f"step {i:6d}  DIVERGED (loss {lv:.3g}) — rolled "
+                          f"back to checkpoint", flush=True)
             if verbose:
                 print(f"step {i:6d}  loss {lv:.5f}", flush=True)
         if eval_every and eval_batches and (i + 1) % eval_every == 0:

@@ -192,3 +192,26 @@ def test_dcn_microbatch_step_matches_monolithic():
     for a, bb in zip(flat1, flatK):
         np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
                                    rtol=2e-5, atol=1e-7)
+
+
+def test_train_dcn_guard_wired(tmp_path):
+    """The DCN loop feeds losses to the divergence guard at log cadence."""
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models.train import train_dcn
+    from embeddingtables_tpu.utils.resilience import DivergenceGuard
+
+    class SpyGuard(DivergenceGuard):
+        seen = 0
+
+        def observe(self, loss, model):
+            SpyGuard.seen += 1
+            return super().observe(loss, model)
+
+    vocab = (50, 50)
+    cfg = DCNConfig(vocab_sizes=vocab, num_dense=3, dim=8, num_cross=1,
+                    cross_rank=4, deep_mlp=(8,), compute_dtype=jnp.float32)
+    gen = SyntheticCriteo(vocab_sizes=vocab, num_dense=3, batch_size=64,
+                          seed=2)
+    train_dcn(cfg, gen.batches(), 6, log_every=2, verbose=False,
+              guard=SpyGuard(ckpt=None))
+    assert SpyGuard.seen >= 3

@@ -284,3 +284,39 @@ def test_init_planned_dlrm_learns():
                         jax.device_put(label, sl))
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_planner_fuzz_mixed_placements(trial):
+    """Random vocab mixes/bags/thresholds: planned lookup+SGD apply must
+    match the per-table single-chip oracle for every placement split."""
+    rng = np.random.default_rng(4000 + trial)
+    mesh = _mesh()
+    ntab = int(rng.integers(2, 6))
+    vocabs = tuple(int(rng.integers(8, 3000)) for _ in range(ntab))
+    dim = int(rng.choice([4, 8, 16]))
+    thresh = int(rng.choice([0, dim * 4 * 64, dim * 4 * 1024, 1 << 30]))
+    plan = plan_sharding(vocabs, dim, mesh, replicate_max_bytes=thresh)
+    arrs = [jnp.asarray(rng.normal(size=(v, dim)).astype(np.float32))
+            for v in vocabs]
+    pt = PlannedTables.from_tables(plan, mesh, arrs)
+    b = int(rng.integers(1, 5)) * 8
+    bag = int(rng.integers(1, 4)) if rng.random() < 0.4 else None
+    shape = (b,) if bag is None else (b, bag)
+    idx = [jnp.asarray(rng.integers(0, v, shape).astype(np.int32))
+           for v in vocabs]
+    out = planned_lookup(mesh, pt, idx)
+    for t in range(ntab):
+        want = np.asarray(arrs[t])[np.asarray(idx[t])]
+        if bag is not None:
+            want = want.sum(axis=1)
+        np.testing.assert_allclose(np.asarray(out[t]), want, rtol=1e-5,
+                                   atol=1e-5)
+    delta_t = jnp.asarray(rng.normal(size=(ntab, b, dim)).astype(np.float32))
+    opt = SparseSGD(0.2)
+    new = planned_apply(mesh, pt, idx, delta_t, opt)
+    for t in range(ntab):
+        upd = SparseEmbeddingUpdate(delta=delta_t[t], indices=idx[t])
+        want, _ = opt.apply(arrs[t], upd, opt.init(arrs[t]))
+        np.testing.assert_allclose(np.asarray(new.table(t)),
+                                   np.asarray(want), rtol=2e-5, atol=2e-6)
