@@ -220,18 +220,55 @@ class MicroBatcher:
             off += p.size
 
 
-def make_dlrm_service(model, *, quantized: bool = False,
-                      max_batch: int = 1024,
+def _sharded_scoring_fn(predict, mesh, axis):
+    """Wrap a sharded eval step for MicroBatcher: batch-shard the request
+    over the data axis (padding the batch up to a multiple of the axis size
+    with a repeated tail row — sliced off the result)."""
+    import jax
+    from .parallel.dlrm import batch_shardings
+
+    sd, sc, _ = batch_shardings(mesh, axis)
+    n = 1
+    for a in (axis if isinstance(axis, (tuple, list)) else (axis,)):
+        n *= mesh.shape[a]
+
+    def fn(dense, cat):
+        b = dense.shape[0]
+        pad = (-b) % n
+        if pad:
+            dense = np.concatenate([dense] + [dense[-1:]] * pad, axis=0)
+            cat = np.concatenate([cat] + [cat[:, -1:]] * pad, axis=1)
+        out = predict(jax.device_put(dense, sd), jax.device_put(cat, sc))
+        return np.asarray(jax.device_get(out))[:b]
+
+    return fn
+
+
+def make_dlrm_service(model, *, quantized: bool = False, mesh=None,
+                      axis="data", max_batch: int = 1024,
                       max_latency_ms: float = 5.0) -> MicroBatcher:
     """Batched DLRM scoring service.
 
-    model: a trained `models.dlrm.DLRM`. quantized=True converts tables to
+    model: a trained `models.dlrm.DLRM` — or a `parallel.dlrm.ShardedDLRM`
+    with `mesh=` given, in which case requests batch-shard over the data
+    axis and score through the sharded eval step (serving straight off the
+    training placement, no unshard). quantized=True converts tables to
     int8 rows first (`quant.quantize_dlrm` — 4x HBM capacity) and serves the
-    dequantize-in-kernel eval path. Returns a running `MicroBatcher`; use
-    `.predict`/`.submit`, `.stop()` when done.
+    dequantize-in-kernel eval path (single-chip only). Returns a running
+    `MicroBatcher`; use `.predict`/`.submit`, `.stop()` when done.
     """
     import jax
 
+    if mesh is not None:
+        if quantized:
+            raise NotImplementedError(
+                "quantized serving is single-chip; unshard the model first")
+        from .parallel.dlrm import make_sharded_eval_step
+        step = make_sharded_eval_step(model.config, mesh, axis)
+        fn = _sharded_scoring_fn(
+            lambda dense, cat: step(model, dense, cat), mesh, axis)
+        return MicroBatcher(fn, max_batch=max_batch,
+                            max_latency_ms=max_latency_ms)
     if quantized:
         from .quant import quantize_dlrm
         _, predict = quantize_dlrm(model)           # already jitted
@@ -245,14 +282,25 @@ def make_dlrm_service(model, *, quantized: bool = False,
                         max_latency_ms=max_latency_ms)
 
 
-def make_dcn_service(model, *, quantized: bool = False,
-                     max_batch: int = 1024,
+def make_dcn_service(model, *, quantized: bool = False, mesh=None,
+                     axis="data", max_batch: int = 1024,
                      max_latency_ms: float = 5.0) -> MicroBatcher:
     """Batched DCN-v2 scoring service (same contract as
-    `make_dlrm_service`): model is a trained `models.dcn.DCN`;
-    quantized=True serves int8 tables via `quant.quantize_dcn`."""
+    `make_dlrm_service`): model is a trained `models.dcn.DCN` (or a
+    `parallel.dcn.ShardedDCN` with `mesh=`); quantized=True serves int8
+    tables via `quant.quantize_dcn` (single-chip only)."""
     import jax
 
+    if mesh is not None:
+        if quantized:
+            raise NotImplementedError(
+                "quantized serving is single-chip; unshard the model first")
+        from .parallel.dcn import make_sharded_dcn_eval_step
+        step = make_sharded_dcn_eval_step(model.config, mesh, axis)
+        fn = _sharded_scoring_fn(
+            lambda dense, cat: step(model, dense, cat), mesh, axis)
+        return MicroBatcher(fn, max_batch=max_batch,
+                            max_latency_ms=max_latency_ms)
     if quantized:
         from .quant import quantize_dcn
         _, predict = quantize_dcn(model)            # already jitted

@@ -292,3 +292,64 @@ def test_dcn_service_matches_direct_eval():
         tol = dict(rtol=1e-5, atol=1e-6) if not quantized else \
             dict(rtol=0.1, atol=0.05)       # int8 rows
         np.testing.assert_allclose(got, want, **tol)
+
+
+def test_sharded_dlrm_service_matches_single_chip():
+    import jax
+    import jax.numpy as jnp
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.models.dlrm import make_eval_step
+    from embeddingtables_tpu.parallel.dlrm import shard_dlrm
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+
+    cfg = DLRMConfig(vocab_sizes=(40, 60), num_dense=3, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    model = init_dlrm(jax.random.key(0), cfg)
+    mesh = default_mesh(("data",))
+    smodel = shard_dlrm(model, mesh)
+    rng = np.random.default_rng(11)
+    b = 5                              # NOT divisible by 8 -> pad path
+    dense = rng.normal(size=(b, 3)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, b).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    want = np.asarray(make_eval_step(cfg)(model, jnp.asarray(dense),
+                                          jnp.asarray(cat)))
+    svc = make_dlrm_service(smodel, mesh=mesh, max_batch=8,
+                            max_latency_ms=5.0)
+    got = svc.predict(dense, cat, timeout=60)
+    svc.stop()
+    assert got.shape == (b,)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    import pytest
+    with pytest.raises(NotImplementedError):
+        make_dlrm_service(smodel, mesh=mesh, quantized=True)
+
+
+def test_sharded_dcn_service_matches_single_chip():
+    import jax
+    import jax.numpy as jnp
+    from embeddingtables_tpu.models import DCNConfig, init_dcn
+    from embeddingtables_tpu.models.dcn import make_eval_step
+    from embeddingtables_tpu.parallel.dcn import shard_dcn
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    from embeddingtables_tpu.serving import make_dcn_service
+
+    cfg = DCNConfig(vocab_sizes=(40, 60), num_dense=3, dim=8, num_cross=2,
+                    cross_rank=4, deep_mlp=(16, 8),
+                    compute_dtype=jnp.float32)
+    model = init_dcn(jax.random.key(0), cfg)
+    mesh = default_mesh(("data",))
+    smodel = shard_dcn(model, mesh)
+    rng = np.random.default_rng(12)
+    b = 11
+    dense = rng.normal(size=(b, 3)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, b).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    want = np.asarray(make_eval_step(cfg)(model, jnp.asarray(dense),
+                                          jnp.asarray(cat)))
+    svc = make_dcn_service(smodel, mesh=mesh, max_batch=16,
+                           max_latency_ms=5.0)
+    got = svc.predict(dense, cat, timeout=60)
+    svc.stop()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
