@@ -120,11 +120,19 @@ class CriteoFileLoader:
     READ_CHUNK = 16 * 1024 * 1024
 
     def __init__(self, path: str, vocab_sizes: Sequence[int],
-                 batch_size: int = 8192, max_batches: Optional[int] = None):
+                 batch_size: int = 8192, max_batches: Optional[int] = None,
+                 epochs: Optional[int] = 1, skip_batches: int = 0):
+        """epochs: passes over the file (None = cycle forever);
+        `max_batches` bounds the TOTAL batch count across epochs.
+        skip_batches: drop the first N batches of EVERY epoch — the
+        held-out-eval-prefix discipline (a train stream that cycles must
+        not replay the eval prefix on later passes)."""
         self.path = path
         self.vocab_sizes = tuple(vocab_sizes)
         self.batch_size = batch_size
         self.max_batches = max_batches
+        self.epochs = epochs
+        self.skip_batches = skip_batches
 
     # A Criteo line is >= 41 bytes (label + 39 tabs + newline), bounding the
     # rows a buffer can hold; used to size the native parser's output arrays.
@@ -155,14 +163,12 @@ class CriteoFileLoader:
                         yield dense, cat, label
                 leftover = buf
 
-    def __iter__(self) -> Iterator[dict]:
+    def _one_epoch(self) -> Iterator[dict]:
         if not native_available():
             from ..data import criteo_kaggle_batches
             yield from criteo_kaggle_batches(self.path, self.vocab_sizes,
-                                             self.batch_size,
-                                             self.max_batches)
+                                             self.batch_size, None)
             return
-        emitted = 0
         pend_d, pend_c, pend_l = [], [], []
         pending = 0
         for dense, cat, label in self._row_blocks():
@@ -176,15 +182,25 @@ class CriteoFileLoader:
                 label = np.concatenate(pend_l) if len(pend_l) > 1 else pend_l[0]
                 b = self.batch_size
                 yield dict(dense=dense[:b], cat=cat[:, :b], label=label[:b])
-                emitted += 1
-                if self.max_batches and emitted >= self.max_batches:
-                    return
                 pend_d = [dense[b:]] if dense.shape[0] > b else []
                 pend_c = [cat[:, b:]] if cat.shape[1] > b else []
                 pend_l = [label[b:]] if label.shape[0] > b else []
                 pending -= b
         # Trailing partial batch is dropped — same policy as the Python
         # oracle (data.criteo_kaggle_batches).
+
+    def __iter__(self) -> Iterator[dict]:
+        emitted = 0
+        epoch = 0
+        while self.epochs is None or epoch < self.epochs:
+            for j, batch in enumerate(self._one_epoch()):
+                if j < self.skip_batches:
+                    continue
+                yield batch
+                emitted += 1
+                if self.max_batches and emitted >= self.max_batches:
+                    return
+            epoch += 1
 
 
 def parallel_batches(make_iter, workers: int = 3, depth: int = 4):

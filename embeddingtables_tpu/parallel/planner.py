@@ -105,6 +105,7 @@ class ShardingPlan:
 def plan_sharding(vocab_sizes: Sequence[int], dim: int, mesh: Mesh,
                   axis: str | tuple = "data", *,
                   dtype=jnp.float32, names: Optional[Sequence[str]] = None,
+                  hotness: Optional[Sequence[float]] = None,
                   replicate_max_bytes: int = 4 << 20,
                   replicate_budget_bytes: int = 256 << 20,
                   hbm_budget_bytes: Optional[int] = None,
@@ -113,8 +114,12 @@ def plan_sharding(vocab_sizes: Sequence[int], dim: int, mesh: Mesh,
 
     Rule (cost model in the module docstring): a table is replicated iff its
     full bytes are ≤ `replicate_max_bytes` AND the running total of
-    replicated bytes stays ≤ `replicate_budget_bytes` — smallest tables are
-    admitted first (highest exchange-traffic savings per HBM byte). Everything
+    replicated bytes stays ≤ `replicate_budget_bytes` — tables are admitted
+    by descending exchange-traffic-saved per HBM byte spent. `hotness` is
+    the per-table expected lookups per example (bag size / multivalency;
+    default 1.0 each): a replicated table saves `hotness × (B, D)-row +
+    index` exchange traffic, so value density = hotness / table_bytes.
+    With uniform hotness this degenerates to smallest-first. Everything
     else is mod-row-sharded over `mesh[axis]`. `opt_state_scalars` = f32
     scalars of optimizer state per row (1 for row-wise AdaGrad, 0 for SGD);
     the state is placed like its table. If `hbm_budget_bytes` is given and
@@ -130,9 +135,15 @@ def plan_sharding(vocab_sizes: Sequence[int], dim: int, mesh: Mesh,
         [f"table_{i}" for i in range(len(vocab_sizes))]
     if len(names) != len(vocab_sizes):
         raise ValueError("names/vocab_sizes length mismatch")
+    if hotness is not None and len(hotness) != len(vocab_sizes):
+        raise ValueError("hotness/vocab_sizes length mismatch")
+    hot = list(hotness) if hotness is not None else [1.0] * len(vocab_sizes)
 
-    # Admit smallest-first into the replicate budget.
-    order = sorted(range(len(vocab_sizes)), key=lambda i: vocab_sizes[i])
+    # Admit by descending value density (hotness per byte) into the
+    # replicate budget; ties by smaller vocab for determinism.
+    order = sorted(range(len(vocab_sizes)),
+                   key=lambda i: (-hot[i] / max(vocab_sizes[i] * dim * esize,
+                                                1), vocab_sizes[i]))
     placement = {}
     repl_total = 0
     for i in order:

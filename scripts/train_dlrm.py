@@ -89,10 +89,12 @@ def main():
         assert args.tables == 26, "Criteo has 26 categorical features"
         # Eval takes the FIRST eval_batches of the file; the training stream
         # skips that prefix so periodic AUC is measured on unseen examples.
-        train_raw = iter(CriteoFileLoader(args.criteo, vocabs, args.batch))
-        if args.eval_every:
-            for _ in range(args.eval_batches):
-                next(train_raw, None)
+        # epochs=None: cycle the file so long runs never exhaust the
+        # stream; skip_batches drops the held-out eval prefix on EVERY
+        # pass (no train/eval overlap on later epochs).
+        skip = args.eval_batches if args.eval_every else 0
+        train_raw = iter(CriteoFileLoader(args.criteo, vocabs, args.batch,
+                                          epochs=None, skip_batches=skip))
         train_it = iter(PrefetchLoader(train_raw, depth=args.prefetch))
         eval_batches = list(CriteoFileLoader(args.criteo, vocabs, args.batch,
                                              max_batches=args.eval_batches))

@@ -209,3 +209,29 @@ def test_native_synth_api_matches_python_generator():
         assert nb[k].shape == pb[k].shape and nb[k].dtype == pb[k].dtype
     assert abs(nb["label"].mean() - pb["label"].mean()) < 0.08
     assert abs(nb["dense"].mean() - pb["dense"].mean()) < 0.1
+
+
+def test_file_loader_epochs(tmp_path):
+    p = make_tsv(tmp_path / "train.txt", mangle=False)
+    one = list(CriteoFileLoader(str(p), VOCABS, batch_size=64))
+    assert len(one) >= 2
+    # epochs=2 doubles the stream; the second pass replays the first.
+    two = list(CriteoFileLoader(str(p), VOCABS, batch_size=64, epochs=2))
+    assert len(two) == 2 * len(one)
+    np.testing.assert_array_equal(two[len(one)]["cat"], one[0]["cat"])
+    # max_batches bounds the TOTAL across epochs.
+    capped = list(CriteoFileLoader(str(p), VOCABS, batch_size=64,
+                                   epochs=None, max_batches=len(one) + 2))
+    assert len(capped) == len(one) + 2
+    np.testing.assert_array_equal(capped[-1]["label"], one[1]["label"])
+
+
+def test_file_loader_skip_batches_every_epoch(tmp_path):
+    p = make_tsv(tmp_path / "train.txt", mangle=False)
+    one = list(CriteoFileLoader(str(p), VOCABS, batch_size=64))
+    stream = list(CriteoFileLoader(str(p), VOCABS, batch_size=64,
+                                   epochs=2, skip_batches=1))
+    # Each epoch drops its first batch: the eval prefix never reappears.
+    assert len(stream) == 2 * (len(one) - 1)
+    np.testing.assert_array_equal(stream[0]["cat"], one[1]["cat"])
+    np.testing.assert_array_equal(stream[len(one) - 1]["cat"], one[1]["cat"])

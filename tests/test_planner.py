@@ -320,3 +320,19 @@ def test_planner_fuzz_mixed_placements(trial):
         want, _ = opt.apply(arrs[t], upd, opt.init(arrs[t]))
         np.testing.assert_allclose(np.asarray(new.table(t)),
                                    np.asarray(want), rtol=2e-5, atol=2e-6)
+
+
+def test_plan_hotness_biases_admission():
+    mesh = _mesh()
+    row = DIM * 4
+    # Same budget as the smallest-first test, but table 0 (300 rows) is 20x
+    # hotter than everything else -> highest value density, admitted first.
+    plan = plan_sharding([300, 100, 200, 400], DIM, mesh,
+                         hotness=[20.0, 1.0, 1.0, 1.0],
+                         replicate_max_bytes=1 << 20,
+                         replicate_budget_bytes=row * 320)
+    p = [d.placement for d in plan.decisions]
+    assert p[0] == REPLICATE                # hot table wins the budget
+    assert p[3] == ROW_SHARD
+    with pytest.raises(ValueError, match="hotness"):
+        plan_sharding([100, 200], DIM, mesh, hotness=[1.0])
