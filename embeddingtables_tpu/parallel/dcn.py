@@ -118,3 +118,22 @@ def make_sharded_dcn_eval_step(cfg: DCNConfig, mesh: Mesh,
     if jit:
         step = jax.jit(step)
     return step
+
+
+def unshard_dcn(model: ShardedDCN) -> DCN:
+    """Dense single-chip DCN from the sharded one (checkpoint export,
+    quantized serving via `quant.quantize_dcn`, test oracle)."""
+    from ..ops.ensemble import StackedTables
+    from ..optim import SparseOptState
+
+    st = model.tables
+    acc = model.emb_accum
+    if acc.shape[1] == 0:
+        accum = jnp.zeros((0,), jnp.float32)
+    else:
+        n, rows = acc.shape
+        accum = acc.T.reshape(n * rows)[:st.vocab]
+    return DCN(cross=model.cross, deep=model.deep, head=model.head,
+               tables=StackedTables(data=st.unshard(), offsets=st.offsets,
+                                    dim=st.dim),
+               emb_state=SparseOptState(accum=accum), config=model.config)

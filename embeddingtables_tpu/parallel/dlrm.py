@@ -347,3 +347,25 @@ def make_sharded_eval_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
     if jit:
         step = jax.jit(step)
     return step
+
+
+def unshard_dlrm(model: ShardedDLRM) -> DLRM:
+    """Dense single-chip DLRM from the sharded one (checkpoint export,
+    quantized serving via `quant.quantize_dlrm`, test oracle). Inverts the
+    mod-row layout for both the table and the (n, rows_local) accumulator."""
+    from ..models.dlrm import DLRM as _DLRM
+    from ..ops.ensemble import StackedTables
+    from ..optim import SparseOptState
+
+    st = model.tables
+    acc = model.emb_accum
+    if acc.shape[1] == 0:
+        accum = jnp.zeros((0,), jnp.float32)
+    else:
+        n, rows = acc.shape
+        accum = acc.T.reshape(n * rows)[:st.vocab]
+    return _DLRM(
+        bottom=model.bottom, top=model.top,
+        tables=StackedTables(data=st.unshard(), offsets=st.offsets,
+                             dim=st.dim),
+        emb_state=SparseOptState(accum=accum), config=model.config)

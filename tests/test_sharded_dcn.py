@@ -118,3 +118,25 @@ def test_sharded_dcn_bag_mean():
     np.testing.assert_allclose(np.asarray(mN.tables.unshard()),
                                np.asarray(m1.tables.data),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_unshard_dcn_roundtrip():
+    from embeddingtables_tpu.models.dcn import make_eval_step
+    from embeddingtables_tpu.parallel.dcn import unshard_dcn
+    cfg = tiny_cfg()
+    mesh = default_mesh(("data",))
+    opt = SparseRowWiseAdaGrad(lr=0.3, eps=1e-6)
+    smodel = shard_dcn(init_dcn(jax.random.key(0), cfg, sparse_opt=opt),
+                       mesh, "data", sparse_opt=opt)
+    dense, cat, label = synth_batch(cfg, b=32, seed=4)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    stepN = make_sharded_dcn_train_step(cfg, mesh, "data", sparse_opt=opt,
+                                        dense_lr=0.3)
+    smodel, _ = stepN(smodel, jax.device_put(dense, sd),
+                      jax.device_put(cat, sc), jax.device_put(label, sl))
+    back = unshard_dcn(smodel)
+    want = make_sharded_dcn_eval_step(cfg, mesh)(
+        smodel, jax.device_put(dense, sd), jax.device_put(cat, sc))
+    got = make_eval_step(cfg)(back, jnp.asarray(dense), jnp.asarray(cat))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=1e-6)

@@ -175,3 +175,34 @@ def test_init_sharded_dlrm_adagrad_initial_accum():
     acc = np.asarray(smodel.emb_accum)
     assert acc.size > 0
     np.testing.assert_allclose(acc, 0.5)
+
+
+def test_unshard_dlrm_roundtrip():
+    from embeddingtables_tpu.parallel.dlrm import unshard_dlrm
+    cfg = tiny_cfg()
+    mesh = default_mesh(("data",))
+    opt = SparseRowWiseAdaGrad(lr=0.3, eps=1e-6)
+    model = init_dlrm(jax.random.key(0), cfg, sparse_opt=opt)
+    smodel = shard_dlrm(model, mesh, "data", sparse_opt=opt)
+    dense, cat, label = synth_batch(cfg, b=32, seed=2)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    stepN = make_sharded_train_step(cfg, mesh, "data", sparse_opt=opt,
+                                    dense_lr=0.3)
+    smodel, _ = stepN(smodel, jax.device_put(dense, sd),
+                      jax.device_put(cat, sc), jax.device_put(label, sl))
+    back = unshard_dlrm(smodel)
+    # The unsharded model is a valid single-chip DLRM: one more step runs
+    # and matches the sharded continuation.
+    step1 = make_train_step(cfg, sparse_opt=opt, dense_lr=0.3, jit=False)
+    m1, loss1 = step1(back, jnp.asarray(dense), jnp.asarray(cat),
+                      jnp.asarray(label))
+    smodel2, lossN = stepN(smodel, jax.device_put(dense, sd),
+                           jax.device_put(cat, sc),
+                           jax.device_put(label, sl))
+    np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(smodel2.tables.unshard()),
+                               np.asarray(m1.tables.data),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(unshard_dlrm(smodel2).emb_state.accum),
+        np.asarray(m1.emb_state.accum), rtol=2e-4, atol=1e-7)
