@@ -292,3 +292,49 @@ class PrefetchLoader:
                 raise self._err
             raise StopIteration
         return item
+
+
+class DevicePrefetcher:
+    """Overlap host->device upload with the device step.
+
+    Wraps a host batch iterator: a background thread runs `put(batch)`
+    (typically `jax.device_put` with the step's shardings) for the NEXT
+    batch while the device executes the current step, then yields
+    `(host_batch, device_args)`. On tunneled/remote devices the per-step
+    upload is a serial cost this hides entirely; on local devices it
+    overlaps the PCIe copy. `depth` bounds staged batches (device-memory
+    backpressure). Exceptions in the producer re-raise at `next()`; the
+    producer is a daemon thread, so an abandoned iterator holds at most
+    `depth`+1 staged batches until process exit (same policy as
+    `PrefetchLoader`).
+    """
+
+    _SENTINEL = object()
+
+    def __init__(self, it: Iterator[dict], put, depth: int = 2):
+        self._it = it
+        self._put = put
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            for batch in self._it:
+                self._q.put((batch, self._put(batch)))
+        except BaseException as e:  # noqa: BLE001 — reraised at consumer
+            self._err = e
+        finally:
+            self._q.put(self._SENTINEL)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._SENTINEL:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item

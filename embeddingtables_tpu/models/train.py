@@ -66,6 +66,7 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                auto_capacity: bool = False, guard=None,
                evict_every: int = 0, evict_threshold: float = 1e-3,
                freq_decay: float = 0.99, microbatch=None,
+               device_prefetch: int = 0,
                verbose: bool = True) -> TrainResult:
     """Train a DLRM for `num_steps` batches from `train_iter`.
 
@@ -138,10 +139,18 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     examples = 0
     evicted_total = 0
     t_start = time.perf_counter()
+    prefetcher = None
+    if device_prefetch:
+        from ..io import DevicePrefetcher
+        prefetcher = DevicePrefetcher(train_iter, put,
+                                      depth=device_prefetch)
     for i in range(num_steps):
         with tel.phase("data"):
-            batch = next(train_iter)
-        dense, cat, label = put(batch)
+            if prefetcher is not None:
+                batch, (dense, cat, label) = next(prefetcher)
+            else:
+                batch = next(train_iter)
+                dense, cat, label = put(batch)
         if trackers is not None:
             for t, tr in enumerate(trackers):
                 tr.observe(batch["cat"][t])
@@ -230,7 +239,8 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
               eval_batches: Optional[list] = None, eval_every: int = 0,
               ckpt_manager=None, ckpt_every: int = 0, log_every: int = 100,
               mesh=None, axis: str = "data", microbatch=None,
-              guard=None, verbose: bool = True) -> TrainResult:
+              guard=None, device_prefetch: int = 0,
+              verbose: bool = True) -> TrainResult:
     """Train a DCN-v2 (`models/dcn.py`) on the same batch layout as
     `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
     fused step; mesh given -> the sharded gather-exchange step
@@ -272,10 +282,18 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
     losses, aucs = [], []
     examples = 0
     t_start = time.perf_counter()
+    prefetcher = None
+    if device_prefetch:
+        from ..io import DevicePrefetcher
+        prefetcher = DevicePrefetcher(train_iter, put,
+                                      depth=device_prefetch)
     for i in range(num_steps):
         with tel.phase("data"):
-            batch = next(train_iter)
-        dense, cat, label = put(batch)
+            if prefetcher is not None:
+                batch, (dense, cat, label) = next(prefetcher)
+            else:
+                batch = next(train_iter)
+                dense, cat, label = put(batch)
         with tel.phase("step"):
             model, loss = step(model, dense, cat, label)
         examples += batch["label"].shape[0]

@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--prefetch", type=int, default=2)
+    ap.add_argument("--device-prefetch", type=int, default=0,
+                    help="stage N batches ON DEVICE ahead of the step (hides\nthe host->device upload; 2 is a good start)")
     ap.add_argument("--microbatch", type=int, default=None,
                     help="gradient accumulation: scan the fwd/bwd over N slices\n(single-chip; pushes batch past the activation HBM limit)")
     args = ap.parse_args()
@@ -109,7 +111,8 @@ def main():
                     dense_lr=args.lr, eval_batches=eval_batches,
                     eval_every=args.eval_every, ckpt_manager=mgr,
                     ckpt_every=args.ckpt_every, log_every=args.log_every,
-                    mesh=mesh, microbatch=args.microbatch)
+                    mesh=mesh, microbatch=args.microbatch,
+                    device_prefetch=args.device_prefetch)
     print(f"\n{res.examples_per_sec:,.0f} examples/s")
     if res.aucs:
         print(f"final AUC {res.aucs[-1][1]:.4f}")

@@ -61,6 +61,8 @@ def main():
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--prefetch", type=int, default=2)
+    ap.add_argument("--device-prefetch", type=int, default=0,
+                    help="stage N batches ON DEVICE ahead of the step (hides\nthe host->device upload; 2 is a good start)")
     ap.add_argument("--microbatch", type=int, default=None,
                     help="gradient accumulation: scan the fwd/bwd over N slices\n(single-chip; pushes batch past the activation HBM limit)")
     ap.add_argument("--pool", type=int, default=0,
@@ -146,7 +148,8 @@ def main():
                      auto_capacity=args.auto_capacity,
                      evict_every=args.evict_every,
                      evict_threshold=args.evict_threshold,
-                     microbatch=args.microbatch)
+                     microbatch=args.microbatch,
+                     device_prefetch=args.device_prefetch)
     if args.evict_every:
         print(f"evicted rows: {res.evicted_rows}")
     print(f"\n{res.examples_per_sec:,.0f} examples/s")

@@ -235,3 +235,50 @@ def test_file_loader_skip_batches_every_epoch(tmp_path):
     assert len(stream) == 2 * (len(one) - 1)
     np.testing.assert_array_equal(stream[0]["cat"], one[1]["cat"])
     np.testing.assert_array_equal(stream[len(one) - 1]["cat"], one[1]["cat"])
+
+
+def test_device_prefetcher_order_contents_and_error():
+    from embeddingtables_tpu.io import DevicePrefetcher
+
+    def src(n):
+        for i in range(n):
+            yield dict(x=np.full((2,), i))
+
+    seen = []
+    pf = DevicePrefetcher(src(5), lambda b: (b["x"] * 2,), depth=2)
+    for batch, (dev,) in pf:
+        seen.append((batch["x"][0], dev[0]))
+    assert seen == [(i, 2 * i) for i in range(5)]
+
+    def bad():
+        yield dict(x=np.zeros(2))
+        raise RuntimeError("boom")
+
+    pf = DevicePrefetcher(bad(), lambda b: (b["x"],))
+    next(pf)
+    import pytest
+    with pytest.raises(RuntimeError, match="boom"):
+        next(pf)
+
+
+def test_train_dlrm_device_prefetch_same_result():
+    import jax
+    import jax.numpy as jnp
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models import DLRMConfig
+    from embeddingtables_tpu.models.train import train_dlrm
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    vocab = (50, 50)
+    cfg = DLRMConfig(vocab_sizes=vocab, num_dense=3, dim=8,
+                     bottom_mlp=(8, 8), top_mlp=(8, 1),
+                     compute_dtype=jnp.float32)
+
+    def run(dp):
+        gen = SyntheticCriteo(vocab_sizes=vocab, num_dense=3,
+                              batch_size=64, seed=3)
+        return train_dlrm(cfg, gen.batches(), 8, seed=1,
+                          sparse_opt=SparseRowWiseAdaGrad(lr=0.05),
+                          log_every=1, verbose=False, device_prefetch=dp)
+
+    a, b = run(0), run(2)
+    assert a.losses == b.losses          # same data order, same math
