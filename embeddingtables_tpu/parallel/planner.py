@@ -500,3 +500,109 @@ def make_planned_eval_step(cfg, mesh: Mesh, jit: bool = True):
     if jit:
         step = jax.jit(step)
     return step
+
+
+# ---------------------------------------------------------------------------
+# Mixed feature dimensions: one PlannedTables group per distinct dim
+# ---------------------------------------------------------------------------
+
+def plan_sharding_mixed(vocab_sizes: Sequence[int], dims: Sequence[int],
+                        mesh: Mesh, axis: str | tuple = "data",
+                        **kw) -> tuple:
+    """Placement for an ensemble with PER-TABLE feature dims (production
+    ensembles mix narrow id features with wide content features; stacking
+    requires equal dims, so tables group by dim first). Returns
+    `(plans, groups)`: `plans[g]` is the `ShardingPlan` for dim-group `g`,
+    `groups[g]` the original table indices it covers (order-preserving
+    within a group). Budget/threshold kwargs are shared across groups."""
+    if len(dims) != len(vocab_sizes):
+        raise ValueError("dims/vocab_sizes length mismatch")
+    names = kw.pop("names", None)
+    hotness = kw.pop("hotness", None)
+    order = sorted(set(dims))
+    plans, groups = [], []
+    for d in order:
+        idxs = tuple(i for i, dd in enumerate(dims) if dd == d)
+        plans.append(plan_sharding(
+            [vocab_sizes[i] for i in idxs], d, mesh, axis,
+            names=None if names is None else [names[i] for i in idxs],
+            hotness=None if hotness is None else [hotness[i] for i in idxs],
+            **kw))
+        groups.append(idxs)
+    return tuple(plans), tuple(groups)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MixedDimPlannedTables:
+    """An executed mixed-dim plan: one `PlannedTables` per distinct dim.
+    Lookup/apply scatter per-table work to the owning group and restore
+    original table order; per-table results are LISTS (a (T, B, D) stack
+    cannot exist across dims)."""
+
+    groups: tuple                   # tuple[PlannedTables, ...]
+    table_map: tuple = dataclasses.field(metadata=dict(static=True))
+    # table_map[t] = (group_idx, position_in_group)
+
+    @property
+    def ntables(self) -> int:
+        return len(self.table_map)
+
+    def table(self, t: int) -> jax.Array:
+        g, j = self.table_map[t]
+        return self.groups[g].table(j)
+
+    @classmethod
+    def from_tables(cls, plans, group_idxs, mesh: Mesh, tables: Sequence,
+                    *, adagrad: bool = False) -> "MixedDimPlannedTables":
+        groups = tuple(
+            PlannedTables.from_tables(plan, mesh, [tables[i] for i in idxs],
+                                      adagrad=adagrad)
+            for plan, idxs in zip(plans, group_idxs))
+        table_map = [None] * sum(len(ix) for ix in group_idxs)
+        for g, idxs in enumerate(group_idxs):
+            for j, t in enumerate(idxs):
+                table_map[t] = (g, j)
+        return cls(groups=groups, table_map=tuple(table_map))
+
+    @classmethod
+    def init(cls, key: jax.Array, plans, group_idxs, mesh: Mesh, *,
+             dtype=jnp.float32, adagrad: bool = False
+             ) -> "MixedDimPlannedTables":
+        keys = jax.random.split(key, len(plans))
+        groups = tuple(
+            PlannedTables.init(k, plan, mesh, dtype=dtype, adagrad=adagrad)
+            for k, plan in zip(keys, plans))
+        table_map = [None] * sum(len(ix) for ix in group_idxs)
+        for g, idxs in enumerate(group_idxs):
+            for j, t in enumerate(idxs):
+                table_map[t] = (g, j)
+        return cls(groups=groups, table_map=tuple(table_map))
+
+
+def mixed_planned_lookup(mesh: Mesh, mt: MixedDimPlannedTables,
+                         indices) -> list:
+    """Per-table lookup list `[ (B, D_t) ... ]` in original order — the
+    `maplookup` contract over a mixed-dim planned placement."""
+    idx_list = normalize_indices(indices, mt.ntables)
+    out = [None] * mt.ntables
+    for g, pt in enumerate(mt.groups):
+        idxs = [t for t, (gg, _) in enumerate(mt.table_map) if gg == g]
+        sub = planned_lookup(mesh, pt, [idx_list[t] for t in idxs])
+        for j, t in enumerate(idxs):
+            out[t] = sub[j]
+    return out
+
+
+def mixed_planned_apply(mesh: Mesh, mt: MixedDimPlannedTables, indices,
+                        deltas: Sequence, sparse_opt
+                        ) -> MixedDimPlannedTables:
+    """Apply per-table lazy deltas (list of (B, D_t)) per the mixed plan."""
+    idx_list = normalize_indices(indices, mt.ntables)
+    new_groups = list(mt.groups)
+    for g, pt in enumerate(mt.groups):
+        idxs = [t for t, (gg, _) in enumerate(mt.table_map) if gg == g]
+        delta_t = jnp.stack([deltas[t] for t in idxs])
+        new_groups[g] = planned_apply(mesh, pt, [idx_list[t] for t in idxs],
+                                      delta_t, sparse_opt)
+    return dataclasses.replace(mt, groups=tuple(new_groups))

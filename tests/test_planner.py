@@ -336,3 +336,75 @@ def test_plan_hotness_biases_admission():
     assert p[3] == ROW_SHARD
     with pytest.raises(ValueError, match="hotness"):
         plan_sharding([100, 200], DIM, mesh, hotness=[1.0])
+
+
+# ---------------------------------------------------------------------------
+# Mixed feature dims: one group per dim
+# ---------------------------------------------------------------------------
+
+def test_mixed_dim_plan_and_lookup_apply():
+    from embeddingtables_tpu.parallel.planner import (MixedDimPlannedTables,
+                                                      mixed_planned_apply,
+                                                      mixed_planned_lookup,
+                                                      plan_sharding_mixed)
+    mesh = _mesh()
+    vocabs = (64, 4096, 96, 2048)
+    dims = (8, 16, 8, 16)
+    plans, groups = plan_sharding_mixed(
+        vocabs, dims, mesh, replicate_max_bytes=16 * 4 * 128)
+    assert groups == ((0, 2), (1, 3))            # grouped by dim, ordered
+    assert [d.placement for d in plans[0].decisions] == [REPLICATE] * 2
+    assert [d.placement for d in plans[1].decisions] == [ROW_SHARD] * 2
+
+    rng = np.random.default_rng(7)
+    arrs = [jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+            for v, d in zip(vocabs, dims)]
+    mt = MixedDimPlannedTables.from_tables(plans, groups, mesh, arrs)
+    b = 32
+    idx = [jnp.asarray(rng.integers(0, v, b).astype(np.int32))
+           for v in vocabs]
+    out = mixed_planned_lookup(mesh, mt, idx)
+    for t in range(4):
+        assert out[t].shape == (b, dims[t])
+        np.testing.assert_allclose(np.asarray(out[t]),
+                                   np.asarray(arrs[t])[np.asarray(idx[t])],
+                                   rtol=1e-6)
+
+    deltas = [jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+              for d in dims]
+    opt = SparseSGD(0.2)
+    new = mixed_planned_apply(mesh, mt, idx, deltas, opt)
+    for t in range(4):
+        upd = SparseEmbeddingUpdate(delta=deltas[t], indices=idx[t])
+        want, _ = opt.apply(arrs[t], upd, opt.init(arrs[t]))
+        np.testing.assert_allclose(np.asarray(new.table(t)),
+                                   np.asarray(want), rtol=2e-5, atol=1e-6)
+
+
+def test_mixed_dim_init_and_adagrad():
+    from embeddingtables_tpu.parallel.planner import (MixedDimPlannedTables,
+                                                      mixed_planned_apply,
+                                                      plan_sharding_mixed)
+    mesh = _mesh()
+    vocabs, dims = (64, 2048), (8, 16)
+    plans, groups = plan_sharding_mixed(vocabs, dims, mesh,
+                                        replicate_max_bytes=8 * 4 * 128,
+                                        opt_state_scalars=1)
+    mt = MixedDimPlannedTables.init(jax.random.key(0), plans, groups, mesh,
+                                    adagrad=True)
+    assert mt.table(0).shape == (64, 8) and mt.table(1).shape == (2048, 16)
+    rng = np.random.default_rng(3)
+    idx = [jnp.asarray(rng.integers(0, v, 16).astype(np.int32))
+           for v in vocabs]
+    arrs = [jnp.asarray(np.asarray(mt.table(t))) for t in range(2)]
+    deltas = [jnp.asarray(rng.normal(size=(16, d)).astype(np.float32))
+              for d in dims]
+    opt = SparseRowWiseAdaGrad(lr=0.1, eps=1e-6)
+    new = mixed_planned_apply(mesh, mt, idx, deltas, opt)
+    for t in range(2):
+        upd = SparseEmbeddingUpdate(delta=deltas[t], indices=idx[t])
+        want, _ = opt.apply(arrs[t], upd, opt.init(arrs[t]))
+        np.testing.assert_allclose(np.asarray(new.table(t)),
+                                   np.asarray(want), rtol=2e-5, atol=1e-6)
+    with pytest.raises(ValueError, match="dims"):
+        plan_sharding_mixed((10, 20), (8,), mesh)
