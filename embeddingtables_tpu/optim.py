@@ -64,7 +64,7 @@ def _dense_grad(data, rows, g):
     """Duplicate-accumulated (V, D) f32 dense gradient (the sort-free dedup
     primitive, docs/DESIGN.md §1e)."""
     return jnp.zeros(data.shape, jnp.float32).at[rows].add(
-        g.astype(jnp.float32))
+        g.astype(jnp.float32), mode="drop")
 
 
 def _touched(grad_dense):
@@ -135,6 +135,34 @@ def adagrad_dense_body(data: jax.Array, accum: jax.Array, rows: jax.Array,
     if rounding_key is not None:
         out = jnp.where(touched[:, None], out, data)
     return out, new_accum
+
+
+def adam_dense_body(data: jax.Array, m: jax.Array, v: jax.Array, t,
+                    rows: jax.Array, g: jax.Array, lr, b1, b2, eps,
+                    weight_decay: float = 0.0,
+                    clipnorm: Optional[float] = None, rounding_key=None):
+    """Lazy-Adam dense-grad pass: returns (new_data, new_m, new_v).
+    m/v: (V, D) f32 moments; `t` the GLOBAL step (bias correction uses the
+    global count, the TF-LazyAdam convention). Touched rows advance their
+    moments and take a step; untouched rows are exact fixed points. Shared
+    by the single-chip `SparseLazyAdam.apply` and the sharded exchange
+    (rows may carry an out-of-bounds drop sentinel there)."""
+    grad = _clip_rows(_dense_grad(data, rows, g), clipnorm)
+    touched = _touched(grad)[:, None]
+    new_m = jnp.where(touched, b1 * m + (1 - b1) * grad, m)
+    new_v = jnp.where(touched, b2 * v + (1 - b2) * grad * grad, v)
+    tf = t.astype(jnp.float32) if hasattr(t, "astype") else float(t)
+    mhat = new_m / (1 - b1 ** tf)
+    vhat = new_v / (1 - b2 ** tf)
+    step = lr * mhat / (jnp.sqrt(vhat) + eps)
+    new_data = data.astype(jnp.float32) - jnp.where(touched, step, 0.0)
+    if weight_decay != 0.0:
+        new_data = new_data * jnp.where(touched, 1.0 - lr * weight_decay,
+                                        1.0)
+    out = stochastic_cast(new_data, data.dtype, rounding_key)
+    if rounding_key is not None:
+        out = jnp.where(touched, out, data)
+    return out, new_m, new_v
 
 
 @dataclasses.dataclass(frozen=True)
@@ -327,24 +355,9 @@ class SparseLazyAdam:
         if self.stochastic_rounding and key is None:
             raise ValueError("stochastic_rounding=True needs apply(key=...)")
         rows, g = _occurrence_grads(upd, row_offset)
-        grad = _clip_rows(_dense_grad(data, rows, g), self.clipnorm)
-        touched = _touched(grad)[:, None]
         t = state.count + 1
-        new_m = jnp.where(touched,
-                          self.b1 * state.m + (1 - self.b1) * grad, state.m)
-        new_v = jnp.where(touched,
-                          self.b2 * state.v + (1 - self.b2) * grad * grad,
-                          state.v)
-        tf = t.astype(jnp.float32)
-        mhat = new_m / (1 - self.b1 ** tf)
-        vhat = new_v / (1 - self.b2 ** tf)
-        step = lr * mhat / (jnp.sqrt(vhat) + self.eps)
-        new_data = data.astype(jnp.float32) - jnp.where(touched, step, 0.0)
-        if self.weight_decay != 0.0:
-            new_data = new_data * jnp.where(
-                touched, 1.0 - lr * self.weight_decay, 1.0)
         rkey = key if self.stochastic_rounding else None
-        out = stochastic_cast(new_data, data.dtype, rkey)
-        if rkey is not None:
-            out = jnp.where(touched, out, data)
+        out, new_m, new_v = adam_dense_body(
+            data, state.m, state.v, t, rows, g, lr, self.b1, self.b2,
+            self.eps, self.weight_decay, self.clipnorm, rounding_key=rkey)
         return out, SparseAdamState(m=new_m, v=new_v, count=t)

@@ -356,3 +356,93 @@ def sharded_ensemble_update(mesh: Mesh, st: ShardedStackedTables,
                          in_specs=(P(axes), spec, spec, spec),
                          out_specs=P(axes))(st.data, shifted, deltas, weights)
     return dataclasses.replace(st, data=data)
+
+
+# ---------------------------------------------------------------------------
+# Sharded lazy Adam: full-moment optimizer state on the mesh
+# ---------------------------------------------------------------------------
+
+def init_sharded_adam_state(mesh: Mesh, st: ShardedStackedTables):
+    """Zero (m, v, count) for a sharded stack: moments are mod-row-sharded
+    `(n, rows_local, dim)` exactly like the table; `count` is a replicated
+    global-step scalar (bias correction uses the global count)."""
+    n, rows_local, dim = st.data.shape
+    axes = st.axes
+    zeros = jax.jit(lambda: jnp.zeros((n, rows_local, dim), jnp.float32),
+                    out_shardings=NamedSharding(mesh, P(axes)))
+    return zeros(), zeros(), jnp.zeros((), jnp.int32)
+
+
+def shard_adam_state(mesh: Mesh, st: ShardedStackedTables, state):
+    """Mod-shard a single-chip `SparseAdamState` ((ΣV, D) moments) onto the
+    stack's layout."""
+    n, rows_local, dim = st.data.shape
+    axes = st.axes
+
+    def reshard(x):
+        v_pad = n * rows_local
+        x = jnp.pad(x, ((0, v_pad - x.shape[0]), (0, 0)))
+        x = x.reshape(rows_local, n, dim).transpose(1, 0, 2)
+        return jax.device_put(x, NamedSharding(mesh, P(axes)))
+
+    return reshard(state.m), reshard(state.v), jnp.asarray(state.count)
+
+
+def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
+                       shifted_idx: jax.Array, delta_t: jax.Array, opt, *,
+                       batch_sharded: bool = True):
+    """Lazy Adam on the sharded stack: ONE exchange (all-gather of the
+    occurrence stream), then each shard advances the moments and rows it
+    owns through the shared `optim.adam_dense_body` — single-write-per-
+    owned-row, bit-matching the single-chip `SparseLazyAdam.apply`.
+
+    shifted_idx: (T, B[, bag]) stacked global rows; delta_t: (T, B, dim).
+    Returns (new_st, new_m, new_v, new_count).
+    """
+    from ..optim import adam_dense_body
+    axes = st.axes
+    baxis = axes[0]
+    n = st.n_shards
+    dim = st.dim
+    t_next = count + 1
+
+    def body(shard, lm, lv, lidx, ldelta):
+        if batch_sharded:
+            gidx = jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
+            gdelta = jax.lax.all_gather(ldelta, baxis, axis=1, tiled=True)
+        else:
+            gidx, gdelta = lidx, ldelta
+        flat_idx = gidx.reshape((-1,) + gidx.shape[2:])
+        g = gdelta.reshape(-1, dim).astype(jnp.float32)
+        if flat_idx.ndim == 2:
+            rows = flat_idx.reshape(-1).astype(jnp.int32)
+            g = jnp.repeat(g, flat_idx.shape[1], axis=0)
+        else:
+            rows = flat_idx.astype(jnp.int32)
+        me = _flat_axis_index(axes)
+        mine = (rows % n) == me
+        rows_local = shard.shape[1]
+        lrow = jnp.where(mine, rows // n, rows_local)   # OOB -> drop
+        new_data, new_m, new_v = adam_dense_body(
+            shard[0], lm[0], lv[0], t_next, lrow, g, opt.lr, opt.b1,
+            opt.b2, opt.eps, opt.weight_decay, opt.clipnorm)
+        return new_data[None], new_m[None], new_v[None]
+
+    spec = P(None, baxis) if batch_sharded else P()
+    new_data, new_m, new_v = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes), P(axes), P(axes), spec, spec),
+        out_specs=(P(axes), P(axes), P(axes)))(
+            st.data, m, v, shifted_idx, delta_t)
+    return (dataclasses.replace(st, data=new_data), new_m, new_v, t_next)
+
+
+def unshard_adam_state(st: ShardedStackedTables, m, v, count):
+    """Single-chip `SparseAdamState` back from the sharded moments."""
+    from ..optim import SparseAdamState
+    n, rows, dim = m.shape
+
+    def un(x):
+        return x.transpose(1, 0, 2).reshape(n * rows, dim)[:st.vocab]
+
+    return SparseAdamState(m=un(m), v=un(v), count=jnp.asarray(count))

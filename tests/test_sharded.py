@@ -199,3 +199,79 @@ def test_sharded_weighted_ensemble_update(mesh):
     for t, v in enumerate(vocabs):
         exp = jnp.asarray(tables[t]) - lr * et.uncompress(upds[t], v)
         np.testing.assert_allclose(new.table(t), exp, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Sharded lazy Adam
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bag,reg", [(None, {}), (2, dict(weight_decay=0.01,
+                                                          clipnorm=1.0))])
+def test_sharded_adam_matches_single_chip(bag, reg):
+    from embeddingtables_tpu.ops.ensemble import StackedTables
+    from embeddingtables_tpu.ops.sparse_update import SparseEmbeddingUpdate
+    from embeddingtables_tpu.optim import SparseLazyAdam
+    from embeddingtables_tpu.parallel.sharded import (init_sharded_adam_state,
+                                                      sharded_adam_apply,
+                                                      unshard_adam_state)
+    mesh = default_mesh(("data",))
+    rng = np.random.default_rng(31)
+    vocabs = (60, 90)
+    dim = 8
+    arrs = [jnp.asarray(rng.normal(size=(v, dim)).astype(np.float32))
+            for v in vocabs]
+    stacked = StackedTables.stack([et.SimpleEmbedding(a) for a in arrs])
+    opt = SparseLazyAdam(lr=0.1, **reg)
+
+    st = ShardedStackedTables.shard(mesh, "data", stacked)
+    m, v, count = init_sharded_adam_state(mesh, st)
+    state1 = opt.init(stacked.data)
+
+    b = 32
+    shape = (b,) if bag is None else (b, bag)
+    data1 = stacked.data
+    for it in range(3):                      # multi-step: count/bias corr.
+        idx = [rng.integers(0, vv, shape).astype(np.int32) for vv in vocabs]
+        delta = rng.normal(size=(2, b, dim)).astype(np.float32)
+        # single chip: one merged stacked update (same occurrence stream)
+        shifted = jnp.stack([jnp.asarray(idx[t]) + stacked.offsets[t]
+                             for t in range(2)])
+        flat_idx = shifted.reshape((-1,) + shifted.shape[2:])
+        upd = SparseEmbeddingUpdate(
+            delta=jnp.asarray(delta).reshape(-1, dim), indices=flat_idx)
+        data1, state1 = opt.apply(data1, upd, state1)
+        # sharded
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sd = NamedSharding(mesh, P(None, "data"))
+        st, m, v, count = sharded_adam_apply(
+            mesh, st, m, v, count,
+            jax.device_put(shifted, sd),
+            jax.device_put(jnp.asarray(delta), sd), opt)
+
+    np.testing.assert_allclose(np.asarray(st.unshard()), np.asarray(data1),
+                               rtol=2e-5, atol=1e-6)
+    back = unshard_adam_state(st, m, v, count)
+    np.testing.assert_allclose(np.asarray(back.m), np.asarray(state1.m),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(back.v), np.asarray(state1.v),
+                               rtol=2e-5, atol=1e-8)
+    assert int(back.count) == int(state1.count) == 3
+
+
+def test_shard_adam_state_roundtrip():
+    from embeddingtables_tpu.optim import SparseLazyAdam
+    from embeddingtables_tpu.parallel.sharded import (shard_adam_state,
+                                                      unshard_adam_state)
+    mesh = default_mesh(("data",))
+    rng = np.random.default_rng(5)
+    data = jnp.asarray(rng.normal(size=(70, 8)).astype(np.float32))
+    st = ShardedStackedTables.shard(mesh, "data", et.SimpleEmbedding(data))
+    opt = SparseLazyAdam()
+    state = opt.init(data)
+    state = state._replace(m=jnp.asarray(
+        rng.normal(size=(70, 8)).astype(np.float32)), count=jnp.int32(7))
+    m, v, count = shard_adam_state(mesh, st, state)
+    back = unshard_adam_state(st, m, v, count)
+    np.testing.assert_array_equal(np.asarray(back.m), np.asarray(state.m))
+    np.testing.assert_array_equal(np.asarray(back.v), np.asarray(state.v))
+    assert int(back.count) == 7
