@@ -66,7 +66,7 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                auto_capacity: bool = False, guard=None,
                evict_every: int = 0, evict_threshold: float = 1e-3,
                freq_decay: float = 0.99, microbatch=None,
-               device_prefetch: int = 0,
+               device_prefetch: int = 0, plan=None,
                verbose: bool = True) -> TrainResult:
     """Train a DLRM for `num_steps` batches from `train_iter`.
 
@@ -93,12 +93,51 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
         raise NotImplementedError(
             "microbatch gradient accumulation is single-chip only (the "
             "sharded step already splits activations across the mesh)")
-    if model is None:
+    if plan is not None and mesh is None:
+        raise ValueError("plan= requires mesh=")
+    if plan is not None and (evict_every or exchange != "gather"):
+        raise NotImplementedError(
+            "planner-placed training supports the gather exchange and no "
+            "row eviction (yet)")
+    if model is None and plan is None:
         with tel.phase("init"):
             model = init_dlrm(jax.random.key(seed), cfg, sparse_opt=sparse_opt)
     tuner = None
     with_overflow = False
-    if mesh is not None:
+    if mesh is not None and plan is not None:
+        # Planner-driven mixed placement (parallel/planner.py).
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        from ..optim import SparseRowWiseAdaGrad
+        from ..parallel.dlrm import batch_shardings
+        from ..parallel.planner import (PlannedDLRM, PlannedTables,
+                                        init_planned_dlrm,
+                                        make_planned_eval_step,
+                                        make_planned_train_step)
+        from .dlrm import DLRM
+        if model is None:
+            with tel.phase("init"):
+                model = init_planned_dlrm(jax.random.key(seed), cfg, plan,
+                                          mesh, sparse_opt=sparse_opt)
+        elif isinstance(model, DLRM):
+            offs = model.tables.offsets
+            arrs = [model.tables.data[offs[t]:offs[t + 1]]
+                    for t in range(len(offs) - 1)]
+            pt = PlannedTables.from_tables(
+                plan, mesh, arrs,
+                adagrad=isinstance(sparse_opt, SparseRowWiseAdaGrad))
+            repl = NamedSharding(mesh, _P())
+            model = PlannedDLRM(bottom=jax.device_put(model.bottom, repl),
+                                top=jax.device_put(model.top, repl),
+                                tables=pt, config=cfg)
+        step = make_planned_train_step(cfg, mesh, axis,
+                                       sparse_opt=sparse_opt,
+                                       dense_lr=dense_lr)
+        eval_step = make_planned_eval_step(cfg, mesh)
+        sd, sc, sl = batch_shardings(mesh, axis)
+        put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731
+                         jax.device_put(b["cat"], sc),
+                         jax.device_put(b["label"], sl))
+    elif mesh is not None:
         from ..parallel.dlrm import (batch_shardings, make_sharded_eval_step,
                                      make_sharded_train_step, shard_dlrm)
         from .dlrm import DLRM

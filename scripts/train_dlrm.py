@@ -29,6 +29,8 @@ def main():
                     help="path to Criteo Kaggle train.txt (else synthetic)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard over all local devices (data axis)")
+    ap.add_argument("--auto-shard", action="store_true",
+                    help="with --mesh: plan per-table placement (replicate small\ntables / row-shard large) and train on the mixed placement")
     ap.add_argument("--exchange", choices=["gather", "a2a"],
                     default="gather",
                     help="sharded embedding exchange (a2a = butterfly)")
@@ -125,10 +127,18 @@ def main():
             train_it = iter(PrefetchLoader(gen.batches(), depth=args.prefetch))
 
     mesh = None
+    plan = None
     if args.mesh:
         from embeddingtables_tpu.parallel.mesh import default_mesh
         mesh = default_mesh(("data",))
         print(f"mesh: {mesh}", flush=True)
+        if args.auto_shard:
+            from embeddingtables_tpu.parallel.planner import plan_sharding
+            plan = plan_sharding(
+                vocabs, args.dim, mesh,
+                hotness=[float(args.bag or 1)] * args.tables,
+                opt_state_scalars=1 if args.opt == "adagrad" else 0)
+            print(plan.summary(), flush=True)
 
     reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
     opt = {"sgd": lambda: SparseSGD(args.lr, **reg),

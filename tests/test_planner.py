@@ -408,3 +408,32 @@ def test_mixed_dim_init_and_adagrad():
                                    np.asarray(want), rtol=2e-5, atol=1e-6)
     with pytest.raises(ValueError, match="dims"):
         plan_sharding_mixed((10, 20), (8,), mesh)
+
+
+def test_train_dlrm_with_plan_learns():
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models import DLRMConfig
+    from embeddingtables_tpu.models.train import train_dlrm
+    vocab = (64, 1024, 96)
+    cfg = DLRMConfig(vocab_sizes=vocab, num_dense=4, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    mesh = _mesh()
+    plan = plan_sharding(vocab, 8, mesh, replicate_max_bytes=8 * 4 * 128,
+                         opt_state_scalars=1)
+    assert plan.replicated and plan.sharded
+    gen = SyntheticCriteo(vocab_sizes=vocab, num_dense=4, batch_size=256,
+                          seed=13)
+    eval_batches = list(gen.batches(2))
+    res = train_dlrm(cfg, gen.batches(), 30,
+                     sparse_opt=SparseRowWiseAdaGrad(lr=0.05),
+                     dense_lr=0.05, eval_batches=eval_batches,
+                     eval_every=30, mesh=mesh, plan=plan, log_every=10,
+                     verbose=False)
+    assert res.losses[-1] < res.losses[0]
+    assert res.aucs and res.aucs[-1][1] > 0.6
+    with pytest.raises(NotImplementedError, match="gather"):
+        train_dlrm(cfg, gen.batches(), 1, mesh=mesh, plan=plan,
+                   exchange="a2a", verbose=False)
+    with pytest.raises(ValueError, match="mesh"):
+        train_dlrm(cfg, gen.batches(), 1, plan=plan, verbose=False)
