@@ -383,6 +383,7 @@ def train_two_tower(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                     eval_batches=None, eval_every: int = 0, k: int = 10,
                     ckpt_manager=None, ckpt_every: int = 0,
                     log_every: int = 100, mesh=None, axis: str = "data",
+                    device_prefetch: int = 0,
                     verbose: bool = True) -> RetrievalTrainResult:
     """Train a two-tower retriever for `num_steps` batches from `train_iter`
     (dicts with dense/q_cat/item_ids — `data.SyntheticRetrieval`'s layout).
@@ -440,11 +441,19 @@ def train_two_tower(cfg, train_iter, num_steps: int, *, sparse_opt=None,
 
     losses, accs, recalls = [], [], []
     examples = 0
+    prefetcher = None
+    if device_prefetch:
+        from ..io import DevicePrefetcher
+        prefetcher = DevicePrefetcher(train_iter, put,
+                                      depth=device_prefetch)
     t_start = time.perf_counter()
     for i in range(num_steps):
         with tel.phase("data"):
-            batch = next(train_iter)
-        args = put(batch)
+            if prefetcher is not None:
+                batch, args = next(prefetcher)
+            else:
+                batch = next(train_iter)
+                args = put(batch)
         with tel.phase("step"):
             model, (loss, acc) = step(model, *args)
         examples += batch["item_ids"].shape[0]
