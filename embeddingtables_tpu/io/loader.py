@@ -193,13 +193,23 @@ class CriteoFileLoader:
         emitted = 0
         epoch = 0
         while self.epochs is None or epoch < self.epochs:
+            epoch_yielded = 0
             for j, batch in enumerate(self._one_epoch()):
                 if j < self.skip_batches:
                     continue
                 yield batch
+                epoch_yielded += 1
                 emitted += 1
                 if self.max_batches and emitted >= self.max_batches:
                     return
+            if epoch_yielded == 0:
+                # Every batch of the pass was skipped (file shorter than the
+                # skip prefix): cycling would re-parse forever yielding
+                # nothing — fail loudly instead of hanging.
+                raise RuntimeError(
+                    f"{self.path}: skip_batches={self.skip_batches} consumed "
+                    f"the whole epoch (file holds <= {self.skip_batches} "
+                    f"batches of {self.batch_size})")
             epoch += 1
 
 

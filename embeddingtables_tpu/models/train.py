@@ -31,13 +31,18 @@ class TrainResult:
     evicted_rows: int = 0
 
 
-def evaluate_auc(eval_step, model, batches, *, to_device=jnp.asarray) -> float:
+def _collect_scores(eval_step, model, batches, to_device):
+    """One device pass over `batches` -> host (labels, logits)."""
     labels, scores = [], []
     for b in batches:
         s = eval_step(model, to_device(b["dense"]), to_device(b["cat"]))
         labels.append(b["label"])
         scores.append(np.asarray(s))
-    return auc(np.concatenate(labels), np.concatenate(scores))
+    return np.concatenate(labels), np.concatenate(scores)
+
+
+def evaluate_auc(eval_step, model, batches, *, to_device=jnp.asarray) -> float:
+    return auc(*_collect_scores(eval_step, model, batches, to_device))
 
 
 def evaluate_metrics(eval_step, model, batches, *,
@@ -45,13 +50,7 @@ def evaluate_metrics(eval_step, model, batches, *,
     """Full CTR eval sweep: AUC + log loss + normalized entropy +
     calibration over `batches` (one device pass; metrics on host)."""
     from ..metrics import calibration, log_loss, normalized_entropy
-    labels, scores = [], []
-    for b in batches:
-        s = eval_step(model, to_device(b["dense"]), to_device(b["cat"]))
-        labels.append(b["label"])
-        scores.append(np.asarray(s))
-    y = np.concatenate(labels)
-    z = np.concatenate(scores)
+    y, z = _collect_scores(eval_step, model, batches, to_device)
     return dict(auc=auc(y, z), log_loss=log_loss(y, z),
                 normalized_entropy=normalized_entropy(y, z),
                 calibration=calibration(y, z))
@@ -122,18 +121,26 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
             offs = model.tables.offsets
             arrs = [model.tables.data[offs[t]:offs[t + 1]]
                     for t in range(len(offs) - 1)]
-            pt = PlannedTables.from_tables(
-                plan, mesh, arrs,
-                adagrad=isinstance(sparse_opt, SparseRowWiseAdaGrad))
+            adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
+            # Carry the trained row state onto the plan (resume semantics
+            # must match shard_dlrm's accum reshard).
+            accums = None
+            if adagrad and model.emb_state.accum.size:
+                acc = model.emb_state.accum
+                accums = [acc[offs[t]:offs[t + 1]]
+                          for t in range(len(offs) - 1)]
+            pt = PlannedTables.from_tables(plan, mesh, arrs,
+                                           adagrad=adagrad, accums=accums)
             repl = NamedSharding(mesh, _P())
             model = PlannedDLRM(bottom=jax.device_put(model.bottom, repl),
                                 top=jax.device_put(model.top, repl),
                                 tables=pt, config=cfg)
-        step = make_planned_train_step(cfg, mesh, axis,
-                                       sparse_opt=sparse_opt,
+        step = make_planned_train_step(cfg, mesh, sparse_opt=sparse_opt,
                                        dense_lr=dense_lr)
         eval_step = make_planned_eval_step(cfg, mesh)
-        sd, sc, sl = batch_shardings(mesh, axis)
+        # The batch axis follows the PLAN's placement, not the loop's
+        # axis= (which only governs the uniform sharded path).
+        sd, sc, sl = batch_shardings(mesh, plan.axis)
         put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731
                          jax.device_put(b["cat"], sc),
                          jax.device_put(b["label"], sl))

@@ -287,15 +287,22 @@ class PlannedTables:
 
     @classmethod
     def from_tables(cls, plan: ShardingPlan, mesh: Mesh,
-                    tables: Sequence, *, adagrad: bool = False
-                    ) -> "PlannedTables":
-        """Place existing `(V, D)` arrays (or tables) per the plan."""
+                    tables: Sequence, *, adagrad: bool = False,
+                    accums: Optional[Sequence] = None) -> "PlannedTables":
+        """Place existing `(V, D)` arrays (or tables) per the plan.
+        `accums`: per-table `(V,)` row-wise-AdaGrad accumulators to place
+        alongside their tables (omit for zeros) — resuming a trained model
+        onto a plan must carry its optimizer state."""
         from ..tables import as_table
         arrs = []
         for t in tables:
             tt = as_table(t)
             arrs.append(tt.data if hasattr(tt, "data")
                         else tt.rows(jnp.arange(tt.spec.vocab)))
+        if accums is not None:
+            adagrad = True
+            if len(accums) != len(arrs):
+                raise ValueError("accums/tables length mismatch")
         dim = arrs[0].shape[1] if arrs else 0
         repl_idx, shard_idx = plan.replicated, plan.sharded
         repl_vocabs = tuple(arrs[i].shape[0] for i in repl_idx)
@@ -312,11 +319,21 @@ class PlannedTables:
                 mesh, plan.axis, [arrs[i] for i in shard_idx])
             if adagrad:
                 rows_local = shard.data.shape[1]
+                if accums is not None:
+                    # Mod-shard the stacked shard-group accum like its rows.
+                    acc = jnp.concatenate([jnp.asarray(accums[i])
+                                           for i in shard_idx])
+                    acc = jnp.pad(acc, (0, n * rows_local - acc.shape[0]))
+                    acc = acc.reshape(rows_local, n).T
+                else:
+                    acc = jnp.zeros((n, rows_local), jnp.float32)
                 shard_accum = jax.device_put(
-                    jnp.zeros((n, rows_local), jnp.float32),
-                    NamedSharding(mesh, P(_axes_tuple(plan.axis))))
+                    acc, NamedSharding(mesh, P(_axes_tuple(plan.axis))))
         repl_accum = jnp.zeros((vr if adagrad else 0,), jnp.float32)
         if adagrad and vr:
+            if accums is not None:
+                repl_accum = jnp.concatenate([jnp.asarray(accums[i])
+                                              for i in repl_idx])
             repl_accum = jax.device_put(repl_accum, NamedSharding(mesh, P()))
         return cls(repl=repl, shard=shard, repl_accum=repl_accum,
                    shard_accum=shard_accum, repl_tables=repl_idx,
@@ -446,13 +463,13 @@ def init_planned_dlrm(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
     return PlannedDLRM(bottom=bottom, top=top, tables=pt, config=cfg)
 
 
-def make_planned_train_step(cfg, mesh: Mesh, axis: str | tuple = "data",
-                            sparse_opt=None, dense_lr: float = 0.01,
-                            jit: bool = True):
+def make_planned_train_step(cfg, mesh: Mesh, sparse_opt=None,
+                            dense_lr: float = 0.01, jit: bool = True):
     """`step(model: PlannedDLRM, dense, cat, label) -> (model, loss)` with
-    `batch_shardings(mesh, axis)` on the batch arrays. Identical math to
-    `make_sharded_train_step` (gather exchange); the embedding engine is the
-    plan's mixed placement."""
+    `batch_shardings(mesh, plan.axis)` on the batch arrays. Identical math
+    to `make_sharded_train_step` (gather exchange); the embedding engine is
+    the plan's mixed placement — every sharding derives from the model's
+    own placement (the plan's axis), so there is no separate axis knob."""
     from ..models.dlrm import bce_loss, forward_from_embeddings
     sparse_opt = sparse_opt or SparseSGD()
     if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
@@ -519,16 +536,32 @@ def plan_sharding_mixed(vocab_sizes: Sequence[int], dims: Sequence[int],
         raise ValueError("dims/vocab_sizes length mismatch")
     names = kw.pop("names", None)
     hotness = kw.pop("hotness", None)
+    # The budgets are PER DEVICE for the WHOLE ensemble, not per dim-group:
+    # run the groups sequentially, shrinking the replicate budget by what
+    # earlier groups admitted, and check the HBM budget on the combined
+    # total (a per-group check would under-guard by a factor of n_groups).
+    hbm_budget = kw.pop("hbm_budget_bytes", None)
+    repl_budget = kw.pop("replicate_budget_bytes", 256 << 20)
     order = sorted(set(dims))
     plans, groups = [], []
     for d in order:
         idxs = tuple(i for i, dd in enumerate(dims) if dd == d)
-        plans.append(plan_sharding(
+        plan = plan_sharding(
             [vocab_sizes[i] for i in idxs], d, mesh, axis,
             names=None if names is None else [names[i] for i in idxs],
             hotness=None if hotness is None else [hotness[i] for i in idxs],
-            **kw))
+            replicate_budget_bytes=repl_budget, **kw)
+        repl_budget -= sum(dec.table_bytes for dec in plan.decisions
+                           if dec.placement == REPLICATE)
+        plans.append(plan)
         groups.append(idxs)
+    if hbm_budget is not None:
+        total = sum(p.bytes_per_device for p in plans)
+        if total > hbm_budget:
+            raise ValueError(
+                f"mixed plan needs {total / 2**20:.1f} MiB/device, budget "
+                f"is {hbm_budget / 2**20:.1f} MiB\n"
+                + "\n".join(p.summary() for p in plans))
     return tuple(plans), tuple(groups)
 
 

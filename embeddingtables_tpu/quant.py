@@ -102,8 +102,11 @@ def quantize_dlrm(model):
     offsets = model.tables.offsets
     bottom, top = model.bottom, model.top
 
+    # The table/params enter as jit ARGUMENTS (QuantizedEmbedding is a
+    # registered pytree) — closing them over would bake multi-GB constants
+    # into the HLO (CLAUDE.md rule; stalls compiles through the tunnel).
     @jax.jit
-    def eval_fn(dense, cat):
+    def _eval(qt, bottom, top, dense, cat):
         t = len(offsets) - 1
         shifted = jnp.stack([cat[i] + offsets[i] for i in range(t)])
         flat = shifted.reshape((-1,) + shifted.shape[2:])
@@ -115,6 +118,7 @@ def quantize_dlrm(model):
         emb = rows.reshape(t, shifted.shape[1], cfg.dim)
         return forward_from_embeddings(bottom, top, cfg, dense, emb)
 
+    eval_fn = lambda dense, cat: _eval(qt, bottom, top, dense, cat)  # noqa: E731
     return qt, eval_fn
 
 
@@ -131,8 +135,10 @@ def quantize_dcn(model):
     offsets = model.tables.offsets
     cross, deep, head = model.cross, model.deep, model.head
 
+    # Table/params as jit ARGUMENTS, not closure constants (see
+    # quantize_dlrm — the CLAUDE.md big-array-closure rule).
     @jax.jit
-    def eval_fn(dense, cat):
+    def _eval(qt, cross, deep, head, dense, cat):
         t = len(offsets) - 1
         shifted = jnp.stack([cat[i] + offsets[i] for i in range(t)])
         flat = shifted.reshape((-1,) + shifted.shape[2:])
@@ -144,6 +150,8 @@ def quantize_dcn(model):
         emb = rows.reshape(t, shifted.shape[1], cfg.dim)
         return forward_from_embeddings(cross, deep, head, cfg, dense, emb)
 
+    eval_fn = lambda dense, cat: _eval(qt, cross, deep, head,  # noqa: E731
+                                       dense, cat)
     return qt, eval_fn
 
 

@@ -159,7 +159,7 @@ def main():
                      evict_every=args.evict_every,
                      evict_threshold=args.evict_threshold,
                      microbatch=args.microbatch,
-                     device_prefetch=args.device_prefetch)
+                     device_prefetch=args.device_prefetch, plan=plan)
     if args.evict_every:
         print(f"evicted rows: {res.evicted_rows}")
     print(f"\n{res.examples_per_sec:,.0f} examples/s")

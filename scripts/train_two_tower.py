@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--ckpt", type=str, default=None)
     ap.add_argument("--ckpt-every", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--device-prefetch", type=int, default=0,
+                    help="stage N batches ON DEVICE ahead of the step")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -82,7 +84,8 @@ def main():
                           eval_batches=eval_batches,
                           eval_every=args.eval_every, k=args.k,
                           ckpt_manager=mgr, ckpt_every=args.ckpt_every,
-                          log_every=args.log_every, mesh=mesh)
+                          log_every=args.log_every, mesh=mesh,
+                          device_prefetch=args.device_prefetch)
     print(f"\n{res.examples_per_sec:,.0f} examples/s")
     if res.recalls:
         print(f"final recall@{args.k} {res.recalls[-1][1]:.4f}")

@@ -282,3 +282,11 @@ def test_train_dlrm_device_prefetch_same_result():
 
     a, b = run(0), run(2)
     assert a.losses == b.losses          # same data order, same math
+
+
+def test_file_loader_skip_exhausting_epoch_raises(tmp_path):
+    p = make_tsv(tmp_path / "train.txt", mangle=False)
+    total = len(list(CriteoFileLoader(str(p), VOCABS, batch_size=64)))
+    with pytest.raises(RuntimeError, match="skip_batches"):
+        list(CriteoFileLoader(str(p), VOCABS, batch_size=64,
+                              epochs=2, skip_batches=total))

@@ -437,3 +437,60 @@ def test_train_dlrm_with_plan_learns():
                    exchange="a2a", verbose=False)
     with pytest.raises(ValueError, match="mesh"):
         train_dlrm(cfg, gen.batches(), 1, plan=plan, verbose=False)
+
+
+def test_from_tables_carries_adagrad_accums():
+    """Resuming a trained model onto a plan keeps its row state (review
+    fix: from_tables used to zero the accumulators silently)."""
+    mesh = _mesh()
+    vocabs = (64, 4096, 96)
+    plan = plan_sharding(vocabs, DIM, mesh, replicate_max_bytes=DIM * 4 * 128)
+    rng = np.random.default_rng(21)
+    arrs = [jnp.asarray(rng.normal(size=(v, DIM)).astype(np.float32))
+            for v in vocabs]
+    accs = [jnp.asarray(rng.uniform(0.1, 2.0, v).astype(np.float32))
+            for v in vocabs]
+    pt = PlannedTables.from_tables(plan, mesh, arrs, accums=accs)
+    np.testing.assert_allclose(np.asarray(pt.repl_accum),
+                               np.concatenate([accs[0], accs[2]]), rtol=1e-6)
+    acc = np.asarray(pt.shard_accum)
+    n, rows = acc.shape
+    np.testing.assert_allclose(acc.T.reshape(n * rows)[:vocabs[1]],
+                               np.asarray(accs[1]), rtol=1e-6)
+    # And the update continues from that state (matches single-chip resume).
+    idx = [jnp.asarray(rng.integers(0, v, 16).astype(np.int32))
+           for v in vocabs]
+    delta_t = jnp.asarray(rng.normal(size=(3, 16, DIM)).astype(np.float32))
+    opt = SparseRowWiseAdaGrad(lr=0.2, eps=1e-6)
+    new = planned_apply(mesh, pt, idx, delta_t, opt)
+    for t in range(3):
+        upd = SparseEmbeddingUpdate(delta=delta_t[t], indices=idx[t])
+        from embeddingtables_tpu.optim import SparseOptState
+        want, _ = opt.apply(arrs[t], upd, SparseOptState(accum=accs[t]))
+        np.testing.assert_allclose(np.asarray(new.table(t)),
+                                   np.asarray(want), rtol=2e-5, atol=1e-6)
+
+
+def test_mixed_plan_budgets_are_global():
+    """Review fix: HBM/replicate budgets apply to the COMBINED mixed plan,
+    not per dim-group."""
+    from embeddingtables_tpu.parallel.planner import plan_sharding_mixed
+    mesh = _mesh()
+    # Two groups, each ~0.31 MiB/device sharded: per-group they'd pass a
+    # 0.4 MiB budget, combined they must not.
+    vocabs, dims = (80_000, 80_000), (8, 16)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mixed plan"):
+        plan_sharding_mixed(vocabs, dims, mesh, replicate_max_bytes=0,
+                            hbm_budget_bytes=int(0.4 * 2**20))
+    # Replicate budget is consumed across groups: admit the dim-8 tables,
+    # then the dim-16 group's budget remainder is too small.
+    row8, row16 = 8 * 4, 16 * 4
+    plans, groups = plan_sharding_mixed(
+        (100, 200, 100, 200), (8, 8, 16, 16), mesh,
+        replicate_max_bytes=1 << 20,
+        replicate_budget_bytes=row8 * 300 + row16 * 120)
+    p8 = [d.placement for d in plans[0].decisions]
+    p16 = [d.placement for d in plans[1].decisions]
+    assert p8 == [REPLICATE, REPLICATE]
+    assert p16 == [REPLICATE, ROW_SHARD]     # remainder fits only V=100
