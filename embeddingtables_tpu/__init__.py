@@ -19,7 +19,7 @@ from .types import (Dynamic, Forward, IndexingContext, NoContext, Static,
 from .tables import (SimpleEmbedding, SplitEmbedding, as_table, destination,
                      example, is_table)
 from .offload import HostOffloadEmbedding
-from .quant import QuantizedEmbedding
+from .quant import Int4QuantizedEmbedding, QuantizedEmbedding
 from .qr import QREmbedding, qr_lookup_vjp
 from .md import MDEmbedding, md_lookup_vjp
 from .tt import TTEmbedding, tt_lookup_vjp
@@ -47,7 +47,7 @@ __all__ = [
     "Forward", "Update", "featuresize", "cdiv",
     # tables
     "SimpleEmbedding", "SplitEmbedding", "HostOffloadEmbedding",
-    "QuantizedEmbedding", "QREmbedding", "qr_lookup_vjp", "MDEmbedding",
+    "QuantizedEmbedding", "Int4QuantizedEmbedding", "QREmbedding", "qr_lookup_vjp", "MDEmbedding",
     "md_lookup_vjp", "TTEmbedding", "tt_lookup_vjp", "TieredEmbedding",
     "as_table", "example", "destination", "is_table",
     # lookup

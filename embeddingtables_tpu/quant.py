@@ -87,7 +87,92 @@ class QuantizedEmbedding:
         return self.q.size + self.scale.size * 4
 
 
-def quantize_dlrm(model):
+def quantize_rows_int4(data: jax.Array):
+    """(V, D) float -> (packed uint8 (V, D//2), per-row scales (V,) f32).
+
+    Symmetric per-row int4: `row ≈ scale_r * q` with q ∈ [-7, 7] and
+    `scale_r = max(|row|) / 7`; two nibbles per byte (even column in the
+    low nibble). D must be even. 8x HBM capacity vs f32 — the next lever
+    after int8 when serving corpus size is HBM-bound; error bound per
+    element is scale/2 = absmax/14 (vs absmax/254 for int8)."""
+    if data.shape[-1] % 2:
+        raise ValueError(f"int4 packing needs an even dim, got {data.shape}")
+    absmax = jnp.max(jnp.abs(data.astype(jnp.float32)), axis=-1)
+    scale = absmax / 7.0
+    inv = jnp.where(scale > 0, 1.0 / jnp.maximum(scale, 1e-30), 0.0)
+    q = jnp.clip(jnp.round(data.astype(jnp.float32) * inv[:, None]),
+                 -7, 7).astype(jnp.int32)
+    lo = q[:, 0::2] & 0xF
+    hi = (q[:, 1::2] & 0xF) << 4
+    return (lo | hi).astype(jnp.uint8), scale.astype(jnp.float32)
+
+
+def _unpack_int4(packed: jax.Array) -> jax.Array:
+    """(..., D//2) uint8 -> (..., D) f32 with 4-bit sign extension."""
+    p = packed.astype(jnp.int32)
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    return jnp.stack([lo, hi], axis=-1).reshape(
+        packed.shape[:-1] + (packed.shape[-1] * 2,)).astype(jnp.float32)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Int4QuantizedEmbedding:
+    """Int4 per-row-scaled table (packed two values per byte) implementing
+    the EmbeddingTable protocol (read-only serving, like
+    `QuantizedEmbedding`). The gather moves packed bytes; unpack +
+    dequantize run in VREGs on the gathered rows only."""
+
+    packed: jax.Array   # (V, D//2) uint8
+    scale: jax.Array    # (V,)  f32
+    spec: TableSpec = dataclasses.field(metadata=dict(static=True))
+    out_dtype: jnp.dtype = dataclasses.field(metadata=dict(static=True),
+                                             default=jnp.float32)
+
+    @classmethod
+    def quantize(cls, table, *, out_dtype=jnp.float32,
+                 name: Optional[str] = None) -> "Int4QuantizedEmbedding":
+        t = as_table(table)
+        data = t.data if isinstance(t, SimpleEmbedding) else \
+            t.rows(jnp.arange(t.spec.vocab))
+        packed, scale = quantize_rows_int4(data)
+        spec = TableSpec(vocab=data.shape[0], dim=data.shape[1],
+                         dtype=jnp.uint8,
+                         lookup=t.spec.lookup if hasattr(t, "spec")
+                         else Dynamic(), name=name)
+        return cls(packed=packed, scale=scale, spec=spec,
+                   out_dtype=out_dtype)
+
+    @property
+    def shape(self):
+        return (self.packed.shape[0], self.packed.shape[1] * 2)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(self.out_dtype)
+
+    def example(self) -> jax.Array:
+        return self.packed
+
+    def rows(self, idx: jax.Array) -> jax.Array:
+        rows_p = jnp.take(self.packed, idx, axis=0)
+        s = jnp.take(self.scale, idx, axis=0)
+        return (_unpack_int4(rows_p) * s[..., None]).astype(self.out_dtype)
+
+    def dequantize(self) -> jax.Array:
+        """Full dense reconstruction (test oracle only)."""
+        return (_unpack_int4(self.packed)
+                * self.scale[:, None]).astype(self.out_dtype)
+
+    @property
+    def nbytes(self) -> int:
+        return self.packed.size + self.scale.size * 4
+
+
+def quantize_dlrm(model, bits: int = 8):
     """Serving conversion: replace a trained DLRM's stacked f32/bf16 tables
     with int8 rows (4x HBM), returning (quantized_tables, eval_fn).
 
@@ -97,8 +182,11 @@ def quantize_dlrm(model):
     from .models.dlrm import forward_from_embeddings
 
     cfg = model.config
-    qt = QuantizedEmbedding.quantize(SimpleEmbedding(model.tables.data),
-                                     out_dtype=jnp.float32)
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    qcls = QuantizedEmbedding if bits == 8 else Int4QuantizedEmbedding
+    qt = qcls.quantize(SimpleEmbedding(model.tables.data),
+                       out_dtype=jnp.float32)
     offsets = model.tables.offsets
     bottom, top = model.bottom, model.top
 
@@ -122,7 +210,7 @@ def quantize_dlrm(model):
     return qt, eval_fn
 
 
-def quantize_dcn(model):
+def quantize_dcn(model, bits: int = 8):
     """Serving conversion for DCN-v2 (`models/dcn.py`), mirroring
     `quantize_dlrm`: int8 rows on the stacked ensemble (4x HBM), dense
     cross/deep/head untouched. Returns (quantized_tables, eval_fn)."""
@@ -130,8 +218,11 @@ def quantize_dcn(model):
     from .models.dcn import forward_from_embeddings
 
     cfg = model.config
-    qt = QuantizedEmbedding.quantize(SimpleEmbedding(model.tables.data),
-                                     out_dtype=jnp.float32)
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    qcls = QuantizedEmbedding if bits == 8 else Int4QuantizedEmbedding
+    qt = qcls.quantize(SimpleEmbedding(model.tables.data),
+                       out_dtype=jnp.float32)
     offsets = model.tables.offsets
     cross, deep, head = model.cross, model.deep, model.head
 

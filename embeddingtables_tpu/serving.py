@@ -244,7 +244,8 @@ def _sharded_scoring_fn(predict, mesh, axis):
     return fn
 
 
-def make_dlrm_service(model, *, quantized: bool = False, mesh=None,
+def make_dlrm_service(model, *, quantized: bool = False,
+                      quantize_bits: int = 8, mesh=None,
                       axis="data", max_batch: int = 1024,
                       max_latency_ms: float = 5.0) -> MicroBatcher:
     """Batched DLRM scoring service.
@@ -271,7 +272,7 @@ def make_dlrm_service(model, *, quantized: bool = False, mesh=None,
                             max_latency_ms=max_latency_ms)
     if quantized:
         from .quant import quantize_dlrm
-        _, predict = quantize_dlrm(model)           # already jitted
+        _, predict = quantize_dlrm(model, bits=quantize_bits)  # jitted
     else:
         from .models.dlrm import make_eval_step
         step = make_eval_step(model.config)
@@ -282,7 +283,8 @@ def make_dlrm_service(model, *, quantized: bool = False, mesh=None,
                         max_latency_ms=max_latency_ms)
 
 
-def make_dcn_service(model, *, quantized: bool = False, mesh=None,
+def make_dcn_service(model, *, quantized: bool = False,
+                     quantize_bits: int = 8, mesh=None,
                      axis="data", max_batch: int = 1024,
                      max_latency_ms: float = 5.0) -> MicroBatcher:
     """Batched DCN-v2 scoring service (same contract as
@@ -303,7 +305,7 @@ def make_dcn_service(model, *, quantized: bool = False, mesh=None,
                             max_latency_ms=max_latency_ms)
     if quantized:
         from .quant import quantize_dcn
-        _, predict = quantize_dcn(model)            # already jitted
+        _, predict = quantize_dcn(model, bits=quantize_bits)   # jitted
     else:
         from .models.dcn import make_eval_step
         step = make_eval_step(model.config)

@@ -1,6 +1,7 @@
 """Int8 quantized serving tables: round-trip error bounds, protocol compat,
 end-to-end eval parity."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -105,3 +106,63 @@ def test_quantize_dcn_serving_parity():
     q8 = eval_fn(dense, cat)
     assert np.abs(np.asarray(q8) - np.asarray(f32)).max() < 0.05
     assert qt.nbytes < model.tables.data.nbytes / 3
+
+
+def test_int4_roundtrip_and_error_bound():
+    from embeddingtables_tpu.quant import Int4QuantizedEmbedding
+    rng = np.random.default_rng(4)
+    data = jnp.asarray(rng.normal(size=(50, 16)).astype(np.float32))
+    qt = Int4QuantizedEmbedding.quantize(et.SimpleEmbedding(data))
+    assert qt.packed.shape == (50, 8) and qt.packed.dtype == jnp.uint8
+    assert qt.shape == (50, 16)
+    deq = np.asarray(qt.dequantize())
+    # Per-element error bound: scale/2 = absmax/14.
+    bound = np.abs(np.asarray(data)).max(axis=1, keepdims=True) / 14 + 1e-6
+    assert (np.abs(deq - np.asarray(data)) <= bound).all()
+    # rows() matches dequantize + gather, incl. bags.
+    idx = jnp.asarray(rng.integers(0, 50, (7, 3)).astype(np.int32))
+    np.testing.assert_allclose(np.asarray(qt.rows(idx)),
+                               deq[np.asarray(idx)], rtol=1e-6)
+    # 8x smaller than f32 (plus the scale vector).
+    assert qt.nbytes < data.nbytes / 5   # scale vector amortizes with dim
+    # Zero rows and odd dims.
+    z = Int4QuantizedEmbedding.quantize(
+        et.SimpleEmbedding(jnp.zeros((4, 8))))
+    assert np.asarray(z.dequantize()).max() == 0.0
+    with pytest.raises(ValueError, match="even dim"):
+        Int4QuantizedEmbedding.quantize(
+            et.SimpleEmbedding(jnp.zeros((4, 7))))
+
+
+def test_int4_lookup_protocol():
+    from embeddingtables_tpu.quant import Int4QuantizedEmbedding
+    rng = np.random.default_rng(6)
+    data = jnp.asarray(rng.normal(size=(40, 8)).astype(np.float32))
+    qt = Int4QuantizedEmbedding.quantize(et.SimpleEmbedding(data))
+    idx = jnp.asarray(rng.integers(0, 40, 9).astype(np.int32))
+    out = et.lookup(qt, idx)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(qt.dequantize())[np.asarray(idx)],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_quantize_dlrm_int4_parity():
+    from embeddingtables_tpu.models import (DLRMConfig, init_dlrm,
+                                            make_eval_step)
+    from embeddingtables_tpu.quant import quantize_dlrm
+    cfg = DLRMConfig(vocab_sizes=(40, 60, 30), num_dense=4, dim=16,
+                     bottom_mlp=(16, 16), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    model = init_dlrm(jax.random.key(3), cfg)
+    rng = np.random.default_rng(1)
+    dense = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    cat = jnp.asarray(np.stack([rng.integers(0, v, 16).astype(np.int32)
+                                for v in cfg.vocab_sizes]))
+    f32 = make_eval_step(cfg)(model, dense, cat)
+    qt, eval_fn = quantize_dlrm(model, bits=4)
+    q4 = eval_fn(dense, cat)
+    # Coarser than int8 but logits stay close at init scale.
+    assert np.abs(np.asarray(q4) - np.asarray(f32)).max() < 0.5
+    assert qt.nbytes < model.tables.data.nbytes / 5
+    with pytest.raises(ValueError, match="bits"):
+        quantize_dlrm(model, bits=2)

@@ -353,3 +353,26 @@ def test_sharded_dcn_service_matches_single_chip():
     got = svc.predict(dense, cat, timeout=60)
     svc.stop()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_dlrm_service_int4():
+    import jax
+    import jax.numpy as jnp
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.models.dlrm import make_eval_step
+
+    cfg = DLRMConfig(vocab_sizes=(40, 60), num_dense=3, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    model = init_dlrm(jax.random.key(0), cfg)
+    rng = np.random.default_rng(4)
+    dense = rng.normal(size=(5, 3)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, 5).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    want = np.asarray(make_eval_step(cfg)(model, jnp.asarray(dense),
+                                          jnp.asarray(cat)))
+    svc = make_dlrm_service(model, quantized=True, quantize_bits=4,
+                            max_batch=8, max_latency_ms=5.0)
+    got = svc.predict(dense, cat, timeout=60)
+    svc.stop()
+    np.testing.assert_allclose(got, want, rtol=0.5, atol=0.3)  # int4 coarse
