@@ -97,9 +97,10 @@ class DCN:
     dense_opt_state: object = None
 
 
-def init_dcn(key: jax.Array, cfg: DCNConfig,
-             sparse_opt=None, dense_tx=None) -> DCN:
-    kc, kd, kh, ke = jax.random.split(key, 4)
+def init_dense_params(key: jax.Array, cfg: DCNConfig):
+    """(cross, deep, head) initializers — shared by `init_dcn` and the
+    planner path (which must not materialize the full stacked table)."""
+    kc, kd, kh = jax.random.split(key, 3)
     f = cfg.input_features
     cross = []
     for i in range(cfg.num_cross):
@@ -118,6 +119,13 @@ def init_dcn(key: jax.Array, cfg: DCNConfig,
     deep_in = cfg.input_features if cfg.structure == "parallel" else f
     deep = _init_mlp(kd, (deep_in,) + cfg.deep_mlp, cfg.param_dtype)
     head = _init_mlp(kh, (cfg.head_features, 1), cfg.param_dtype)[0]
+    return cross, deep, head
+
+
+def init_dcn(key: jax.Array, cfg: DCNConfig,
+             sparse_opt=None, dense_tx=None) -> DCN:
+    kdense, ke = jax.random.split(key)
+    cross, deep, head = init_dense_params(kdense, cfg)
     total_v = sum(cfg.vocab_sizes)
     data = (jax.random.uniform(ke, (total_v, cfg.dim), minval=-1.0,
                                maxval=1.0)

@@ -285,13 +285,14 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
               eval_batches: Optional[list] = None, eval_every: int = 0,
               ckpt_manager=None, ckpt_every: int = 0, log_every: int = 100,
               mesh=None, axis: str = "data", microbatch=None,
-              guard=None, device_prefetch: int = 0,
+              guard=None, device_prefetch: int = 0, plan=None,
               verbose: bool = True) -> TrainResult:
     """Train a DCN-v2 (`models/dcn.py`) on the same batch layout as
     `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
     fused step; mesh given -> the sharded gather-exchange step
-    (parallel/dcn.py). Same telemetry/eval/checkpoint cadence as the DLRM
-    loop."""
+    (parallel/dcn.py); mesh + plan -> the planner's mixed placement
+    (parallel/planner.py). Same telemetry/eval/checkpoint cadence as the
+    DLRM loop."""
     from .dcn import init_dcn, make_eval_step as make_dcn_eval, \
         make_train_step as make_dcn_step
     tel = _telemetry.get_telemetry()
@@ -299,10 +300,49 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         raise NotImplementedError(
             "microbatch gradient accumulation is single-chip only (the "
             "sharded step already splits activations across the mesh)")
-    if model is None:
+    if plan is not None and mesh is None:
+        raise ValueError("plan= requires mesh=")
+    if model is None and plan is None:
         with tel.phase("init"):
             model = init_dcn(jax.random.key(seed), cfg, sparse_opt=sparse_opt)
-    if mesh is not None:
+    if mesh is not None and plan is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        from ..optim import SparseRowWiseAdaGrad
+        from ..parallel.dlrm import batch_shardings as dcn_shardings
+        from ..parallel.planner import (PlannedDCN, PlannedTables,
+                                        init_planned_dcn,
+                                        make_planned_dcn_eval_step,
+                                        make_planned_dcn_train_step)
+        from .dcn import DCN
+        if model is None:
+            with tel.phase("init"):
+                model = init_planned_dcn(jax.random.key(seed), cfg, plan,
+                                         mesh, sparse_opt=sparse_opt)
+        elif isinstance(model, DCN):
+            offs = model.tables.offsets
+            arrs = [model.tables.data[offs[t]:offs[t + 1]]
+                    for t in range(len(offs) - 1)]
+            adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
+            accums = None
+            if adagrad and model.emb_state.accum.size:
+                acc = model.emb_state.accum
+                accums = [acc[offs[t]:offs[t + 1]]
+                          for t in range(len(offs) - 1)]
+            pt = PlannedTables.from_tables(plan, mesh, arrs,
+                                           adagrad=adagrad, accums=accums)
+            repl = NamedSharding(mesh, _P())
+            model = PlannedDCN(cross=jax.device_put(model.cross, repl),
+                               deep=jax.device_put(model.deep, repl),
+                               head=jax.device_put(model.head, repl),
+                               tables=pt, config=cfg)
+        step = make_planned_dcn_train_step(cfg, mesh, sparse_opt=sparse_opt,
+                                           dense_lr=dense_lr)
+        eval_step = make_planned_dcn_eval_step(cfg, mesh)
+        sd, sc, sl = dcn_shardings(mesh, plan.axis)
+        put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731
+                         jax.device_put(b["cat"], sc),
+                         jax.device_put(b["label"], sl))
+    elif mesh is not None:
         from ..parallel.dcn import (batch_shardings as dcn_shardings,
                                     make_sharded_dcn_eval_step,
                                     make_sharded_dcn_train_step, shard_dcn)

@@ -639,3 +639,94 @@ def mixed_planned_apply(mesh: Mesh, mt: MixedDimPlannedTables, indices,
         new_groups[g] = planned_apply(mesh, pt, [idx_list[t] for t in idxs],
                                       delta_t, sparse_opt)
     return dataclasses.replace(mt, groups=tuple(new_groups))
+
+
+# ---------------------------------------------------------------------------
+# Planner-driven DCN-v2 (same shape as PlannedDLRM: replicated dense
+# cross/deep/head + the plan's mixed table placement)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PlannedDCN:
+    cross: list
+    deep: list
+    head: tuple
+    tables: PlannedTables
+    config: object = dataclasses.field(metadata=dict(static=True))
+
+
+def init_planned_dcn(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
+                     sparse_opt=None) -> PlannedDCN:
+    from ..models.dcn import init_dense_params
+    sparse_opt = sparse_opt or SparseSGD()
+    adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
+    kd, ke = jax.random.split(key)
+    pt = PlannedTables.init(ke, plan, mesh, dtype=cfg.param_dtype,
+                            adagrad=adagrad)
+    if adagrad and float(getattr(sparse_opt, "initial_accum", 0.0)):
+        iv = float(sparse_opt.initial_accum)
+        pt = dataclasses.replace(
+            pt, repl_accum=jnp.full_like(pt.repl_accum, iv),
+            shard_accum=jnp.full_like(pt.shard_accum, iv))
+    repl = NamedSharding(mesh, P())
+    cross, deep, head = init_dense_params(kd, cfg)
+    cross = jax.device_put(cross, repl)
+    deep = jax.device_put(deep, repl)
+    head = jax.device_put(head, repl)
+    return PlannedDCN(cross=cross, deep=deep, head=head, tables=pt,
+                      config=cfg)
+
+
+def make_planned_dcn_train_step(cfg, mesh: Mesh, sparse_opt=None,
+                                dense_lr: float = 0.01, jit: bool = True):
+    """DCN-v2 train step on a planner placement (cf. the uniform
+    `parallel.dcn.make_sharded_dcn_train_step`)."""
+    from ..models.dcn import forward_from_embeddings
+    from ..models.dlrm import bce_loss
+    sparse_opt = sparse_opt or SparseSGD()
+    if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
+        raise NotImplementedError(
+            f"planned DCN step supports SparseSGD / SparseRowWiseAdaGrad, "
+            f"got {type(sparse_opt).__name__}")
+
+    def step(model: PlannedDCN, dense, cat, label):
+        emb_t = planned_lookup(mesh, model.tables, cat)
+        if cfg.combiner == "mean" and cat.ndim == 3:
+            emb_t = emb_t / cat.shape[2]
+
+        def loss_fn(dense_params, emb_act):
+            cross, deep, head = dense_params
+            logits = forward_from_embeddings(cross, deep, head, cfg,
+                                             dense, emb_act)
+            return bce_loss(logits, label)
+
+        params = (model.cross, model.deep, model.head)
+        loss, (dense_grads, delta_t) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))(params, emb_t)
+        if cfg.combiner == "mean" and cat.ndim == 3:
+            delta_t = delta_t / cat.shape[2]
+        new_cross, new_deep, new_head = jax.tree.map(
+            lambda p, g: (p - dense_lr * g).astype(p.dtype),
+            params, dense_grads)
+        new_pt = planned_apply(mesh, model.tables, cat, delta_t, sparse_opt)
+        return PlannedDCN(cross=new_cross, deep=new_deep, head=new_head,
+                          tables=new_pt, config=cfg), loss
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_planned_dcn_eval_step(cfg, mesh: Mesh, jit: bool = True):
+    from ..models.dcn import forward_from_embeddings
+
+    def step(model: PlannedDCN, dense, cat):
+        emb_t = planned_lookup(mesh, model.tables, cat)
+        if cfg.combiner == "mean" and cat.ndim == 3:
+            emb_t = emb_t / cat.shape[2]
+        return forward_from_embeddings(model.cross, model.deep, model.head,
+                                       cfg, dense, emb_t)
+    if jit:
+        step = jax.jit(step)
+    return step

@@ -37,6 +37,8 @@ def main():
                     help="path to Criteo Kaggle train.txt (else synthetic)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard over all local devices (data axis)")
+    ap.add_argument("--auto-shard", action="store_true",
+                    help="with --mesh: plan per-table placement and train on it")
     ap.add_argument("--bag", type=int, default=None,
                     help="multi-hot bag size (synthetic data only)")
     ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
@@ -93,10 +95,18 @@ def main():
         train_it = iter(PrefetchLoader(gen.batches(), depth=args.prefetch))
 
     mesh = None
+    plan = None
     if args.mesh:
         from embeddingtables_tpu.parallel.mesh import default_mesh
         mesh = default_mesh(("data",))
         print(f"mesh: {mesh}", flush=True)
+        if args.auto_shard:
+            from embeddingtables_tpu.parallel.planner import plan_sharding
+            plan = plan_sharding(
+                vocabs, args.dim, mesh,
+                hotness=[float(args.bag or 1)] * args.tables,
+                opt_state_scalars=1 if args.opt == "adagrad" else 0)
+            print(plan.summary(), flush=True)
 
     reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
     opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
@@ -111,7 +121,7 @@ def main():
                     dense_lr=args.lr, eval_batches=eval_batches,
                     eval_every=args.eval_every, ckpt_manager=mgr,
                     ckpt_every=args.ckpt_every, log_every=args.log_every,
-                    mesh=mesh, microbatch=args.microbatch,
+                    mesh=mesh, microbatch=args.microbatch, plan=plan,
                     device_prefetch=args.device_prefetch)
     print(f"\n{res.examples_per_sec:,.0f} examples/s")
     if res.aucs:

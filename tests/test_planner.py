@@ -494,3 +494,110 @@ def test_mixed_plan_budgets_are_global():
     p16 = [d.placement for d in plans[1].decisions]
     assert p8 == [REPLICATE, REPLICATE]
     assert p16 == [REPLICATE, ROW_SHARD]     # remainder fits only V=100
+
+
+# ---------------------------------------------------------------------------
+# Planned DCN
+# ---------------------------------------------------------------------------
+
+def test_planned_dcn_step_matches_single_chip():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from embeddingtables_tpu.models.dcn import (DCNConfig, init_dcn,
+                                                make_train_step as dcn_step)
+    from embeddingtables_tpu.parallel.dlrm import batch_shardings
+    from embeddingtables_tpu.parallel.planner import (
+        PlannedDCN, make_planned_dcn_eval_step, make_planned_dcn_train_step)
+    cfg = DCNConfig(vocab_sizes=(64, 4096, 96), num_dense=4, dim=DIM,
+                    num_cross=2, cross_rank=4, deep_mlp=(16, 8),
+                    compute_dtype=jnp.float32)
+    mesh = _mesh()
+    plan = plan_sharding(cfg.vocab_sizes, DIM, mesh,
+                         replicate_max_bytes=DIM * 4 * 128)
+    opt = lambda: SparseRowWiseAdaGrad(lr=0.3, eps=1e-6)   # noqa: E731
+
+    model = init_dcn(jax.random.key(0), cfg, sparse_opt=opt())
+    rng = np.random.default_rng(17)
+    b = 32
+    dense = rng.normal(size=(b, 4)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, b).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    label = rng.integers(0, 2, b).astype(np.float32)
+    m1, loss1 = dcn_step(cfg, sparse_opt=opt(), dense_lr=0.3, jit=False)(
+        model, jnp.asarray(dense), jnp.asarray(cat), jnp.asarray(label))
+
+    offs = model.tables.offsets
+    arrs = [model.tables.data[offs[t]:offs[t + 1]] for t in range(3)]
+    pt = PlannedTables.from_tables(plan, mesh, arrs, adagrad=True)
+    repl = NamedSharding(mesh, P())
+    pm = PlannedDCN(cross=jax.device_put(model.cross, repl),
+                    deep=jax.device_put(model.deep, repl),
+                    head=jax.device_put(model.head, repl),
+                    tables=pt, config=cfg)
+    sd, sc, sl = batch_shardings(mesh, plan.axis)
+    stepN = make_planned_dcn_train_step(cfg, mesh, sparse_opt=opt(),
+                                        dense_lr=0.3)
+    pmN, lossN = stepN(pm, jax.device_put(dense, sd),
+                       jax.device_put(cat, sc), jax.device_put(label, sl))
+    np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    for t in range(3):
+        want = np.asarray(m1.tables.data[offs[t]:offs[t + 1]])
+        np.testing.assert_allclose(np.asarray(pmN.tables.table(t)), want,
+                                   rtol=2e-4, atol=1e-6)
+    # Eval parity on the updated model.
+    from embeddingtables_tpu.models.dcn import make_eval_step
+    want = make_eval_step(cfg)(m1, jnp.asarray(dense), jnp.asarray(cat))
+    got = make_planned_dcn_eval_step(cfg, mesh)(
+        pmN, jax.device_put(dense, sd), jax.device_put(cat, sc))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=1e-5)
+
+
+def test_init_planned_dcn_learns():
+    from embeddingtables_tpu.models.dcn import DCNConfig
+    from embeddingtables_tpu.parallel.dlrm import batch_shardings
+    from embeddingtables_tpu.parallel.planner import (
+        init_planned_dcn, make_planned_dcn_train_step)
+    cfg = DCNConfig(vocab_sizes=(64, 1024, 96), num_dense=4, dim=DIM,
+                    num_cross=2, cross_rank=4, deep_mlp=(16, 8),
+                    compute_dtype=jnp.float32)
+    mesh = _mesh()
+    plan = plan_sharding(cfg.vocab_sizes, DIM, mesh,
+                         replicate_max_bytes=DIM * 4 * 128)
+    opt = SparseRowWiseAdaGrad(lr=0.1)
+    pm = init_planned_dcn(jax.random.key(3), cfg, plan, mesh, sparse_opt=opt)
+    step = make_planned_dcn_train_step(cfg, mesh, sparse_opt=opt,
+                                       dense_lr=0.1)
+    sd, sc, sl = batch_shardings(mesh, plan.axis)
+    rng = np.random.default_rng(9)
+    losses = []
+    for i in range(12):
+        dense = rng.normal(size=(64, 4)).astype(np.float32)
+        cat = np.stack([rng.integers(0, v, 64).astype(np.int32)
+                        for v in cfg.vocab_sizes])
+        label = (dense.sum(axis=1) > 0).astype(np.float32)
+        pm, loss = step(pm, jax.device_put(dense, sd),
+                        jax.device_put(cat, sc), jax.device_put(label, sl))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_train_dcn_with_plan_learns():
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models.dcn import DCNConfig
+    from embeddingtables_tpu.models.train import train_dcn
+    vocab = (64, 1024, 96)
+    cfg = DCNConfig(vocab_sizes=vocab, num_dense=4, dim=DIM, num_cross=2,
+                    cross_rank=4, deep_mlp=(16, 8),
+                    compute_dtype=jnp.float32)
+    mesh = _mesh()
+    plan = plan_sharding(vocab, DIM, mesh, replicate_max_bytes=DIM * 4 * 128,
+                         opt_state_scalars=1)
+    gen = SyntheticCriteo(vocab_sizes=vocab, num_dense=4, batch_size=256,
+                          seed=15)
+    res = train_dcn(cfg, gen.batches(), 30,
+                    sparse_opt=SparseRowWiseAdaGrad(lr=0.05),
+                    dense_lr=0.05, eval_batches=list(gen.batches(2)),
+                    eval_every=30, mesh=mesh, plan=plan, log_every=10,
+                    verbose=False)
+    assert res.losses[-1] < res.losses[0]
+    assert res.aucs and res.aucs[-1][1] > 0.6
