@@ -202,14 +202,15 @@ class CriteoFileLoader:
                 emitted += 1
                 if self.max_batches and emitted >= self.max_batches:
                     return
-            if epoch_yielded == 0:
-                # Every batch of the pass was skipped (file shorter than the
-                # skip prefix): cycling would re-parse forever yielding
-                # nothing — fail loudly instead of hanging.
+            if epoch_yielded == 0 and self.epochs is None:
+                # Infinite cycling over a pass that yields nothing (file
+                # shorter than the skip prefix / one batch) would re-parse
+                # forever — fail loudly instead of hanging. Finite epochs
+                # keep the old just-exhaust behavior.
                 raise RuntimeError(
-                    f"{self.path}: skip_batches={self.skip_batches} consumed "
-                    f"the whole epoch (file holds <= {self.skip_batches} "
-                    f"batches of {self.batch_size})")
+                    f"{self.path}: epochs=None with an empty pass (file "
+                    f"holds <= skip_batches={self.skip_batches} batches of "
+                    f"{self.batch_size}) would cycle forever")
             epoch += 1
 
 

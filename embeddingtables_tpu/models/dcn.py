@@ -116,8 +116,10 @@ def init_dense_params(key: jax.Array, cfg: DCNConfig):
             u = (std_u * jax.random.normal(k1, (f, r))).astype(cfg.param_dtype)
             v = (std_v * jax.random.normal(k2, (f, r))).astype(cfg.param_dtype)
             cross.append((u, v, jnp.zeros((f,), cfg.param_dtype)))
-    deep_in = cfg.input_features if cfg.structure == "parallel" else f
-    deep = _init_mlp(kd, (deep_in,) + cfg.deep_mlp, cfg.param_dtype)
+    # Cross layers preserve width, so the deep tower consumes
+    # input_features in BOTH structures (stacked eats the cross output).
+    deep = _init_mlp(kd, (cfg.input_features,) + cfg.deep_mlp,
+                     cfg.param_dtype)
     head = _init_mlp(kh, (cfg.head_features, 1), cfg.param_dtype)[0]
     return cross, deep, head
 

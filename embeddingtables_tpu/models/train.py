@@ -106,35 +106,30 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     if mesh is not None and plan is not None:
         # Planner-driven mixed placement (parallel/planner.py).
         from jax.sharding import NamedSharding, PartitionSpec as _P
-        from ..optim import SparseRowWiseAdaGrad
         from ..parallel.dlrm import batch_shardings
-        from ..parallel.planner import (PlannedDLRM, PlannedTables,
+        from ..parallel.planner import (PlannedDLRM,
                                         init_planned_dlrm,
                                         make_planned_eval_step,
-                                        make_planned_train_step)
+                                        make_planned_train_step,
+                                        place_stacked_on_plan)
         from .dlrm import DLRM
         if model is None:
             with tel.phase("init"):
                 model = init_planned_dlrm(jax.random.key(seed), cfg, plan,
                                           mesh, sparse_opt=sparse_opt)
         elif isinstance(model, DLRM):
-            offs = model.tables.offsets
-            arrs = [model.tables.data[offs[t]:offs[t + 1]]
-                    for t in range(len(offs) - 1)]
-            adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
-            # Carry the trained row state onto the plan (resume semantics
-            # must match shard_dlrm's accum reshard).
-            accums = None
-            if adagrad and model.emb_state.accum.size:
-                acc = model.emb_state.accum
-                accums = [acc[offs[t]:offs[t + 1]]
-                          for t in range(len(offs) - 1)]
-            pt = PlannedTables.from_tables(plan, mesh, arrs,
-                                           adagrad=adagrad, accums=accums)
+            # Carry the trained tables + row state onto the plan (resume
+            # semantics must match shard_dlrm's accum reshard).
+            pt = place_stacked_on_plan(plan, mesh, model.tables,
+                                       model.emb_state, sparse_opt)
             repl = NamedSharding(mesh, _P())
             model = PlannedDLRM(bottom=jax.device_put(model.bottom, repl),
                                 top=jax.device_put(model.top, repl),
                                 tables=pt, config=cfg)
+        elif not isinstance(model, PlannedDLRM):
+            raise TypeError(
+                f"plan= expects a DLRM or PlannedDLRM model, got "
+                f"{type(model).__name__} (unshard a sharded model first)")
         step = make_planned_train_step(cfg, mesh, sparse_opt=sparse_opt,
                                        dense_lr=dense_lr)
         eval_step = make_planned_eval_step(cfg, mesh)
@@ -307,34 +302,29 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
             model = init_dcn(jax.random.key(seed), cfg, sparse_opt=sparse_opt)
     if mesh is not None and plan is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
-        from ..optim import SparseRowWiseAdaGrad
         from ..parallel.dlrm import batch_shardings as dcn_shardings
-        from ..parallel.planner import (PlannedDCN, PlannedTables,
+        from ..parallel.planner import (PlannedDCN,
                                         init_planned_dcn,
                                         make_planned_dcn_eval_step,
-                                        make_planned_dcn_train_step)
+                                        make_planned_dcn_train_step,
+                                        place_stacked_on_plan)
         from .dcn import DCN
         if model is None:
             with tel.phase("init"):
                 model = init_planned_dcn(jax.random.key(seed), cfg, plan,
                                          mesh, sparse_opt=sparse_opt)
         elif isinstance(model, DCN):
-            offs = model.tables.offsets
-            arrs = [model.tables.data[offs[t]:offs[t + 1]]
-                    for t in range(len(offs) - 1)]
-            adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
-            accums = None
-            if adagrad and model.emb_state.accum.size:
-                acc = model.emb_state.accum
-                accums = [acc[offs[t]:offs[t + 1]]
-                          for t in range(len(offs) - 1)]
-            pt = PlannedTables.from_tables(plan, mesh, arrs,
-                                           adagrad=adagrad, accums=accums)
+            pt = place_stacked_on_plan(plan, mesh, model.tables,
+                                       model.emb_state, sparse_opt)
             repl = NamedSharding(mesh, _P())
             model = PlannedDCN(cross=jax.device_put(model.cross, repl),
                                deep=jax.device_put(model.deep, repl),
                                head=jax.device_put(model.head, repl),
                                tables=pt, config=cfg)
+        elif not isinstance(model, PlannedDCN):
+            raise TypeError(
+                f"plan= expects a DCN or PlannedDCN model, got "
+                f"{type(model).__name__} (unshard a sharded model first)")
         step = make_planned_dcn_train_step(cfg, mesh, sparse_opt=sparse_opt,
                                            dense_lr=dense_lr)
         eval_step = make_planned_dcn_eval_step(cfg, mesh)

@@ -730,3 +730,19 @@ def make_planned_dcn_eval_step(cfg, mesh: Mesh, jit: bool = True):
     if jit:
         step = jax.jit(step)
     return step
+
+
+def place_stacked_on_plan(plan: ShardingPlan, mesh: Mesh, stacked,
+                          emb_state, sparse_opt) -> PlannedTables:
+    """Place a trained `StackedTables` (+ its sparse-optimizer state) onto
+    a plan — the shared resume path for `train_dlrm(plan=)` and
+    `train_dcn(plan=)` (one copy of the offsets/accum-carry logic)."""
+    adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
+    offs = stacked.offsets
+    arrs = [stacked.data[offs[t]:offs[t + 1]] for t in range(len(offs) - 1)]
+    accums = None
+    if adagrad and emb_state is not None and emb_state.accum.size:
+        acc = emb_state.accum
+        accums = [acc[offs[t]:offs[t + 1]] for t in range(len(offs) - 1)]
+    return PlannedTables.from_tables(plan, mesh, arrs, adagrad=adagrad,
+                                     accums=accums)

@@ -287,6 +287,9 @@ def test_train_dlrm_device_prefetch_same_result():
 def test_file_loader_skip_exhausting_epoch_raises(tmp_path):
     p = make_tsv(tmp_path / "train.txt", mangle=False)
     total = len(list(CriteoFileLoader(str(p), VOCABS, batch_size=64)))
-    with pytest.raises(RuntimeError, match="skip_batches"):
+    with pytest.raises(RuntimeError, match="cycle forever"):
         list(CriteoFileLoader(str(p), VOCABS, batch_size=64,
-                              epochs=2, skip_batches=total))
+                              epochs=None, skip_batches=total))
+    # Finite epochs keep the old just-exhaust behavior (empty, no raise).
+    assert list(CriteoFileLoader(str(p), VOCABS, batch_size=64,
+                                 epochs=2, skip_batches=total)) == []

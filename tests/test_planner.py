@@ -473,23 +473,26 @@ def test_from_tables_carries_adagrad_accums():
 
 def test_mixed_plan_budgets_are_global():
     """Review fix: HBM/replicate budgets apply to the COMBINED mixed plan,
-    not per dim-group."""
+    not per dim-group (budgets below are chosen so the OLD per-group
+    behavior would pass each check and the fixed global accounting must
+    not)."""
     from embeddingtables_tpu.parallel.planner import plan_sharding_mixed
     mesh = _mesh()
-    # Two groups, each ~0.31 MiB/device sharded: per-group they'd pass a
-    # 0.4 MiB budget, combined they must not.
+    # Sharded per-device: dim-8 group 0.31 MiB, dim-16 group 0.61 MiB —
+    # each under the 0.7 MiB budget alone, 0.92 MiB combined: only the
+    # combined check raises ("mixed plan" message).
     vocabs, dims = (80_000, 80_000), (8, 16)
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mixed plan"):
         plan_sharding_mixed(vocabs, dims, mesh, replicate_max_bytes=0,
-                            hbm_budget_bytes=int(0.4 * 2**20))
-    # Replicate budget is consumed across groups: admit the dim-8 tables,
-    # then the dim-16 group's budget remainder is too small.
-    row8, row16 = 8 * 4, 16 * 4
+                            hbm_budget_bytes=int(0.7 * 2**20))
+    # Replicate budget consumed ACROSS groups: B=20000 B admits the whole
+    # dim-8 group (9600 B) and, standalone (old behavior), also both
+    # dim-16 tables (19200 B <= 20000). The fixed remainder 10400 B admits
+    # only the V=100 dim-16 table.
     plans, groups = plan_sharding_mixed(
         (100, 200, 100, 200), (8, 8, 16, 16), mesh,
-        replicate_max_bytes=1 << 20,
-        replicate_budget_bytes=row8 * 300 + row16 * 120)
+        replicate_max_bytes=1 << 20, replicate_budget_bytes=20_000)
     p8 = [d.placement for d in plans[0].decisions]
     p16 = [d.placement for d in plans[1].decisions]
     assert p8 == [REPLICATE, REPLICATE]
@@ -601,3 +604,19 @@ def test_train_dcn_with_plan_learns():
                     verbose=False)
     assert res.losses[-1] < res.losses[0]
     assert res.aucs and res.aucs[-1][1] > 0.6
+
+
+def test_train_plan_rejects_foreign_model_types():
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models import DLRMConfig
+    from embeddingtables_tpu.models.train import train_dlrm
+    vocab = (64, 1024)
+    cfg = DLRMConfig(vocab_sizes=vocab, num_dense=4, dim=DIM,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    mesh = _mesh()
+    plan = plan_sharding(vocab, DIM, mesh, replicate_max_bytes=DIM * 4 * 128)
+    gen = SyntheticCriteo(vocab_sizes=vocab, num_dense=4, batch_size=64)
+    with pytest.raises(TypeError, match="PlannedDLRM"):
+        train_dlrm(cfg, gen.batches(), 1, mesh=mesh, plan=plan,
+                   model=object(), verbose=False)
