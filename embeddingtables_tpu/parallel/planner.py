@@ -746,3 +746,19 @@ def place_stacked_on_plan(plan: ShardingPlan, mesh: Mesh, stacked,
         accums = [acc[offs[t]:offs[t + 1]] for t in range(len(offs) - 1)]
     return PlannedTables.from_tables(plan, mesh, arrs, adagrad=adagrad,
                                      accums=accums)
+
+
+def hotness_from_trackers(trackers) -> list:
+    """Per-table hotness for `plan_sharding(hotness=)` from observed
+    traffic: each table's decayed total occurrence count per observation
+    (`utils.rowstats.FrequencyTracker`s fed by the input pipeline). Tables
+    whose ids appear more often per example — multivalent features, hot
+    categorical fields — earn replication first. Falls back to 1.0 for
+    trackers that saw no traffic."""
+    hot = []
+    for tr in trackers:
+        if tr.observations == 0:
+            hot.append(1.0)
+        else:
+            hot.append(max(float(tr.counts.sum()) / tr.observations, 1e-9))
+    return hot

@@ -620,3 +620,53 @@ def test_train_plan_rejects_foreign_model_types():
     with pytest.raises(TypeError, match="PlannedDLRM"):
         train_dlrm(cfg, gen.batches(), 1, mesh=mesh, plan=plan,
                    model=object(), verbose=False)
+
+
+def test_planner_on_2d_mesh():
+    """Planner over a tuple axis: rows shard over the data x model product,
+    batch stays on the data axis (same decomposition as test_mesh2d)."""
+    mesh = default_mesh(("data", "model"), shape=(4, 2))
+    vocabs = (64, 4096, 96)
+    plan = plan_sharding(vocabs, DIM, mesh, axis=("data", "model"),
+                         replicate_max_bytes=DIM * 4 * 128)
+    assert plan.n_devices == 8
+    assert plan.replicated == (0, 2) and plan.sharded == (1,)
+    rng = np.random.default_rng(23)
+    arrs = [jnp.asarray(rng.normal(size=(v, DIM)).astype(np.float32))
+            for v in vocabs]
+    pt = PlannedTables.from_tables(plan, mesh, arrs)
+    idx = [jnp.asarray(rng.integers(0, v, 32).astype(np.int32))
+           for v in vocabs]
+    out = planned_lookup(mesh, pt, idx)
+    for t in range(3):
+        np.testing.assert_allclose(np.asarray(out[t]),
+                                   np.asarray(arrs[t])[np.asarray(idx[t])],
+                                   rtol=1e-6)
+    delta_t = jnp.asarray(rng.normal(size=(3, 32, DIM)).astype(np.float32))
+    opt = SparseSGD(0.2)
+    new = planned_apply(mesh, pt, idx, delta_t, opt)
+    for t in range(3):
+        upd = SparseEmbeddingUpdate(delta=delta_t[t], indices=idx[t])
+        want, _ = opt.apply(arrs[t], upd, opt.init(arrs[t]))
+        np.testing.assert_allclose(np.asarray(new.table(t)),
+                                   np.asarray(want), rtol=2e-5, atol=1e-6)
+
+
+def test_hotness_from_trackers():
+    from embeddingtables_tpu.parallel.planner import hotness_from_trackers
+    from embeddingtables_tpu.utils.rowstats import FrequencyTracker
+    trackers = [FrequencyTracker(100), FrequencyTracker(100),
+                FrequencyTracker(100)]
+    rng = np.random.default_rng(0)
+    for _ in range(5):
+        trackers[0].observe(rng.integers(0, 100, 64))          # 1 id/example
+        trackers[1].observe(rng.integers(0, 100, (64, 4)))     # 4 ids (bag)
+        # trackers[2] never observes
+    hot = hotness_from_trackers(trackers)
+    assert hot[1] > hot[0] * 2          # multivalent table is hotter
+    assert hot[2] == 1.0
+    # Feeds straight into the planner.
+    plan = plan_sharding((100, 100, 100), DIM, _mesh(), hotness=hot,
+                         replicate_max_bytes=1 << 20,
+                         replicate_budget_bytes=100 * DIM * 4)
+    assert plan.decisions[1].placement == REPLICATE      # hottest wins
