@@ -295,6 +295,8 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
               ckpt_manager=None, ckpt_every: int = 0, log_every: int = 100,
               mesh=None, axis: str = "data", microbatch=None,
               guard=None, device_prefetch: int = 0, plan=None,
+              evict_every: int = 0, evict_threshold: float = 1e-3,
+              freq_decay: float = 0.99,
               verbose: bool = True) -> TrainResult:
     """Train a DCN-v2 (`models/dcn.py`) on the same batch layout as
     `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
@@ -369,8 +371,14 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                          jnp.asarray(b["cat"]),
                          jnp.asarray(b["label"]))
 
+    trackers = None
+    if evict_every:
+        from ..utils.rowstats import FrequencyTracker
+        trackers = [FrequencyTracker(v, decay=freq_decay)
+                    for v in cfg.vocab_sizes]
     losses, aucs = [], []
     examples = 0
+    evicted_total = 0
     t_start = time.perf_counter()
     prefetcher = None
     if device_prefetch:
@@ -384,8 +392,45 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
             else:
                 batch = next(train_iter)
                 dense, cat, label = put(batch)
+        if trackers is not None:
+            for t, tr in enumerate(trackers):
+                tr.observe(batch["cat"][t])
         with tel.phase("step"):
             model, loss = step(model, dense, cat, label)
+        if trackers is not None and (i + 1) % evict_every == 0:
+            # Same row-lifecycle policy as the DLRM loop, across all three
+            # placements (single-chip / uniform sharded / planner).
+            import dataclasses as _dc
+            import numpy as _np
+            from ..utils.rowstats import (evict_rows, evict_rows_sharded,
+                                          reset_rows_state)
+            if plan is not None:
+                from ..parallel.planner import evict_rows_planned
+                cold_pt = [tr.pop_cold(evict_threshold) for tr in trackers]
+                ncold = int(sum(c.size for c in cold_pt))
+                if ncold:
+                    model = _dc.replace(
+                        model,
+                        tables=evict_rows_planned(model.tables, cold_pt))
+                    evicted_total += ncold
+            else:
+                cold = _np.concatenate(
+                    [tr.pop_cold(evict_threshold) + model.tables.offsets[t]
+                     for t, tr in enumerate(trackers)])
+                if cold.size:
+                    if mesh is not None:
+                        new_tables, new_accum = evict_rows_sharded(
+                            model.tables, model.emb_accum, cold)
+                        model = _dc.replace(model, tables=new_tables,
+                                            emb_accum=new_accum)
+                    else:
+                        new_data = evict_rows(model.tables.data, cold)
+                        model = _dc.replace(
+                            model,
+                            tables=_dc.replace(model.tables, data=new_data),
+                            emb_state=reset_rows_state(model.emb_state,
+                                                       cold))
+                    evicted_total += int(cold.size)
         examples += batch["label"].shape[0]
         if log_every and (i % log_every == 0 or i == num_steps - 1):
             lv = float(loss)
@@ -413,7 +458,8 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         else x, model)
     dt = time.perf_counter() - t_start
     return TrainResult(model=model, losses=losses, aucs=aucs,
-                       examples_per_sec=examples / dt)
+                       examples_per_sec=examples / dt,
+                       evicted_rows=evicted_total)
 
 
 # ---------------------------------------------------------------------------

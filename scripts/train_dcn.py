@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--opt", choices=["sgd", "adagrad"], default="adagrad")
     ap.add_argument("--weight-decay", type=float, default=0.0)
     ap.add_argument("--clipnorm", type=float, default=None)
+    ap.add_argument("--evict-every", type=int, default=0,
+                    help="row-lifecycle: evict stale rows every N steps")
+    ap.add_argument("--evict-threshold", type=float, default=1e-3)
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--eval-every", type=int, default=0)
     ap.add_argument("--eval-batches", type=int, default=4)
@@ -122,7 +125,9 @@ def main():
                     eval_every=args.eval_every, ckpt_manager=mgr,
                     ckpt_every=args.ckpt_every, log_every=args.log_every,
                     mesh=mesh, microbatch=args.microbatch, plan=plan,
-                    device_prefetch=args.device_prefetch)
+                    device_prefetch=args.device_prefetch,
+                    evict_every=args.evict_every,
+                    evict_threshold=args.evict_threshold)
     print(f"\n{res.examples_per_sec:,.0f} examples/s")
     if res.aucs:
         print(f"final AUC {res.aucs[-1][1]:.4f}")

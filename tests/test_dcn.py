@@ -215,3 +215,19 @@ def test_train_dcn_guard_wired(tmp_path):
     train_dcn(cfg, gen.batches(), 6, log_every=2, verbose=False,
               guard=SpyGuard(ckpt=None))
     assert SpyGuard.seen >= 3
+
+
+def test_train_dcn_eviction_single_chip():
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models.train import train_dcn
+    vocab = (80, 80)
+    cfg = DCNConfig(vocab_sizes=vocab, num_dense=3, dim=8, num_cross=1,
+                    cross_rank=4, deep_mlp=(8,), compute_dtype=jnp.float32)
+    gen = SyntheticCriteo(vocab_sizes=vocab, num_dense=3, batch_size=64,
+                          seed=5, zipf_a=1.5)
+    res = train_dcn(cfg, gen.batches(), 16,
+                    sparse_opt=SparseRowWiseAdaGrad(lr=0.05),
+                    log_every=8, evict_every=8, evict_threshold=0.3,
+                    freq_decay=0.5, verbose=False)
+    assert res.evicted_rows > 0
+    assert np.isfinite(np.asarray(res.model.tables.data)).all()
