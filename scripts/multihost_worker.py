@@ -69,11 +69,26 @@ def main():
                      bottom_mlp=(16, 8), top_mlp=(16, 1),
                      compute_dtype=jnp.float32)
     opt = SparseRowWiseAdaGrad(lr=0.2)
-    model = init_sharded_dlrm(jax.random.key(0), cfg, mesh, axes,
-                              sparse_opt=opt)
-    step = make_sharded_train_step(cfg, mesh, axes, sparse_opt=opt,
-                                   dense_lr=0.2, exchange=exchange,
-                                   capacity_factor=16.0)
+    if exchange == "planner":
+        # Mixed placement: the small tables replicate (zero-ICI local
+        # gathers), the 96-vocab one row-shards over the axes product —
+        # the planner's collectives crossing the process boundary.
+        from embeddingtables_tpu.parallel.planner import (
+            init_planned_dlrm, make_planned_train_step, plan_sharding)
+        plan = plan_sharding(cfg.vocab_sizes, cfg.dim, mesh, axes,
+                             replicate_max_bytes=8 * 4 * 70,
+                             opt_state_scalars=1)
+        assert plan.replicated and plan.sharded, plan.summary()
+        model = init_planned_dlrm(jax.random.key(0), cfg, plan, mesh,
+                                  sparse_opt=opt)
+        step = make_planned_train_step(cfg, mesh, sparse_opt=opt,
+                                       dense_lr=0.2)
+    else:
+        model = init_sharded_dlrm(jax.random.key(0), cfg, mesh, axes,
+                                  sparse_opt=opt)
+        step = make_sharded_train_step(cfg, mesh, axes, sparse_opt=opt,
+                                       dense_lr=0.2, exchange=exchange,
+                                       capacity_factor=16.0)
 
     sd, sc, sl = batch_shardings(mesh, axes)
 
@@ -96,10 +111,17 @@ def main():
                            put(label, sl))
         losses.append(float(loss))
 
-    checks = jax.jit(lambda m: (jnp.vdot(m.tables.data, m.tables.data),
-                                jnp.sum(m.emb_accum),
-                                sum(jnp.vdot(w, w) for w, _ in m.bottom)))(
-                                    model)
+    if exchange == "planner":
+        checks = jax.jit(lambda m: (
+            jnp.vdot(m.tables.repl, m.tables.repl)
+            + jnp.vdot(m.tables.shard.data, m.tables.shard.data),
+            jnp.sum(m.tables.repl_accum) + jnp.sum(m.tables.shard_accum),
+            sum(jnp.vdot(w, w) for w, _ in m.bottom)))(model)
+    else:
+        checks = jax.jit(lambda m: (jnp.vdot(m.tables.data, m.tables.data),
+                                    jnp.sum(m.emb_accum),
+                                    sum(jnp.vdot(w, w) for w, _ in m.bottom)))(
+                                        model)
     out = dict(mode=mode, exchange=exchange, losses=losses,
                table_ss=float(checks[0]), accum_sum=float(checks[1]),
                bottom_ss=float(checks[2]),

@@ -97,3 +97,17 @@ def test_two_process_a2a_butterfly_matches_single_process():
     np.testing.assert_allclose(got["losses"], ref["losses"], rtol=1e-5)
     np.testing.assert_allclose(got["table_ss"], ref["table_ss"], rtol=1e-4)
     np.testing.assert_allclose(got["accum_sum"], ref["accum_sum"], rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_two_process_planner_placement_matches_single_process():
+    # Mixed replicate/row-shard placement across REAL process boundaries:
+    # replicated tables advance in lockstep on both processes (no
+    # parameter all-reduce), the sharded group's gather exchange rides
+    # gloo TCP.
+    _gloo_or_skip()
+    ref, got = _run_pair("planner")
+    np.testing.assert_allclose(got["losses"], ref["losses"], rtol=1e-5)
+    np.testing.assert_allclose(got["table_ss"], ref["table_ss"], rtol=1e-4)
+    np.testing.assert_allclose(got["accum_sum"], ref["accum_sum"], rtol=1e-4)
+    np.testing.assert_allclose(got["bottom_ss"], ref["bottom_ss"], rtol=1e-4)
