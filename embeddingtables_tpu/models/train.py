@@ -56,6 +56,42 @@ def evaluate_metrics(eval_step, model, batches, *,
                 calibration=calibration(y, z))
 
 
+
+
+def _maybe_evict(model, trackers, plan, mesh, evict_threshold):
+    """Pop each tracker's stale rows and evict them from whichever
+    placement `model` uses (single-chip / uniform sharded / planner).
+    Shared by the DLRM and DCN loops. Returns (model, n_evicted)."""
+    import dataclasses as _dc
+    from ..utils.rowstats import (evict_rows, evict_rows_sharded,
+                                  reset_rows_state)
+    if plan is not None:
+        from ..parallel.planner import evict_rows_planned
+        cold_pt = [tr.pop_cold(evict_threshold) for tr in trackers]
+        ncold = int(sum(c.size for c in cold_pt))
+        if ncold:
+            model = _dc.replace(
+                model, tables=evict_rows_planned(model.tables, cold_pt))
+        return model, ncold
+    cold = np.concatenate(
+        [tr.pop_cold(evict_threshold) + model.tables.offsets[t]
+         for t, tr in enumerate(trackers)])
+    if not cold.size:
+        return model, 0
+    if mesh is not None:
+        # Mod-row ownership (r % n, r // n); accum is the
+        # (n, rows_local) row state sharded like the table.
+        new_tables, new_accum = evict_rows_sharded(
+            model.tables, model.emb_accum, cold)
+        model = _dc.replace(model, tables=new_tables, emb_accum=new_accum)
+    else:
+        new_data = evict_rows(model.tables.data, cold)
+        model = _dc.replace(
+            model, tables=_dc.replace(model.tables, data=new_data),
+            emb_state=reset_rows_state(model.emb_state, cold))
+    return model, int(cold.size)
+
+
 def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                sparse_opt=None, dense_lr: float = 0.01, model=None,
                seed: int = 0, eval_batches: Optional[list] = None,
@@ -84,8 +120,9 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     rows that appeared and then went stale (decayed count at/below
     `evict_threshold`) are reinitialized to zero and their optimizer state
     reset — TTL eviction for churning id spaces (sessions, ads). Never-seen
-    rows are left at their init values. Works on both the single-chip and the sharded
-    step (mod-row ownership via `evict_rows_sharded`).
+    rows are left at their init values. Works on all three placements:
+    single-chip, uniform sharded (mod-row ownership via
+    `evict_rows_sharded`), and planner (`evict_rows_planned`).
     """
     tel = _telemetry.get_telemetry()
     if mesh is not None and microbatch:
@@ -197,47 +234,11 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
         with tel.phase("step"):
             model, out = step(model, dense, cat, label)
         if trackers is not None and (i + 1) % evict_every == 0:
-            from ..utils.rowstats import (evict_rows, evict_rows_sharded,
-                                          reset_rows_state)
-            import numpy as _np
-            import dataclasses as _dc
-            if plan is not None:
-                # Planner placement: per-table cold lists; each group's
-                # layout is the planner's concern (evict_rows_planned).
-                from ..parallel.planner import evict_rows_planned
-                cold_pt = [tr.pop_cold(evict_threshold) for tr in trackers]
-                ncold = int(sum(c.size for c in cold_pt))
-                if ncold:
-                    model = _dc.replace(
-                        model,
-                        tables=evict_rows_planned(model.tables, cold_pt))
-                    evicted_total += ncold
-                cold = _np.zeros(0, _np.int64)   # shared path below no-ops
-            else:
-                # Stacked-table global rows: shift each table's cold set by
-                # its offset, evict in ONE small scatter + one state reset.
-                # pop_cold: only rows seen-then-stale, marked so they are
-                # not re-evicted every interval (never-seen rows sit at
-                # init).
-                cold = [tr.pop_cold(evict_threshold)
-                        + model.tables.offsets[t]
-                        for t, tr in enumerate(trackers)]
-                cold = _np.concatenate(cold)
-            if cold.size:
-                if mesh is not None:
-                    # Sharded: mod-row ownership (r % n, r // n); accum is
-                    # the (n, rows_local) row-state sharded like the table.
-                    new_tables, new_accum = evict_rows_sharded(
-                        model.tables, model.emb_accum, cold)
-                    model = _dc.replace(model, tables=new_tables,
-                                        emb_accum=new_accum)
-                else:
-                    new_data = evict_rows(model.tables.data, cold)
-                    model = _dc.replace(
-                        model,
-                        tables=_dc.replace(model.tables, data=new_data),
-                        emb_state=reset_rows_state(model.emb_state, cold))
-                evicted_total += int(cold.size)
+            # pop_cold: only rows seen-then-stale, marked so they are not
+            # re-evicted every interval (never-seen rows sit at init).
+            model, n = _maybe_evict(model, trackers, plan, mesh,
+                                    evict_threshold)
+            evicted_total += n
         loss, ovf = out if with_overflow else (out, None)
         examples += batch["label"].shape[0]
         if tuner is not None and i == 0:
@@ -398,39 +399,11 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         with tel.phase("step"):
             model, loss = step(model, dense, cat, label)
         if trackers is not None and (i + 1) % evict_every == 0:
-            # Same row-lifecycle policy as the DLRM loop, across all three
-            # placements (single-chip / uniform sharded / planner).
-            import dataclasses as _dc
-            import numpy as _np
-            from ..utils.rowstats import (evict_rows, evict_rows_sharded,
-                                          reset_rows_state)
-            if plan is not None:
-                from ..parallel.planner import evict_rows_planned
-                cold_pt = [tr.pop_cold(evict_threshold) for tr in trackers]
-                ncold = int(sum(c.size for c in cold_pt))
-                if ncold:
-                    model = _dc.replace(
-                        model,
-                        tables=evict_rows_planned(model.tables, cold_pt))
-                    evicted_total += ncold
-            else:
-                cold = _np.concatenate(
-                    [tr.pop_cold(evict_threshold) + model.tables.offsets[t]
-                     for t, tr in enumerate(trackers)])
-                if cold.size:
-                    if mesh is not None:
-                        new_tables, new_accum = evict_rows_sharded(
-                            model.tables, model.emb_accum, cold)
-                        model = _dc.replace(model, tables=new_tables,
-                                            emb_accum=new_accum)
-                    else:
-                        new_data = evict_rows(model.tables.data, cold)
-                        model = _dc.replace(
-                            model,
-                            tables=_dc.replace(model.tables, data=new_data),
-                            emb_state=reset_rows_state(model.emb_state,
-                                                       cold))
-                    evicted_total += int(cold.size)
+            # pop_cold: only rows seen-then-stale, marked so they are not
+            # re-evicted every interval (never-seen rows sit at init).
+            model, n = _maybe_evict(model, trackers, plan, mesh,
+                                    evict_threshold)
+            evicted_total += n
         examples += batch["label"].shape[0]
         if log_every and (i % log_every == 0 or i == num_steps - 1):
             lv = float(loss)

@@ -750,17 +750,27 @@ def place_stacked_on_plan(plan: ShardingPlan, mesh: Mesh, stacked,
 
 def hotness_from_trackers(trackers) -> list:
     """Per-table hotness for `plan_sharding(hotness=)` from observed
-    traffic: each table's decayed total occurrence count per observation
+    traffic: each table's EMA of occurrences per observation
     (`utils.rowstats.FrequencyTracker`s fed by the input pipeline). Tables
-    whose ids appear more often per example — multivalent features, hot
+    whose ids appear more often per batch — multivalent features, hot
     categorical fields — earn replication first. Falls back to 1.0 for
-    trackers that saw no traffic."""
+    trackers that saw no traffic.
+
+    The tracker's counts are exponentially decayed, so they saturate at
+    `occ_per_batch / (1 - decay)`; normalizing by the raw observation
+    count would let hotness decay toward zero on long runs (and rank
+    BELOW the never-seen fallback). Normalize by the decayed observation
+    count `(1 - d^N) / (1 - d)` instead — a true per-observation EMA,
+    stable in run length."""
     hot = []
     for tr in trackers:
-        if tr.observations == 0:
+        n = tr.observations
+        if n == 0:
             hot.append(1.0)
-        else:
-            hot.append(max(float(tr.counts.sum()) / tr.observations, 1e-9))
+            continue
+        d = tr.decay
+        denom = float(n) if d >= 1.0 else (1.0 - d ** n) / (1.0 - d)
+        hot.append(max(float(tr.counts.sum()) / denom, 1e-9))
     return hot
 
 
@@ -772,7 +782,7 @@ def evict_rows_planned(pt: PlannedTables, cold_per_table) -> PlannedTables:
     Functional; eviction is occasional so cross-shard scatter routing cost
     is irrelevant."""
     import numpy as np
-    from ..utils.rowstats import evict_rows_sharded
+    from ..utils.rowstats import evict_rows, evict_rows_sharded
 
     new = pt
     if pt.repl_tables:
@@ -781,7 +791,7 @@ def evict_rows_planned(pt: PlannedTables, cold_per_table) -> PlannedTables:
              for j, t in enumerate(pt.repl_tables)])
         if rows.size:
             r = jnp.asarray(rows, jnp.int32)
-            repl = pt.repl.at[r].set(0.0, mode="drop")
+            repl = evict_rows(pt.repl, r)
             acc = pt.repl_accum
             if acc.size:
                 acc = acc.at[r].set(0.0, mode="drop")

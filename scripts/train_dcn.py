@@ -128,6 +128,8 @@ def main():
                     device_prefetch=args.device_prefetch,
                     evict_every=args.evict_every,
                     evict_threshold=args.evict_threshold)
+    if args.evict_every:
+        print(f"evicted rows: {res.evicted_rows}")
     print(f"\n{res.examples_per_sec:,.0f} examples/s")
     if res.aucs:
         print(f"final AUC {res.aucs[-1][1]:.4f}")

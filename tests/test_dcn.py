@@ -231,3 +231,34 @@ def test_train_dcn_eviction_single_chip():
                     freq_decay=0.5, verbose=False)
     assert res.evicted_rows > 0
     assert np.isfinite(np.asarray(res.model.tables.data)).all()
+
+
+@pytest.mark.parametrize("placement", ["mesh", "plan"])
+def test_train_dcn_eviction_on_mesh_and_plan(placement):
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models.train import train_dcn
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    vocab = (80, 1024)
+    cfg = DCNConfig(vocab_sizes=vocab, num_dense=3, dim=8, num_cross=1,
+                    cross_rank=4, deep_mlp=(8,), compute_dtype=jnp.float32)
+    mesh = default_mesh(("data",))
+    plan = None
+    if placement == "plan":
+        from embeddingtables_tpu.parallel.planner import plan_sharding
+        plan = plan_sharding(vocab, 8, mesh,
+                             replicate_max_bytes=8 * 4 * 128,
+                             opt_state_scalars=1)
+    gen = SyntheticCriteo(vocab_sizes=vocab, num_dense=3, batch_size=64,
+                          seed=5, zipf_a=1.5)
+    res = train_dcn(cfg, gen.batches(), 16,
+                    sparse_opt=SparseRowWiseAdaGrad(lr=0.05),
+                    mesh=mesh, plan=plan, log_every=8, evict_every=8,
+                    evict_threshold=0.3, freq_decay=0.5, verbose=False)
+    assert res.evicted_rows > 0
+    # Some rows were zeroed (init is uniform nonzero everywhere).
+    if placement == "plan":
+        tab = np.concatenate([np.asarray(res.model.tables.table(t))
+                              for t in range(2)])
+    else:
+        tab = np.asarray(res.model.tables.unshard())
+    assert (np.abs(tab).sum(axis=1) == 0.0).any()
