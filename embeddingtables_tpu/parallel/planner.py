@@ -29,6 +29,11 @@ device applies the full update stream), the sharded group through the
 same `sharded_ensemble_lookup` / `_sharded_sparse_apply` exchange the
 model families use. Parity: `tests/test_planner.py` checks mixed-placement
 lookups and SGD/AdaGrad updates against single-chip oracles.
+
+Compressed tables (qr/md/tt) are themselves the third placement answer —
+their sub-tables are small enough to replicate; use them directly in a
+`maplookup` ensemble rather than through the planner (which places dense
+`(V, D)` arrays).
 """
 from __future__ import annotations
 
