@@ -102,6 +102,7 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                evict_every: int = 0, evict_threshold: float = 1e-3,
                freq_decay: float = 0.99, microbatch=None,
                device_prefetch: int = 0, plan=None,
+               eval_metrics: bool = False,
                verbose: bool = True) -> TrainResult:
     """Train a DLRM for `num_steps` batches from `train_iter`.
 
@@ -268,10 +269,20 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                 print(f"step {i:6d}  loss {lv:.5f}", flush=True)
         if eval_every and eval_batches and (i + 1) % eval_every == 0:
             with tel.phase("eval"):
-                a = evaluate_auc(eval_step, model, eval_batches)
+                if eval_metrics:
+                    m = evaluate_metrics(eval_step, model, eval_batches)
+                    a = m["auc"]
+                else:
+                    a = evaluate_auc(eval_step, model, eval_batches)
             aucs.append((i + 1, a))
             if verbose:
-                print(f"step {i+1:6d}  eval AUC {a:.4f}", flush=True)
+                if eval_metrics:
+                    print(f"step {i+1:6d}  eval AUC {a:.4f}  logloss "
+                          f"{m['log_loss']:.5f}  NE "
+                          f"{m['normalized_entropy']:.4f}  calib "
+                          f"{m['calibration']:.3f}", flush=True)
+                else:
+                    print(f"step {i+1:6d}  eval AUC {a:.4f}", flush=True)
         if ckpt_manager is not None and ckpt_every and (i + 1) % ckpt_every == 0:
             with tel.phase("checkpoint"):
                 ckpt_manager.save(i + 1, model)
@@ -297,7 +308,7 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
               mesh=None, axis: str = "data", microbatch=None,
               guard=None, device_prefetch: int = 0, plan=None,
               evict_every: int = 0, evict_threshold: float = 1e-3,
-              freq_decay: float = 0.99,
+              freq_decay: float = 0.99, eval_metrics: bool = False,
               verbose: bool = True) -> TrainResult:
     """Train a DCN-v2 (`models/dcn.py`) on the same batch layout as
     `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
@@ -418,10 +429,20 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                 print(f"step {i:6d}  loss {lv:.5f}", flush=True)
         if eval_every and eval_batches and (i + 1) % eval_every == 0:
             with tel.phase("eval"):
-                a = evaluate_auc(eval_step, model, eval_batches)
+                if eval_metrics:
+                    m = evaluate_metrics(eval_step, model, eval_batches)
+                    a = m["auc"]
+                else:
+                    a = evaluate_auc(eval_step, model, eval_batches)
             aucs.append((i + 1, a))
             if verbose:
-                print(f"step {i+1:6d}  eval AUC {a:.4f}", flush=True)
+                if eval_metrics:
+                    print(f"step {i+1:6d}  eval AUC {a:.4f}  logloss "
+                          f"{m['log_loss']:.5f}  NE "
+                          f"{m['normalized_entropy']:.4f}  calib "
+                          f"{m['calibration']:.3f}", flush=True)
+                else:
+                    print(f"step {i+1:6d}  eval AUC {a:.4f}", flush=True)
         if ckpt_manager is not None and ckpt_every and \
                 (i + 1) % ckpt_every == 0:
             with tel.phase("checkpoint"):

@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--eval-every", type=int, default=0)
     ap.add_argument("--eval-batches", type=int, default=4)
+    ap.add_argument("--eval-metrics", action="store_true",
+                    help="full CTR sweep at eval: log loss, normalized entropy,\ncalibration (else AUC only)")
     ap.add_argument("--ckpt", type=str, default=None)
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--log-every", type=int, default=100)
@@ -151,7 +153,8 @@ def main():
           flush=True)
     res = train_dlrm(cfg, train_it, args.steps, sparse_opt=opt,
                      dense_lr=args.lr, eval_batches=eval_batches,
-                     eval_every=args.eval_every, ckpt_manager=mgr,
+                     eval_every=args.eval_every,
+                     eval_metrics=args.eval_metrics, ckpt_manager=mgr,
                      ckpt_every=args.ckpt_every, log_every=args.log_every,
                      mesh=mesh, exchange=args.exchange,
                      capacity_factor=args.capacity_factor,

@@ -86,3 +86,21 @@ def test_evaluate_metrics_sweep():
     assert set(m) == {"auc", "log_loss", "normalized_entropy", "calibration"}
     assert all(np.isfinite(v) for v in m.values())
     assert 0.0 <= m["auc"] <= 1.0 and m["log_loss"] > 0.0
+
+
+def test_train_loop_eval_metrics_flag(capsys):
+    import jax.numpy as jnp
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models import DLRMConfig
+    from embeddingtables_tpu.models.train import train_dlrm
+    vocab = (50, 50)
+    cfg = DLRMConfig(vocab_sizes=vocab, num_dense=3, dim=8,
+                     bottom_mlp=(8, 8), top_mlp=(8, 1),
+                     compute_dtype=jnp.float32)
+    gen = SyntheticCriteo(vocab_sizes=vocab, num_dense=3, batch_size=64,
+                          seed=3)
+    res = train_dlrm(cfg, gen.batches(), 4, eval_batches=list(gen.batches(1)),
+                     eval_every=4, eval_metrics=True, log_every=4)
+    out = capsys.readouterr().out
+    assert "NE " in out and "calib" in out and "logloss" in out
+    assert res.aucs and 0.0 <= res.aucs[-1][1] <= 1.0
