@@ -264,8 +264,12 @@ def make_dlrm_service(model, *, quantized: bool = False,
         if quantized:
             raise NotImplementedError(
                 "quantized serving is single-chip; unshard the model first")
-        from .parallel.dlrm import make_sharded_eval_step
-        step = make_sharded_eval_step(model.config, mesh, axis)
+        from .parallel.planner import PlannedDLRM, make_planned_eval_step
+        if isinstance(model, PlannedDLRM):
+            step = make_planned_eval_step(model.config, mesh)
+        else:
+            from .parallel.dlrm import make_sharded_eval_step
+            step = make_sharded_eval_step(model.config, mesh, axis)
         fn = _sharded_scoring_fn(
             lambda dense, cat: step(model, dense, cat), mesh, axis)
         return MicroBatcher(fn, max_batch=max_batch,
@@ -297,8 +301,12 @@ def make_dcn_service(model, *, quantized: bool = False,
         if quantized:
             raise NotImplementedError(
                 "quantized serving is single-chip; unshard the model first")
-        from .parallel.dcn import make_sharded_dcn_eval_step
-        step = make_sharded_dcn_eval_step(model.config, mesh, axis)
+        from .parallel.planner import PlannedDCN, make_planned_dcn_eval_step
+        if isinstance(model, PlannedDCN):
+            step = make_planned_dcn_eval_step(model.config, mesh)
+        else:
+            from .parallel.dcn import make_sharded_dcn_eval_step
+            step = make_sharded_dcn_eval_step(model.config, mesh, axis)
         fn = _sharded_scoring_fn(
             lambda dense, cat: step(model, dense, cat), mesh, axis)
         return MicroBatcher(fn, max_batch=max_batch,

@@ -376,3 +376,40 @@ def test_dlrm_service_int4():
     got = svc.predict(dense, cat, timeout=60)
     svc.stop()
     np.testing.assert_allclose(got, want, rtol=0.5, atol=0.3)  # int4 coarse
+
+
+def test_planned_dlrm_service_matches_single_chip():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.models.dlrm import make_eval_step
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    from embeddingtables_tpu.parallel.planner import (PlannedDLRM,
+                                                      place_stacked_on_plan,
+                                                      plan_sharding)
+
+    cfg = DLRMConfig(vocab_sizes=(64, 4096, 96), num_dense=3, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    model = init_dlrm(jax.random.key(0), cfg)
+    mesh = default_mesh(("data",))
+    plan = plan_sharding(cfg.vocab_sizes, 8, mesh,
+                         replicate_max_bytes=8 * 4 * 128)
+    pt = place_stacked_on_plan(plan, mesh, model.tables, model.emb_state,
+                               None)
+    repl = NamedSharding(mesh, P())
+    pm = PlannedDLRM(bottom=jax.device_put(model.bottom, repl),
+                     top=jax.device_put(model.top, repl),
+                     tables=pt, config=cfg)
+    rng = np.random.default_rng(13)
+    b = 6
+    dense = rng.normal(size=(b, 3)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, b).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    want = np.asarray(make_eval_step(cfg)(model, jnp.asarray(dense),
+                                          jnp.asarray(cat)))
+    svc = make_dlrm_service(pm, mesh=mesh, max_batch=8, max_latency_ms=5.0)
+    got = svc.predict(dense, cat, timeout=60)
+    svc.stop()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
