@@ -123,7 +123,30 @@ def measure(run_chunk, model, dense, cat, label, chunk, reps):
     return float(np.median(times))
 
 
+def _device_watchdog(timeout_s: int = 180):
+    """Fail FAST if the device backend is unreachable (the tunneled chip
+    can outage; a bare `jax.devices()` then hangs forever). Probes in a
+    subprocess so the timeout is enforceable, exits 2 with a clear stderr
+    message instead of hanging the driver."""
+    import subprocess
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print(f"# bench ABORT: device backend unreachable after "
+              f"{timeout_s}s (tunnel outage?) — no measurement possible",
+              file=sys.stderr, flush=True)
+        sys.exit(2)
+    except subprocess.CalledProcessError as e:
+        print(f"# bench ABORT: device probe failed: "
+              f"{e.stderr.decode(errors='replace')[-500:]}",
+              file=sys.stderr, flush=True)
+        sys.exit(2)
+
+
 def main():
+    _device_watchdog()
     on_tpu = jax.default_backend() == "tpu"
     # DLRM-shaped single-chip workload: 26 tables stacked into one array,
     # dense towers kept minimal so the embedding engine dominates.
