@@ -63,6 +63,7 @@ class Embed(fnn.Module):
     vocab: int
     dim: int
     combiner: str = "sum"
+    pad_idx: Optional[int] = None
     param_dtype: Any = jnp.float32
     table_init: Callable = _default_init
 
@@ -71,7 +72,7 @@ class Embed(fnn.Module):
         table = self.param("table", self.table_init,
                            (self.vocab, self.dim), self.param_dtype)
         return lookup(table, indices, combiner=self.combiner,
-                      weights=weights)
+                      weights=weights, pad_idx=self.pad_idx)
 
 
 class SparseEmbed(fnn.Module):
@@ -87,6 +88,7 @@ class SparseEmbed(fnn.Module):
     vocab: int
     dim: int
     combiner: str = "sum"
+    pad_idx: Optional[int] = None
     param_dtype: Any = jnp.float32
     table_init: Callable = _default_init
 
@@ -96,9 +98,11 @@ class SparseEmbed(fnn.Module):
                            (self.vocab, self.dim), self.param_dtype)
         indices = jnp.asarray(indices)
         out = lookup(jax.lax.stop_gradient(table), indices,
-                     combiner=self.combiner, weights=weights)
+                     combiner=self.combiner, weights=weights,
+                     pad_idx=self.pad_idx)
         out = self.perturb("delta", out)
-        eff = effective_weights(indices, self.combiner, weights)
+        eff = effective_weights(indices, self.combiner, weights,
+                                self.pad_idx)
         self.sow("intermediates", "lookup",
                  (indices, eff if eff is not None else ()))
         return out

@@ -142,27 +142,31 @@ class Slicer:
 # ---------------------------------------------------------------------------
 
 def maplookup(strategy_or_tables, tables_or_indices=None, maybe_indices=None,
-              *, combiner: str = "sum", weights=None):
+              *, combiner: str = "sum", weights=None,
+              pad_idx: int | None = None):
     """`maplookup([strategy], tables, indices)` (reference `lookup.jl:186-371`).
 
     Without a strategy, DefaultStrategy is used (`lookup.jl:219`).
     Returns: list of `(B, dim_i)` for Default/SimpleParallel; a single fused
     `(B, prependrows + Σ dim_i)` array for PreallocationStrategy.
 
-    combiner/weights extend the single-table `lookup` contract to the
-    ensemble entry point (the reference is sum-only, `README.md:22-25`):
-    `combiner` applies to every table's bags; `weights` accepts the same
-    per-table container shapes as the indices (see `normalize_weights`).
+    combiner/weights/pad_idx extend the single-table `lookup` contract to the
+    ensemble entry point (the reference is sum-only fixed bags,
+    `README.md:22-25`): `combiner` applies to every table's bags; `weights`
+    accepts the same per-table container shapes as the indices (see
+    `normalize_weights`); `pad_idx` is the shared padding sentinel for
+    variable-length bags (see `lookup`).
     """
     strategy, tables, indices = _parse_args(strategy_or_tables, tables_or_indices,
                                             maybe_indices)
     if isinstance(tables, StackedTables):
         return _maplookup_stacked(strategy, tables, indices,
-                                  combiner=combiner, weights=weights)
+                                  combiner=combiner, weights=weights,
+                                  pad_idx=pad_idx)
     tables = list(tables)
     idx = normalize_indices(indices, len(tables))
     w = normalize_weights(weights, len(tables))
-    outs = [lookup(t, i, combiner=combiner, weights=wt)
+    outs = [lookup(t, i, combiner=combiner, weights=wt, pad_idx=pad_idx)
             for t, i, wt in zip(tables, idx, w)]
     if isinstance(strategy, PreallocationStrategy):
         return _fuse_outputs(strategy, tables, outs)
@@ -189,7 +193,8 @@ def _fuse_outputs(strategy: PreallocationStrategy, tables, outs):
 
 
 def maplookup_vjp(strategy_or_tables, tables_or_indices=None, maybe_indices=None,
-                  *, combiner: str = "sum", weights=None
+                  *, combiner: str = "sum", weights=None,
+                  pad_idx: int | None = None
                   ) -> Tuple[object, Callable]:
     """Ensemble lookup plus the lazy pullback.
 
@@ -206,7 +211,7 @@ def maplookup_vjp(strategy_or_tables, tables_or_indices=None, maybe_indices=None
     strategy, tables, indices = _parse_args(strategy_or_tables, tables_or_indices,
                                             maybe_indices)
     out = maplookup(strategy, tables, indices, combiner=combiner,
-                    weights=weights)
+                    weights=weights, pad_idx=pad_idx)
     if isinstance(tables, StackedTables):
         ntables = tables.ntables
         dims = [tables.dim] * ntables
@@ -215,7 +220,8 @@ def maplookup_vjp(strategy_or_tables, tables_or_indices=None, maybe_indices=None
         dims = [featuresize(as_table(t)) for t in tables]
     idx = normalize_indices(indices, ntables)
     w = normalize_weights(weights, ntables)
-    effs = [effective_weights(i, combiner, wt) for i, wt in zip(idx, w)]
+    effs = [effective_weights(i, combiner, wt, pad_idx)
+            for i, wt in zip(idx, w)]
 
     if isinstance(strategy, PreallocationStrategy):
         def pullback(delta: jax.Array) -> List[SparseEmbeddingUpdate]:
@@ -286,8 +292,26 @@ class StackedTables:
 
 
 def _maplookup_stacked(strategy, st: StackedTables, indices, *,
-                       combiner: str = "sum", weights=None):
+                       combiner: str = "sum", weights=None,
+                       pad_idx: int | None = None):
     idx = normalize_indices(indices, st.ntables)
+    pad_mask_1d = None
+    if pad_idx is not None:
+        # Pad detection must precede the offset shift (a shifted pad value
+        # would no longer match the sentinel). Remap pads to local row 0 so
+        # the shifted gather stays in-bounds, then mask them out: folded
+        # into the bag weights (2-D) or applied to the gathered rows (1-D).
+        valid = [jnp.asarray(i) != pad_idx for i in idx]
+        idx = [jnp.where(v, jnp.asarray(i), 0) for v, i in zip(valid, idx)]
+        w0 = normalize_weights(weights, st.ntables)
+        if idx[0].ndim == 2:
+            weights = [v.astype(jnp.float32) if wt is None
+                       else jnp.asarray(wt).astype(jnp.float32) *
+                       v.astype(jnp.float32)
+                       for v, wt in zip(valid, w0)]
+        else:
+            pad_mask_1d = jnp.stack(
+                [v.astype(jnp.float32) for v in valid], axis=0)  # (T, B)
     g = st.shift_indices(idx)  # (T, B) or (T, B, bag)
     w = normalize_weights(weights, st.ntables)
     flat_w = None
@@ -301,6 +325,8 @@ def _maplookup_stacked(strategy, st: StackedTables, indices, *,
                  else jnp.ones(g.shape[1:], jnp.float32) for wt in w], axis=0)
     out = lookup(SimpleEmbedding(st.data), flat, combiner=combiner,
                  weights=flat_w)  # (T*B, dim) in ONE gather
+    if pad_mask_1d is not None:
+        out = out * pad_mask_1d.reshape(-1, 1).astype(out.dtype)
     b = g.shape[1]
     per_table = out.reshape(st.ntables, b, st.dim)
     if isinstance(strategy, PreallocationStrategy):

@@ -35,12 +35,34 @@ from .sparse_update import SparseEmbeddingUpdate
 
 
 def lookup_oracle(data: jax.Array, indices: jax.Array,
-                  combiner: str = "sum", weights=None) -> jax.Array:
+                  combiner: str = "sum", weights=None,
+                  pad_idx: int | None = None) -> jax.Array:
     """Naive dense implementation on a raw `(vocab, dim)` array — the test
     oracle (reference `lookup(A::AbstractMatrix, ...)`, `src/lookup.jl:5-13`).
-    Extended with mean/weighted combiners (beyond the reference's sum-only
-    bags)."""
+    Extended with mean/weighted combiners and a padding sentinel (beyond the
+    reference's sum-only fixed bags).
+
+    pad_idx: occurrences equal to this index value are ABSENT — they
+    contribute a zero row, are excluded from the mean denominator, and (via
+    `effective_weights`) carry no gradient. Variable-length bags are thus
+    fixed-width bags right-padded with `pad_idx` (torch `EmbeddingBag
+    padding_idx` semantics). An all-pad bag yields a zero row.
+    """
     indices = jnp.asarray(indices)
+    if pad_idx is not None:
+        valid = indices != pad_idx
+        safe = jnp.where(valid, indices, 0)
+        if indices.ndim == 1:
+            return data[safe, :] * valid[:, None].astype(data.dtype)
+        w = valid.astype(jnp.float32)
+        if weights is not None:
+            w = w * jnp.asarray(weights).astype(jnp.float32)
+        rows = data[safe, :] * w[..., None].astype(data.dtype)
+        out = rows.sum(axis=1)
+        if combiner == "mean":
+            denom = w.sum(axis=1, keepdims=True)
+            out = out / jnp.maximum(denom, 1e-12).astype(out.dtype)
+        return out
     if indices.ndim == 1:
         return data[indices, :]
     if indices.ndim == 2:
@@ -112,7 +134,8 @@ def _combine(rows: jax.Array, indices: jax.Array, combiner: str,
 
 
 def lookup(table, indices, context: "IndexingContext | None" = None, *,
-           combiner: str = "sum", weights=None) -> jax.Array:
+           combiner: str = "sum", weights=None,
+           pad_idx: int | None = None) -> jax.Array:
     """Embedding lookup (reference `lookup`, `src/lookup.jl:35-44`).
 
     `table` may be a `SimpleEmbedding`, `SplitEmbedding`, any object
@@ -124,6 +147,14 @@ def lookup(table, indices, context: "IndexingContext | None" = None, *,
     weights: optional `(B, bag)` per-occurrence weights (weighted bags; with
     combiner="mean" gives the weighted average). Sum-only unweighted bags
     take the fast dispatch; other combiners reduce the gathered rows.
+    pad_idx: optional padding sentinel — occurrences equal to it are ABSENT:
+    zero row contribution, excluded from the mean denominator, no gradient
+    (torch `EmbeddingBag padding_idx` semantics; variable-length bags =
+    fixed-width bags right-padded with `pad_idx`). Any int works, including
+    -1 or `vocab`; padded slots never reach the table's gather (they are
+    remapped to row 0 then masked), so OOB sentinels are safe on every table
+    type. An all-pad bag yields a zero row; in non-reducing `(B,)` lookups a
+    pad entry yields a zero row too.
 
     `context` is the reference's `IndexingContext` phase tag
     (`src/EmbeddingTables.jl:74-77`): tables whose `rows()` accepts a
@@ -138,6 +169,21 @@ def lookup(table, indices, context: "IndexingContext | None" = None, *,
     indices = jnp.asarray(indices)
     if indices.ndim not in (1, 2):
         raise ValueError(f"indices must be 1-D or 2-D, got shape {indices.shape}")
+    if pad_idx is not None:
+        # Padding folds into the (already-tested) weighted machinery: remap
+        # pad slots to row 0 so the gather stays in-bounds on every table
+        # type, then mask them out of the combine. Mean denominators use the
+        # masked weight mass, so pads are excluded (all-pad bag -> zero row
+        # via the clamped denominator).
+        valid = indices != pad_idx
+        safe = jnp.where(valid, indices, 0)
+        if indices.ndim == 1:
+            rows = lookup(table, safe, context)
+            return rows * valid[:, None].astype(rows.dtype)
+        w = valid.astype(jnp.float32)
+        if weights is not None:
+            w = w * jnp.asarray(weights).astype(jnp.float32)
+        return lookup(table, safe, context, combiner=combiner, weights=w)
     plain = combiner == "sum" and weights is None
     if isinstance(table, SimpleEmbedding):
         if plain:
@@ -161,13 +207,29 @@ def lookup(table, indices, context: "IndexingContext | None" = None, *,
     return _combine(rows, indices, combiner, weights)
 
 
-def effective_weights(indices: jax.Array, combiner: str, weights):
+def effective_weights(indices: jax.Array, combiner: str, weights,
+                      pad_idx: int | None = None):
     """Per-occurrence scale that folds the combiner into the lazy update, so
     downstream fused optimizers need no combiner knowledge: None for plain
-    sum bags / non-reducing lookups, else a `(B, bag)` float32 array."""
+    sum bags / non-reducing lookups, else a float32 array — `(B, bag)` for
+    bags, `(B,)` for padded non-reducing lookups.
+
+    With `pad_idx`, padded occurrences get weight 0 (no gradient; the mean
+    denominator counts only valid mass). The captured indices keep their
+    original values — zero-weight occurrences accumulate exact 0.0 through
+    every scatter/dedup path, so no update math changes."""
     if indices.ndim != 2:
+        if pad_idx is not None:
+            return (indices != pad_idx).astype(jnp.float32)
         return None
     b, bag = indices.shape
+    if pad_idx is not None:
+        mask = (indices != pad_idx).astype(jnp.float32)
+        w = mask if weights is None else mask * jnp.asarray(weights).astype(
+            jnp.float32)
+        if combiner == "mean":
+            return w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+        return w
     if combiner == "mean":
         if weights is not None:
             w = jnp.asarray(weights).astype(jnp.float32)
@@ -178,7 +240,8 @@ def effective_weights(indices: jax.Array, combiner: str, weights):
     return None
 
 
-def lookup_vjp(table, indices, *, combiner: str = "sum", weights=None
+def lookup_vjp(table, indices, *, combiner: str = "sum", weights=None,
+               pad_idx: int | None = None
                ) -> Tuple[jax.Array, Callable[[jax.Array], SparseEmbeddingUpdate]]:
     """Lookup plus the *lazy* pullback (reference `rrule(lookup, A, I)`,
     `src/sparseupdate.jl:35-40`).
@@ -186,13 +249,15 @@ def lookup_vjp(table, indices, *, combiner: str = "sum", weights=None
     The pullback captures `(delta, indices[, weights])` with NO scatter
     performed — the scatter happens later, fused into the optimizer step
     (`sparse_update.py`). The gradient w.r.t. `indices` is structurally zero
-    (reference `NoTangent`). Mean/weighted combiners fold into the update's
-    per-occurrence weights, so downstream fused optimizers need no combiner
-    knowledge.
+    (reference `NoTangent`). Mean/weighted combiners — and `pad_idx` padding
+    masks (padded occurrences carry weight 0, hence no gradient) — fold into
+    the update's per-occurrence weights, so downstream fused optimizers need
+    no combiner knowledge.
     """
     indices = jnp.asarray(indices)
-    out = lookup(table, indices, combiner=combiner, weights=weights)
-    eff = effective_weights(indices, combiner, weights)
+    out = lookup(table, indices, combiner=combiner, weights=weights,
+                 pad_idx=pad_idx)
+    eff = effective_weights(indices, combiner, weights, pad_idx)
 
     def pullback(delta: jax.Array) -> SparseEmbeddingUpdate:
         return SparseEmbeddingUpdate(delta=delta, indices=indices,
