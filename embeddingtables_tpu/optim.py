@@ -51,6 +51,15 @@ class SparseAdamState(NamedTuple):
     count: jax.Array
 
 
+class SparseFTRLState(NamedTuple):
+    """FTRL-Proximal state: per-coordinate `(vocab, dim)` f32 accumulated
+    adjusted gradient `z` and squared-gradient sum `n` (McMahan et al. 2013,
+    "Ad Click Prediction: a View from the Trenches", Alg. 1)."""
+
+    z: jax.Array
+    n: jax.Array
+
+
 def _occurrence_grads(upd: SparseEmbeddingUpdate, row_offset: int = 0):
     """Per-occurrence (rows, grad) streams; `row_offset` shifts local table
     rows into a stacked-ensemble global row space. Streaming-repeat bag
@@ -163,6 +172,86 @@ def adam_dense_body(data: jax.Array, m: jax.Array, v: jax.Array, t,
     if rounding_key is not None:
         out = jnp.where(touched, out, data)
     return out, new_m, new_v
+
+
+def ftrl_dense_body(data: jax.Array, z: jax.Array, n: jax.Array,
+                    rows: jax.Array, g: jax.Array, alpha, beta, l1, l2,
+                    clipnorm: Optional[float] = None, rounding_key=None):
+    """FTRL-Proximal dense-grad pass: returns (new_data, new_z, new_n).
+
+    Per touched row (per-coordinate math, McMahan et al. 2013 Alg. 1):
+
+        n' = n + g^2
+        z' = z + g - ((sqrt(n') - sqrt(n)) / alpha) * w
+        w' = 0                                   if |z'| <= l1
+             -(z' - sign(z') * l1) / ((beta + sqrt(n')) / alpha + l2)  else
+
+    The weight is a CLOSED FORM of (z, n), so dedup is mandatory (duplicate
+    occurrences must accumulate into g before the one state advance) and
+    untouched rows are exact fixed points. `rows` may carry OOB drop
+    sentinels. The l1 term yields exact zeros — FTRL's trained-sparsity
+    property, the reason it is the classic CTR optimizer."""
+    grad = _clip_rows(_dense_grad(data, rows, g), clipnorm)
+    touched = _touched(grad)[:, None]
+    w = data.astype(jnp.float32)
+    new_n = n + grad * grad
+    sigma = (jnp.sqrt(new_n) - jnp.sqrt(n)) / alpha
+    new_z = jnp.where(touched, z + grad - sigma * w, z)
+    new_n = jnp.where(touched, new_n, n)
+    denom = (beta + jnp.sqrt(new_n)) / alpha + l2
+    w_new = jnp.where(jnp.abs(new_z) > l1,
+                      -(new_z - jnp.sign(new_z) * l1) / denom, 0.0)
+    new_data = jnp.where(touched, w_new, w)
+    out = stochastic_cast(new_data, data.dtype, rounding_key)
+    out = jnp.where(touched, out, data)
+    return out, new_z, new_n
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseFTRL:
+    """FTRL-Proximal for embedding tables (beyond the reference) — the
+    classic sparse CTR optimizer (McMahan et al. 2013; TF `FtrlOptimizer`
+    semantics): per-coordinate adaptive learning rate plus l1/l2
+    regularization with EXACT zeros (trained sparsity).
+
+    lr is FTRL's alpha. State: two table-sized f32 buffers (z, n). The
+    weight is a closed form of the state, so `init(data)` solves for the z
+    that reproduces the initial table exactly (z0 = -w0 * ((beta +
+    sqrt(n0)) / alpha + l2) - sign(w0) * l1); without that, the first touch
+    of a row would snap its weights to the l1-shrunk origin. Lazy: only
+    rows with gradient this step advance (touched-row granularity; within a
+    touched row, zero-gradient coordinates recompute to their current value
+    exactly in f32 — for bf16 tables the recompute re-rounds, so use f32
+    tables with FTRL)."""
+
+    lr: float = 0.05          # FTRL alpha
+    beta: float = 1.0
+    l1: float = 0.0
+    l2: float = 0.0
+    initial_accum: float = 0.0  # n0
+    clipnorm: Optional[float] = None
+    stochastic_rounding: bool = False
+
+    def init(self, data: jax.Array) -> SparseFTRLState:
+        w0 = data.astype(jnp.float32)
+        n0 = jnp.full(data.shape, self.initial_accum, jnp.float32)
+        denom = (self.beta + jnp.sqrt(n0)) / self.lr + self.l2
+        z0 = jnp.where(w0 != 0.0,
+                       -w0 * denom - jnp.sign(w0) * self.l1, 0.0)
+        return SparseFTRLState(z=z0, n=n0)
+
+    def apply(self, data: jax.Array, upd: SparseEmbeddingUpdate,
+              state: SparseFTRLState, *, row_offset: int = 0, lr=None,
+              key=None):
+        lr = self.lr if lr is None else lr
+        if self.stochastic_rounding and key is None:
+            raise ValueError("stochastic_rounding=True needs apply(key=...)")
+        rows, g = _occurrence_grads(upd, row_offset)
+        out, new_z, new_n = ftrl_dense_body(
+            data, state.z, state.n, rows, g, lr, self.beta, self.l1,
+            self.l2, self.clipnorm,
+            rounding_key=key if self.stochastic_rounding else None)
+        return out, SparseFTRLState(z=new_z, n=new_n)
 
 
 @dataclasses.dataclass(frozen=True)
