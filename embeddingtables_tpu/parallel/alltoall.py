@@ -33,7 +33,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.sparse_update import SparseEmbeddingUpdate
 from ..types import cdiv
-from .sharded import ShardedStackedTables, _axes_tuple
+from .sharded import ShardedStackedTables, _axes_tuple, _fold_combiner
 
 
 def suggest_capacity_factor(current: float, overflow_fraction: float,
@@ -101,27 +101,36 @@ class CapacityAutoTuner:
         return new
 
 
-def _bucket_by_owner(flat: jax.Array, n: int, cap: int):
+def _bucket_by_owner(flat: jax.Array, n: int, cap: int, valid=None):
     """Route a local occurrence stream into per-owner buckets.
 
-    flat: (m,) global row ids. Returns:
+    flat: (m,) global row ids. valid: optional (m,) bool — False entries
+    (padding sentinels) are dropped WITHOUT consuming capacity ranks and
+    WITHOUT counting as overflow (they are intentional absences, not
+    capacity losses). Returns:
       send_slot: (n, cap) LOCAL row ids on the owner (row // n), sentinel -1;
       send_pos:  (n, cap) position in the local stream, sentinel -1;
       overflow:  () int32 count of occurrences dropped (rank >= cap).
     """
     m = flat.shape[0]
     owner = (flat % n).astype(jnp.int32)
+    if valid is not None:
+        owner = jnp.where(valid, owner, n)  # pads sort into a trailing bucket
     # Rank of each occurrence within its owner bucket (stable by position):
     # sort by owner, positions within equal owners stay ascending.
     order = jnp.argsort(owner, stable=True)
     sowner = owner[order]
-    start = jnp.full((n,), m, jnp.int32).at[sowner].min(
+    start = jnp.full((n + 1,), m, jnp.int32).at[sowner].min(
         jnp.arange(m, dtype=jnp.int32))
     rank_sorted = jnp.arange(m, dtype=jnp.int32) - start[sowner]
     rank = jnp.zeros((m,), jnp.int32).at[order].set(rank_sorted)
 
     ok = rank < cap
-    overflow = (~ok).sum().astype(jnp.int32)
+    if valid is not None:
+        ok = ok & valid
+        overflow = (~ok & valid).sum().astype(jnp.int32)
+    else:
+        overflow = (~ok).sum().astype(jnp.int32)
     dest = jnp.where(ok, owner * cap + rank, n * cap)  # OOB -> dropped
     send_slot = jnp.full((n * cap,), -1, jnp.int32).at[dest].set(
         (flat // n).astype(jnp.int32), mode="drop").reshape(n, cap)
@@ -132,7 +141,8 @@ def _bucket_by_owner(flat: jax.Array, n: int, cap: int):
 
 def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
                        *, capacity_factor: float = 2.0,
-                       reducing: bool | None = None
+                       reducing: bool | None = None, combiner: str = "sum",
+                       weights=None, pad_idx: int | None = None
                        ) -> Tuple[jax.Array, jax.Array]:
     """Butterfly lookup on a mod-row-sharded (stacked) table.
 
@@ -143,6 +153,15 @@ def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
     reducing: override bag detection — pass False for 2-D index streams that
     are NOT bags (e.g. an ensemble's `(B, T)` layout, which then returns
     `(B, T, D)`).
+
+    combiner / weights `(B, bag)` / pad_idx: the single-chip `lookup`
+    contract on the butterfly. Pads never enter the exchange — they are
+    dropped at the routing stage (no capacity rank consumed, not counted as
+    overflow) and their stream positions stay zero rows; mean weights
+    pre-normalize per example (mass = valid weights only), applied to the
+    reassembled rows before the bag sum. `pad_idx` here is a GLOBAL stacked
+    sentinel (e.g. -1 or st.vocab) — shift per-table indices first, keeping
+    the sentinel unshifted.
 
     2-D meshes (`axis=("data", "model")`): the batch is sharded over `data`
     (replicated across `model`); each model column routes a 1/n_model slice
@@ -157,8 +176,16 @@ def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
         reducing = idx.ndim == 2
     dim = st.dim
     n_model = 1 if len(axes) == 1 else mesh.shape[axes[1]]
+    # The scale folds mean normalization / bag weights / (for the masked
+    # combiners) pad exclusion. Plain sum with pads needs NO scale: the
+    # routing drop already zeroes pad positions.
+    scale = None
+    if weights is not None or combiner != "sum":
+        if combiner == "mean" and not reducing:
+            raise ValueError("combiner='mean' requires bag indices")
+        _, scale = _fold_combiner(idx, combiner, weights, pad_idx)
 
-    def body(shard, lidx):
+    def body(shard, lidx, *lscale):
         flat = lidx.reshape(-1)
         m_all = flat.shape[0]
         if n_model > 1:
@@ -173,7 +200,9 @@ def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
             sub = m_all
             flat_part = flat
         cap = max(1, int(-(-cdiv(sub, n) * capacity_factor // 1)))
-        send_slot, send_pos, overflow = _bucket_by_owner(flat_part, n, cap)
+        valid = None if pad_idx is None else (flat_part != pad_idx)
+        send_slot, send_pos, overflow = _bucket_by_owner(flat_part, n, cap,
+                                                         valid)
 
         # 2. all_to_all the index buckets over the flattened owner axes.
         recv_slot = jax.lax.all_to_all(send_slot, axes, split_axis=0,
@@ -198,23 +227,28 @@ def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
         else:
             out = part
         out = out.reshape(lidx.shape + (dim,))
+        if lscale:
+            out = out * lscale[0][..., None].astype(out.dtype)
         if reducing:
             out = out.sum(axis=1)
         return out, overflow.reshape(1)
 
     idx_spec = P(axis0)
+    operands = (st.data, idx) + (() if scale is None else (scale,))
+    in_specs = (P(axes), idx_spec) + (() if scale is None else (idx_spec,))
     out, ovf = jax.shard_map(
-        body, mesh=mesh, in_specs=(P(axes), idx_spec),
+        body, mesh=mesh, in_specs=in_specs,
         out_specs=(idx_spec, P(axis0)),
         check_vma=False,   # model-column reassembly is replicated by
                            # construction (all_gather), unprovable statically
-    )(st.data, idx)
+    )(*operands)
     return out, jnp.sum(ovf)
 
 
 def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
                                accum: jax.Array, upd: SparseEmbeddingUpdate,
-                               opt, *, capacity_factor: float = 2.0):
+                               opt, *, capacity_factor: float = 2.0,
+                               pad_idx: int | None = None):
     """Butterfly row-wise-AdaGrad update: route occurrences to their owners,
     then each owner dedups its received stream into a shard-sized dense
     gradient (sort-free; docs/DESIGN.md §1e) and advances every owned row
@@ -223,6 +257,8 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
     Returns (new_tables, new_accum, overflow).
 
     accum: `(n_shards, rows_local)` f32, sharded like the table rows.
+    pad_idx: global padding sentinel in `upd.indices` (kept UNSHIFTED) —
+    pad occurrences drop at routing, consuming no capacity.
     """
     axes = _axes_tuple(st.axis)
     axis0 = axes[0]
@@ -242,7 +278,8 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         vals = vals * lw.reshape(-1)[:, None]
         flat, vals, sub = _column_slice(flat, vals, n_model, axes)
         cap = max(1, int(-(-cdiv(sub, n) * capacity_factor // 1)))
-        send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap)
+        valid = None if pad_idx is None else (flat != pad_idx)
+        send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap, valid)
 
         safe_pos = jnp.maximum(send_pos.reshape(-1), 0)
         staged = jnp.take(vals, safe_pos, axis=0)
@@ -294,7 +331,7 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
                            upd: SparseEmbeddingUpdate, lr, *,
                            capacity_factor: float = 2.0,
                            weight_decay: float = 0.0,
-                           clipnorm=None
+                           clipnorm=None, pad_idx: int | None = None
                            ) -> Tuple[ShardedStackedTables, jax.Array]:
     """Butterfly sparse-SGD update: route (row, delta) occurrences to their
     owner shards via all_to_all; owners scatter-add locally. ICI volume
@@ -303,6 +340,8 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
     Returns (new_tables, overflow). Occurrences beyond capacity are dropped
     (gradient lost) and counted. 2-D meshes: each model column routes its
     disjoint share of the stream (every occurrence routed exactly once).
+    pad_idx: global padding sentinel in `upd.indices` (kept UNSHIFTED) —
+    pad occurrences drop at routing, consuming no capacity.
     """
     axes = _axes_tuple(st.axis)
     axis0 = axes[0]
@@ -322,7 +361,8 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         vals = vals * lw.reshape(-1)[:, None]
         flat, vals, sub = _column_slice(flat, vals, n_model, axes)
         cap = max(1, int(-(-cdiv(sub, n) * capacity_factor // 1)))
-        send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap)
+        valid = None if pad_idx is None else (flat != pad_idx)
+        send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap, valid)
 
         # Stage the value rows bucket-shaped (dropped slots carry zeros so
         # they are harmless adds to row 0 guard below).

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.ensemble import StackedTables, normalize_indices
+from ..ops.ensemble import StackedTables, normalize_indices, normalize_weights
 from ..ops.sparse_update import SparseEmbeddingUpdate
 from ..tables import SimpleEmbedding, as_table
 from ..types import cdiv
@@ -176,14 +176,48 @@ def _local_gather(shard: jax.Array, flat_gidx: jax.Array, me, n: int):
     return jnp.where(mine[:, None], rows, jnp.zeros_like(rows))
 
 
+def _fold_combiner(idx: jax.Array, combiner: str, weights, pad_idx):
+    """Normalize (combiner, weights, pad_idx) into (safe_idx, scale) where
+    `scale` is a per-occurrence f32 multiplier (or None for plain sum) such
+    that a weighted SUM with `scale` realizes the requested semantics —
+    the single-chip `lookup` contract (ops/lookup.py) expressed in the form
+    the sharded exchange wants. Pads are remapped to row 0 (every remap
+    carries scale 0, so no device's contribution survives); mean weights
+    are pre-normalized per example so the exchange stays a pure sum."""
+    if combiner not in ("sum", "mean"):
+        raise ValueError(f"combiner must be 'sum' or 'mean', got {combiner!r}")
+    scale = None if weights is None else jnp.asarray(weights).astype(jnp.float32)
+    if pad_idx is not None:
+        valid = (idx != pad_idx).astype(jnp.float32)
+        idx = jnp.where(idx != pad_idx, idx, 0)
+        scale = valid if scale is None else scale * valid
+    if combiner == "mean":
+        if idx.ndim < 2:
+            raise ValueError("combiner='mean' requires bag indices")
+        if scale is None:
+            scale = jnp.full(idx.shape, 1.0 / idx.shape[-1], jnp.float32)
+        else:
+            scale = scale / jnp.maximum(scale.sum(axis=-1, keepdims=True),
+                                        1e-12)
+    return idx, scale
+
+
 def sharded_lookup(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
-                   *, batch_sharded: bool = True) -> jax.Array:
+                   *, batch_sharded: bool = True, combiner: str = "sum",
+                   weights=None, pad_idx: int | None = None) -> jax.Array:
     """Lookup on a sharded (stacked) table.
 
     idx: `(B,)` or `(B, bag)` *global stacked* row ids, sharded along the
     batch over the first table axis (the data axis) when `batch_sharded`
     (the DLRM configuration) or replicated otherwise. Returns `(B, dim)`
     batch-sharded the same way.
+
+    combiner / weights `(B, bag)` / pad_idx: the single-chip `lookup`
+    contract on the mesh — mean weights pre-normalize per example and pads
+    fold in as zero-scale occurrences, so the exchange itself stays ONE
+    weighted-sum gather (no extra collectives). With pad_idx, `idx` must
+    carry the sentinel pre-shift (a shifted pad would not match); the
+    ensemble entry below handles that ordering.
 
     Multi-axis tables (2-D mesh): rows are owned over the flattened axes;
     indices all-gather over the data axis only, partial embeddings
@@ -193,14 +227,19 @@ def sharded_lookup(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
     baxis = axes[0]
     n = st.n_shards
     reducing = idx.ndim == 2
+    idx, scale = _fold_combiner(idx, combiner, weights, pad_idx)
 
-    def body(shard, lidx):
+    def body(shard, lidx, *lscale):
         # shard: (1, rows, dim) local; lidx: local batch slice of indices.
         gidx = jax.lax.all_gather(lidx, baxis, tiled=True) if batch_sharded else lidx
         flat = gidx.reshape(-1)
         me = _flat_axis_index(axes)
         part = _local_gather(shard[0], flat, me, n)
         part = part.reshape(gidx.shape + (st.dim,))
+        if lscale:
+            gs = (jax.lax.all_gather(lscale[0], baxis, tiled=True)
+                  if batch_sharded else lscale[0])
+            part = part * gs[..., None].astype(part.dtype)
         if reducing:
             part = part.sum(axis=1)
         if batch_sharded:
@@ -213,20 +252,39 @@ def sharded_lookup(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
 
     idx_spec = P(baxis) if batch_sharded else P()
     out_spec = P(baxis) if batch_sharded else P()
-    return jax.shard_map(body, mesh=mesh,
-                         in_specs=(P(axes), idx_spec),
-                         out_specs=out_spec)(st.data, idx)
+    operands = (st.data, idx) + (() if scale is None else (scale,))
+    in_specs = (P(axes), idx_spec) + (() if scale is None else (idx_spec,))
+    return jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_spec)(*operands)
 
 
 def sharded_ensemble_lookup(mesh: Mesh, st: ShardedStackedTables,
                             indices, *, batch_sharded: bool = True,
                             fused: bool = False, prependrows: int = 0,
-                            stacked: bool = False):
+                            stacked: bool = False, combiner: str = "sum",
+                            weights=None, pad_idx: int | None = None):
     """Ensemble lookup over the sharded stack: per-table local indices are
     shifted by the static stacked offsets, all T tables are looked up in ONE
     exchange, and results return per-table (or fused concat, the
-    PreallocationStrategy analog)."""
+    PreallocationStrategy analog).
+
+    combiner / weights (per-table containers, `normalize_weights`) / pad_idx
+    match the single-chip `maplookup` contract: pads are detected on the
+    LOCAL indices before the offset shift and fold in as zero-scale
+    occurrences; mean pre-normalizes per (table, example), so the exchange
+    stays the same single weighted-sum gather."""
     idx_list = normalize_indices(indices, st.ntables)
+    scale = None
+    if weights is not None or pad_idx is not None or combiner != "sum":
+        w_list = normalize_weights(weights, st.ntables)
+        folded = [_fold_combiner(jnp.asarray(i), combiner, wt, pad_idx)
+                  for i, wt in zip(idx_list, w_list)]
+        idx_list = [f[0] for f in folded]
+        scales = [f[1] for f in folded]
+        if any(s is not None for s in scales):
+            scale = jnp.stack([s if s is not None
+                               else jnp.ones(jnp.asarray(i).shape, jnp.float32)
+                               for s, i in zip(scales, idx_list)])
     shifted = jnp.stack([i + st.offsets[t] for t, i in enumerate(idx_list)])
     b = shifted.shape[1]
     # The (T, B) layout is kept (sharded on dim 1) — a flattened (T*B) view
@@ -236,13 +294,17 @@ def sharded_ensemble_lookup(mesh: Mesh, st: ShardedStackedTables,
     n = st.n_shards
     reducing = shifted.ndim == 3
 
-    def body(shard, lidx):
+    def body(shard, lidx, *lscale):
         # lidx: (T, B/n[, bag]) local
         gidx = (jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
                 if batch_sharded else lidx)
         me = _flat_axis_index(axes)
         part = _local_gather(shard[0], gidx.reshape(-1), me, n)
         part = part.reshape(gidx.shape + (st.dim,))
+        if lscale:
+            gs = (jax.lax.all_gather(lscale[0], baxis, axis=1, tiled=True)
+                  if batch_sharded else lscale[0])
+            part = part * gs[..., None].astype(part.dtype)
         if reducing:
             part = part.sum(axis=2)  # (T, B, dim)
         if batch_sharded:
@@ -254,8 +316,10 @@ def sharded_ensemble_lookup(mesh: Mesh, st: ShardedStackedTables,
         return jax.lax.psum(part, axes)
 
     spec = P(None, baxis) if batch_sharded else P()
-    out = jax.shard_map(body, mesh=mesh, in_specs=(P(axes), spec),
-                        out_specs=spec)(st.data, shifted)
+    operands = (st.data, shifted) + (() if scale is None else (scale,))
+    in_specs = (P(axes), spec) + (() if scale is None else (spec,))
+    out = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                        out_specs=spec)(*operands)
     # out: (T, B, dim) batch-sharded on dim 1.
     if stacked:
         return out
