@@ -510,3 +510,73 @@ def unshard_adam_state(st: ShardedStackedTables, m, v, count):
         return x.transpose(1, 0, 2).reshape(n * rows, dim)[:st.vocab]
 
     return SparseAdamState(m=un(m), v=un(v), count=jnp.asarray(count))
+
+
+# ---------------------------------------------------------------------------
+# Sharded FTRL-Proximal: per-coordinate (z, n) state on the mesh
+# ---------------------------------------------------------------------------
+
+def init_sharded_ftrl_state(mesh: Mesh, st: ShardedStackedTables, opt):
+    """(z, n) for a sharded stack, mod-row-sharded like the table. The z
+    init solves for the current weights (the `SparseFTRL.init` contract) —
+    computed per shard under jit, so no full-table buffer materializes."""
+    axes = st.axes
+
+    def gen(data):
+        n0 = jnp.full(data.shape, opt.initial_accum, jnp.float32)
+        w0 = data.astype(jnp.float32)
+        denom = (opt.beta + jnp.sqrt(n0)) / opt.lr + opt.l2
+        z0 = jnp.where(w0 != 0.0, -w0 * denom - jnp.sign(w0) * opt.l1, 0.0)
+        return z0, n0
+    sharding = NamedSharding(mesh, P(axes))
+    return jax.jit(gen, out_shardings=(sharding, sharding))(st.data)
+
+
+def sharded_ftrl_apply(mesh: Mesh, st: ShardedStackedTables, z, n_state,
+                       shifted_idx: jax.Array, delta_t: jax.Array, opt, *,
+                       batch_sharded: bool = True):
+    """FTRL-Proximal on the sharded stack: ONE exchange (all-gather of the
+    occurrence stream), then each shard advances the (z, n) state and rows
+    it owns through the shared `optim.ftrl_dense_body` — matching the
+    single-chip `SparseFTRL.apply` per owned row.
+
+    shifted_idx: (T, B[, bag]) stacked global rows (weights, if any, must
+    already be folded into delta_t's occurrence stream — or pass the raw
+    per-table lazy updates through `sharded_ensemble_update`-style stacking
+    with `upd.weights` pre-multiplied). Returns (new_st, new_z, new_n).
+    """
+    from ..optim import ftrl_dense_body
+    axes = st.axes
+    baxis = axes[0]
+    n = st.n_shards
+    dim = st.dim
+
+    def body(shard, lz, ln, lidx, ldelta):
+        if batch_sharded:
+            gidx = jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
+            gdelta = jax.lax.all_gather(ldelta, baxis, axis=1, tiled=True)
+        else:
+            gidx, gdelta = lidx, ldelta
+        flat_idx = gidx.reshape((-1,) + gidx.shape[2:])
+        g = gdelta.reshape(-1, dim).astype(jnp.float32)
+        if flat_idx.ndim == 2:
+            rows = flat_idx.reshape(-1).astype(jnp.int32)
+            g = jnp.repeat(g, flat_idx.shape[1], axis=0)
+        else:
+            rows = flat_idx.astype(jnp.int32)
+        me = _flat_axis_index(axes)
+        mine = (rows % n) == me
+        rows_local = shard.shape[1]
+        lrow = jnp.where(mine, rows // n, rows_local)   # OOB -> drop
+        new_data, new_z, new_n = ftrl_dense_body(
+            shard[0], lz[0], ln[0], lrow, g, opt.lr, opt.beta, opt.l1,
+            opt.l2, opt.clipnorm)
+        return new_data[None], new_z[None], new_n[None]
+
+    spec = P(None, baxis) if batch_sharded else P()
+    new_data, new_z, new_n = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes), P(axes), P(axes), spec, spec),
+        out_specs=(P(axes), P(axes), P(axes)))(
+            st.data, z, n_state, shifted_idx, delta_t)
+    return dataclasses.replace(st, data=new_data), new_z, new_n

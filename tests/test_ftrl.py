@@ -146,6 +146,53 @@ def test_bag_update_with_pad_and_weights():
     np.testing.assert_allclose(np.asarray(new), ref.w, atol=1e-4)
 
 
+@pytest.mark.parametrize("bag", [None, 3])
+@pytest.mark.parametrize("l1,l2", [(0.0, 0.0), (0.02, 0.1)])
+def test_sharded_ftrl_matches_single_chip(bag, l1, l2):
+    """Mesh FTRL (shared ftrl_dense_body per owned shard) bit-matches the
+    single-chip SparseFTRL over multiple steps, incl. the weight-preserving
+    z init realized per shard."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from embeddingtables_tpu.ops.ensemble import StackedTables
+    from embeddingtables_tpu.parallel.sharded import (ShardedStackedTables,
+                                                      init_sharded_ftrl_state,
+                                                      sharded_ftrl_apply)
+    from embeddingtables_tpu.tables import SimpleEmbedding
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    rng = np.random.default_rng(hash((bag, l1, l2)) % 2**31)
+    vocabs = (60, 90)
+    dim = 8
+    arrs = [jnp.asarray(rng.normal(size=(v, dim)).astype(np.float32) * 0.1)
+            for v in vocabs]
+    stacked = StackedTables.stack([SimpleEmbedding(a) for a in arrs])
+    opt = SparseFTRL(lr=0.1, l1=l1, l2=l2)
+
+    st = ShardedStackedTables.shard(mesh, "data", stacked)
+    z, n = init_sharded_ftrl_state(mesh, st, opt)
+    state1 = opt.init(stacked.data)
+
+    b = 32
+    shape = (b,) if bag is None else (b, bag)
+    data1 = stacked.data
+    sd = NamedSharding(mesh, P(None, "data"))
+    for it in range(3):
+        idx = [rng.integers(0, vv, shape).astype(np.int32) for vv in vocabs]
+        delta = rng.normal(size=(2, b, dim)).astype(np.float32)
+        shifted = jnp.stack([jnp.asarray(idx[t]) + stacked.offsets[t]
+                             for t in range(2)])
+        flat_idx = shifted.reshape((-1,) + shifted.shape[2:])
+        upd = SparseEmbeddingUpdate(
+            delta=jnp.asarray(delta).reshape(-1, dim), indices=flat_idx)
+        data1, state1 = opt.apply(data1, upd, state1)
+        st, z, n = sharded_ftrl_apply(
+            mesh, st, z, n, jax.device_put(shifted, sd),
+            jax.device_put(jnp.asarray(delta), sd), opt)
+        np.testing.assert_allclose(np.asarray(st.unshard()),
+                                   np.asarray(data1), rtol=2e-5, atol=1e-6,
+                                   err_msg=f"step {it}")
+
+
 def test_training_loop_converges():
     # Fit a tiny regression: embedding rows -> fixed targets.
     rng = np.random.default_rng(6)
