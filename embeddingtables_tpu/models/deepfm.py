@@ -1,0 +1,252 @@
+"""DeepFM: third CTR model family on the engine.
+
+Guo et al., "DeepFM: A Factorization-Machine based Neural Network for CTR
+Prediction" (IJCAI 2017) — FM + deep tower sharing ONE set of field
+embeddings. Like DLRM/DCN-v2, the model sits on the same embedding-table
+kernel layer the reference provides (`README.md:174-176` in
+/root/reference); what differs is the interaction:
+
+    logit = <w, x>                      (FM first order: one weight/category)
+          + Σ_{i<j} <v_i, v_j>          (FM second order over field vectors)
+          + MLP([v_1; ...; v_T; dense]) (deep component)
+
+TPU-first realization:
+  - Field vectors v: the same ONE-gather `StackedTables` ensemble as
+    DLRM/DCN (dim D).
+  - First-order weights: a SECOND stacked ensemble of dim 1 over the same
+    vocabularies — a second one-row gather, updated with the same lazy
+    `(delta, indices)` discipline (never a (ΣV, 1) dense gradient).
+  - Second order via the sum-square identity
+        Σ_{i<j} <v_i, v_j> = 0.5 · Σ_d [(Σ_i v_id)² - Σ_i v_id²]
+    — O(T·D) elementwise/VPU work, no pairwise materialization (the
+    (T², D) expansion DLRM's dot_interaction builds is exactly what FM's
+    algebra avoids).
+  - Deep tower: plain MXU matmuls on the flattened embeddings + dense.
+
+Training differentiates the loss w.r.t. BOTH looked-up activation sets;
+each stacked ensemble gets its own lazy update + sparse-optimizer state.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.ensemble import StackedTables
+from ..ops.sparse_update import SparseEmbeddingUpdate
+from ..optim import SparseSGD
+from .dlrm import _init_mlp, _mlp, bce_loss, embedding_forward
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepFMConfig:
+    vocab_sizes: Tuple[int, ...]
+    num_dense: int = 13
+    dim: int = 128                       # FM embedding size
+    deep_mlp: Tuple[int, ...] = (400, 400)
+    use_fm: bool = True                  # ablations: FM-only / deep-only
+    use_deep: bool = True
+    bag: Optional[int] = None
+    combiner: str = "sum"
+    param_dtype: jnp.dtype = jnp.float32
+    compute_dtype: jnp.dtype = jnp.bfloat16
+
+    def __post_init__(self):
+        if self.combiner not in ("sum", "mean"):
+            raise ValueError(self.combiner)
+        if not (self.use_fm or self.use_deep):
+            raise ValueError("at least one of use_fm/use_deep must be on")
+
+    @property
+    def num_tables(self) -> int:
+        return len(self.vocab_sizes)
+
+    @property
+    def deep_features(self) -> int:
+        return self.num_tables * self.dim + self.num_dense
+
+
+def deepfm_small_config(vocab: int = 100_000, **kw) -> DeepFMConfig:
+    """Criteo-Kaggle-shaped small config (26 tables)."""
+    kw.setdefault("vocab_sizes", tuple([vocab] * 26))
+    return DeepFMConfig(**kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeepFM:
+    """Parameter pytree: deep tower + dense-feature linear term + the two
+    stacked ensembles (D-dim FM vectors, 1-dim first-order weights) with
+    their sparse-optimizer states."""
+
+    deep: list               # [(W, b), ...] tower
+    head: tuple              # (W, b): deep output -> 1 logit contribution
+    dense_w: jax.Array       # (num_dense,) first-order dense weights
+    bias: jax.Array          # () global bias
+    tables: StackedTables    # FM vectors, dim D
+    fm_w: StackedTables      # first-order weights, dim 1
+    emb_state: object
+    fm_state: object
+    config: DeepFMConfig = dataclasses.field(metadata=dict(static=True))
+    dense_opt_state: object = None
+
+
+def _stack_offsets(vocab_sizes):
+    offs, acc = [0], 0
+    for v in vocab_sizes:
+        acc += v
+        offs.append(acc)
+    return tuple(offs), acc
+
+
+def init_deepfm(key: jax.Array, cfg: DeepFMConfig,
+                sparse_opt=None, dense_tx=None) -> DeepFM:
+    kd, kh, ke, kw = jax.random.split(key, 4)
+    deep = _init_mlp(kd, (cfg.deep_features,) + cfg.deep_mlp,
+                     cfg.param_dtype)
+    head = _init_mlp(kh, (cfg.deep_mlp[-1], 1), cfg.param_dtype)[0]
+    offs, total_v = _stack_offsets(cfg.vocab_sizes)
+    data = (jax.random.uniform(ke, (total_v, cfg.dim), minval=-1.0,
+                               maxval=1.0)
+            / jnp.sqrt(float(cfg.dim))).astype(cfg.param_dtype)
+    tables = StackedTables(data=data, offsets=offs, dim=cfg.dim)
+    # First-order weights start at zero (the standard FM linear-term init;
+    # the global bias learns the base rate).
+    fm_w = StackedTables(data=jnp.zeros((total_v, 1), cfg.param_dtype),
+                         offsets=offs, dim=1)
+    sparse_opt = sparse_opt or SparseSGD()
+    dense_params = (deep, head, jnp.zeros((cfg.num_dense,), cfg.param_dtype),
+                    jnp.zeros((), cfg.param_dtype))
+    dense_state = dense_tx.init(dense_params) if dense_tx is not None else None
+    return DeepFM(deep=deep, head=head, dense_w=dense_params[2],
+                  bias=dense_params[3], tables=tables, fm_w=fm_w,
+                  emb_state=sparse_opt.init(data),
+                  fm_state=sparse_opt.init(fm_w.data), config=cfg,
+                  dense_opt_state=dense_state)
+
+
+def fm_second_order(emb_t: jax.Array) -> jax.Array:
+    """Σ_{i<j} <v_i, v_j> per example via the sum-square identity.
+    emb_t: (T, B, D) -> (B,). O(T·D), no pairwise expansion."""
+    s = emb_t.sum(axis=0)                 # (B, D): Σ_i v_i
+    sq = jnp.square(emb_t).sum(axis=0)    # (B, D): Σ_i v_i²
+    return 0.5 * (jnp.square(s) - sq).sum(axis=-1)
+
+
+def forward_from_embeddings(dense_params, cfg: DeepFMConfig,
+                            dense: jax.Array, emb_t: jax.Array,
+                            w_t: jax.Array) -> jax.Array:
+    """Forward given looked-up activations — `emb_t` (T, B, D) FM vectors
+    and `w_t` (T, B, 1) first-order weights — split out so training can
+    differentiate w.r.t. both (the lazy-gradient boundary)."""
+    deep, head, dense_w, bias = dense_params
+    cd = cfg.compute_dtype
+    b = emb_t.shape[1]
+    logit = jnp.broadcast_to(bias.astype(jnp.float32), (b,))
+    # First order + dense linear term (f32: scalar accumulations are cheap
+    # and the logit sum should not round in bf16).
+    logit = logit + w_t[..., 0].astype(jnp.float32).sum(axis=0)
+    logit = logit + dense.astype(jnp.float32) @ dense_w.astype(jnp.float32)
+    if cfg.use_fm:
+        logit = logit + fm_second_order(emb_t.astype(jnp.float32))
+    if cfg.use_deep:
+        flat = jnp.transpose(emb_t, (1, 0, 2)).reshape(b, -1)
+        x = jnp.concatenate([flat.astype(cd), dense.astype(cd)], axis=-1)
+        hw, hb = head
+        out = _mlp(deep, x, cd) @ hw.astype(cd) + hb.astype(cd)
+        logit = logit + out[:, 0].astype(jnp.float32)
+    return logit
+
+
+def _fm_weight_forward(fm_w: StackedTables, cat: jax.Array,
+                       combiner: str) -> jax.Array:
+    """(T, B, 1) first-order weight lookup (same one-gather ensemble path)."""
+    return embedding_forward(fm_w, cat, combiner)
+
+
+def deepfm_forward(model: DeepFM, dense: jax.Array, cat: jax.Array
+                   ) -> jax.Array:
+    cfg = model.config
+    emb_t = embedding_forward(model.tables, cat, cfg.combiner)
+    w_t = _fm_weight_forward(model.fm_w, cat, cfg.combiner)
+    return forward_from_embeddings(
+        (model.deep, model.head, model.dense_w, model.bias), cfg, dense,
+        emb_t, w_t)
+
+
+def _lazy_update(tables: StackedTables, cat: jax.Array, delta_t: jax.Array,
+                 dim: int, combiner: str) -> SparseEmbeddingUpdate:
+    """(T, B[, bag]) ids + (T, B, dim) deltas -> one stacked lazy update."""
+    t = tables.ntables
+    g = tables.shift_indices([cat[i] for i in range(t)])
+    flat_idx = g.reshape((-1,) + g.shape[2:])
+    flat_delta = delta_t.reshape(-1, dim).astype(jnp.float32)
+    w = (jnp.full(flat_idx.shape, 1.0 / flat_idx.shape[1], jnp.float32)
+         if (combiner == "mean" and flat_idx.ndim == 2) else None)
+    return SparseEmbeddingUpdate(delta=flat_delta, indices=flat_idx,
+                                 weights=w)
+
+
+def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
+                    dense_lr: float = 0.01, jit: bool = True,
+                    dense_tx=None):
+    """Fused single-chip train step, same lazy-sparse discipline as the
+    DLRM/DCN steps: the loss is differentiated w.r.t. BOTH looked-up
+    activation sets, each becoming a lazy `(delta, indices)` update on its
+    stacked ensemble (FM vectors and first-order weights share indices but
+    carry independent states). Returns
+    `step(model, dense, cat, label) -> (model, loss)`."""
+    sparse_opt = sparse_opt or SparseSGD()
+
+    def step(model: DeepFM, dense, cat, label):
+        emb_t = embedding_forward(model.tables, cat, cfg.combiner)
+        w_t = _fm_weight_forward(model.fm_w, cat, cfg.combiner)
+
+        def loss_fn(dense_params, emb_act, w_act):
+            logits = forward_from_embeddings(dense_params, cfg, dense,
+                                             emb_act, w_act)
+            return bce_loss(logits, label)
+
+        params = (model.deep, model.head, model.dense_w, model.bias)
+        loss, (dense_grads, delta_emb, delta_w) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2))(params, emb_t, w_t)
+
+        if dense_tx is not None:
+            updates, new_dense_state = dense_tx.update(
+                dense_grads, model.dense_opt_state, params)
+            new_deep, new_head, new_dw, new_bias = jax.tree.map(
+                lambda p, u: (p + u).astype(p.dtype), params, updates)
+        else:
+            new_dense_state = model.dense_opt_state
+            new_deep, new_head, new_dw, new_bias = jax.tree.map(
+                lambda p, g: (p - dense_lr * g).astype(p.dtype),
+                params, dense_grads)
+
+        upd_e = _lazy_update(model.tables, cat, delta_emb, cfg.dim,
+                             cfg.combiner)
+        upd_w = _lazy_update(model.fm_w, cat, delta_w, 1, cfg.combiner)
+        new_data, new_estate = sparse_opt.apply(model.tables.data, upd_e,
+                                                model.emb_state)
+        new_wdata, new_wstate = sparse_opt.apply(model.fm_w.data, upd_w,
+                                                 model.fm_state)
+        new_model = DeepFM(
+            deep=new_deep, head=new_head, dense_w=new_dw, bias=new_bias,
+            tables=dataclasses.replace(model.tables, data=new_data),
+            fm_w=dataclasses.replace(model.fm_w, data=new_wdata),
+            emb_state=new_estate, fm_state=new_wstate, config=cfg,
+            dense_opt_state=new_dense_state)
+        return new_model, loss
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_eval_step(cfg: DeepFMConfig, jit: bool = True):
+    def step(model: DeepFM, dense, cat):
+        return deepfm_forward(model, dense, cat)
+    if jit:
+        step = jax.jit(step)
+    return step
