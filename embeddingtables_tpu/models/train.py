@@ -456,6 +456,117 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                        evicted_rows=evicted_total)
 
 
+def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
+                 dense_lr: float = 0.01, model=None, seed: int = 0,
+                 eval_batches: Optional[list] = None, eval_every: int = 0,
+                 ckpt_manager=None, ckpt_every: int = 0,
+                 log_every: int = 100, guard=None, device_prefetch: int = 0,
+                 evict_every: int = 0, evict_threshold: float = 1e-3,
+                 freq_decay: float = 0.99, eval_metrics: bool = False,
+                 verbose: bool = True) -> TrainResult:
+    """Train a DeepFM (`models/deepfm.py`) on the same batch layout as
+    `train_dlrm` (dicts with dense/cat/label). Single-chip fused step; the
+    same telemetry/eval/checkpoint/guard cadence as the DLRM/DCN loops.
+
+    Row eviction covers BOTH stacked ensembles: a stale row loses its FM
+    vector, its first-order weight, and both optimizer states.
+    """
+    import dataclasses as _dc
+    from .deepfm import (init_deepfm, make_eval_step as make_fm_eval,
+                         make_train_step as make_fm_step)
+    tel = _telemetry.get_telemetry()
+    if model is None:
+        with tel.phase("init"):
+            model = init_deepfm(jax.random.key(seed), cfg,
+                                sparse_opt=sparse_opt)
+    step = make_fm_step(cfg, sparse_opt=sparse_opt, dense_lr=dense_lr)
+    eval_step = make_fm_eval(cfg)
+    put = lambda b: (jnp.asarray(b["dense"]),                  # noqa: E731
+                     jnp.asarray(b["cat"]),
+                     jnp.asarray(b["label"]))
+
+    trackers = None
+    if evict_every:
+        from ..utils.rowstats import FrequencyTracker
+        trackers = [FrequencyTracker(v, decay=freq_decay)
+                    for v in cfg.vocab_sizes]
+    losses, aucs = [], []
+    examples = 0
+    evicted_total = 0
+    t_start = time.perf_counter()
+    prefetcher = None
+    if device_prefetch:
+        from ..io import DevicePrefetcher
+        prefetcher = DevicePrefetcher(train_iter, put,
+                                      depth=device_prefetch)
+    for i in range(num_steps):
+        with tel.phase("data"):
+            if prefetcher is not None:
+                batch, (dense, cat, label) = next(prefetcher)
+            else:
+                batch = next(train_iter)
+                dense, cat, label = put(batch)
+        if trackers is not None:
+            for t, tr in enumerate(trackers):
+                tr.observe(batch["cat"][t])
+        with tel.phase("step"):
+            model, loss = step(model, dense, cat, label)
+        if trackers is not None and (i + 1) % evict_every == 0:
+            from ..utils.rowstats import evict_rows, reset_rows_state
+            cold = np.concatenate(
+                [tr.pop_cold(evict_threshold) + model.tables.offsets[t]
+                 for t, tr in enumerate(trackers)])
+            if cold.size:
+                model = _dc.replace(
+                    model,
+                    tables=_dc.replace(model.tables,
+                                       data=evict_rows(model.tables.data,
+                                                       cold)),
+                    fm_w=_dc.replace(model.fm_w,
+                                     data=evict_rows(model.fm_w.data, cold)),
+                    emb_state=reset_rows_state(model.emb_state, cold),
+                    fm_state=reset_rows_state(model.fm_state, cold))
+                evicted_total += int(cold.size)
+        examples += batch["label"].shape[0]
+        if log_every and (i % log_every == 0 or i == num_steps - 1):
+            lv = float(loss)
+            losses.append(lv)
+            if guard is not None:
+                model, rolled = guard.observe(lv, model)
+                if rolled and verbose:
+                    print(f"step {i:6d}  DIVERGED (loss {lv:.3g}) — rolled "
+                          f"back to checkpoint", flush=True)
+            if verbose:
+                print(f"step {i:6d}  loss {lv:.5f}", flush=True)
+        if eval_every and eval_batches and (i + 1) % eval_every == 0:
+            with tel.phase("eval"):
+                if eval_metrics:
+                    m = evaluate_metrics(eval_step, model, eval_batches)
+                    a = m["auc"]
+                else:
+                    a = evaluate_auc(eval_step, model, eval_batches)
+            aucs.append((i + 1, a))
+            if verbose:
+                if eval_metrics:
+                    print(f"step {i+1:6d}  eval AUC {a:.4f}  logloss "
+                          f"{m['log_loss']:.5f}  NE "
+                          f"{m['normalized_entropy']:.4f}  calib "
+                          f"{m['calibration']:.3f}", flush=True)
+                else:
+                    print(f"step {i+1:6d}  eval AUC {a:.4f}", flush=True)
+        if ckpt_manager is not None and ckpt_every and \
+                (i + 1) % ckpt_every == 0:
+            with tel.phase("checkpoint"):
+                ckpt_manager.save(i + 1, model)
+    jax.tree_util.tree_map(
+        lambda x: x.block_until_ready() if hasattr(x, "block_until_ready")
+        else x, model)
+    dt = time.perf_counter() - t_start
+    return TrainResult(model=model, losses=losses, aucs=aucs,
+                       examples_per_sec=examples / dt,
+                       evicted_rows=evicted_total)
+
+
 # ---------------------------------------------------------------------------
 # Two-tower training loop
 # ---------------------------------------------------------------------------

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Train a DeepFM on synthetic or Criteo Kaggle data.
+
+Examples:
+  # Synthetic smoke run on whatever backend is available
+  python scripts/train_deepfm.py --steps 200 --batch 4096
+
+  # Criteo Kaggle (native parser + prefetch)
+  python scripts/train_deepfm.py --criteo /data/train.txt \
+      --steps 10000 --batch 65536 --dim 64 --ckpt /tmp/deepfm_ckpt
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1000)
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--vocab", type=int, default=100_000)
+    ap.add_argument("--tables", type=int, default=26)
+    ap.add_argument("--deep-mlp", type=str, default="400,400",
+                    help="comma-separated deep-tower widths")
+    ap.add_argument("--no-fm", action="store_true",
+                    help="ablation: drop the FM second-order term")
+    ap.add_argument("--no-deep", action="store_true",
+                    help="ablation: drop the deep tower (plain FM)")
+    ap.add_argument("--criteo", type=str, default=None,
+                    help="path to Criteo Kaggle train.txt (else synthetic)")
+    ap.add_argument("--bag", type=int, default=None,
+                    help="multi-hot bag size (synthetic data only)")
+    ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
+    ap.add_argument("--opt", choices=["sgd", "adagrad", "ftrl"],
+                    default="adagrad")
+    ap.add_argument("--weight-decay", type=float, default=0.0)
+    ap.add_argument("--clipnorm", type=float, default=None)
+    ap.add_argument("--l1", type=float, default=0.0,
+                    help="FTRL l1 (trained sparsity)")
+    ap.add_argument("--evict-every", type=int, default=0,
+                    help="row-lifecycle: evict stale rows every N steps")
+    ap.add_argument("--evict-threshold", type=float, default=1e-3)
+    ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--eval-every", type=int, default=0)
+    ap.add_argument("--eval-batches", type=int, default=4)
+    ap.add_argument("--eval-metrics", action="store_true",
+                    help="full CTR sweep at eval (log loss, NE, calibration)")
+    ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--prefetch", type=int, default=2)
+    ap.add_argument("--device-prefetch", type=int, default=0,
+                    help="stage N batches ON DEVICE ahead of the step")
+    args = ap.parse_args()
+
+    import jax
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.io import CriteoFileLoader, PrefetchLoader
+    from embeddingtables_tpu.models import DeepFMConfig
+    from embeddingtables_tpu.models.train import train_deepfm
+    from embeddingtables_tpu.optim import (SparseFTRL, SparseRowWiseAdaGrad,
+                                           SparseSGD)
+    from embeddingtables_tpu.utils import CheckpointManager
+    from embeddingtables_tpu.utils.telemetry import get_telemetry
+
+    vocabs = tuple([args.vocab] * args.tables)
+    deep = tuple(int(w) for w in args.deep_mlp.split(",") if w)
+    cfg = DeepFMConfig(vocab_sizes=vocabs, dim=args.dim, deep_mlp=deep,
+                       use_fm=not args.no_fm, use_deep=not args.no_deep,
+                       bag=args.bag, combiner=args.combiner)
+    if args.criteo:
+        assert args.tables == 26, "Criteo has 26 categorical features"
+        skip = args.eval_batches if args.eval_every else 0
+        train_raw = iter(CriteoFileLoader(args.criteo, vocabs, args.batch,
+                                          epochs=None, skip_batches=skip))
+        train_it = iter(PrefetchLoader(train_raw, depth=args.prefetch))
+        eval_batches = list(CriteoFileLoader(args.criteo, vocabs, args.batch,
+                                             max_batches=args.eval_batches))
+    else:
+        gen = SyntheticCriteo(vocab_sizes=vocabs, batch_size=args.batch,
+                              bag=args.bag)
+        eval_batches = list(gen.batches(args.eval_batches))
+        train_it = iter(PrefetchLoader(gen.batches(), depth=args.prefetch))
+
+    reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
+    opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
+           "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg),
+           "ftrl": lambda: SparseFTRL(lr=args.lr, l1=args.l1,
+                                      l2=args.weight_decay,
+                                      clipnorm=args.clipnorm),
+           }[args.opt]()
+    mgr = CheckpointManager(args.ckpt) if args.ckpt else None
+
+    print(f"backend={jax.default_backend()} devices={jax.device_count()} "
+          f"T={args.tables} V={args.vocab} D={args.dim} B={args.batch} "
+          f"fm={cfg.use_fm} deep={cfg.use_deep}", flush=True)
+    res = train_deepfm(cfg, train_it, args.steps, sparse_opt=opt,
+                       dense_lr=args.lr, eval_batches=eval_batches,
+                       eval_every=args.eval_every,
+                       eval_metrics=args.eval_metrics, ckpt_manager=mgr,
+                       ckpt_every=args.ckpt_every, log_every=args.log_every,
+                       device_prefetch=args.device_prefetch,
+                       evict_every=args.evict_every,
+                       evict_threshold=args.evict_threshold)
+    if args.evict_every:
+        print(f"evicted rows: {res.evicted_rows}")
+    print(f"\n{res.examples_per_sec:,.0f} examples/s")
+    if res.aucs:
+        print(f"final AUC {res.aucs[-1][1]:.4f}")
+    print("\ntelemetry:\n" + get_telemetry().summary())
+
+
+if __name__ == "__main__":
+    main()

@@ -147,6 +147,38 @@ def test_ablation_flags():
         dataclasses.replace(CFG, use_fm=False, use_deep=False)
 
 
+def test_train_deepfm_loop_learns_and_checkpoints(tmp_path):
+    """End-to-end loop: AUC above chance, loss falling, checkpoints saved,
+    eviction wired to BOTH ensembles, FTRL as the sparse optimizer."""
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models.train import train_deepfm
+    from embeddingtables_tpu.optim import SparseFTRL
+    from embeddingtables_tpu.utils import CheckpointManager
+
+    vocab = (80, 80, 80)
+    cfg = DeepFMConfig(vocab_sizes=vocab, num_dense=4, dim=16,
+                       deep_mlp=(32, 16), compute_dtype=jnp.float32)
+    gen = SyntheticCriteo(vocab_sizes=vocab, num_dense=4, batch_size=256,
+                          seed=11)
+    eval_batches = list(gen.batches(2))
+    mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=2)
+    res = train_deepfm(cfg, gen.batches(), 40,
+                       sparse_opt=SparseFTRL(lr=0.2, l2=0.01),
+                       dense_lr=0.05, eval_batches=eval_batches,
+                       eval_every=20, ckpt_manager=mgr, ckpt_every=20,
+                       log_every=10, evict_every=20, evict_threshold=1e-9,
+                       verbose=False)
+    assert res.losses[-1] < res.losses[0]
+    assert res.aucs and res.aucs[-1][1] > 0.6
+    assert res.examples_per_sec > 0
+    assert mgr.latest_step() == 40
+    restored = mgr.restore_latest(res.model)
+    np.testing.assert_array_equal(np.asarray(restored.tables.data),
+                                  np.asarray(res.model.tables.data))
+    np.testing.assert_array_equal(np.asarray(restored.fm_w.data),
+                                  np.asarray(res.model.fm_w.data))
+
+
 def test_eval_step_matches_forward():
     rng = np.random.default_rng(5)
     model = init_deepfm(jax.random.PRNGKey(4), CFG)
