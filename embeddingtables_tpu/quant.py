@@ -246,6 +246,49 @@ def quantize_dcn(model, bits: int = 8):
     return qt, eval_fn
 
 
+def quantize_deepfm(model, bits: int = 8):
+    """Serving conversion for DeepFM (`models/deepfm.py`): int8/int4 rows on
+    the FM-vector stacked ensemble (the HBM bulk). The dim-1 first-order
+    weight stack stays in storage dtype — per-row quantization of scalar
+    rows would spend a scale per value, saving nothing. Returns
+    (quantized_tables, eval_fn)."""
+    import jax
+    from .models.deepfm import forward_from_embeddings
+
+    cfg = model.config
+    if bits not in (8, 4):
+        raise ValueError(f"bits must be 8 or 4, got {bits}")
+    qcls = QuantizedEmbedding if bits == 8 else Int4QuantizedEmbedding
+    qt = qcls.quantize(SimpleEmbedding(model.tables.data),
+                       out_dtype=jnp.float32)
+    offsets = model.tables.offsets
+    dense_params = (model.deep, model.head, model.dense_w, model.bias)
+
+    # Table/params as jit ARGUMENTS, not closure constants (see
+    # quantize_dlrm — the CLAUDE.md big-array-closure rule).
+    @jax.jit
+    def _eval(qt, fm_w, dense_params, dense, cat):
+        t = len(offsets) - 1
+        shifted = jnp.stack([cat[i] + offsets[i] for i in range(t)])
+        flat = shifted.reshape((-1,) + shifted.shape[2:])
+        rows = qt.rows(flat)
+        wrows = jnp.take(fm_w, flat.reshape(-1), axis=0).reshape(
+            flat.shape + (1,))
+        if flat.ndim == 2:  # bag reduce
+            rows = rows.sum(axis=1)
+            wrows = wrows.sum(axis=1)
+            if cfg.combiner == "mean":
+                rows = rows / flat.shape[1]
+                wrows = wrows / flat.shape[1]
+        emb = rows.reshape(t, shifted.shape[1], cfg.dim)
+        w_t = wrows.reshape(t, shifted.shape[1], 1)
+        return forward_from_embeddings(dense_params, cfg, dense, emb, w_t)
+
+    eval_fn = lambda dense, cat: _eval(qt, model.fm_w.data,   # noqa: E731
+                                       dense_params, dense, cat)
+    return qt, eval_fn
+
+
 def max_quantization_error(table) -> float:
     """Worst-case absolute error bound of the scheme: scale/2 per element."""
     t = as_table(table)

@@ -324,6 +324,29 @@ def make_dcn_service(model, *, quantized: bool = False,
                         max_latency_ms=max_latency_ms)
 
 
+def make_deepfm_service(model, *, quantized: bool = False,
+                        quantize_bits: int = 8, max_batch: int = 1024,
+                        max_latency_ms: float = 5.0) -> MicroBatcher:
+    """Batched DeepFM scoring service (same contract as
+    `make_dlrm_service`): model is a trained `models.deepfm.DeepFM`;
+    quantized=True serves int8/int4 FM-vector tables via
+    `quant.quantize_deepfm` (the dim-1 first-order stack stays full
+    precision — see that docstring). Single-chip."""
+    import jax
+
+    if quantized:
+        from .quant import quantize_deepfm
+        _, predict = quantize_deepfm(model, bits=quantize_bits)  # jitted
+    else:
+        from .models.deepfm import make_eval_step
+        step = make_eval_step(model.config)
+        predict = lambda dense, cat: step(model, dense, cat)  # noqa: E731
+    fn = lambda dense, cat: np.asarray(                       # noqa: E731
+        jax.device_get(predict(dense, cat)))
+    return MicroBatcher(fn, max_batch=max_batch,
+                        max_latency_ms=max_latency_ms)
+
+
 def make_retrieval_service(model, *, k: int = 10, mesh=None, axis="data",
                            max_batch: int = 1024,
                            max_latency_ms: float = 5.0) -> MicroBatcher:

@@ -166,3 +166,32 @@ def test_quantize_dlrm_int4_parity():
     assert qt.nbytes < model.tables.data.nbytes / 5
     with pytest.raises(ValueError, match="bits"):
         quantize_dlrm(model, bits=2)
+
+
+def test_quantize_deepfm_serving_parity():
+    from embeddingtables_tpu.models import DeepFMConfig, init_deepfm
+    from embeddingtables_tpu.models.deepfm import make_eval_step
+    from embeddingtables_tpu.quant import quantize_deepfm
+    cfg = DeepFMConfig(vocab_sizes=(40, 60, 30), num_dense=4, dim=16,
+                       deep_mlp=(16, 8), compute_dtype=jnp.float32)
+    model = init_deepfm(jax.random.key(3), cfg)
+    # Give the (zero-init) first-order weights real values so the parity
+    # check exercises the full-precision w path alongside the int8 vectors.
+    import dataclasses
+    rng = np.random.default_rng(2)
+    model = dataclasses.replace(
+        model, fm_w=dataclasses.replace(
+            model.fm_w, data=jnp.asarray(
+                rng.normal(size=model.fm_w.data.shape).astype(np.float32))))
+    dense = jnp.asarray(rng.normal(size=(16, 4)).astype(np.float32))
+    cat = jnp.asarray(np.stack([rng.integers(0, v, 16).astype(np.int32)
+                                for v in cfg.vocab_sizes]))
+    f32 = make_eval_step(cfg)(model, dense, cat)
+    qt, eval_fn = quantize_deepfm(model)
+    q8 = eval_fn(dense, cat)
+    assert np.abs(np.asarray(q8) - np.asarray(f32)).max() < 0.05
+    assert qt.nbytes < model.tables.data.nbytes / 3
+    # int4 path compiles and stays within its coarser bound
+    _, eval4 = quantize_deepfm(model, bits=4)
+    q4 = eval4(dense, cat)
+    assert np.abs(np.asarray(q4) - np.asarray(f32)).max() < 0.6
