@@ -460,30 +460,50 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                  dense_lr: float = 0.01, model=None, seed: int = 0,
                  eval_batches: Optional[list] = None, eval_every: int = 0,
                  ckpt_manager=None, ckpt_every: int = 0,
-                 log_every: int = 100, guard=None, device_prefetch: int = 0,
+                 log_every: int = 100, mesh=None, axis: str = "data",
+                 guard=None, device_prefetch: int = 0,
                  evict_every: int = 0, evict_threshold: float = 1e-3,
                  freq_decay: float = 0.99, eval_metrics: bool = False,
                  verbose: bool = True) -> TrainResult:
     """Train a DeepFM (`models/deepfm.py`) on the same batch layout as
-    `train_dlrm` (dicts with dense/cat/label). Single-chip fused step; the
-    same telemetry/eval/checkpoint/guard cadence as the DLRM/DCN loops.
+    `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
+    fused step; mesh given -> the sharded step (parallel/deepfm.py: both
+    stacks mod-row-sharded). Same telemetry/eval/checkpoint/guard cadence
+    as the DLRM/DCN loops.
 
     Row eviction covers BOTH stacked ensembles: a stale row loses its FM
     vector, its first-order weight, and both optimizer states.
     """
     import dataclasses as _dc
-    from .deepfm import (init_deepfm, make_eval_step as make_fm_eval,
+    from .deepfm import (DeepFM, init_deepfm,
+                         make_eval_step as make_fm_eval,
                          make_train_step as make_fm_step)
     tel = _telemetry.get_telemetry()
     if model is None:
         with tel.phase("init"):
             model = init_deepfm(jax.random.key(seed), cfg,
                                 sparse_opt=sparse_opt)
-    step = make_fm_step(cfg, sparse_opt=sparse_opt, dense_lr=dense_lr)
-    eval_step = make_fm_eval(cfg)
-    put = lambda b: (jnp.asarray(b["dense"]),                  # noqa: E731
-                     jnp.asarray(b["cat"]),
-                     jnp.asarray(b["label"]))
+    if mesh is not None:
+        from ..parallel.deepfm import (batch_shardings as fm_shardings,
+                                       make_sharded_deepfm_eval_step,
+                                       make_sharded_deepfm_train_step,
+                                       shard_deepfm)
+        if isinstance(model, DeepFM):
+            model = shard_deepfm(model, mesh, axis, sparse_opt=sparse_opt)
+        step = make_sharded_deepfm_train_step(cfg, mesh, axis,
+                                              sparse_opt=sparse_opt,
+                                              dense_lr=dense_lr)
+        eval_step = make_sharded_deepfm_eval_step(cfg, mesh, axis)
+        sd, sc, sl = fm_shardings(mesh, axis)
+        put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731
+                         jax.device_put(b["cat"], sc),
+                         jax.device_put(b["label"], sl))
+    else:
+        step = make_fm_step(cfg, sparse_opt=sparse_opt, dense_lr=dense_lr)
+        eval_step = make_fm_eval(cfg)
+        put = lambda b: (jnp.asarray(b["dense"]),              # noqa: E731
+                         jnp.asarray(b["cat"]),
+                         jnp.asarray(b["label"]))
 
     trackers = None
     if evict_every:
@@ -512,11 +532,20 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         with tel.phase("step"):
             model, loss = step(model, dense, cat, label)
         if trackers is not None and (i + 1) % evict_every == 0:
-            from ..utils.rowstats import evict_rows, reset_rows_state
+            from ..utils.rowstats import (evict_rows, evict_rows_sharded,
+                                          reset_rows_state)
             cold = np.concatenate(
                 [tr.pop_cold(evict_threshold) + model.tables.offsets[t]
                  for t, tr in enumerate(trackers)])
-            if cold.size:
+            if cold.size and mesh is not None:
+                new_t, new_a = evict_rows_sharded(model.tables,
+                                                  model.emb_accum, cold)
+                new_w, new_wa = evict_rows_sharded(model.fm_w,
+                                                   model.fm_accum, cold)
+                model = _dc.replace(model, tables=new_t, emb_accum=new_a,
+                                    fm_w=new_w, fm_accum=new_wa)
+                evicted_total += int(cold.size)
+            elif cold.size:
                 model = _dc.replace(
                     model,
                     tables=_dc.replace(model.tables,

@@ -1,0 +1,170 @@
+"""Multi-chip DeepFM: the same hybrid decomposition as the sharded DLRM/DCN.
+
+Deep tower / head / dense-linear parameters replicate; BOTH stacked
+ensembles — the dim-D FM vectors and the dim-1 first-order weights —
+mod-row-shard over the mesh axis and ride the all_gather + psum_scatter
+exchange (parallel/sharded.py). Each stack keeps its own row-sharded
+optimizer state and applies its lazy update through the shared
+`_sharded_sparse_apply` (parallel/dlrm.py — one source of truth for the
+shard-body math, so optimizer fixes land on every model family at once).
+Batch shardings are `batch_shardings(mesh, axis)`, identical to DLRM's.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.deepfm import DeepFM, DeepFMConfig, forward_from_embeddings
+from ..models.dlrm import bce_loss
+from ..optim import SparseRowWiseAdaGrad, SparseSGD
+from .dlrm import _sharded_sparse_apply, batch_shardings  # noqa: F401
+from .sharded import (ShardedStackedTables, _axes_tuple,
+                      sharded_ensemble_lookup)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardedDeepFM:
+    """DeepFM parameter pytree over a mesh: replicated dense parts, two
+    mod-row-sharded stacks with their row-sharded optimizer states."""
+
+    deep: list
+    head: tuple
+    dense_w: jax.Array
+    bias: jax.Array
+    tables: ShardedStackedTables    # FM vectors (dim D)
+    fm_w: ShardedStackedTables      # first-order weights (dim 1)
+    emb_accum: jax.Array
+    fm_accum: jax.Array
+    config: DeepFMConfig = dataclasses.field(metadata=dict(static=True))
+
+
+def _shard_accum(mesh: Mesh, axes, st: ShardedStackedTables, state,
+                 sparse_opt):
+    n, rows_local, _ = st.data.shape
+    if isinstance(sparse_opt, SparseRowWiseAdaGrad):
+        acc = state.accum
+        v_pad = n * rows_local
+        acc = jnp.pad(acc, (0, v_pad - acc.shape[0]))
+        acc = acc.reshape(rows_local, n).T
+    else:
+        acc = jnp.zeros((n, 0), jnp.float32)
+    return jax.device_put(acc, NamedSharding(mesh, P(axes)))
+
+
+def shard_deepfm(model: DeepFM, mesh: Mesh, axis="data",
+                 sparse_opt=None) -> ShardedDeepFM:
+    """Place a single-chip DeepFM onto a mesh (same placement rules as
+    `parallel.dlrm.shard_dlrm`, applied to both stacks)."""
+    sparse_opt = sparse_opt or SparseSGD()
+    st = ShardedStackedTables.shard(mesh, axis, model.tables)
+    sw = ShardedStackedTables.shard(mesh, axis, model.fm_w)
+    axes = _axes_tuple(axis)
+    repl = NamedSharding(mesh, P())
+    return ShardedDeepFM(
+        deep=jax.device_put(model.deep, repl),
+        head=jax.device_put(model.head, repl),
+        dense_w=jax.device_put(model.dense_w, repl),
+        bias=jax.device_put(model.bias, repl),
+        tables=st, fm_w=sw,
+        emb_accum=_shard_accum(mesh, axes, st, model.emb_state, sparse_opt),
+        fm_accum=_shard_accum(mesh, axes, sw, model.fm_state, sparse_opt),
+        config=model.config)
+
+
+def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
+                                   axis: str = "data", sparse_opt=None,
+                                   dense_lr: float = 0.01, jit: bool = True):
+    """`step(model: ShardedDeepFM, dense, cat, label) -> (model, loss)` with
+    `batch_shardings(mesh, axis)` on the batch arrays. Two gather exchanges
+    per step (one per stack), two independent lazy updates."""
+    sparse_opt = sparse_opt or SparseSGD()
+    if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
+        raise NotImplementedError(
+            f"sharded train step supports SparseSGD / SparseRowWiseAdaGrad, "
+            f"got {type(sparse_opt).__name__}")
+
+    def _lookups(model, cat):
+        emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, stacked=True)
+        w_t = sharded_ensemble_lookup(mesh, model.fm_w, cat, stacked=True)
+        if cfg.combiner == "mean" and cat.ndim == 3:
+            emb_t = emb_t / cat.shape[2]
+            w_t = w_t / cat.shape[2]
+        return emb_t, w_t
+
+    def step(model: ShardedDeepFM, dense, cat, label):
+        emb_t, w_t = _lookups(model, cat)
+
+        def loss_fn(dense_params, emb_act, w_act):
+            logits = forward_from_embeddings(dense_params, cfg, dense,
+                                             emb_act, w_act)
+            return bce_loss(logits, label)
+
+        params = (model.deep, model.head, model.dense_w, model.bias)
+        loss, (dense_grads, delta_emb, delta_w) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2))(params, emb_t, w_t)
+        if cfg.combiner == "mean" and cat.ndim == 3:
+            delta_emb = delta_emb / cat.shape[2]
+            delta_w = delta_w / cat.shape[2]
+        new_deep, new_head, new_dw, new_bias = jax.tree.map(
+            lambda p, g: (p - dense_lr * g).astype(p.dtype),
+            params, dense_grads)
+
+        shifted = jnp.stack([cat[t] + model.tables.offsets[t]
+                             for t in range(model.tables.ntables)])
+        new_st, new_acc = _sharded_sparse_apply(
+            mesh, model.tables, model.emb_accum, shifted, delta_emb,
+            sparse_opt)
+        new_sw, new_wacc = _sharded_sparse_apply(
+            mesh, model.fm_w, model.fm_accum, shifted, delta_w, sparse_opt)
+        return ShardedDeepFM(deep=new_deep, head=new_head, dense_w=new_dw,
+                             bias=new_bias, tables=new_st, fm_w=new_sw,
+                             emb_accum=new_acc, fm_accum=new_wacc,
+                             config=cfg), loss
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_sharded_deepfm_eval_step(cfg: DeepFMConfig, mesh: Mesh,
+                                  axis: str = "data", jit: bool = True):
+    def step(model: ShardedDeepFM, dense, cat):
+        emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, stacked=True)
+        w_t = sharded_ensemble_lookup(mesh, model.fm_w, cat, stacked=True)
+        if cfg.combiner == "mean" and cat.ndim == 3:
+            emb_t = emb_t / cat.shape[2]
+            w_t = w_t / cat.shape[2]
+        return forward_from_embeddings(
+            (model.deep, model.head, model.dense_w, model.bias), cfg,
+            dense, emb_t, w_t)
+    if jit:
+        step = jax.jit(step)
+    return step
+
+
+def unshard_deepfm(model: ShardedDeepFM) -> DeepFM:
+    """Dense single-chip DeepFM from the sharded one (checkpoint export,
+    quantized serving via `quant.quantize_deepfm`, test oracle)."""
+    from ..ops.ensemble import StackedTables
+    from ..optim import SparseOptState
+
+    def un_accum(acc, vocab):
+        if acc.shape[1] == 0:
+            return jnp.zeros((0,), jnp.float32)
+        n, rows = acc.shape
+        return acc.T.reshape(n * rows)[:vocab]
+
+    st, sw = model.tables, model.fm_w
+    return DeepFM(
+        deep=model.deep, head=model.head, dense_w=model.dense_w,
+        bias=model.bias,
+        tables=StackedTables(data=st.unshard(), offsets=st.offsets,
+                             dim=st.dim),
+        fm_w=StackedTables(data=sw.unshard(), offsets=sw.offsets, dim=1),
+        emb_state=SparseOptState(accum=un_accum(model.emb_accum, st.vocab)),
+        fm_state=SparseOptState(accum=un_accum(model.fm_accum, sw.vocab)),
+        config=model.config)

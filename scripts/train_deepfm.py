@@ -33,6 +33,8 @@ def main():
                     help="ablation: drop the deep tower (plain FM)")
     ap.add_argument("--criteo", type=str, default=None,
                     help="path to Criteo Kaggle train.txt (else synthetic)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard over all local devices (data axis)")
     ap.add_argument("--bag", type=int, default=None,
                     help="multi-hot bag size (synthetic data only)")
     ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
@@ -87,6 +89,17 @@ def main():
         eval_batches = list(gen.batches(args.eval_batches))
         train_it = iter(PrefetchLoader(gen.batches(), depth=args.prefetch))
 
+    mesh = None
+    if args.mesh:
+        from embeddingtables_tpu.parallel.mesh import default_mesh
+        mesh = default_mesh(("data",))
+        print(f"mesh: {mesh}", flush=True)
+        if args.opt == "ftrl":
+            raise SystemExit("--mesh supports sgd/adagrad (FTRL's "
+                             "per-coordinate state is single-chip; see "
+                             "parallel.sharded.sharded_ftrl_apply for the "
+                             "mesh primitive)")
+
     reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
     opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
            "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg),
@@ -104,7 +117,7 @@ def main():
                        eval_every=args.eval_every,
                        eval_metrics=args.eval_metrics, ckpt_manager=mgr,
                        ckpt_every=args.ckpt_every, log_every=args.log_every,
-                       device_prefetch=args.device_prefetch,
+                       mesh=mesh, device_prefetch=args.device_prefetch,
                        evict_every=args.evict_every,
                        evict_threshold=args.evict_threshold)
     if args.evict_every:
