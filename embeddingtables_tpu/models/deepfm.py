@@ -58,6 +58,9 @@ class DeepFMConfig:
             raise ValueError(self.combiner)
         if not (self.use_fm or self.use_deep):
             raise ValueError("at least one of use_fm/use_deep must be on")
+        if self.use_deep and not self.deep_mlp:
+            raise ValueError("use_deep=True requires a non-empty deep_mlp "
+                             "(pass use_deep=False for a plain FM)")
 
     @property
     def num_tables(self) -> int:
@@ -104,9 +107,16 @@ def _stack_offsets(vocab_sizes):
 def init_deepfm(key: jax.Array, cfg: DeepFMConfig,
                 sparse_opt=None, dense_tx=None) -> DeepFM:
     kd, kh, ke, kw = jax.random.split(key, 4)
-    deep = _init_mlp(kd, (cfg.deep_features,) + cfg.deep_mlp,
-                     cfg.param_dtype)
-    head = _init_mlp(kh, (cfg.deep_mlp[-1], 1), cfg.param_dtype)[0]
+    if cfg.use_deep:
+        deep = _init_mlp(kd, (cfg.deep_features,) + cfg.deep_mlp,
+                         cfg.param_dtype)
+        head = _init_mlp(kh, (cfg.deep_mlp[-1], 1), cfg.param_dtype)[0]
+    else:
+        # Plain FM: no tower. Tiny placeholders keep the pytree structure
+        # stable (forward never reads them; their grads are zero).
+        deep = []
+        head = (jnp.zeros((1, 1), cfg.param_dtype),
+                jnp.zeros((1,), cfg.param_dtype))
     offs, total_v = _stack_offsets(cfg.vocab_sizes)
     data = (jax.random.uniform(ke, (total_v, cfg.dim), minval=-1.0,
                                maxval=1.0)
@@ -137,19 +147,23 @@ def fm_second_order(emb_t: jax.Array) -> jax.Array:
 
 def forward_from_embeddings(dense_params, cfg: DeepFMConfig,
                             dense: jax.Array, emb_t: jax.Array,
-                            w_t: jax.Array) -> jax.Array:
+                            w_t) -> jax.Array:
     """Forward given looked-up activations — `emb_t` (T, B, D) FM vectors
-    and `w_t` (T, B, 1) first-order weights — split out so training can
-    differentiate w.r.t. both (the lazy-gradient boundary)."""
+    and `w_t` (T, B, 1) first-order weights (None iff use_fm=False) —
+    split out so training can differentiate w.r.t. both (the lazy-gradient
+    boundary). use_fm gates the ENTIRE FM component (first order, dense
+    linear term, second order), so use_fm=False is a true deep-only
+    ablation; use_deep gates the tower."""
     deep, head, dense_w, bias = dense_params
     cd = cfg.compute_dtype
     b = emb_t.shape[1]
     logit = jnp.broadcast_to(bias.astype(jnp.float32), (b,))
-    # First order + dense linear term (f32: scalar accumulations are cheap
-    # and the logit sum should not round in bf16).
-    logit = logit + w_t[..., 0].astype(jnp.float32).sum(axis=0)
-    logit = logit + dense.astype(jnp.float32) @ dense_w.astype(jnp.float32)
     if cfg.use_fm:
+        # First order + dense linear term (f32: scalar accumulations are
+        # cheap and the logit sum should not round in bf16).
+        logit = logit + w_t[..., 0].astype(jnp.float32).sum(axis=0)
+        logit = logit + dense.astype(jnp.float32) @ dense_w.astype(
+            jnp.float32)
         logit = logit + fm_second_order(emb_t.astype(jnp.float32))
     if cfg.use_deep:
         flat = jnp.transpose(emb_t, (1, 0, 2)).reshape(b, -1)
@@ -170,7 +184,8 @@ def deepfm_forward(model: DeepFM, dense: jax.Array, cat: jax.Array
                    ) -> jax.Array:
     cfg = model.config
     emb_t = embedding_forward(model.tables, cat, cfg.combiner)
-    w_t = _fm_weight_forward(model.fm_w, cat, cfg.combiner)
+    w_t = (_fm_weight_forward(model.fm_w, cat, cfg.combiner)
+           if cfg.use_fm else None)
     return forward_from_embeddings(
         (model.deep, model.head, model.dense_w, model.bias), cfg, dense,
         emb_t, w_t)
@@ -202,7 +217,10 @@ def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
 
     def step(model: DeepFM, dense, cat, label):
         emb_t = embedding_forward(model.tables, cat, cfg.combiner)
-        w_t = _fm_weight_forward(model.fm_w, cat, cfg.combiner)
+        # use_fm=False: the fm_w stack neither looks up nor updates — the
+        # deep-only ablation really removes the FM lookup/exchange cost.
+        w_t = (_fm_weight_forward(model.fm_w, cat, cfg.combiner)
+               if cfg.use_fm else None)
 
         def loss_fn(dense_params, emb_act, w_act):
             logits = forward_from_embeddings(dense_params, cfg, dense,
@@ -210,8 +228,13 @@ def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
             return bce_loss(logits, label)
 
         params = (model.deep, model.head, model.dense_w, model.bias)
-        loss, (dense_grads, delta_emb, delta_w) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2))(params, emb_t, w_t)
+        if cfg.use_fm:
+            loss, (dense_grads, delta_emb, delta_w) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2))(params, emb_t, w_t)
+        else:
+            loss, (dense_grads, delta_emb) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(params, emb_t, None)
+            delta_w = None
 
         if dense_tx is not None:
             updates, new_dense_state = dense_tx.update(
@@ -226,15 +249,19 @@ def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
 
         upd_e = _lazy_update(model.tables, cat, delta_emb, cfg.dim,
                              cfg.combiner)
-        upd_w = _lazy_update(model.fm_w, cat, delta_w, 1, cfg.combiner)
         new_data, new_estate = sparse_opt.apply(model.tables.data, upd_e,
                                                 model.emb_state)
-        new_wdata, new_wstate = sparse_opt.apply(model.fm_w.data, upd_w,
-                                                 model.fm_state)
+        if cfg.use_fm:
+            upd_w = _lazy_update(model.fm_w, cat, delta_w, 1, cfg.combiner)
+            new_wdata, new_wstate = sparse_opt.apply(model.fm_w.data, upd_w,
+                                                     model.fm_state)
+            new_fm_w = dataclasses.replace(model.fm_w, data=new_wdata)
+        else:
+            new_fm_w, new_wstate = model.fm_w, model.fm_state
         new_model = DeepFM(
             deep=new_deep, head=new_head, dense_w=new_dw, bias=new_bias,
             tables=dataclasses.replace(model.tables, data=new_data),
-            fm_w=dataclasses.replace(model.fm_w, data=new_wdata),
+            fm_w=new_fm_w,
             emb_state=new_estate, fm_state=new_wstate, config=cfg,
             dense_opt_state=new_dense_state)
         return new_model, loss

@@ -58,10 +58,17 @@ def evaluate_metrics(eval_step, model, batches, *,
 
 
 
-def _maybe_evict(model, trackers, plan, mesh, evict_threshold):
+def _maybe_evict(model, trackers, plan, mesh, evict_threshold,
+                 stacks=(("tables", "emb_state", "emb_accum"),)):
     """Pop each tracker's stale rows and evict them from whichever
     placement `model` uses (single-chip / uniform sharded / planner).
-    Shared by the DLRM and DCN loops. Returns (model, n_evicted)."""
+    Shared by the DLRM, DCN, and DeepFM loops. Returns (model, n_evicted).
+
+    stacks: per-ensemble attribute names `(tables, state, accum)` sharing
+    the first stack's offsets/trackers — DeepFM passes its second (dim-1
+    first-order) stack so a stale row loses BOTH representations and both
+    optimizer states. The planner path manages one stack only.
+    """
     import dataclasses as _dc
     from ..utils.rowstats import (evict_rows, evict_rows_sharded,
                                   reset_rows_state)
@@ -73,22 +80,29 @@ def _maybe_evict(model, trackers, plan, mesh, evict_threshold):
             model = _dc.replace(
                 model, tables=evict_rows_planned(model.tables, cold_pt))
         return model, ncold
+    first_tables = getattr(model, stacks[0][0])
     cold = np.concatenate(
-        [tr.pop_cold(evict_threshold) + model.tables.offsets[t]
+        [tr.pop_cold(evict_threshold) + first_tables.offsets[t]
          for t, tr in enumerate(trackers)])
     if not cold.size:
         return model, 0
-    if mesh is not None:
-        # Mod-row ownership (r % n, r // n); accum is the
-        # (n, rows_local) row state sharded like the table.
-        new_tables, new_accum = evict_rows_sharded(
-            model.tables, model.emb_accum, cold)
-        model = _dc.replace(model, tables=new_tables, emb_accum=new_accum)
-    else:
-        new_data = evict_rows(model.tables.data, cold)
-        model = _dc.replace(
-            model, tables=_dc.replace(model.tables, data=new_data),
-            emb_state=reset_rows_state(model.emb_state, cold))
+    for tables_attr, state_attr, accum_attr in stacks:
+        if mesh is not None:
+            # Mod-row ownership (r % n, r // n); accum is the
+            # (n, rows_local) row state sharded like the table.
+            new_tables, new_accum = evict_rows_sharded(
+                getattr(model, tables_attr), getattr(model, accum_attr),
+                cold)
+            model = _dc.replace(model, **{tables_attr: new_tables,
+                                          accum_attr: new_accum})
+        else:
+            tables = getattr(model, tables_attr)
+            new_data = evict_rows(tables.data, cold)
+            model = _dc.replace(
+                model,
+                **{tables_attr: _dc.replace(tables, data=new_data),
+                   state_attr: reset_rows_state(getattr(model, state_attr),
+                                                cold)})
     return model, int(cold.size)
 
 
@@ -474,7 +488,6 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
     Row eviction covers BOTH stacked ensembles: a stale row loses its FM
     vector, its first-order weight, and both optimizer states.
     """
-    import dataclasses as _dc
     from .deepfm import (DeepFM, init_deepfm,
                          make_eval_step as make_fm_eval,
                          make_train_step as make_fm_step)
@@ -532,30 +545,11 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         with tel.phase("step"):
             model, loss = step(model, dense, cat, label)
         if trackers is not None and (i + 1) % evict_every == 0:
-            from ..utils.rowstats import (evict_rows, evict_rows_sharded,
-                                          reset_rows_state)
-            cold = np.concatenate(
-                [tr.pop_cold(evict_threshold) + model.tables.offsets[t]
-                 for t, tr in enumerate(trackers)])
-            if cold.size and mesh is not None:
-                new_t, new_a = evict_rows_sharded(model.tables,
-                                                  model.emb_accum, cold)
-                new_w, new_wa = evict_rows_sharded(model.fm_w,
-                                                   model.fm_accum, cold)
-                model = _dc.replace(model, tables=new_t, emb_accum=new_a,
-                                    fm_w=new_w, fm_accum=new_wa)
-                evicted_total += int(cold.size)
-            elif cold.size:
-                model = _dc.replace(
-                    model,
-                    tables=_dc.replace(model.tables,
-                                       data=evict_rows(model.tables.data,
-                                                       cold)),
-                    fm_w=_dc.replace(model.fm_w,
-                                     data=evict_rows(model.fm_w.data, cold)),
-                    emb_state=reset_rows_state(model.emb_state, cold),
-                    fm_state=reset_rows_state(model.fm_state, cold))
-                evicted_total += int(cold.size)
+            model, n = _maybe_evict(
+                model, trackers, None, mesh, evict_threshold,
+                stacks=(("tables", "emb_state", "emb_accum"),
+                        ("fm_w", "fm_state", "fm_accum")))
+            evicted_total += n
         examples += batch["label"].shape[0]
         if log_every and (i % log_every == 0 or i == num_steps - 1):
             lv = float(loss)

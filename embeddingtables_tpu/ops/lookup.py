@@ -53,7 +53,11 @@ def lookup_oracle(data: jax.Array, indices: jax.Array,
         valid = indices != pad_idx
         safe = jnp.where(valid, indices, 0)
         if indices.ndim == 1:
-            return data[safe, :] * valid[:, None].astype(data.dtype)
+            out = data[safe, :] * valid[:, None].astype(data.dtype)
+            if weights is not None:
+                out = out * jnp.asarray(weights).reshape(-1, 1).astype(
+                    out.dtype)
+            return out
         w = valid.astype(jnp.float32)
         if weights is not None:
             w = w * jnp.asarray(weights).astype(jnp.float32)
@@ -64,7 +68,11 @@ def lookup_oracle(data: jax.Array, indices: jax.Array,
             out = out / jnp.maximum(denom, 1e-12).astype(out.dtype)
         return out
     if indices.ndim == 1:
-        return data[indices, :]
+        # Non-reducing: combiner is a no-op, weights scale rows (see lookup).
+        out = data[indices, :]
+        if weights is not None:
+            out = out * jnp.asarray(weights).reshape(-1, 1).astype(out.dtype)
+        return out
     if indices.ndim == 2:
         rows = data[indices, :]
         if weights is not None:
@@ -147,6 +155,9 @@ def lookup(table, indices, context: "IndexingContext | None" = None, *,
     weights: optional `(B, bag)` per-occurrence weights (weighted bags; with
     combiner="mean" gives the weighted average). Sum-only unweighted bags
     take the fast dispatch; other combiners reduce the gathered rows.
+    On non-reducing `(B,)` indices there is no bag: `combiner` is a no-op
+    (mean == sum == the gather) and `weights`, when given, are a `(B,)`
+    per-row output scale (the same role they play in the lazy update).
     pad_idx: optional padding sentinel — occurrences equal to it are ABSENT:
     zero row contribution, excluded from the mean denominator, no gradient
     (torch `EmbeddingBag padding_idx` semantics; variable-length bags =
@@ -178,12 +189,30 @@ def lookup(table, indices, context: "IndexingContext | None" = None, *,
         valid = indices != pad_idx
         safe = jnp.where(valid, indices, 0)
         if indices.ndim == 1:
-            rows = lookup(table, safe, context)
+            rows = lookup(table, safe, context, weights=weights)
             return rows * valid[:, None].astype(rows.dtype)
         w = valid.astype(jnp.float32)
         if weights is not None:
             w = w * jnp.asarray(weights).astype(jnp.float32)
         return lookup(table, safe, context, combiner=combiner, weights=w)
+    if indices.ndim == 1:
+        # Non-reducing: there is no bag to reduce, so `combiner` is a no-op
+        # (a (B,) stream is a bag of one — mean == sum == the gather) and
+        # `weights`, when given, are a per-row output scale — matching how
+        # the lazy update applies 1-D weights (occurrence_values), so
+        # forward and gradient stay transposes of each other.
+        if isinstance(table, SimpleEmbedding):
+            out = _lookup_dispatch(table.data, indices)
+        elif is_table(table):
+            try:
+                out = table.rows(indices, context=context)
+            except TypeError:
+                out = table.rows(indices)
+        else:
+            out = _lookup_dispatch(jnp.asarray(table), indices)
+        if weights is not None:
+            out = out * jnp.asarray(weights).reshape(-1, 1).astype(out.dtype)
+        return out
     plain = combiner == "sum" and weights is None
     if isinstance(table, SimpleEmbedding):
         if plain:
@@ -198,8 +227,7 @@ def lookup(table, indices, context: "IndexingContext | None" = None, *,
             got = table.rows(indices, context=context)
         except TypeError:
             got = table.rows(indices)
-        if indices.ndim == 2:
-            got = _combine(got, indices, combiner, weights)
+        got = _combine(got, indices, combiner, weights)
         return got
     if plain:
         return _lookup_dispatch(jnp.asarray(table), indices)
@@ -219,9 +247,14 @@ def effective_weights(indices: jax.Array, combiner: str, weights,
     original values — zero-weight occurrences accumulate exact 0.0 through
     every scatter/dedup path, so no update math changes."""
     if indices.ndim != 2:
+        # Non-reducing: weights are a per-row output scale (the `lookup`
+        # 1-D contract); the pad mask folds in multiplicatively.
+        w = (None if weights is None
+             else jnp.asarray(weights).astype(jnp.float32).reshape(-1))
         if pad_idx is not None:
-            return (indices != pad_idx).astype(jnp.float32)
-        return None
+            mask = (indices != pad_idx).astype(jnp.float32)
+            return mask if w is None else mask * w
+        return w
     b, bag = indices.shape
     if pad_idx is not None:
         mask = (indices != pad_idx).astype(jnp.float32)

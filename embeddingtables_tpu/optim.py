@@ -174,6 +174,19 @@ def adam_dense_body(data: jax.Array, m: jax.Array, v: jax.Array, t,
     return out, new_m, new_v
 
 
+def ftrl_init_arrays(data: jax.Array, alpha, beta, l1, l2, initial_accum):
+    """(z0, n0) that REPRODUCE the current weights under FTRL's closed form:
+    z0 = -w0·((beta + sqrt(n0))/alpha + l2) - sign(w0)·l1 (zero where w0 is
+    zero). The ONE source of this invariant — `SparseFTRL.init` and the
+    sharded `init_sharded_ftrl_state` both call it; without it the first
+    touch of a row would snap its weights to the l1-shrunk origin."""
+    w0 = data.astype(jnp.float32)
+    n0 = jnp.full(data.shape, initial_accum, jnp.float32)
+    denom = (beta + jnp.sqrt(n0)) / alpha + l2
+    z0 = jnp.where(w0 != 0.0, -w0 * denom - jnp.sign(w0) * l1, 0.0)
+    return z0, n0
+
+
 def ftrl_dense_body(data: jax.Array, z: jax.Array, n: jax.Array,
                     rows: jax.Array, g: jax.Array, alpha, beta, l1, l2,
                     clipnorm: Optional[float] = None, rounding_key=None):
@@ -233,22 +246,28 @@ class SparseFTRL:
     stochastic_rounding: bool = False
 
     def init(self, data: jax.Array) -> SparseFTRLState:
-        w0 = data.astype(jnp.float32)
-        n0 = jnp.full(data.shape, self.initial_accum, jnp.float32)
-        denom = (self.beta + jnp.sqrt(n0)) / self.lr + self.l2
-        z0 = jnp.where(w0 != 0.0,
-                       -w0 * denom - jnp.sign(w0) * self.l1, 0.0)
-        return SparseFTRLState(z=z0, n=n0)
+        return SparseFTRLState(*ftrl_init_arrays(
+            data, self.lr, self.beta, self.l1, self.l2, self.initial_accum))
 
     def apply(self, data: jax.Array, upd: SparseEmbeddingUpdate,
               state: SparseFTRLState, *, row_offset: int = 0, lr=None,
               key=None):
-        lr = self.lr if lr is None else lr
+        # Unlike SGD/AdaGrad/Adam, alpha is BAKED INTO the accumulated z
+        # state (w is a closed form of (z, n) at this alpha, and init
+        # solved z0 at self.lr). Honoring a different lr here would
+        # reinterpret all past state at the new alpha and snap every
+        # touched row (e.g. 5x weight shrink for lr/5) — so the uniform
+        # schedule kwarg is accepted only at its fixed value.
+        if lr is not None and lr != self.lr:
+            raise ValueError(
+                "SparseFTRL cannot change lr per step: alpha is baked into "
+                "the accumulated z state. Build a new SparseFTRL and "
+                "re-init (or keep lr fixed).")
         if self.stochastic_rounding and key is None:
             raise ValueError("stochastic_rounding=True needs apply(key=...)")
         rows, g = _occurrence_grads(upd, row_offset)
         out, new_z, new_n = ftrl_dense_body(
-            data, state.z, state.n, rows, g, lr, self.beta, self.l1,
+            data, state.z, state.n, rows, g, self.lr, self.beta, self.l1,
             self.l2, self.clipnorm,
             rounding_key=key if self.stochastic_rounding else None)
         return out, SparseFTRLState(z=new_z, n=new_n)

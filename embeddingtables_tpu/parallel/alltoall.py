@@ -181,8 +181,6 @@ def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
     # routing drop already zeroes pad positions.
     scale = None
     if weights is not None or combiner != "sum":
-        if combiner == "mean" and not reducing:
-            raise ValueError("combiner='mean' requires bag indices")
         _, scale = _fold_combiner(idx, combiner, weights, pad_idx)
 
     def body(shard, lidx, *lscale):

@@ -20,7 +20,8 @@ from ..models.dcn import DCN, DCNConfig, forward_from_embeddings
 from ..models.dlrm import bce_loss
 from ..optim import SparseRowWiseAdaGrad, SparseSGD
 from .dlrm import _sharded_sparse_apply, batch_shardings  # noqa: F401
-from .sharded import ShardedStackedTables, _axes_tuple, sharded_ensemble_lookup
+from .sharded import (ShardedStackedTables, _axes_tuple, shard_row_accum,
+                      sharded_ensemble_lookup)
 
 
 @jax.tree_util.register_dataclass
@@ -43,20 +44,11 @@ def shard_dcn(model: DCN, mesh: Mesh, axis="data",
     `parallel.dlrm.shard_dlrm`)."""
     sparse_opt = sparse_opt or SparseSGD()
     st = ShardedStackedTables.shard(mesh, axis, model.tables)
-    axes = _axes_tuple(axis)
-    n, rows_local, _ = st.data.shape
     repl = NamedSharding(mesh, P())
     cross = jax.device_put(model.cross, repl)
     deep = jax.device_put(model.deep, repl)
     head = jax.device_put(model.head, repl)
-    if isinstance(sparse_opt, SparseRowWiseAdaGrad):
-        acc = model.emb_state.accum
-        v_pad = n * rows_local
-        acc = jnp.pad(acc, (0, v_pad - acc.shape[0]))
-        acc = acc.reshape(rows_local, n).T
-    else:
-        acc = jnp.zeros((n, 0), jnp.float32)
-    acc = jax.device_put(acc, NamedSharding(mesh, P(axes)))
+    acc = shard_row_accum(mesh, axis, st, model.emb_state, sparse_opt)
     return ShardedDCN(cross=cross, deep=deep, head=head, tables=st,
                       emb_accum=acc, config=model.config)
 

@@ -21,7 +21,7 @@ from ..models.deepfm import DeepFM, DeepFMConfig, forward_from_embeddings
 from ..models.dlrm import bce_loss
 from ..optim import SparseRowWiseAdaGrad, SparseSGD
 from .dlrm import _sharded_sparse_apply, batch_shardings  # noqa: F401
-from .sharded import (ShardedStackedTables, _axes_tuple,
+from .sharded import (ShardedStackedTables, shard_row_accum,
                       sharded_ensemble_lookup)
 
 
@@ -42,19 +42,6 @@ class ShardedDeepFM:
     config: DeepFMConfig = dataclasses.field(metadata=dict(static=True))
 
 
-def _shard_accum(mesh: Mesh, axes, st: ShardedStackedTables, state,
-                 sparse_opt):
-    n, rows_local, _ = st.data.shape
-    if isinstance(sparse_opt, SparseRowWiseAdaGrad):
-        acc = state.accum
-        v_pad = n * rows_local
-        acc = jnp.pad(acc, (0, v_pad - acc.shape[0]))
-        acc = acc.reshape(rows_local, n).T
-    else:
-        acc = jnp.zeros((n, 0), jnp.float32)
-    return jax.device_put(acc, NamedSharding(mesh, P(axes)))
-
-
 def shard_deepfm(model: DeepFM, mesh: Mesh, axis="data",
                  sparse_opt=None) -> ShardedDeepFM:
     """Place a single-chip DeepFM onto a mesh (same placement rules as
@@ -62,7 +49,6 @@ def shard_deepfm(model: DeepFM, mesh: Mesh, axis="data",
     sparse_opt = sparse_opt or SparseSGD()
     st = ShardedStackedTables.shard(mesh, axis, model.tables)
     sw = ShardedStackedTables.shard(mesh, axis, model.fm_w)
-    axes = _axes_tuple(axis)
     repl = NamedSharding(mesh, P())
     return ShardedDeepFM(
         deep=jax.device_put(model.deep, repl),
@@ -70,8 +56,9 @@ def shard_deepfm(model: DeepFM, mesh: Mesh, axis="data",
         dense_w=jax.device_put(model.dense_w, repl),
         bias=jax.device_put(model.bias, repl),
         tables=st, fm_w=sw,
-        emb_accum=_shard_accum(mesh, axes, st, model.emb_state, sparse_opt),
-        fm_accum=_shard_accum(mesh, axes, sw, model.fm_state, sparse_opt),
+        emb_accum=shard_row_accum(mesh, axis, st, model.emb_state,
+                                  sparse_opt),
+        fm_accum=shard_row_accum(mesh, axis, sw, model.fm_state, sparse_opt),
         config=model.config)
 
 
@@ -88,11 +75,15 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
             f"got {type(sparse_opt).__name__}")
 
     def _lookups(model, cat):
+        # use_fm=False: the fm_w stack's exchange is skipped entirely — the
+        # deep-only ablation pays ONE exchange per step, not two.
         emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, stacked=True)
-        w_t = sharded_ensemble_lookup(mesh, model.fm_w, cat, stacked=True)
+        w_t = (sharded_ensemble_lookup(mesh, model.fm_w, cat, stacked=True)
+               if cfg.use_fm else None)
         if cfg.combiner == "mean" and cat.ndim == 3:
             emb_t = emb_t / cat.shape[2]
-            w_t = w_t / cat.shape[2]
+            if w_t is not None:
+                w_t = w_t / cat.shape[2]
         return emb_t, w_t
 
     def step(model: ShardedDeepFM, dense, cat, label):
@@ -104,11 +95,17 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
             return bce_loss(logits, label)
 
         params = (model.deep, model.head, model.dense_w, model.bias)
-        loss, (dense_grads, delta_emb, delta_w) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2))(params, emb_t, w_t)
+        if cfg.use_fm:
+            loss, (dense_grads, delta_emb, delta_w) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2))(params, emb_t, w_t)
+        else:
+            loss, (dense_grads, delta_emb) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(params, emb_t, None)
+            delta_w = None
         if cfg.combiner == "mean" and cat.ndim == 3:
             delta_emb = delta_emb / cat.shape[2]
-            delta_w = delta_w / cat.shape[2]
+            if delta_w is not None:
+                delta_w = delta_w / cat.shape[2]
         new_deep, new_head, new_dw, new_bias = jax.tree.map(
             lambda p, g: (p - dense_lr * g).astype(p.dtype),
             params, dense_grads)
@@ -118,8 +115,12 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
         new_st, new_acc = _sharded_sparse_apply(
             mesh, model.tables, model.emb_accum, shifted, delta_emb,
             sparse_opt)
-        new_sw, new_wacc = _sharded_sparse_apply(
-            mesh, model.fm_w, model.fm_accum, shifted, delta_w, sparse_opt)
+        if cfg.use_fm:
+            new_sw, new_wacc = _sharded_sparse_apply(
+                mesh, model.fm_w, model.fm_accum, shifted, delta_w,
+                sparse_opt)
+        else:
+            new_sw, new_wacc = model.fm_w, model.fm_accum
         return ShardedDeepFM(deep=new_deep, head=new_head, dense_w=new_dw,
                              bias=new_bias, tables=new_st, fm_w=new_sw,
                              emb_accum=new_acc, fm_accum=new_wacc,
@@ -134,10 +135,12 @@ def make_sharded_deepfm_eval_step(cfg: DeepFMConfig, mesh: Mesh,
                                   axis: str = "data", jit: bool = True):
     def step(model: ShardedDeepFM, dense, cat):
         emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, stacked=True)
-        w_t = sharded_ensemble_lookup(mesh, model.fm_w, cat, stacked=True)
+        w_t = (sharded_ensemble_lookup(mesh, model.fm_w, cat, stacked=True)
+               if cfg.use_fm else None)
         if cfg.combiner == "mean" and cat.ndim == 3:
             emb_t = emb_t / cat.shape[2]
-            w_t = w_t / cat.shape[2]
+            if w_t is not None:
+                w_t = w_t / cat.shape[2]
         return forward_from_embeddings(
             (model.deep, model.head, model.dense_w, model.bias), cfg,
             dense, emb_t, w_t)

@@ -35,7 +35,7 @@ from ..models.dlrm import (DLRM, DLRMConfig, bce_loss, forward_from_embeddings,
                            init_dlrm)
 from ..optim import SparseRowWiseAdaGrad, SparseSGD
 from .sharded import (ShardedStackedTables, _axes_tuple, _flat_axis_index,
-                      sharded_ensemble_lookup)
+                      shard_row_accum, sharded_ensemble_lookup)
 
 
 @jax.tree_util.register_dataclass
@@ -58,21 +58,10 @@ def shard_dlrm(model: DLRM, mesh: Mesh, axis="data",
     the 2-D decomposition (rows over data x model, batch over data)."""
     sparse_opt = sparse_opt or SparseSGD()
     st = ShardedStackedTables.shard(mesh, axis, model.tables)
-    axes = _axes_tuple(axis)
-    n, rows_local, _ = st.data.shape
     repl = NamedSharding(mesh, P())
     bottom = jax.device_put(model.bottom, repl)
     top = jax.device_put(model.top, repl)
-    if isinstance(sparse_opt, SparseRowWiseAdaGrad):
-        # Mod-shard the (ΣV,) accumulator exactly like the rows: pad, then
-        # global row r -> (r % n, r // n).
-        acc = model.emb_state.accum
-        v_pad = n * rows_local
-        acc = jnp.pad(acc, (0, v_pad - acc.shape[0]))
-        acc = acc.reshape(rows_local, n).T
-    else:
-        acc = jnp.zeros((n, 0), jnp.float32)
-    acc = jax.device_put(acc, NamedSharding(mesh, P(axes)))
+    acc = shard_row_accum(mesh, axis, st, model.emb_state, sparse_opt)
     return ShardedDLRM(bottom=bottom, top=top, tables=st, emb_accum=acc,
                        config=model.config)
 

@@ -164,6 +164,26 @@ def shard_table(mesh: Mesh, axis: str, table) -> ShardedStackedTables:
     return ShardedStackedTables.shard(mesh, axis, table)
 
 
+def shard_row_accum(mesh: Mesh, axis, st: ShardedStackedTables, state,
+                    sparse_opt) -> jax.Array:
+    """Mod-shard a `(ΣV,)` row-wise accumulator exactly like the table rows
+    (pad, then global row r -> shard r % n, slot r // n); stateless
+    optimizers get the `(n, 0)` placeholder. The ONE home of this layout
+    transform — `shard_dlrm`/`shard_dcn`/`shard_deepfm` all route through
+    it, so the ownership rule cannot silently diverge across families."""
+    from ..optim import SparseRowWiseAdaGrad
+    axes = _axes_tuple(axis)
+    n, rows_local, _ = st.data.shape
+    if isinstance(sparse_opt, SparseRowWiseAdaGrad):
+        acc = state.accum
+        v_pad = n * rows_local
+        acc = jnp.pad(acc, (0, v_pad - acc.shape[0]))
+        acc = acc.reshape(rows_local, n).T
+    else:
+        acc = jnp.zeros((n, 0), jnp.float32)
+    return jax.device_put(acc, NamedSharding(mesh, P(axes)))
+
+
 # ---------------------------------------------------------------------------
 # Lookup
 # ---------------------------------------------------------------------------
@@ -191,9 +211,9 @@ def _fold_combiner(idx: jax.Array, combiner: str, weights, pad_idx):
         valid = (idx != pad_idx).astype(jnp.float32)
         idx = jnp.where(idx != pad_idx, idx, 0)
         scale = valid if scale is None else scale * valid
-    if combiner == "mean":
-        if idx.ndim < 2:
-            raise ValueError("combiner='mean' requires bag indices")
+    # Non-reducing (B,) streams have no bag: mean is a no-op (the `lookup`
+    # 1-D contract) and weights stay a per-row scale.
+    if combiner == "mean" and idx.ndim >= 2:
         if scale is None:
             scale = jnp.full(idx.shape, 1.0 / idx.shape[-1], jnp.float32)
         else:
@@ -518,16 +538,15 @@ def unshard_adam_state(st: ShardedStackedTables, m, v, count):
 
 def init_sharded_ftrl_state(mesh: Mesh, st: ShardedStackedTables, opt):
     """(z, n) for a sharded stack, mod-row-sharded like the table. The z
-    init solves for the current weights (the `SparseFTRL.init` contract) —
-    computed per shard under jit, so no full-table buffer materializes."""
+    init solves for the current weights (shared `optim.ftrl_init_arrays`,
+    the one source of that invariant) — computed per shard under jit, so
+    no full-table buffer materializes."""
+    from ..optim import ftrl_init_arrays
     axes = st.axes
 
     def gen(data):
-        n0 = jnp.full(data.shape, opt.initial_accum, jnp.float32)
-        w0 = data.astype(jnp.float32)
-        denom = (opt.beta + jnp.sqrt(n0)) / opt.lr + opt.l2
-        z0 = jnp.where(w0 != 0.0, -w0 * denom - jnp.sign(w0) * opt.l1, 0.0)
-        return z0, n0
+        return ftrl_init_arrays(data, opt.lr, opt.beta, opt.l1, opt.l2,
+                                opt.initial_accum)
     sharding = NamedSharding(mesh, P(axes))
     return jax.jit(gen, out_shardings=(sharding, sharding))(st.data)
 

@@ -272,16 +272,19 @@ def quantize_deepfm(model, bits: int = 8):
         shifted = jnp.stack([cat[i] + offsets[i] for i in range(t)])
         flat = shifted.reshape((-1,) + shifted.shape[2:])
         rows = qt.rows(flat)
-        wrows = jnp.take(fm_w, flat.reshape(-1), axis=0).reshape(
-            flat.shape + (1,))
+        wrows = (jnp.take(fm_w, flat.reshape(-1), axis=0).reshape(
+            flat.shape + (1,)) if cfg.use_fm else None)
         if flat.ndim == 2:  # bag reduce
             rows = rows.sum(axis=1)
-            wrows = wrows.sum(axis=1)
             if cfg.combiner == "mean":
                 rows = rows / flat.shape[1]
-                wrows = wrows / flat.shape[1]
+            if wrows is not None:
+                wrows = wrows.sum(axis=1)
+                if cfg.combiner == "mean":
+                    wrows = wrows / flat.shape[1]
         emb = rows.reshape(t, shifted.shape[1], cfg.dim)
-        w_t = wrows.reshape(t, shifted.shape[1], 1)
+        w_t = (wrows.reshape(t, shifted.shape[1], 1)
+               if wrows is not None else None)
         return forward_from_embeddings(dense_params, cfg, dense, emb, w_t)
 
     eval_fn = lambda dense, cat: _eval(qt, model.fm_w.data,   # noqa: E731

@@ -138,13 +138,43 @@ def test_training_reduces_loss(bag, combiner):
 def test_ablation_flags():
     rng = np.random.default_rng(4)
     dense, cat, _ = make_batch(rng, CFG)
-    for kw in (dict(use_fm=False), dict(use_deep=False)):
-        cfg = dataclasses.replace(CFG, **kw)
-        m = init_deepfm(jax.random.PRNGKey(3), cfg)
-        out = make_eval_step(cfg)(m, dense, cat)
-        assert np.all(np.isfinite(np.asarray(out)))
+    # use_fm=False is a TRUE deep-only ablation: the output must not depend
+    # on the fm_w stack or the dense linear weights at all.
+    cfg = dataclasses.replace(CFG, use_fm=False)
+    m = init_deepfm(jax.random.PRNGKey(3), cfg)
+    out = make_eval_step(cfg)(m, dense, cat)
+    assert np.all(np.isfinite(np.asarray(out)))
+    m2 = dataclasses.replace(
+        m,
+        fm_w=dataclasses.replace(m.fm_w, data=m.fm_w.data + 100.0),
+        dense_w=m.dense_w + 100.0)
+    out2 = make_eval_step(cfg)(m2, dense, cat)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # Plain FM: use_deep=False works with an EMPTY deep_mlp (no tower is
+    # built at all).
+    cfg = dataclasses.replace(CFG, use_deep=False, deep_mlp=())
+    m = init_deepfm(jax.random.PRNGKey(3), cfg)
+    out = make_eval_step(cfg)(m, dense, cat)
+    assert np.all(np.isfinite(np.asarray(out)))
+    assert m.deep == []
     with pytest.raises(ValueError):
         dataclasses.replace(CFG, use_fm=False, use_deep=False)
+    with pytest.raises(ValueError):
+        dataclasses.replace(CFG, deep_mlp=())  # use_deep needs a tower
+
+
+def test_use_fm_false_trains_without_touching_fm_stack():
+    cfg = dataclasses.replace(CFG, use_fm=False)
+    rng = np.random.default_rng(6)
+    model = init_deepfm(jax.random.PRNGKey(5), cfg)
+    dense, cat, label = make_batch(rng, cfg)
+    step = make_train_step(cfg, dense_lr=0.1, jit=False)
+    new_model, loss = step(model, dense, cat, label)
+    assert np.isfinite(float(loss))
+    np.testing.assert_array_equal(np.asarray(new_model.fm_w.data),
+                                  np.asarray(model.fm_w.data))
+    assert not np.array_equal(np.asarray(new_model.tables.data),
+                              np.asarray(model.tables.data))
 
 
 def test_train_deepfm_loop_learns_and_checkpoints(tmp_path):

@@ -109,6 +109,21 @@ def test_duplicate_occurrences_accumulate_before_state_advance():
                                atol=1e-6)
 
 
+def test_lr_override_rejected():
+    # alpha is baked into the z state: a per-step lr override would
+    # reinterpret all accumulated state at the new alpha and snap weights.
+    opt = SparseFTRL(lr=0.05)
+    data = jnp.ones((4, 2), jnp.float32)
+    state = opt.init(data)
+    upd = SparseEmbeddingUpdate(delta=jnp.ones((1, 2)) * 1e-9,
+                                indices=jnp.array([0], jnp.int32))
+    with pytest.raises(ValueError, match="cannot change lr"):
+        opt.apply(data, upd, state, lr=0.01)
+    # The fixed value passes through (uniform-interface compatibility).
+    out, _ = opt.apply(data, upd, state, lr=0.05)
+    np.testing.assert_allclose(np.asarray(out)[1:], np.asarray(data)[1:])
+
+
 def test_l1_drives_exact_zeros():
     # From the origin (z0 = 0), any |accumulated z| <= l1 stays EXACTLY 0 —
     # FTRL's trained-sparsity signature. (Weights initialized away from 0

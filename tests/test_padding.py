@@ -188,6 +188,41 @@ def test_adagrad_rowstate_advances_only_on_valid_rows():
     assert np.all(np.asarray(new_state.accum)[100:] == 0.0)
 
 
+def test_nonreducing_combiner_and_weights_contract():
+    """1-D contract: combiner is a no-op (mean == sum == gather), weights
+    are a per-row output scale, and the lazy gradient is its transpose —
+    uniformly across table types, with and without pad_idx."""
+    rng = np.random.default_rng(53)
+    data = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, V, size=(B,)).astype(np.int32))
+    w = jnp.asarray(rng.random(B).astype(np.float32)) + 0.1
+    plain = np.asarray(data)[np.asarray(idx)]
+    for table in (data, SimpleEmbedding(data), SplitEmbedding(data, 61)):
+        got_mean = lookup(table, idx, combiner="mean")
+        np.testing.assert_allclose(np.asarray(got_mean), plain, atol=1e-6)
+        got_w = lookup(table, idx, weights=w)
+        np.testing.assert_allclose(np.asarray(got_w),
+                                   plain * np.asarray(w)[:, None], atol=1e-5)
+    orc = lookup_oracle(data, idx, "mean", w)
+    np.testing.assert_allclose(np.asarray(orc),
+                               plain * np.asarray(w)[:, None], atol=1e-5)
+    # Gradient transposes the forward scale.
+    out, pb = lookup_vjp(data, idx, weights=w)
+    delta = jnp.asarray(rng.standard_normal(out.shape).astype(np.float32))
+    g = uncompress(pb(delta), V)
+    g_dense = jax.grad(lambda d: (lookup_oracle(d, idx, "sum", w)
+                                  * delta).sum())(data)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_dense), atol=1e-4)
+    # With pad: scale and mask compose.
+    idxp = jnp.asarray(np.where(rng.random(B) < 0.4, -1,
+                                np.asarray(idx)).astype(np.int32))
+    got = lookup(data, idxp, weights=w, pad_idx=-1)
+    exp = np.where(np.asarray(idxp)[:, None] >= 0,
+                   np.asarray(data)[np.maximum(np.asarray(idxp), 0)]
+                   * np.asarray(w)[:, None], 0.0)
+    np.testing.assert_allclose(np.asarray(got), exp, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # Ensemble paths
 # ---------------------------------------------------------------------------
