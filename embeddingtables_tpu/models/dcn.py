@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..ops.ensemble import StackedTables
 from ..ops.sparse_update import SparseEmbeddingUpdate
-from ..optim import SparseOptState, SparseSGD
+from ..optim import SparseOptState, SparseSGD, apply_dense_tx
 from .dlrm import _init_mlp, _mlp, bce_loss, embedding_forward
 
 
@@ -250,16 +250,8 @@ def make_train_step(cfg: DCNConfig, sparse_opt=None, dense_lr: float = 0.01,
         dense_grads, delta_t = grads
 
         params = (model.cross, model.deep, model.head)
-        if dense_tx is not None:
-            updates, new_dense_state = dense_tx.update(
-                dense_grads, model.dense_opt_state, params)
-            new_cross, new_deep, new_head = jax.tree.map(
-                lambda p, u: (p + u).astype(p.dtype), params, updates)
-        else:
-            new_dense_state = model.dense_opt_state
-            new_cross, new_deep, new_head = jax.tree.map(
-                lambda p, g: (p - dense_lr * g).astype(p.dtype),
-                params, dense_grads)
+        (new_cross, new_deep, new_head), new_dense_state = apply_dense_tx(
+            params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
 
         t = cfg.num_tables
         idx = [cat[i] for i in range(t)]

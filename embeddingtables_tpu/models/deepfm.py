@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..ops.ensemble import StackedTables
 from ..ops.sparse_update import SparseEmbeddingUpdate
-from ..optim import SparseSGD
+from ..optim import SparseSGD, apply_dense_tx
 from .dlrm import _init_mlp, _mlp, bce_loss, embedding_forward
 
 
@@ -236,16 +236,9 @@ def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
                 loss_fn, argnums=(0, 1))(params, emb_t, None)
             delta_w = None
 
-        if dense_tx is not None:
-            updates, new_dense_state = dense_tx.update(
-                dense_grads, model.dense_opt_state, params)
-            new_deep, new_head, new_dw, new_bias = jax.tree.map(
-                lambda p, u: (p + u).astype(p.dtype), params, updates)
-        else:
-            new_dense_state = model.dense_opt_state
-            new_deep, new_head, new_dw, new_bias = jax.tree.map(
-                lambda p, g: (p - dense_lr * g).astype(p.dtype),
-                params, dense_grads)
+        (new_deep, new_head, new_dw, new_bias), new_dense_state = \
+            apply_dense_tx(params, dense_grads, dense_tx,
+                           model.dense_opt_state, dense_lr)
 
         upd_e = _lazy_update(model.tables, cat, delta_emb, cfg.dim,
                              cfg.combiner)

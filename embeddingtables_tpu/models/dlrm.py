@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from ..ops.ensemble import StackedTables
 from ..ops.lookup import lookup
 from ..ops.sparse_update import SparseEmbeddingUpdate
-from ..optim import SparseOptState, SparseRowWiseAdaGrad, SparseSGD
+from ..optim import (SparseOptState, SparseRowWiseAdaGrad, SparseSGD,
+                     apply_dense_tx)
 from ..tables import SimpleEmbedding
 
 
@@ -295,18 +296,9 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
 
         # Dense towers: plain SGD (parity with the reference's Flux.Descent)
         # or an optax transform.
-        if dense_tx is not None:
-            updates, new_dense_state = dense_tx.update(
-                dense_grads, model.dense_opt_state,
-                (model.bottom, model.top))
-            new_bottom, new_top = jax.tree.map(
-                lambda p, u: (p + u).astype(p.dtype),
-                (model.bottom, model.top), updates)
-        else:
-            new_dense_state = model.dense_opt_state
-            new_bottom, new_top = jax.tree.map(
-                lambda p, g: (p - dense_lr * g).astype(p.dtype),
-                (model.bottom, model.top), dense_grads)
+        (new_bottom, new_top), new_dense_state = apply_dense_tx(
+            (model.bottom, model.top), dense_grads, dense_tx,
+            model.dense_opt_state, dense_lr)
 
         # Embedding ensemble: ONE fused sparse step on the stacked array.
         # Per-table (delta, indices) merge into a single occurrence stream via

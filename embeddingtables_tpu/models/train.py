@@ -107,7 +107,8 @@ def _maybe_evict(model, trackers, plan, mesh, evict_threshold,
 
 
 def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
-               sparse_opt=None, dense_lr: float = 0.01, model=None,
+               sparse_opt=None, dense_lr: float = 0.01, dense_tx=None,
+               model=None,
                seed: int = 0, eval_batches: Optional[list] = None,
                eval_every: int = 0, ckpt_manager=None, ckpt_every: int = 0,
                log_every: int = 100, mesh=None, axis: str = "data",
@@ -151,7 +152,8 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
             "planner-placed training supports the gather exchange only")
     if model is None and plan is None:
         with tel.phase("init"):
-            model = init_dlrm(jax.random.key(seed), cfg, sparse_opt=sparse_opt)
+            model = init_dlrm(jax.random.key(seed), cfg,
+                              sparse_opt=sparse_opt, dense_tx=dense_tx)
     tuner = None
     with_overflow = False
     if mesh is not None and plan is not None:
@@ -195,14 +197,15 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                                      make_sharded_train_step, shard_dlrm)
         from .dlrm import DLRM
         if isinstance(model, DLRM):
-            model = shard_dlrm(model, mesh, axis, sparse_opt=sparse_opt)
+            model = shard_dlrm(model, mesh, axis, sparse_opt=sparse_opt,
+                               dense_tx=dense_tx)
         with_overflow = exchange == "a2a" and auto_capacity
 
         def build_step(cf):
             return make_sharded_train_step(
                 cfg, mesh, axis, sparse_opt=sparse_opt, dense_lr=dense_lr,
                 exchange=exchange, capacity_factor=cf,
-                with_overflow=with_overflow)
+                with_overflow=with_overflow, dense_tx=dense_tx)
 
         step = build_step(capacity_factor)
         if with_overflow:
@@ -215,7 +218,8 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                          jax.device_put(b["label"], sl))
     else:
         step = make_train_step(cfg, sparse_opt=sparse_opt,
-                               dense_lr=dense_lr, microbatch=microbatch)
+                               dense_lr=dense_lr, microbatch=microbatch,
+                               dense_tx=dense_tx)
         eval_step = make_eval_step(cfg)
         put = lambda b: (jnp.asarray(b["dense"]),              # noqa: E731
                          jnp.asarray(b["cat"]),
@@ -316,7 +320,8 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
 # ---------------------------------------------------------------------------
 
 def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
-              dense_lr: float = 0.01, model=None, seed: int = 0,
+              dense_lr: float = 0.01, dense_tx=None, model=None,
+              seed: int = 0,
               eval_batches: Optional[list] = None, eval_every: int = 0,
               ckpt_manager=None, ckpt_every: int = 0, log_every: int = 100,
               mesh=None, axis: str = "data", microbatch=None,
@@ -341,7 +346,8 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         raise ValueError("plan= requires mesh=")
     if model is None and plan is None:
         with tel.phase("init"):
-            model = init_dcn(jax.random.key(seed), cfg, sparse_opt=sparse_opt)
+            model = init_dcn(jax.random.key(seed), cfg,
+                             sparse_opt=sparse_opt, dense_tx=dense_tx)
     if mesh is not None and plan is not None:
         from jax.sharding import NamedSharding, PartitionSpec as _P
         from ..parallel.dlrm import batch_shardings as dcn_shardings
@@ -380,10 +386,12 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                                     make_sharded_dcn_train_step, shard_dcn)
         from .dcn import DCN
         if isinstance(model, DCN):
-            model = shard_dcn(model, mesh, axis, sparse_opt=sparse_opt)
+            model = shard_dcn(model, mesh, axis, sparse_opt=sparse_opt,
+                              dense_tx=dense_tx)
         step = make_sharded_dcn_train_step(cfg, mesh, axis,
                                            sparse_opt=sparse_opt,
-                                           dense_lr=dense_lr)
+                                           dense_lr=dense_lr,
+                                           dense_tx=dense_tx)
         eval_step = make_sharded_dcn_eval_step(cfg, mesh, axis)
         sd, sc, sl = dcn_shardings(mesh, axis)
         put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731
@@ -391,7 +399,8 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                          jax.device_put(b["label"], sl))
     else:
         step = make_dcn_step(cfg, sparse_opt=sparse_opt,
-                             dense_lr=dense_lr, microbatch=microbatch)
+                             dense_lr=dense_lr, microbatch=microbatch,
+                             dense_tx=dense_tx)
         eval_step = make_dcn_eval(cfg)
         put = lambda b: (jnp.asarray(b["dense"]),              # noqa: E731
                          jnp.asarray(b["cat"]),
@@ -471,7 +480,8 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
 
 
 def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
-                 dense_lr: float = 0.01, model=None, seed: int = 0,
+                 dense_lr: float = 0.01, dense_tx=None, model=None,
+                 seed: int = 0,
                  eval_batches: Optional[list] = None, eval_every: int = 0,
                  ckpt_manager=None, ckpt_every: int = 0,
                  log_every: int = 100, mesh=None, axis: str = "data",
@@ -495,24 +505,27 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
     if model is None:
         with tel.phase("init"):
             model = init_deepfm(jax.random.key(seed), cfg,
-                                sparse_opt=sparse_opt)
+                                sparse_opt=sparse_opt, dense_tx=dense_tx)
     if mesh is not None:
         from ..parallel.deepfm import (batch_shardings as fm_shardings,
                                        make_sharded_deepfm_eval_step,
                                        make_sharded_deepfm_train_step,
                                        shard_deepfm)
         if isinstance(model, DeepFM):
-            model = shard_deepfm(model, mesh, axis, sparse_opt=sparse_opt)
+            model = shard_deepfm(model, mesh, axis, sparse_opt=sparse_opt,
+                                 dense_tx=dense_tx)
         step = make_sharded_deepfm_train_step(cfg, mesh, axis,
                                               sparse_opt=sparse_opt,
-                                              dense_lr=dense_lr)
+                                              dense_lr=dense_lr,
+                                              dense_tx=dense_tx)
         eval_step = make_sharded_deepfm_eval_step(cfg, mesh, axis)
         sd, sc, sl = fm_shardings(mesh, axis)
         put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731
                          jax.device_put(b["cat"], sc),
                          jax.device_put(b["label"], sl))
     else:
-        step = make_fm_step(cfg, sparse_opt=sparse_opt, dense_lr=dense_lr)
+        step = make_fm_step(cfg, sparse_opt=sparse_opt, dense_lr=dense_lr,
+                            dense_tx=dense_tx)
         eval_step = make_fm_eval(cfg)
         put = lambda b: (jnp.asarray(b["dense"]),              # noqa: E731
                          jnp.asarray(b["cat"]),

@@ -174,6 +174,20 @@ def adam_dense_body(data: jax.Array, m: jax.Array, v: jax.Array, t,
     return out, new_m, new_v
 
 
+def apply_dense_tx(params, grads, dense_tx, state, lr):
+    """Dense (tower) parameter update, shared by every model family's
+    single-chip AND sharded train steps: plain SGD when `dense_tx` is None,
+    else the optax GradientTransformation (state rides the model pytree —
+    replicated on meshes, since towers are replicated).
+    Returns (new_params, new_state)."""
+    if dense_tx is None:
+        return jax.tree.map(lambda p, g: (p - lr * g).astype(p.dtype),
+                            params, grads), state
+    updates, new_state = dense_tx.update(grads, state, params)
+    return jax.tree.map(lambda p, u: (p + u).astype(p.dtype),
+                        params, updates), new_state
+
+
 def ftrl_init_arrays(data: jax.Array, alpha, beta, l1, l2, initial_accum):
     """(z0, n0) that REPRODUCE the current weights under FTRL's closed form:
     z0 = -w0·((beta + sqrt(n0))/alpha + l2) - sign(w0)·l1 (zero where w0 is

@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.dcn import DCN, DCNConfig, forward_from_embeddings
 from ..models.dlrm import bce_loss
-from ..optim import SparseRowWiseAdaGrad, SparseSGD
+from ..optim import SparseRowWiseAdaGrad, SparseSGD, apply_dense_tx
 from .dlrm import _sharded_sparse_apply, batch_shardings  # noqa: F401
 from .sharded import (ShardedStackedTables, _axes_tuple, shard_row_accum,
                       sharded_ensemble_lookup)
@@ -36,12 +36,15 @@ class ShardedDCN:
     tables: ShardedStackedTables
     emb_accum: jax.Array
     config: DCNConfig = dataclasses.field(metadata=dict(static=True))
+    # Replicated optax state for the dense parts (dense_tx steps).
+    dense_opt_state: object = None
 
 
 def shard_dcn(model: DCN, mesh: Mesh, axis="data",
-              sparse_opt=None) -> ShardedDCN:
+              sparse_opt=None, dense_tx=None) -> ShardedDCN:
     """Place a single-chip DCN onto a mesh (same placement rules as
-    `parallel.dlrm.shard_dlrm`)."""
+    `parallel.dlrm.shard_dlrm`; `dense_tx` initializes a replicated tower
+    state when the model has none)."""
     sparse_opt = sparse_opt or SparseSGD()
     st = ShardedStackedTables.shard(mesh, axis, model.tables)
     repl = NamedSharding(mesh, P())
@@ -49,13 +52,20 @@ def shard_dcn(model: DCN, mesh: Mesh, axis="data",
     deep = jax.device_put(model.deep, repl)
     head = jax.device_put(model.head, repl)
     acc = shard_row_accum(mesh, axis, st, model.emb_state, sparse_opt)
+    dstate = getattr(model, "dense_opt_state", None)
+    if dstate is None and dense_tx is not None:
+        dstate = dense_tx.init((cross, deep, head))
+    if dstate is not None:
+        dstate = jax.device_put(dstate, repl)
     return ShardedDCN(cross=cross, deep=deep, head=head, tables=st,
-                      emb_accum=acc, config=model.config)
+                      emb_accum=acc, config=model.config,
+                      dense_opt_state=dstate)
 
 
 def make_sharded_dcn_train_step(cfg: DCNConfig, mesh: Mesh,
                                 axis: str = "data", sparse_opt=None,
-                                dense_lr: float = 0.01, jit: bool = True):
+                                dense_lr: float = 0.01, jit: bool = True,
+                                dense_tx=None):
     """`step(model: ShardedDCN, dense, cat, label) -> (model, loss)` with
     `batch_shardings(mesh, axis)` on the batch arrays. Gather exchange
     (exact); the DLRM module remains the reference for the a2a variant."""
@@ -82,9 +92,8 @@ def make_sharded_dcn_train_step(cfg: DCNConfig, mesh: Mesh,
             loss_fn, argnums=(0, 1))(params, emb_t)
         if cfg.combiner == "mean" and cat.ndim == 3:
             delta_t = delta_t / cat.shape[2]
-        new_cross, new_deep, new_head = jax.tree.map(
-            lambda p, g: (p - dense_lr * g).astype(p.dtype),
-            params, dense_grads)
+        (new_cross, new_deep, new_head), new_dstate = apply_dense_tx(
+            params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
 
         shifted = jnp.stack([cat[t] + st.offsets[t]
                              for t in range(st.ntables)])
@@ -92,7 +101,7 @@ def make_sharded_dcn_train_step(cfg: DCNConfig, mesh: Mesh,
             mesh, st, model.emb_accum, shifted, delta_t, sparse_opt)
         return ShardedDCN(cross=new_cross, deep=new_deep, head=new_head,
                           tables=new_st, emb_accum=new_accum,
-                          config=cfg), loss
+                          config=cfg, dense_opt_state=new_dstate), loss
 
     if jit:
         step = jax.jit(step, donate_argnums=(0,))
@@ -128,4 +137,5 @@ def unshard_dcn(model: ShardedDCN) -> DCN:
     return DCN(cross=model.cross, deep=model.deep, head=model.head,
                tables=StackedTables(data=st.unshard(), offsets=st.offsets,
                                     dim=st.dim),
-               emb_state=SparseOptState(accum=accum), config=model.config)
+               emb_state=SparseOptState(accum=accum), config=model.config,
+               dense_opt_state=model.dense_opt_state)

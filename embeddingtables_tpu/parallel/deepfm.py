@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.deepfm import DeepFM, DeepFMConfig, forward_from_embeddings
 from ..models.dlrm import bce_loss
-from ..optim import SparseRowWiseAdaGrad, SparseSGD
+from ..optim import SparseRowWiseAdaGrad, SparseSGD, apply_dense_tx
 from .dlrm import _sharded_sparse_apply, batch_shardings  # noqa: F401
 from .sharded import (ShardedStackedTables, shard_row_accum,
                       sharded_ensemble_lookup)
@@ -40,31 +40,41 @@ class ShardedDeepFM:
     emb_accum: jax.Array
     fm_accum: jax.Array
     config: DeepFMConfig = dataclasses.field(metadata=dict(static=True))
+    # Replicated optax state for the dense parts (dense_tx steps).
+    dense_opt_state: object = None
 
 
 def shard_deepfm(model: DeepFM, mesh: Mesh, axis="data",
-                 sparse_opt=None) -> ShardedDeepFM:
+                 sparse_opt=None, dense_tx=None) -> ShardedDeepFM:
     """Place a single-chip DeepFM onto a mesh (same placement rules as
-    `parallel.dlrm.shard_dlrm`, applied to both stacks)."""
+    `parallel.dlrm.shard_dlrm`, applied to both stacks; `dense_tx`
+    initializes a replicated tower state when the model has none)."""
     sparse_opt = sparse_opt or SparseSGD()
     st = ShardedStackedTables.shard(mesh, axis, model.tables)
     sw = ShardedStackedTables.shard(mesh, axis, model.fm_w)
     repl = NamedSharding(mesh, P())
+    deep = jax.device_put(model.deep, repl)
+    head = jax.device_put(model.head, repl)
+    dense_w = jax.device_put(model.dense_w, repl)
+    bias = jax.device_put(model.bias, repl)
+    dstate = model.dense_opt_state
+    if dstate is None and dense_tx is not None:
+        dstate = dense_tx.init((deep, head, dense_w, bias))
+    if dstate is not None:
+        dstate = jax.device_put(dstate, repl)
     return ShardedDeepFM(
-        deep=jax.device_put(model.deep, repl),
-        head=jax.device_put(model.head, repl),
-        dense_w=jax.device_put(model.dense_w, repl),
-        bias=jax.device_put(model.bias, repl),
+        deep=deep, head=head, dense_w=dense_w, bias=bias,
         tables=st, fm_w=sw,
         emb_accum=shard_row_accum(mesh, axis, st, model.emb_state,
                                   sparse_opt),
         fm_accum=shard_row_accum(mesh, axis, sw, model.fm_state, sparse_opt),
-        config=model.config)
+        config=model.config, dense_opt_state=dstate)
 
 
 def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
                                    axis: str = "data", sparse_opt=None,
-                                   dense_lr: float = 0.01, jit: bool = True):
+                                   dense_lr: float = 0.01, jit: bool = True,
+                                   dense_tx=None):
     """`step(model: ShardedDeepFM, dense, cat, label) -> (model, loss)` with
     `batch_shardings(mesh, axis)` on the batch arrays. Two gather exchanges
     per step (one per stack), two independent lazy updates."""
@@ -106,9 +116,8 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
             delta_emb = delta_emb / cat.shape[2]
             if delta_w is not None:
                 delta_w = delta_w / cat.shape[2]
-        new_deep, new_head, new_dw, new_bias = jax.tree.map(
-            lambda p, g: (p - dense_lr * g).astype(p.dtype),
-            params, dense_grads)
+        (new_deep, new_head, new_dw, new_bias), new_dstate = apply_dense_tx(
+            params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
 
         shifted = jnp.stack([cat[t] + model.tables.offsets[t]
                              for t in range(model.tables.ntables)])
@@ -124,7 +133,7 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
         return ShardedDeepFM(deep=new_deep, head=new_head, dense_w=new_dw,
                              bias=new_bias, tables=new_st, fm_w=new_sw,
                              emb_accum=new_acc, fm_accum=new_wacc,
-                             config=cfg), loss
+                             config=cfg, dense_opt_state=new_dstate), loss
 
     if jit:
         step = jax.jit(step, donate_argnums=(0,))
@@ -170,4 +179,4 @@ def unshard_deepfm(model: ShardedDeepFM) -> DeepFM:
         fm_w=StackedTables(data=sw.unshard(), offsets=sw.offsets, dim=1),
         emb_state=SparseOptState(accum=un_accum(model.emb_accum, st.vocab)),
         fm_state=SparseOptState(accum=un_accum(model.fm_accum, sw.vocab)),
-        config=model.config)
+        config=model.config, dense_opt_state=model.dense_opt_state)

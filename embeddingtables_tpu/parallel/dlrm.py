@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.dlrm import (DLRM, DLRMConfig, bce_loss, forward_from_embeddings,
                            init_dlrm)
-from ..optim import SparseRowWiseAdaGrad, SparseSGD
+from ..optim import SparseRowWiseAdaGrad, SparseSGD, apply_dense_tx
 from .sharded import (ShardedStackedTables, _axes_tuple, _flat_axis_index,
                       shard_row_accum, sharded_ensemble_lookup)
 
@@ -49,25 +49,36 @@ class ShardedDLRM:
     tables: ShardedStackedTables
     emb_accum: jax.Array     # (n_shards, rows_local) f32, or (n_shards, 0)
     config: DLRMConfig = dataclasses.field(metadata=dict(static=True))
+    # Replicated optax state for the towers when the step was built with
+    # dense_tx (towers are replicated, so their optimizer state is too).
+    dense_opt_state: object = None
 
 
 def shard_dlrm(model: DLRM, mesh: Mesh, axis="data",
-               sparse_opt=None) -> ShardedDLRM:
+               sparse_opt=None, dense_tx=None) -> ShardedDLRM:
     """Place a single-chip DLRM onto a mesh (replicate dense, mod-shard the
     stacked table and its row state). `axis` may be a tuple of mesh axes for
-    the 2-D decomposition (rows over data x model, batch over data)."""
+    the 2-D decomposition (rows over data x model, batch over data).
+    dense_tx: pass the step's optax tower transform so a model that was
+    initialized without one still gets a replicated state here."""
     sparse_opt = sparse_opt or SparseSGD()
     st = ShardedStackedTables.shard(mesh, axis, model.tables)
     repl = NamedSharding(mesh, P())
     bottom = jax.device_put(model.bottom, repl)
     top = jax.device_put(model.top, repl)
     acc = shard_row_accum(mesh, axis, st, model.emb_state, sparse_opt)
+    dstate = getattr(model, "dense_opt_state", None)
+    if dstate is None and dense_tx is not None:
+        dstate = dense_tx.init((bottom, top))
+    if dstate is not None:
+        dstate = jax.device_put(dstate, repl)
     return ShardedDLRM(bottom=bottom, top=top, tables=st, emb_accum=acc,
-                       config=model.config)
+                       config=model.config, dense_opt_state=dstate)
 
 
 def init_sharded_dlrm(key: jax.Array, cfg: DLRMConfig, mesh: Mesh,
-                      axis: str = "data", sparse_opt=None) -> ShardedDLRM:
+                      axis: str = "data", sparse_opt=None,
+                      dense_tx=None) -> ShardedDLRM:
     """Initialize DIRECTLY onto the mesh: each device generates its own table
     shard (never materializing the full (ΣV, D) array anywhere) — the path
     for beyond-single-HBM vocabularies. Dense towers are tiny and init
@@ -95,8 +106,10 @@ def init_sharded_dlrm(key: jax.Array, cfg: DLRMConfig, mesh: Mesh,
     else:
         acc = jax.device_put(jnp.zeros((n, 0), jnp.float32),
                              NamedSharding(mesh, P(axes)))
+    dstate = (jax.device_put(dense_tx.init((bottom, top)), repl)
+              if dense_tx is not None else None)
     return ShardedDLRM(bottom=bottom, top=top, tables=st, emb_accum=acc,
-                       config=cfg)
+                       config=cfg, dense_opt_state=dstate)
 
 
 def batch_shardings(mesh: Mesh, axis="data"):
@@ -198,7 +211,7 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
                             sparse_opt=None, dense_lr: float = 0.01,
                             jit: bool = True, exchange: str = "gather",
                             capacity_factor: float = 2.0,
-                            with_overflow: bool = False):
+                            with_overflow: bool = False, dense_tx=None):
     """Build the multi-chip fused train step.
 
     `step(model: ShardedDLRM, dense, cat, label) -> (model, loss)` where the
@@ -256,9 +269,9 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
 
         loss, (dense_grads, delta_t) = jax.value_and_grad(
             loss_fn, argnums=(0, 1))((model.bottom, model.top), emb_t)
-        new_bottom, new_top = jax.tree.map(
-            lambda p, g: (p - dense_lr * g).astype(p.dtype),
-            (model.bottom, model.top), dense_grads)
+        (new_bottom, new_top), new_dstate = apply_dense_tx(
+            (model.bottom, model.top), dense_grads, dense_tx,
+            model.dense_opt_state, dense_lr)
         delta_bt = jnp.swapaxes(delta_t, 0, 1).reshape(-1, cfg.dim)
         if bag is not None and cfg.combiner == "mean":
             delta_bt = delta_bt / bag
@@ -279,7 +292,7 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
             new_accum = model.emb_accum
         new_model = ShardedDLRM(bottom=new_bottom, top=new_top,
                                 tables=new_st, emb_accum=new_accum,
-                                config=cfg)
+                                config=cfg, dense_opt_state=new_dstate)
         if with_overflow:
             return new_model, (loss, ovf_fwd + ovf_bwd)
         return new_model, loss
@@ -307,9 +320,9 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
         if cfg.combiner == "mean" and cat.ndim == 3:
             delta_t = delta_t / cat.shape[2]
 
-        new_bottom, new_top = jax.tree.map(
-            lambda p, g: (p - dense_lr * g).astype(p.dtype),
-            (model.bottom, model.top), dense_grads)
+        (new_bottom, new_top), new_dstate = apply_dense_tx(
+            (model.bottom, model.top), dense_grads, dense_tx,
+            model.dense_opt_state, dense_lr)
 
         shifted = jnp.stack([cat[t] + st.offsets[t]
                              for t in range(st.ntables)])
@@ -317,7 +330,7 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
             mesh, st, model.emb_accum, shifted, delta_t, sparse_opt)
         new_model = ShardedDLRM(bottom=new_bottom, top=new_top,
                                 tables=new_st, emb_accum=new_accum,
-                                config=cfg)
+                                config=cfg, dense_opt_state=new_dstate)
         return new_model, loss
 
     if jit:
@@ -357,4 +370,5 @@ def unshard_dlrm(model: ShardedDLRM) -> DLRM:
         bottom=model.bottom, top=model.top,
         tables=StackedTables(data=st.unshard(), offsets=st.offsets,
                              dim=st.dim),
-        emb_state=SparseOptState(accum=accum), config=model.config)
+        emb_state=SparseOptState(accum=accum), config=model.config,
+        dense_opt_state=model.dense_opt_state)

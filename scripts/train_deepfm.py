@@ -48,6 +48,9 @@ def main():
                     help="row-lifecycle: evict stale rows every N steps")
     ap.add_argument("--evict-threshold", type=float, default=1e-3)
     ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--dense-opt", choices=["sgd", "adam"],
+                    default="sgd",
+                    help="tower optimizer: plain SGD at --lr, or optax\nadam (replicated state on mesh placements)")
     ap.add_argument("--eval-every", type=int, default=0)
     ap.add_argument("--eval-batches", type=int, default=4)
     ap.add_argument("--eval-metrics", action="store_true",
@@ -112,8 +115,14 @@ def main():
     print(f"backend={jax.default_backend()} devices={jax.device_count()} "
           f"T={args.tables} V={args.vocab} D={args.dim} B={args.batch} "
           f"fm={cfg.use_fm} deep={cfg.use_deep}", flush=True)
+    dense_tx = None
+    if args.dense_opt == "adam":
+        import optax
+        dense_tx = optax.adam(args.lr)
+
     res = train_deepfm(cfg, train_it, args.steps, sparse_opt=opt,
-                       dense_lr=args.lr, eval_batches=eval_batches,
+                       dense_lr=args.lr, dense_tx=dense_tx,
+                       eval_batches=eval_batches,
                        eval_every=args.eval_every,
                        eval_metrics=args.eval_metrics, ckpt_manager=mgr,
                        ckpt_every=args.ckpt_every, log_every=args.log_every,

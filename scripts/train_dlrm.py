@@ -57,6 +57,9 @@ def main():
                     help="embedding/MLP parameter dtype (bf16 halves table "
                          "HBM; ~neutral for speed on v5e, DESIGN.md §1e)")
     ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--dense-opt", choices=["sgd", "adam"],
+                    default="sgd",
+                    help="tower optimizer: plain SGD at --lr, or optax\nadam (replicated state on mesh placements)")
     ap.add_argument("--eval-every", type=int, default=0)
     ap.add_argument("--eval-batches", type=int, default=4)
     ap.add_argument("--eval-metrics", action="store_true",
@@ -151,8 +154,14 @@ def main():
     print(f"backend={jax.default_backend()} devices={jax.device_count()} "
           f"T={args.tables} V={args.vocab} D={args.dim} B={args.batch}",
           flush=True)
+    dense_tx = None
+    if args.dense_opt == "adam":
+        import optax
+        dense_tx = optax.adam(args.lr)
+
     res = train_dlrm(cfg, train_it, args.steps, sparse_opt=opt,
-                     dense_lr=args.lr, eval_batches=eval_batches,
+                     dense_lr=args.lr, dense_tx=dense_tx,
+                     eval_batches=eval_batches,
                      eval_every=args.eval_every,
                      eval_metrics=args.eval_metrics, ckpt_manager=mgr,
                      ckpt_every=args.ckpt_every, log_every=args.log_every,

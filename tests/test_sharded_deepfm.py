@@ -163,3 +163,35 @@ def test_unshard_deepfm_roundtrip():
     got = make_eval_step(cfg)(back, jnp.asarray(dense), jnp.asarray(cat))
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_deepfm_optax_towers_match_single_chip():
+    import optax
+    cfg = tiny_cfg()
+    mesh = default_mesh(("data",))
+    tx = optax.adam(1e-2)
+    opt = SparseSGD(0.2)
+    from embeddingtables_tpu.models.deepfm import init_deepfm, make_train_step
+    m1 = init_deepfm(jax.random.key(0), cfg, sparse_opt=opt, dense_tx=tx)
+    step1 = make_train_step(cfg, sparse_opt=opt, dense_tx=tx, jit=False)
+    sm = shard_deepfm(init_deepfm(jax.random.key(0), cfg, sparse_opt=opt,
+                                  dense_tx=tx),
+                      mesh, "data", sparse_opt=opt)
+    assert sm.dense_opt_state is not None
+    stepN = make_sharded_deepfm_train_step(cfg, mesh, "data",
+                                           sparse_opt=opt, dense_tx=tx)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    for it in range(3):
+        dense, cat, label = synth_batch(cfg, b=32, seed=20 + it)
+        m1, loss1 = step1(m1, jnp.asarray(dense), jnp.asarray(cat),
+                          jnp.asarray(label))
+        sm, lossN = stepN(sm, jax.device_put(dense, sd),
+                          jax.device_put(cat, sc), jax.device_put(label, sl))
+        np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    back = unshard_deepfm(sm)
+    for a, b in zip(jax.tree_util.tree_leaves((m1.deep, m1.head, m1.dense_w,
+                                               m1.bias)),
+                    jax.tree_util.tree_leaves((back.deep, back.head,
+                                               back.dense_w, back.bias))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6)

@@ -206,3 +206,39 @@ def test_unshard_dlrm_roundtrip():
     np.testing.assert_allclose(
         np.asarray(unshard_dlrm(smodel2).emb_state.accum),
         np.asarray(m1.emb_state.accum), rtol=2e-4, atol=1e-7)
+
+
+def test_sharded_dlrm_optax_towers_match_single_chip():
+    """dense_tx (optax adam) on the mesh step: replicated tower state,
+    multi-step parity with the single-chip step."""
+    import optax
+    from embeddingtables_tpu.parallel.dlrm import make_sharded_train_step
+    cfg = tiny_cfg()
+    mesh = default_mesh(("data",))
+    tx = optax.adam(1e-2)
+    opt = SparseRowWiseAdaGrad(lr=0.2, eps=1e-6)
+
+    m1 = init_dlrm(jax.random.key(0), cfg, sparse_opt=opt, dense_tx=tx)
+    step1 = make_train_step(cfg, sparse_opt=opt, dense_tx=tx, jit=False)
+
+    sm = shard_dlrm(init_dlrm(jax.random.key(0), cfg, sparse_opt=opt,
+                              dense_tx=tx),
+                    mesh, "data", sparse_opt=opt)
+    assert sm.dense_opt_state is not None
+    stepN = make_sharded_train_step(cfg, mesh, "data", sparse_opt=opt,
+                                    dense_tx=tx)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    for it in range(3):       # multi-step: adam moments must track
+        dense, cat, label = synth_batch(cfg, b=32, seed=10 + it)
+        m1, loss1 = step1(m1, jnp.asarray(dense), jnp.asarray(cat),
+                          jnp.asarray(label))
+        sm, lossN = stepN(sm, jax.device_put(dense, sd),
+                          jax.device_put(cat, sc), jax.device_put(label, sl))
+        np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves((m1.bottom, m1.top)),
+                    jax.tree_util.tree_leaves((sm.bottom, sm.top))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sm.tables.unshard()),
+                               np.asarray(m1.tables.data),
+                               rtol=2e-4, atol=1e-6)
