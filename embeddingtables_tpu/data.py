@@ -42,6 +42,11 @@ class SyntheticCriteo:
     batch_size: int = 8192
     zipf_a: float = 1.1          # power-law exponent; ~1.1 matches CTR logs
     bag: Optional[int] = None    # multi-hot bag size (None = one-hot (T,B))
+    # Variable-length bags: each (table, example) bag keeps a uniform
+    # Uniform{1..bag} number of valid entries; the rest are right-padded
+    # with `pad_idx` (pairs with the models' cfg.pad_idx — pads contribute
+    # nothing to the hidden label model either).
+    pad_idx: Optional[int] = None
     seed: int = 0
     # Separate stream for the sample draw (None = `seed`): parallel workers
     # use one `seed` (shared ground-truth label model) and distinct
@@ -110,8 +115,22 @@ class SyntheticCriteo:
             else:
                 cat = np.stack([self._zipf_indices(rng, v, (b, self.bag))
                                 for v in self.vocab_sizes])           # (T, B, bag)
-                row_contrib = sum(self._row_logit[t][cat[t]].sum(-1) / self.bag
-                                  for t in range(self._t))
+                if self.pad_idx is not None:
+                    # Right-pad each bag beyond a Uniform{1..bag} length.
+                    lengths = rng.integers(1, self.bag + 1,
+                                           (self._t, b, 1))
+                    pad_mask = np.arange(self.bag) >= lengths  # (T, B, bag)
+                    cat = np.where(pad_mask, self.pad_idx, cat)
+                    valid = ~pad_mask
+                    row_contrib = sum(
+                        (self._row_logit[t][np.where(valid[t], cat[t], 0)]
+                         * valid[t]).sum(-1) / np.maximum(
+                             valid[t].sum(-1), 1)
+                        for t in range(self._t))
+                else:
+                    row_contrib = sum(
+                        self._row_logit[t][cat[t]].sum(-1) / self.bag
+                        for t in range(self._t))
             logit = (dense @ self._w_dense) / np.sqrt(self.num_dense) \
                 + row_contrib / np.sqrt(self._t) + self._bias
             prob = 1.0 / (1.0 + np.exp(-logit))

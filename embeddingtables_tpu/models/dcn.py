@@ -35,7 +35,8 @@ import jax.numpy as jnp
 from ..ops.ensemble import StackedTables
 from ..ops.sparse_update import SparseEmbeddingUpdate
 from ..optim import SparseOptState, SparseSGD, apply_dense_tx
-from .dlrm import _init_mlp, _mlp, bce_loss, embedding_forward
+from .dlrm import (_init_mlp, _mlp, bce_loss, embedding_forward,
+                   stacked_flat_indices, stacked_update_weights)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -49,6 +50,8 @@ class DCNConfig:
     structure: str = "stacked"          # "stacked" | "parallel"
     bag: Optional[int] = None
     combiner: str = "sum"
+    # Variable-length-bag padding sentinel (ops/lookup.py pad contract).
+    pad_idx: Optional[int] = None
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.bfloat16
 
@@ -180,7 +183,8 @@ def forward_from_embeddings(cross, deep, head, cfg: DCNConfig,
 
 
 def dcn_forward(model: DCN, dense: jax.Array, cat: jax.Array) -> jax.Array:
-    emb_t = embedding_forward(model.tables, cat, model.config.combiner)
+    emb_t = embedding_forward(model.tables, cat, model.config.combiner,
+                              model.config.pad_idx)
     return forward_from_embeddings(model.cross, model.deep, model.head,
                                    model.config, dense, emb_t)
 
@@ -198,7 +202,8 @@ def make_train_step(cfg: DCNConfig, sparse_opt=None, dense_lr: float = 0.01,
     sparse_opt = sparse_opt or SparseSGD()
 
     def _grads(model, dense, cat, label):
-        emb_t = embedding_forward(model.tables, cat, cfg.combiner)
+        emb_t = embedding_forward(model.tables, cat, cfg.combiner,
+                                  cfg.pad_idx)
 
         def loss_fn(dense_params, emb_act):
             cross, deep, head = dense_params
@@ -222,7 +227,8 @@ def make_train_step(cfg: DCNConfig, sparse_opt=None, dense_lr: float = 0.01,
 
         def micro(dg_acc, xs):
             d_i, c_i, l_i = xs
-            emb_t = embedding_forward(model.tables, c_i, cfg.combiner)
+            emb_t = embedding_forward(model.tables, c_i, cfg.combiner,
+                                      cfg.pad_idx)
 
             def loss_fn(dense_params, emb_act):
                 cross, deep, head = dense_params
@@ -253,13 +259,10 @@ def make_train_step(cfg: DCNConfig, sparse_opt=None, dense_lr: float = 0.01,
         (new_cross, new_deep, new_head), new_dense_state = apply_dense_tx(
             params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
 
-        t = cfg.num_tables
-        idx = [cat[i] for i in range(t)]
-        g = model.tables.shift_indices(idx)
-        flat_idx = g.reshape((-1,) + g.shape[2:])
+        flat_idx, valid = stacked_flat_indices(model.tables, cat,
+                                               cfg.pad_idx)
         flat_delta = delta_t.reshape(-1, cfg.dim).astype(jnp.float32)
-        w = (jnp.full(flat_idx.shape, 1.0 / flat_idx.shape[1], jnp.float32)
-             if (cfg.combiner == "mean" and flat_idx.ndim == 2) else None)
+        w = stacked_update_weights(valid, cfg.combiner, flat_idx.shape)
         upd = SparseEmbeddingUpdate(delta=flat_delta, indices=flat_idx,
                                     weights=w)
         new_data, new_state = sparse_opt.apply(model.tables.data, upd,

@@ -37,7 +37,8 @@ import jax.numpy as jnp
 from ..ops.ensemble import StackedTables
 from ..ops.sparse_update import SparseEmbeddingUpdate
 from ..optim import SparseSGD, apply_dense_tx
-from .dlrm import _init_mlp, _mlp, bce_loss, embedding_forward
+from .dlrm import (_init_mlp, _mlp, bce_loss, embedding_forward,
+                   stacked_flat_indices, stacked_update_weights)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -50,6 +51,8 @@ class DeepFMConfig:
     use_deep: bool = True
     bag: Optional[int] = None
     combiner: str = "sum"
+    # Variable-length-bag padding sentinel (ops/lookup.py pad contract).
+    pad_idx: Optional[int] = None
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.bfloat16
 
@@ -175,16 +178,16 @@ def forward_from_embeddings(dense_params, cfg: DeepFMConfig,
 
 
 def _fm_weight_forward(fm_w: StackedTables, cat: jax.Array,
-                       combiner: str) -> jax.Array:
+                       combiner: str, pad_idx=None) -> jax.Array:
     """(T, B, 1) first-order weight lookup (same one-gather ensemble path)."""
-    return embedding_forward(fm_w, cat, combiner)
+    return embedding_forward(fm_w, cat, combiner, pad_idx)
 
 
 def deepfm_forward(model: DeepFM, dense: jax.Array, cat: jax.Array
                    ) -> jax.Array:
     cfg = model.config
-    emb_t = embedding_forward(model.tables, cat, cfg.combiner)
-    w_t = (_fm_weight_forward(model.fm_w, cat, cfg.combiner)
+    emb_t = embedding_forward(model.tables, cat, cfg.combiner, cfg.pad_idx)
+    w_t = (_fm_weight_forward(model.fm_w, cat, cfg.combiner, cfg.pad_idx)
            if cfg.use_fm else None)
     return forward_from_embeddings(
         (model.deep, model.head, model.dense_w, model.bias), cfg, dense,
@@ -192,14 +195,12 @@ def deepfm_forward(model: DeepFM, dense: jax.Array, cat: jax.Array
 
 
 def _lazy_update(tables: StackedTables, cat: jax.Array, delta_t: jax.Array,
-                 dim: int, combiner: str) -> SparseEmbeddingUpdate:
+                 dim: int, combiner: str,
+                 pad_idx=None) -> SparseEmbeddingUpdate:
     """(T, B[, bag]) ids + (T, B, dim) deltas -> one stacked lazy update."""
-    t = tables.ntables
-    g = tables.shift_indices([cat[i] for i in range(t)])
-    flat_idx = g.reshape((-1,) + g.shape[2:])
+    flat_idx, valid = stacked_flat_indices(tables, cat, pad_idx)
     flat_delta = delta_t.reshape(-1, dim).astype(jnp.float32)
-    w = (jnp.full(flat_idx.shape, 1.0 / flat_idx.shape[1], jnp.float32)
-         if (combiner == "mean" and flat_idx.ndim == 2) else None)
+    w = stacked_update_weights(valid, combiner, flat_idx.shape)
     return SparseEmbeddingUpdate(delta=flat_delta, indices=flat_idx,
                                  weights=w)
 
@@ -216,10 +217,11 @@ def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
     sparse_opt = sparse_opt or SparseSGD()
 
     def step(model: DeepFM, dense, cat, label):
-        emb_t = embedding_forward(model.tables, cat, cfg.combiner)
+        emb_t = embedding_forward(model.tables, cat, cfg.combiner,
+                                  cfg.pad_idx)
         # use_fm=False: the fm_w stack neither looks up nor updates — the
         # deep-only ablation really removes the FM lookup/exchange cost.
-        w_t = (_fm_weight_forward(model.fm_w, cat, cfg.combiner)
+        w_t = (_fm_weight_forward(model.fm_w, cat, cfg.combiner, cfg.pad_idx)
                if cfg.use_fm else None)
 
         def loss_fn(dense_params, emb_act, w_act):
@@ -241,11 +243,12 @@ def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
                            model.dense_opt_state, dense_lr)
 
         upd_e = _lazy_update(model.tables, cat, delta_emb, cfg.dim,
-                             cfg.combiner)
+                             cfg.combiner, cfg.pad_idx)
         new_data, new_estate = sparse_opt.apply(model.tables.data, upd_e,
                                                 model.emb_state)
         if cfg.use_fm:
-            upd_w = _lazy_update(model.fm_w, cat, delta_w, 1, cfg.combiner)
+            upd_w = _lazy_update(model.fm_w, cat, delta_w, 1, cfg.combiner,
+                                 cfg.pad_idx)
             new_wdata, new_wstate = sparse_opt.apply(model.fm_w.data, upd_w,
                                                      model.fm_state)
             new_fm_w = dataclasses.replace(model.fm_w, data=new_wdata)

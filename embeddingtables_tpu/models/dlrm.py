@@ -53,6 +53,11 @@ class DLRMConfig:
     self_interaction: bool = False          # include diagonal of Z Zᵀ
     bag: Optional[int] = None               # multi-hot bag size (None = one-hot)
     combiner: str = "sum"                   # bag reduction: "sum" | "mean"
+    # Padding sentinel for VARIABLE-LENGTH bags (fixed-width bags
+    # right-padded with this id): pads contribute zero rows, are excluded
+    # from mean denominators, and carry no gradient (ops/lookup.py pad
+    # contract, end to end through train/eval, single-chip and mesh).
+    pad_idx: Optional[int] = None
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.bfloat16  # MXU dtype for the dense towers
 
@@ -167,18 +172,53 @@ def dot_interaction(bottom_out: jax.Array, emb: jax.Array,
     return jnp.concatenate([bottom_out, flat], axis=-1)
 
 
+def stacked_flat_indices(tables: StackedTables, cat: jax.Array,
+                         pad_idx: Optional[int] = None):
+    """(T, B[, bag]) local ids -> (flat global ids, valid mask or None).
+
+    Pad detection MUST precede the stacked-offset shift (a shifted pad no
+    longer matches the sentinel), so pads are remapped to local row 0 here
+    and reported via the mask; downstream they carry weight 0."""
+    t = tables.ntables
+    if pad_idx is None:
+        g = tables.shift_indices([cat[i] for i in range(t)])
+        return g.reshape((-1,) + g.shape[2:]), None
+    valid = cat != pad_idx
+    g = tables.shift_indices([jnp.where(valid[i], cat[i], 0)
+                              for i in range(t)])
+    flat = g.reshape((-1,) + g.shape[2:])
+    return flat, valid.reshape(flat.shape)
+
+
+def stacked_update_weights(valid, combiner: str, shape):
+    """Per-occurrence update weights matching `embedding_forward`'s output
+    scale (lookup_vjp's effective-weights discipline on the flat stacked
+    stream): None for plain sum, 1/bag for padless mean, and the
+    (mean-normalized) validity mask with pads."""
+    if valid is None:
+        if combiner == "mean" and len(shape) == 2:
+            return jnp.full(shape, 1.0 / shape[1], jnp.float32)
+        return None
+    w = valid.astype(jnp.float32)
+    if combiner == "mean" and valid.ndim == 2:
+        w = w / jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+    return w
+
+
 def embedding_forward(tables: StackedTables, cat: jax.Array,
-                      combiner: str = "sum") -> jax.Array:
+                      combiner: str = "sum",
+                      pad_idx: Optional[int] = None) -> jax.Array:
     """Ensemble lookup as ONE gather on the stacked array.
 
     cat: (T, B) or (T, B, bag) per-table local ids -> (T, B, dim).
+    pad_idx: variable-length-bag sentinel (ops/lookup.py contract); pads
+    fold in as zero-weight occurrences on the stacked gather.
     """
-    t = tables.ntables
-    idx = [cat[i] for i in range(t)]
-    g = tables.shift_indices(idx)                  # (T, B[, bag]) global rows
-    flat = g.reshape((-1,) + g.shape[2:])          # (T*B[, bag])
-    out = lookup(SimpleEmbedding(tables.data), flat, combiner=combiner)
-    return out.reshape(t, g.shape[1], tables.dim)
+    flat, valid = stacked_flat_indices(tables, cat, pad_idx)
+    w = None if valid is None else valid.astype(jnp.float32)
+    out = lookup(SimpleEmbedding(tables.data), flat, combiner=combiner,
+                 weights=w)
+    return out.reshape(tables.ntables, cat.shape[1], tables.dim)
 
 
 def forward_from_embeddings(bottom, top, cfg: DLRMConfig, dense: jax.Array,
@@ -202,7 +242,8 @@ def forward_from_embeddings(bottom, top, cfg: DLRMConfig, dense: jax.Array,
 
 
 def dlrm_forward(model: DLRM, dense: jax.Array, cat: jax.Array) -> jax.Array:
-    emb_t = embedding_forward(model.tables, cat, model.config.combiner)
+    emb_t = embedding_forward(model.tables, cat, model.config.combiner,
+                              model.config.pad_idx)
     return forward_from_embeddings(model.bottom, model.top, model.config,
                                    dense, emb_t)
 
@@ -240,7 +281,8 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
     sparse_opt = sparse_opt or SparseSGD()
 
     def _grads(model, dense, cat, label):
-        emb_t = embedding_forward(model.tables, cat, cfg.combiner)
+        emb_t = embedding_forward(model.tables, cat, cfg.combiner,
+                                  cfg.pad_idx)
 
         def loss_fn(dense_params, emb_act):
             bottom, top = dense_params
@@ -264,7 +306,8 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
 
         def micro(dg_acc, xs):
             d_i, c_i, l_i = xs
-            emb_t = embedding_forward(model.tables, c_i, cfg.combiner)
+            emb_t = embedding_forward(model.tables, c_i, cfg.combiner,
+                                      cfg.pad_idx)
 
             def loss_fn(dense_params, emb_act):
                 bottom, top = dense_params
@@ -303,15 +346,12 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
         # Embedding ensemble: ONE fused sparse step on the stacked array.
         # Per-table (delta, indices) merge into a single occurrence stream via
         # the static stacked offsets (the ensemble_update in stacked form).
-        t = cfg.num_tables
-        idx = [cat[i] for i in range(t)]
-        g = model.tables.shift_indices(idx)    # (T, B[, bag]) global rows
-        flat_idx = g.reshape((-1,) + g.shape[2:])
+        flat_idx, valid = stacked_flat_indices(model.tables, cat,
+                                               cfg.pad_idx)
         flat_delta = delta_t.reshape(-1, cfg.dim).astype(jnp.float32)
-        # Mean combiner: the per-occurrence gradient is delta / bag, carried
-        # as update weights (lookup_vjp's discipline).
-        w = (jnp.full(flat_idx.shape, 1.0 / flat_idx.shape[1], jnp.float32)
-             if (cfg.combiner == "mean" and flat_idx.ndim == 2) else None)
+        # Combiner/pad fold into per-occurrence update weights
+        # (lookup_vjp's discipline).
+        w = stacked_update_weights(valid, cfg.combiner, flat_idx.shape)
         upd = SparseEmbeddingUpdate(delta=flat_delta, indices=flat_idx,
                                     weights=w)
         new_data, new_state = sparse_opt.apply(model.tables.data, upd,

@@ -19,7 +19,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.dcn import DCN, DCNConfig, forward_from_embeddings
 from ..models.dlrm import bce_loss
 from ..optim import SparseRowWiseAdaGrad, SparseSGD, apply_dense_tx
-from .dlrm import _sharded_sparse_apply, batch_shardings  # noqa: F401
+from .dlrm import (_padded_stack_inputs, _sharded_sparse_apply,  # noqa: F401
+                   batch_shardings)
 from .sharded import (ShardedStackedTables, _axes_tuple, shard_row_accum,
                       sharded_ensemble_lookup)
 
@@ -77,9 +78,14 @@ def make_sharded_dcn_train_step(cfg: DCNConfig, mesh: Mesh,
 
     def step(model: ShardedDCN, dense, cat, label):
         st = model.tables
-        emb_t = sharded_ensemble_lookup(mesh, st, cat, stacked=True)
-        if cfg.combiner == "mean" and cat.ndim == 3:
-            emb_t = emb_t / cat.shape[2]
+        if cfg.pad_idx is not None:
+            emb_t = sharded_ensemble_lookup(mesh, st, cat, stacked=True,
+                                            combiner=cfg.combiner,
+                                            pad_idx=cfg.pad_idx)
+        else:
+            emb_t = sharded_ensemble_lookup(mesh, st, cat, stacked=True)
+            if cfg.combiner == "mean" and cat.ndim == 3:
+                emb_t = emb_t / cat.shape[2]
 
         def loss_fn(dense_params, emb_act):
             cross, deep, head = dense_params
@@ -90,15 +96,16 @@ def make_sharded_dcn_train_step(cfg: DCNConfig, mesh: Mesh,
         params = (model.cross, model.deep, model.head)
         loss, (dense_grads, delta_t) = jax.value_and_grad(
             loss_fn, argnums=(0, 1))(params, emb_t)
-        if cfg.combiner == "mean" and cat.ndim == 3:
+        if cfg.pad_idx is None and cfg.combiner == "mean" and cat.ndim == 3:
             delta_t = delta_t / cat.shape[2]
         (new_cross, new_deep, new_head), new_dstate = apply_dense_tx(
             params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
 
-        shifted = jnp.stack([cat[t] + st.offsets[t]
-                             for t in range(st.ntables)])
+        shifted, scale_t = _padded_stack_inputs(st, cat, cfg.combiner,
+                                                cfg.pad_idx)
         new_st, new_accum = _sharded_sparse_apply(
-            mesh, st, model.emb_accum, shifted, delta_t, sparse_opt)
+            mesh, st, model.emb_accum, shifted, delta_t, sparse_opt,
+            scale_t=scale_t)
         return ShardedDCN(cross=new_cross, deep=new_deep, head=new_head,
                           tables=new_st, emb_accum=new_accum,
                           config=cfg, dense_opt_state=new_dstate), loss
@@ -111,9 +118,16 @@ def make_sharded_dcn_train_step(cfg: DCNConfig, mesh: Mesh,
 def make_sharded_dcn_eval_step(cfg: DCNConfig, mesh: Mesh,
                                axis: str = "data", jit: bool = True):
     def step(model: ShardedDCN, dense, cat):
-        emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, stacked=True)
-        if cfg.combiner == "mean" and cat.ndim == 3:
-            emb_t = emb_t / cat.shape[2]
+        if cfg.pad_idx is not None:
+            emb_t = sharded_ensemble_lookup(mesh, model.tables, cat,
+                                            stacked=True,
+                                            combiner=cfg.combiner,
+                                            pad_idx=cfg.pad_idx)
+        else:
+            emb_t = sharded_ensemble_lookup(mesh, model.tables, cat,
+                                            stacked=True)
+            if cfg.combiner == "mean" and cat.ndim == 3:
+                emb_t = emb_t / cat.shape[2]
         return forward_from_embeddings(model.cross, model.deep, model.head,
                                        cfg, dense, emb_t)
     if jit:

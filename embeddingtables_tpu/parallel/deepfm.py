@@ -20,7 +20,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..models.deepfm import DeepFM, DeepFMConfig, forward_from_embeddings
 from ..models.dlrm import bce_loss
 from ..optim import SparseRowWiseAdaGrad, SparseSGD, apply_dense_tx
-from .dlrm import _sharded_sparse_apply, batch_shardings  # noqa: F401
+from .dlrm import (_padded_stack_inputs, _sharded_sparse_apply,  # noqa: F401
+                   batch_shardings)
 from .sharded import (ShardedStackedTables, shard_row_accum,
                       sharded_ensemble_lookup)
 
@@ -87,6 +88,13 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
     def _lookups(model, cat):
         # use_fm=False: the fm_w stack's exchange is skipped entirely — the
         # deep-only ablation pays ONE exchange per step, not two.
+        if cfg.pad_idx is not None:
+            kw = dict(stacked=True, combiner=cfg.combiner,
+                      pad_idx=cfg.pad_idx)
+            emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, **kw)
+            w_t = (sharded_ensemble_lookup(mesh, model.fm_w, cat, **kw)
+                   if cfg.use_fm else None)
+            return emb_t, w_t
         emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, stacked=True)
         w_t = (sharded_ensemble_lookup(mesh, model.fm_w, cat, stacked=True)
                if cfg.use_fm else None)
@@ -112,22 +120,23 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
             loss, (dense_grads, delta_emb) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1))(params, emb_t, None)
             delta_w = None
-        if cfg.combiner == "mean" and cat.ndim == 3:
+        if (cfg.pad_idx is None and cfg.combiner == "mean"
+                and cat.ndim == 3):
             delta_emb = delta_emb / cat.shape[2]
             if delta_w is not None:
                 delta_w = delta_w / cat.shape[2]
         (new_deep, new_head, new_dw, new_bias), new_dstate = apply_dense_tx(
             params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
 
-        shifted = jnp.stack([cat[t] + model.tables.offsets[t]
-                             for t in range(model.tables.ntables)])
+        shifted, scale_t = _padded_stack_inputs(model.tables, cat,
+                                                cfg.combiner, cfg.pad_idx)
         new_st, new_acc = _sharded_sparse_apply(
             mesh, model.tables, model.emb_accum, shifted, delta_emb,
-            sparse_opt)
+            sparse_opt, scale_t=scale_t)
         if cfg.use_fm:
             new_sw, new_wacc = _sharded_sparse_apply(
                 mesh, model.fm_w, model.fm_accum, shifted, delta_w,
-                sparse_opt)
+                sparse_opt, scale_t=scale_t)
         else:
             new_sw, new_wacc = model.fm_w, model.fm_accum
         return ShardedDeepFM(deep=new_deep, head=new_head, dense_w=new_dw,
@@ -143,13 +152,22 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
 def make_sharded_deepfm_eval_step(cfg: DeepFMConfig, mesh: Mesh,
                                   axis: str = "data", jit: bool = True):
     def step(model: ShardedDeepFM, dense, cat):
-        emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, stacked=True)
-        w_t = (sharded_ensemble_lookup(mesh, model.fm_w, cat, stacked=True)
-               if cfg.use_fm else None)
-        if cfg.combiner == "mean" and cat.ndim == 3:
-            emb_t = emb_t / cat.shape[2]
-            if w_t is not None:
-                w_t = w_t / cat.shape[2]
+        if cfg.pad_idx is not None:
+            kw = dict(stacked=True, combiner=cfg.combiner,
+                      pad_idx=cfg.pad_idx)
+            emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, **kw)
+            w_t = (sharded_ensemble_lookup(mesh, model.fm_w, cat, **kw)
+                   if cfg.use_fm else None)
+        else:
+            emb_t = sharded_ensemble_lookup(mesh, model.tables, cat,
+                                            stacked=True)
+            w_t = (sharded_ensemble_lookup(mesh, model.fm_w, cat,
+                                           stacked=True)
+                   if cfg.use_fm else None)
+            if cfg.combiner == "mean" and cat.ndim == 3:
+                emb_t = emb_t / cat.shape[2]
+                if w_t is not None:
+                    w_t = w_t / cat.shape[2]
         return forward_from_embeddings(
             (model.deep, model.head, model.dense_w, model.bias), cfg,
             dense, emb_t, w_t)

@@ -128,7 +128,7 @@ def batch_shardings(mesh: Mesh, axis="data"):
 def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
                           accum: jax.Array, shifted_idx: jax.Array,
                           delta_t: jax.Array, sparse_opt, *,
-                          batch_sharded: bool = True):
+                          batch_sharded: bool = True, scale_t=None):
     """Apply per-table lazy updates `(delta_t[(T,B,D)], shifted_idx[(T,B[,bag])])`
     to the mod-sharded stack in ONE exchange.
 
@@ -137,6 +137,10 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
     and advances each owned row and its optimizer state exactly once —
     the reference's accumulate-then-single-write contract
     (`/root/reference/src/sparseupdate.jl:97-129`) per shard.
+
+    scale_t: optional (T, B[, bag]) f32 per-occurrence gradient scale
+    (mean-combiner normalization / pad masks — the lazy update's `weights`
+    on the mesh); it rides the same all-gather.
     """
     axes = st.axes
     baxis = axes[0]
@@ -144,12 +148,15 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
     adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
     dim = st.dim
 
-    def body(shard, acc, lidx, ldelta):
+    def body(shard, acc, lidx, ldelta, *lscale):
         if batch_sharded:
             gidx = jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
             gdelta = jax.lax.all_gather(ldelta, baxis, axis=1, tiled=True)
+            gscale = (jax.lax.all_gather(lscale[0], baxis, axis=1,
+                                         tiled=True) if lscale else None)
         else:
             gidx, gdelta = lidx, ldelta
+            gscale = lscale[0] if lscale else None
         # Per-occurrence (global row, delta row) stream; (T,B,bag) indices fan
         # one delta row out over the bag (reference `columns()` iterator,
         # `src/utils.jl:69-83`). Streaming repeat, not a delta[cols] gather
@@ -161,6 +168,8 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
             g = jnp.repeat(g, flat_idx.shape[1], axis=0)
         else:
             rows = flat_idx.astype(jnp.int32)
+        if gscale is not None:
+            g = g * gscale.reshape(-1)[:, None]
         me = _flat_axis_index(axes)
         mine = (rows % n) == me
         rows_local = shard.shape[1]
@@ -187,25 +196,49 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
         return new_shard[None], new_acc[None]
 
     spec = P(None, baxis) if batch_sharded else P()
+    extra = () if scale_t is None else (scale_t,)
+    extra_spec = () if scale_t is None else (spec,)
     if not adagrad:
         # Stateless: don't thread the (n, 0) placeholder through the
         # exchange — XLA canonicalizes zero-size arrays to a replicated
         # sharding, which would fight the P(axes) spec in eager shard_map.
         new_data = jax.shard_map(
-            lambda shard, lidx, ldelta: body(shard, None, lidx, ldelta)[0],
-            mesh=mesh, in_specs=(P(axes), spec, spec),
-            out_specs=P(axes))(st.data, shifted_idx, delta_t)
+            lambda shard, lidx, ldelta, *ls: body(shard, None, lidx,
+                                                  ldelta, *ls)[0],
+            mesh=mesh, in_specs=(P(axes), spec, spec) + extra_spec,
+            out_specs=P(axes))(st.data, shifted_idx, delta_t, *extra)
         return dataclasses.replace(st, data=new_data), accum
     new_data, new_accum = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axes), P(axes), spec, spec),
-        out_specs=(P(axes), P(axes)))(st.data, accum, shifted_idx, delta_t)
+        in_specs=(P(axes), P(axes), spec, spec) + extra_spec,
+        out_specs=(P(axes), P(axes)))(st.data, accum, shifted_idx, delta_t,
+                                      *extra)
     return dataclasses.replace(st, data=new_data), new_accum
 
 
 # ---------------------------------------------------------------------------
 # Train step
 # ---------------------------------------------------------------------------
+
+
+def _padded_stack_inputs(st: ShardedStackedTables, cat: jax.Array,
+                         combiner: str, pad_idx):
+    """(shifted (T, B[, bag]) global ids, per-occurrence eff scale or None).
+
+    Pad remap happens pre-shift (a shifted pad no longer matches the
+    sentinel); the scale is the lazy update's effective weights — the pad
+    mask, mean-normalized per (table, example) when combiner='mean'."""
+    t = st.ntables
+    if pad_idx is None:
+        return jnp.stack([cat[i] + st.offsets[i] for i in range(t)]), None
+    valid = cat != pad_idx
+    shifted = jnp.stack([jnp.where(valid[i], cat[i], 0) + st.offsets[i]
+                         for i in range(t)])
+    w = valid.astype(jnp.float32)
+    if combiner == "mean" and cat.ndim == 3:
+        w = w / jnp.maximum(w.sum(axis=2, keepdims=True), 1e-12)
+    return shifted, w
+
 
 def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
                             sparse_opt=None, dense_lr: float = 0.01,
@@ -243,22 +276,42 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
         st = model.tables
         t = st.ntables
         bag = cat.shape[2] if cat.ndim == 3 else None
-        # (B, T[, bag]) batch-major stream, batch-sharded on dim 0.
-        shifted_bt = jnp.stack([cat[i] + st.offsets[i]
-                                for i in range(t)], axis=1)
+        # (B, T[, bag]) batch-major stream, batch-sharded on dim 0. Pads
+        # remap to each table's row 0 pre-shift and mask out below (their
+        # occurrences carry weight 0 into the backward routing).
+        valid_bt = None
+        if cfg.pad_idx is not None:
+            valid_bt = jnp.stack([cat[i] != cfg.pad_idx
+                                  for i in range(t)], axis=1)
+            shifted_bt = jnp.stack(
+                [jnp.where(cat[i] != cfg.pad_idx, cat[i], 0) + st.offsets[i]
+                 for i in range(t)], axis=1)
+        else:
+            shifted_bt = jnp.stack([cat[i] + st.offsets[i]
+                                    for i in range(t)], axis=1)
         if bag is None:
             emb_bt, ovf_fwd = sharded_lookup_a2a(
                 mesh, st, shifted_bt, capacity_factor=capacity_factor,
                 reducing=False)                              # (B, T, D)
+            if valid_bt is not None:
+                emb_bt = emb_bt * valid_bt[..., None].astype(emb_bt.dtype)
         else:
             b = shifted_bt.shape[0]
             flat_bt = shifted_bt.reshape(b, t * bag)
             rows, ovf_fwd = sharded_lookup_a2a(
                 mesh, st, flat_bt, capacity_factor=capacity_factor,
                 reducing=False)                              # (B, T*bag, D)
+            if valid_bt is not None:
+                rows = rows * valid_bt.reshape(b, t * bag)[..., None].astype(
+                    rows.dtype)
             emb_bt = rows.reshape(b, t, bag, cfg.dim).sum(axis=2)
             if cfg.combiner == "mean":
-                emb_bt = emb_bt / bag
+                if valid_bt is not None:
+                    denom = jnp.maximum(
+                        valid_bt.sum(axis=2), 1e-12)         # (B, T)
+                    emb_bt = emb_bt / denom[..., None].astype(emb_bt.dtype)
+                else:
+                    emb_bt = emb_bt / bag
         emb_t = jnp.swapaxes(emb_bt, 0, 1)
 
         def loss_fn(dense_params, emb_act):
@@ -273,12 +326,23 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
             (model.bottom, model.top), dense_grads, dense_tx,
             model.dense_opt_state, dense_lr)
         delta_bt = jnp.swapaxes(delta_t, 0, 1).reshape(-1, cfg.dim)
-        if bag is not None and cfg.combiner == "mean":
+        upd_w = None
+        if valid_bt is not None:
+            # Effective per-occurrence weights (pad mask, mean-normalized
+            # over valid bag mass) — pads contribute zero gradient.
+            upd_w = valid_bt.astype(jnp.float32)
+            if bag is not None and cfg.combiner == "mean":
+                upd_w = upd_w / jnp.maximum(
+                    upd_w.sum(axis=2, keepdims=True), 1e-12)
+            upd_w = upd_w.reshape((-1,) if bag is None
+                                  else (valid_bt.shape[0] * t, bag))
+        elif bag is not None and cfg.combiner == "mean":
             delta_bt = delta_bt / bag
         upd = SparseEmbeddingUpdate(
             delta=delta_bt,
             indices=shifted_bt.reshape((-1,) if bag is None
-                                       else (shifted_bt.shape[0] * t, bag)))
+                                       else (shifted_bt.shape[0] * t, bag)),
+            weights=upd_w)
         if isinstance(sparse_opt, SparseRowWiseAdaGrad):
             new_st, new_accum, ovf_bwd = sharded_adagrad_update_a2a(
                 mesh, st, model.emb_accum, upd, sparse_opt,
@@ -303,12 +367,19 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
     def step(model: ShardedDLRM, dense, cat, label):
         st = model.tables
         # (T, B, D), batch-sharded: indices shift to stacked global rows
-        # inside, one all-gather + psum_scatter exchange.
-        emb_t = sharded_ensemble_lookup(mesh, st, cat, stacked=True)
-        if cfg.combiner == "mean" and cat.ndim == 3:
-            # mean = sum / bag (linear), so the same scale applies to the
-            # backward delta below.
-            emb_t = emb_t / cat.shape[2]
+        # inside, one all-gather + psum_scatter exchange. With pad_idx the
+        # combiner/pad fold rides the exchange as a weight scale
+        # (sharded_ensemble_lookup's contract).
+        if cfg.pad_idx is not None:
+            emb_t = sharded_ensemble_lookup(mesh, st, cat, stacked=True,
+                                            combiner=cfg.combiner,
+                                            pad_idx=cfg.pad_idx)
+        else:
+            emb_t = sharded_ensemble_lookup(mesh, st, cat, stacked=True)
+            if cfg.combiner == "mean" and cat.ndim == 3:
+                # mean = sum / bag (linear), so the same scale applies to
+                # the backward delta below.
+                emb_t = emb_t / cat.shape[2]
 
         def loss_fn(dense_params, emb_act):
             bottom, top = dense_params
@@ -317,17 +388,18 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
 
         loss, (dense_grads, delta_t) = jax.value_and_grad(
             loss_fn, argnums=(0, 1))((model.bottom, model.top), emb_t)
-        if cfg.combiner == "mean" and cat.ndim == 3:
+        if cfg.pad_idx is None and cfg.combiner == "mean" and cat.ndim == 3:
             delta_t = delta_t / cat.shape[2]
 
         (new_bottom, new_top), new_dstate = apply_dense_tx(
             (model.bottom, model.top), dense_grads, dense_tx,
             model.dense_opt_state, dense_lr)
 
-        shifted = jnp.stack([cat[t] + st.offsets[t]
-                             for t in range(st.ntables)])
+        shifted, scale_t = _padded_stack_inputs(st, cat, cfg.combiner,
+                                                cfg.pad_idx)
         new_st, new_accum = _sharded_sparse_apply(
-            mesh, st, model.emb_accum, shifted, delta_t, sparse_opt)
+            mesh, st, model.emb_accum, shifted, delta_t, sparse_opt,
+            scale_t=scale_t)
         new_model = ShardedDLRM(bottom=new_bottom, top=new_top,
                                 tables=new_st, emb_accum=new_accum,
                                 config=cfg, dense_opt_state=new_dstate)
@@ -341,9 +413,16 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
 def make_sharded_eval_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
                            jit: bool = True):
     def step(model: ShardedDLRM, dense, cat):
-        emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, stacked=True)
-        if cfg.combiner == "mean" and cat.ndim == 3:
-            emb_t = emb_t / cat.shape[2]
+        if cfg.pad_idx is not None:
+            emb_t = sharded_ensemble_lookup(mesh, model.tables, cat,
+                                            stacked=True,
+                                            combiner=cfg.combiner,
+                                            pad_idx=cfg.pad_idx)
+        else:
+            emb_t = sharded_ensemble_lookup(mesh, model.tables, cat,
+                                            stacked=True)
+            if cfg.combiner == "mean" and cat.ndim == 3:
+                emb_t = emb_t / cat.shape[2]
         return forward_from_embeddings(model.bottom, model.top, cfg, dense,
                                        emb_t)
     if jit:

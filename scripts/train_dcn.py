@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--bag", type=int, default=None,
                     help="multi-hot bag size (synthetic data only)")
     ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
+    ap.add_argument("--var-len-bags", action="store_true",
+                    help="with --bag: variable-length bags right-padded\nwith the -1 sentinel (cfg.pad_idx; pads carry no gradient)")
     ap.add_argument("--opt", choices=["sgd", "adagrad"], default="adagrad")
     ap.add_argument("--weight-decay", type=float, default=0.0)
     ap.add_argument("--clipnorm", type=float, default=None)
@@ -82,7 +84,8 @@ def main():
                     num_cross=args.num_cross,
                     cross_rank=args.cross_rank or None,
                     deep_mlp=deep, structure=args.structure,
-                    bag=args.bag, combiner=args.combiner)
+                    bag=args.bag, combiner=args.combiner,
+                    pad_idx=-1 if args.var_len_bags else None)
     if args.criteo:
         assert args.tables == 26, "Criteo has 26 categorical features"
         # Eval takes the FIRST eval_batches of the file; the training stream
@@ -98,7 +101,8 @@ def main():
                                              max_batches=args.eval_batches))
     else:
         gen = SyntheticCriteo(vocab_sizes=vocabs, batch_size=args.batch,
-                              bag=args.bag)
+                              bag=args.bag,
+                              pad_idx=-1 if args.var_len_bags else None)
         eval_batches = list(gen.batches(args.eval_batches))
         train_it = iter(PrefetchLoader(gen.batches(), depth=args.prefetch))
 

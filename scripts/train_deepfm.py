@@ -38,6 +38,8 @@ def main():
     ap.add_argument("--bag", type=int, default=None,
                     help="multi-hot bag size (synthetic data only)")
     ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
+    ap.add_argument("--var-len-bags", action="store_true",
+                    help="with --bag: variable-length bags right-padded\nwith the -1 sentinel (cfg.pad_idx; pads carry no gradient)")
     ap.add_argument("--opt", choices=["sgd", "adagrad", "ftrl"],
                     default="adagrad")
     ap.add_argument("--weight-decay", type=float, default=0.0)
@@ -77,7 +79,8 @@ def main():
     deep = tuple(int(w) for w in args.deep_mlp.split(",") if w)
     cfg = DeepFMConfig(vocab_sizes=vocabs, dim=args.dim, deep_mlp=deep,
                        use_fm=not args.no_fm, use_deep=not args.no_deep,
-                       bag=args.bag, combiner=args.combiner)
+                       bag=args.bag, combiner=args.combiner,
+                    pad_idx=-1 if args.var_len_bags else None)
     if args.criteo:
         assert args.tables == 26, "Criteo has 26 categorical features"
         skip = args.eval_batches if args.eval_every else 0
@@ -88,7 +91,8 @@ def main():
                                              max_batches=args.eval_batches))
     else:
         gen = SyntheticCriteo(vocab_sizes=vocabs, batch_size=args.batch,
-                              bag=args.bag)
+                              bag=args.bag,
+                              pad_idx=-1 if args.var_len_bags else None)
         eval_batches = list(gen.batches(args.eval_batches))
         train_it = iter(PrefetchLoader(gen.batches(), depth=args.prefetch))
 

@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--bag", type=int, default=None,
                     help="multi-hot bag size (synthetic data only)")
     ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
+    ap.add_argument("--var-len-bags", action="store_true",
+                    help="with --bag: variable-length bags right-padded\nwith the -1 sentinel (cfg.pad_idx; pads carry no gradient)")
     ap.add_argument("--opt", choices=["sgd", "adagrad", "adam"],
                     default="adagrad")
     ap.add_argument("--weight-decay", type=float, default=0.0,
@@ -93,6 +95,7 @@ def main():
                      bottom_mlp=(512, 256, args.dim),
                      top_mlp=(1024, 512, 256, 1),
                      bag=args.bag, combiner=args.combiner,
+                     pad_idx=-1 if args.var_len_bags else None,
                      param_dtype=getattr(jnp, args.param_dtype))
     if args.criteo:
         assert args.tables == 26, "Criteo has 26 categorical features"
@@ -109,7 +112,8 @@ def main():
                                              max_batches=args.eval_batches))
     else:
         gen = SyntheticCriteo(vocab_sizes=vocabs, batch_size=args.batch,
-                              bag=args.bag)
+                              bag=args.bag,
+                              pad_idx=-1 if args.var_len_bags else None)
         eval_batches = list(gen.batches(args.eval_batches))
         if args.pool:
             # Device-throughput mode: cycle a pregenerated pool staged ON

@@ -1,0 +1,206 @@
+"""Variable-length bags END TO END in the model families.
+
+cfg.pad_idx threads the ops-level pad contract (tests/test_padding.py)
+through DLRM / DCN / DeepFM: forward wiring vs a lookup_oracle-composed
+reference, no-gradient-for-pads, sharded-vs-single-chip step parity on
+both exchanges, and a learning loop on variable-length synthetic data.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from embeddingtables_tpu.models.dlrm import (DLRMConfig, dlrm_forward,
+                                             forward_from_embeddings,
+                                             init_dlrm, make_train_step)
+from embeddingtables_tpu.ops.lookup import lookup_oracle
+from embeddingtables_tpu.optim import SparseRowWiseAdaGrad, SparseSGD
+from embeddingtables_tpu.parallel.dlrm import (batch_shardings,
+                                               make_sharded_train_step,
+                                               shard_dlrm)
+from embeddingtables_tpu.parallel.mesh import default_mesh
+
+PAD = -1
+
+
+def tiny_cfg(**kw):
+    kw.setdefault("vocab_sizes", (64, 96, 33))
+    kw.setdefault("num_dense", 4)
+    kw.setdefault("dim", 8)
+    kw.setdefault("bottom_mlp", (16, 8))
+    kw.setdefault("top_mlp", (16, 1))
+    kw.setdefault("bag", 4)
+    kw.setdefault("pad_idx", PAD)
+    kw.setdefault("compute_dtype", jnp.float32)
+    return DLRMConfig(**kw)
+
+
+def padded_batch(cfg, b, seed=0):
+    rng = np.random.default_rng(seed)
+    dense = rng.normal(size=(b, cfg.num_dense)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, (b, cfg.bag)).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    mask = rng.random(cat.shape) < 0.35
+    mask[..., 0] = False  # keep >= 1 valid entry per bag
+    cat = np.where(mask, PAD, cat)
+    label = rng.integers(0, 2, b).astype(np.float32)
+    return dense, cat, label
+
+
+@pytest.mark.parametrize("combiner", ["sum", "mean"])
+def test_dlrm_forward_matches_oracle_composition(combiner):
+    cfg = tiny_cfg(combiner=combiner)
+    model = init_dlrm(jax.random.key(0), cfg)
+    dense, cat, _ = padded_batch(cfg, b=16, seed=1)
+    got = dlrm_forward(model, jnp.asarray(dense), jnp.asarray(cat))
+    emb = jnp.stack([
+        lookup_oracle(model.tables.table(t).data, jnp.asarray(cat[t]),
+                      combiner, None, pad_idx=PAD)
+        for t in range(cfg.num_tables)])
+    exp = forward_from_embeddings(model.bottom, model.top, cfg,
+                                  jnp.asarray(dense), emb)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-5)
+
+
+def test_pad_only_rows_get_no_gradient():
+    cfg = tiny_cfg()
+    opt = SparseRowWiseAdaGrad(lr=0.5)
+    model = init_dlrm(jax.random.key(1), cfg, sparse_opt=opt)
+    rng = np.random.default_rng(3)
+    b = 16
+    dense = rng.normal(size=(b, cfg.num_dense)).astype(np.float32)
+    # Valid ids stay < 10 per table; everything else appears ONLY as pads.
+    cat = np.stack([rng.integers(0, 10, (b, cfg.bag)).astype(np.int32)
+                    for _ in cfg.vocab_sizes])
+    cat = np.where(rng.random(cat.shape) < 0.4, PAD, cat)
+    label = rng.integers(0, 2, b).astype(np.float32)
+    step = make_train_step(cfg, sparse_opt=opt, jit=False)
+    new_model, _ = step(model, jnp.asarray(dense), jnp.asarray(cat),
+                        jnp.asarray(label))
+    for t in range(cfg.num_tables):
+        lo = model.tables.offsets[t]
+        np.testing.assert_array_equal(
+            np.asarray(new_model.tables.data)[lo + 10: model.tables.offsets[t + 1]],
+            np.asarray(model.tables.data)[lo + 10: model.tables.offsets[t + 1]])
+    accum = np.asarray(new_model.emb_state.accum)
+    for t in range(cfg.num_tables):
+        lo = model.tables.offsets[t]
+        assert np.all(accum[lo + 10: model.tables.offsets[t + 1]] == 0.0)
+
+
+@pytest.mark.parametrize("combiner,opt_name,exchange",
+                         [("sum", "sgd", "gather"),
+                          ("mean", "adagrad", "gather"),
+                          ("mean", "sgd", "a2a"),
+                          ("sum", "adagrad", "a2a")])
+def test_sharded_padded_step_matches_single_chip(combiner, opt_name,
+                                                 exchange):
+    cfg = tiny_cfg(combiner=combiner)
+    mesh = default_mesh(("data",))
+    make_opt = (lambda: SparseSGD(0.3)) if opt_name == "sgd" else \
+        (lambda: SparseRowWiseAdaGrad(lr=0.3, eps=1e-6))
+    dense, cat, label = padded_batch(cfg, b=32, seed=7)
+
+    m1 = init_dlrm(jax.random.key(2), cfg, sparse_opt=make_opt())
+    step1 = make_train_step(cfg, sparse_opt=make_opt(), dense_lr=0.3,
+                            jit=False)
+    m1, loss1 = step1(m1, jnp.asarray(dense), jnp.asarray(cat),
+                      jnp.asarray(label))
+
+    sm = shard_dlrm(init_dlrm(jax.random.key(2), cfg, sparse_opt=make_opt()),
+                    mesh, "data", sparse_opt=make_opt())
+    stepN = make_sharded_train_step(cfg, mesh, "data",
+                                    sparse_opt=make_opt(), dense_lr=0.3,
+                                    exchange=exchange, capacity_factor=8.0)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    sm, lossN = stepN(sm, jax.device_put(dense, sd),
+                      jax.device_put(cat, sc), jax.device_put(label, sl))
+    np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sm.tables.unshard()),
+                               np.asarray(m1.tables.data),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_dcn_and_deepfm_padded_sharded_parity():
+    from embeddingtables_tpu.models.dcn import (DCNConfig, init_dcn,
+                                                make_train_step as mk_dcn)
+    from embeddingtables_tpu.models.deepfm import (DeepFMConfig, init_deepfm,
+                                                   make_train_step as mk_fm)
+    from embeddingtables_tpu.parallel.dcn import (make_sharded_dcn_train_step,
+                                                  shard_dcn)
+    from embeddingtables_tpu.parallel.deepfm import (
+        make_sharded_deepfm_train_step, shard_deepfm)
+    mesh = default_mesh(("data",))
+    rng = np.random.default_rng(11)
+    vocab = (64, 96, 33)
+    b, bag = 32, 3
+    dense = rng.normal(size=(b, 4)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, (b, bag)).astype(np.int32)
+                    for v in vocab])
+    cat = np.where(rng.random(cat.shape) < 0.3, PAD, cat)
+    label = rng.integers(0, 2, b).astype(np.float32)
+    sd, sc, sl = batch_shardings(mesh, "data")
+
+    dcn_cfg = DCNConfig(vocab_sizes=vocab, num_dense=4, dim=8, num_cross=2,
+                        cross_rank=4, deep_mlp=(16, 8), bag=bag,
+                        combiner="mean", pad_idx=PAD,
+                        compute_dtype=jnp.float32)
+    m1 = init_dcn(jax.random.key(3), dcn_cfg, sparse_opt=SparseSGD(0.2))
+    m1, l1 = mk_dcn(dcn_cfg, sparse_opt=SparseSGD(0.2), dense_lr=0.2,
+                    jit=False)(m1, jnp.asarray(dense), jnp.asarray(cat),
+                               jnp.asarray(label))
+    sm = shard_dcn(init_dcn(jax.random.key(3), dcn_cfg,
+                            sparse_opt=SparseSGD(0.2)), mesh, "data",
+                   sparse_opt=SparseSGD(0.2))
+    sm, lN = make_sharded_dcn_train_step(dcn_cfg, mesh, "data",
+                                         sparse_opt=SparseSGD(0.2),
+                                         dense_lr=0.2)(
+        sm, jax.device_put(dense, sd), jax.device_put(cat, sc),
+        jax.device_put(label, sl))
+    np.testing.assert_allclose(float(lN), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sm.tables.unshard()),
+                               np.asarray(m1.tables.data),
+                               rtol=2e-4, atol=1e-6)
+
+    fm_cfg = DeepFMConfig(vocab_sizes=vocab, num_dense=4, dim=8,
+                          deep_mlp=(16, 8), bag=bag, combiner="mean",
+                          pad_idx=PAD, compute_dtype=jnp.float32)
+    f1 = init_deepfm(jax.random.key(4), fm_cfg, sparse_opt=SparseSGD(0.2))
+    f1, l1 = mk_fm(fm_cfg, sparse_opt=SparseSGD(0.2), dense_lr=0.2,
+                   jit=False)(f1, jnp.asarray(dense), jnp.asarray(cat),
+                              jnp.asarray(label))
+    sf = shard_deepfm(init_deepfm(jax.random.key(4), fm_cfg,
+                                  sparse_opt=SparseSGD(0.2)), mesh, "data",
+                      sparse_opt=SparseSGD(0.2))
+    sf, lN = make_sharded_deepfm_train_step(fm_cfg, mesh, "data",
+                                            sparse_opt=SparseSGD(0.2),
+                                            dense_lr=0.2)(
+        sf, jax.device_put(dense, sd), jax.device_put(cat, sc),
+        jax.device_put(label, sl))
+    np.testing.assert_allclose(float(lN), float(l1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sf.tables.unshard()),
+                               np.asarray(f1.tables.data),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sf.fm_w.unshard()),
+                               np.asarray(f1.fm_w.data),
+                               rtol=2e-4, atol=1e-7)
+
+
+def test_train_loop_on_variable_length_bags_learns():
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models.train import train_dlrm
+    cfg = tiny_cfg(vocab_sizes=(80, 80, 80), combiner="mean")
+    gen = SyntheticCriteo(vocab_sizes=cfg.vocab_sizes, num_dense=4,
+                          batch_size=256, bag=cfg.bag, pad_idx=PAD, seed=11)
+    batch = next(gen.batches(1))
+    assert (batch["cat"] == PAD).any()          # pads actually generated
+    assert (batch["cat"] != PAD).all(axis=-1).any()
+    eval_batches = list(gen.batches(2))
+    res = train_dlrm(cfg, gen.batches(), 40,
+                     sparse_opt=SparseRowWiseAdaGrad(lr=0.05),
+                     dense_lr=0.05, eval_batches=eval_batches,
+                     eval_every=20, log_every=10, verbose=False)
+    assert res.losses[-1] < res.losses[0]
+    assert res.aucs and res.aucs[-1][1] > 0.6
