@@ -54,6 +54,15 @@ class SyntheticCriteo:
     stream_seed: Optional[int] = None
 
     def __post_init__(self):
+        if self.pad_idx is not None:
+            if self.bag is None:
+                raise ValueError("pad_idx requires bag= (variable-length "
+                                 "bags pad a fixed bag width)")
+            if 0 <= self.pad_idx < max(self.vocab_sizes):
+                raise ValueError(
+                    f"pad_idx={self.pad_idx} collides with real ids; use an "
+                    "out-of-vocab sentinel (e.g. -1) — an in-vocab sentinel "
+                    "would make genuine draws of that id read as pads")
         rng = np.random.default_rng(self.seed ^ 0x5EED)
         t = len(self.vocab_sizes)
         # Hidden ground-truth model: per-(table,row) logit contributions drawn

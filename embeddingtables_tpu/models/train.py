@@ -150,6 +150,15 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     if plan is not None and exchange != "gather":
         raise NotImplementedError(
             "planner-placed training supports the gather exchange only")
+    if plan is not None and getattr(cfg, "pad_idx", None) is not None:
+        raise NotImplementedError(
+            "planner-placed training does not support cfg.pad_idx yet "
+            "(pads would shift into neighboring tables' rows); use the "
+            "uniform mesh placement for variable-length bags")
+    if plan is not None and dense_tx is not None:
+        raise NotImplementedError(
+            "planner-placed training uses plain-SGD towers; dense_tx is "
+            "supported on the single-chip and uniform mesh placements")
     if model is None and plan is None:
         with tel.phase("init"):
             model = init_dlrm(jax.random.key(seed), cfg,
@@ -249,7 +258,12 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                 dense, cat, label = put(batch)
         if trackers is not None:
             for t, tr in enumerate(trackers):
-                tr.observe(batch["cat"][t])
+                ids = batch["cat"][t]
+                if getattr(cfg, "pad_idx", None) is not None:
+                    # np.bincount rejects the (negative) sentinel, and a
+                    # pad must not count as traffic anyway.
+                    ids = ids[ids != cfg.pad_idx]
+                tr.observe(ids)
         with tel.phase("step"):
             model, out = step(model, dense, cat, label)
         if trackers is not None and (i + 1) % evict_every == 0:
@@ -344,6 +358,14 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
             "sharded step already splits activations across the mesh)")
     if plan is not None and mesh is None:
         raise ValueError("plan= requires mesh=")
+    if plan is not None and getattr(cfg, "pad_idx", None) is not None:
+        raise NotImplementedError(
+            "planner-placed training does not support cfg.pad_idx yet; "
+            "use the uniform mesh placement for variable-length bags")
+    if plan is not None and dense_tx is not None:
+        raise NotImplementedError(
+            "planner-placed training uses plain-SGD towers; dense_tx is "
+            "supported on the single-chip and uniform mesh placements")
     if model is None and plan is None:
         with tel.phase("init"):
             model = init_dcn(jax.random.key(seed), cfg,
@@ -429,7 +451,12 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                 dense, cat, label = put(batch)
         if trackers is not None:
             for t, tr in enumerate(trackers):
-                tr.observe(batch["cat"][t])
+                ids = batch["cat"][t]
+                if getattr(cfg, "pad_idx", None) is not None:
+                    # np.bincount rejects the (negative) sentinel, and a
+                    # pad must not count as traffic anyway.
+                    ids = ids[ids != cfg.pad_idx]
+                tr.observe(ids)
         with tel.phase("step"):
             model, loss = step(model, dense, cat, label)
         if trackers is not None and (i + 1) % evict_every == 0:
@@ -554,7 +581,12 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                 dense, cat, label = put(batch)
         if trackers is not None:
             for t, tr in enumerate(trackers):
-                tr.observe(batch["cat"][t])
+                ids = batch["cat"][t]
+                if getattr(cfg, "pad_idx", None) is not None:
+                    # np.bincount rejects the (negative) sentinel, and a
+                    # pad must not count as traffic anyway.
+                    ids = ids[ids != cfg.pad_idx]
+                tr.observe(ids)
         with tel.phase("step"):
             model, loss = step(model, dense, cat, label)
         if trackers is not None and (i + 1) % evict_every == 0:

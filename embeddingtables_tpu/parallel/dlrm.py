@@ -222,18 +222,29 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
 
 
 def _padded_stack_inputs(st: ShardedStackedTables, cat: jax.Array,
-                         combiner: str, pad_idx):
+                         combiner: str, pad_idx, *,
+                         global_sentinel: bool = False):
     """(shifted (T, B[, bag]) global ids, per-occurrence eff scale or None).
 
-    Pad remap happens pre-shift (a shifted pad no longer matches the
-    sentinel); the scale is the lazy update's effective weights — the pad
-    mask, mean-normalized per (table, example) when combiner='mean'."""
+    Pad handling happens pre-shift (a shifted pad no longer matches the
+    sentinel): pads remap to each table's global row 0 carrying scale 0
+    (the gather exchange's zero-weight discipline), or — with
+    `global_sentinel` — to the canonical global sentinel -1 (no real
+    stacked row is negative), which the butterfly exchange drops at the
+    ROUTING stage via its native `pad_idx=-1` support (no capacity rank,
+    no wire traffic). The scale is the lazy update's effective weights —
+    the pad mask, mean-normalized per (table, example) when
+    combiner='mean'."""
     t = st.ntables
     if pad_idx is None:
         return jnp.stack([cat[i] + st.offsets[i] for i in range(t)]), None
     valid = cat != pad_idx
-    shifted = jnp.stack([jnp.where(valid[i], cat[i], 0) + st.offsets[i]
-                         for i in range(t)])
+    if global_sentinel:
+        shifted = jnp.stack([jnp.where(valid[i], cat[i] + st.offsets[i], -1)
+                             for i in range(t)])
+    else:
+        shifted = jnp.stack([jnp.where(valid[i], cat[i], 0) + st.offsets[i]
+                             for i in range(t)])
     w = valid.astype(jnp.float32)
     if combiner == "mean" and cat.ndim == 3:
         w = w / jnp.maximum(w.sum(axis=2, keepdims=True), 1e-12)
@@ -277,38 +288,29 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
         t = st.ntables
         bag = cat.shape[2] if cat.ndim == 3 else None
         # (B, T[, bag]) batch-major stream, batch-sharded on dim 0. Pads
-        # remap to each table's row 0 pre-shift and mask out below (their
-        # occurrences carry weight 0 into the backward routing).
-        valid_bt = None
-        if cfg.pad_idx is not None:
-            valid_bt = jnp.stack([cat[i] != cfg.pad_idx
-                                  for i in range(t)], axis=1)
-            shifted_bt = jnp.stack(
-                [jnp.where(cat[i] != cfg.pad_idx, cat[i], 0) + st.offsets[i]
-                 for i in range(t)], axis=1)
-        else:
-            shifted_bt = jnp.stack([cat[i] + st.offsets[i]
-                                    for i in range(t)], axis=1)
+        # map to the GLOBAL sentinel -1 pre-shift (shared
+        # _padded_stack_inputs) and ride the butterfly's native pad_idx
+        # support: dropped at the ROUTING stage — no capacity rank, no
+        # wire traffic, stream positions come back as zero rows.
+        shifted_tb, scale_tb = _padded_stack_inputs(
+            st, cat, cfg.combiner, cfg.pad_idx, global_sentinel=True)
+        shifted_bt = jnp.swapaxes(shifted_tb, 0, 1)
+        a2a_pad = None if cfg.pad_idx is None else -1
         if bag is None:
             emb_bt, ovf_fwd = sharded_lookup_a2a(
                 mesh, st, shifted_bt, capacity_factor=capacity_factor,
-                reducing=False)                              # (B, T, D)
-            if valid_bt is not None:
-                emb_bt = emb_bt * valid_bt[..., None].astype(emb_bt.dtype)
+                reducing=False, pad_idx=a2a_pad)             # (B, T, D)
         else:
             b = shifted_bt.shape[0]
             flat_bt = shifted_bt.reshape(b, t * bag)
             rows, ovf_fwd = sharded_lookup_a2a(
                 mesh, st, flat_bt, capacity_factor=capacity_factor,
-                reducing=False)                              # (B, T*bag, D)
-            if valid_bt is not None:
-                rows = rows * valid_bt.reshape(b, t * bag)[..., None].astype(
-                    rows.dtype)
+                reducing=False, pad_idx=a2a_pad)             # (B, T*bag, D)
             emb_bt = rows.reshape(b, t, bag, cfg.dim).sum(axis=2)
             if cfg.combiner == "mean":
-                if valid_bt is not None:
-                    denom = jnp.maximum(
-                        valid_bt.sum(axis=2), 1e-12)         # (B, T)
+                if a2a_pad is not None:
+                    denom = jnp.maximum((shifted_bt >= 0).sum(axis=2),
+                                        1e-12)               # (B, T)
                     emb_bt = emb_bt / denom[..., None].astype(emb_bt.dtype)
                 else:
                     emb_bt = emb_bt / bag
@@ -327,15 +329,13 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
             model.dense_opt_state, dense_lr)
         delta_bt = jnp.swapaxes(delta_t, 0, 1).reshape(-1, cfg.dim)
         upd_w = None
-        if valid_bt is not None:
+        if scale_tb is not None:
             # Effective per-occurrence weights (pad mask, mean-normalized
-            # over valid bag mass) — pads contribute zero gradient.
-            upd_w = valid_bt.astype(jnp.float32)
-            if bag is not None and cfg.combiner == "mean":
-                upd_w = upd_w / jnp.maximum(
-                    upd_w.sum(axis=2, keepdims=True), 1e-12)
-            upd_w = upd_w.reshape((-1,) if bag is None
-                                  else (valid_bt.shape[0] * t, bag))
+            # over valid bag mass) from the shared helper; pads also drop
+            # at the update's routing via the -1 sentinel.
+            scale_bt = jnp.swapaxes(scale_tb, 0, 1)
+            upd_w = scale_bt.reshape((-1,) if bag is None
+                                     else (scale_bt.shape[0] * t, bag))
         elif bag is not None and cfg.combiner == "mean":
             delta_bt = delta_bt / bag
         upd = SparseEmbeddingUpdate(
@@ -346,13 +346,13 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
         if isinstance(sparse_opt, SparseRowWiseAdaGrad):
             new_st, new_accum, ovf_bwd = sharded_adagrad_update_a2a(
                 mesh, st, model.emb_accum, upd, sparse_opt,
-                capacity_factor=capacity_factor)
+                capacity_factor=capacity_factor, pad_idx=a2a_pad)
         else:
             new_st, ovf_bwd = sharded_sgd_update_a2a(
                 mesh, st, upd, sparse_opt.lr,
                 capacity_factor=capacity_factor,
                 weight_decay=sparse_opt.weight_decay,
-                clipnorm=sparse_opt.clipnorm)
+                clipnorm=sparse_opt.clipnorm, pad_idx=a2a_pad)
             new_accum = model.emb_accum
         new_model = ShardedDLRM(bottom=new_bottom, top=new_top,
                                 tables=new_st, emb_accum=new_accum,

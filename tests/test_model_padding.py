@@ -188,6 +188,86 @@ def test_dcn_and_deepfm_padded_sharded_parity():
                                rtol=2e-4, atol=1e-7)
 
 
+def test_a2a_pads_do_not_consume_capacity_at_model_level():
+    """Heavy pads + TIGHT capacity: pads must drop at routing (the global
+    -1 sentinel), so the step reports zero overflow and still matches the
+    single-chip step. Before the fix, pads routed as row-0 occurrences and
+    starved real traffic at this capacity."""
+    cfg = tiny_cfg(combiner="mean")
+    mesh = default_mesh(("data",))
+    rng = np.random.default_rng(23)
+    b = 32
+    dense = rng.normal(size=(b, cfg.num_dense)).astype(np.float32)
+    # ~60% pads, remaining ids spread uniformly.
+    cat = np.stack([rng.integers(0, v, (b, cfg.bag)).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    mask = rng.random(cat.shape) < 0.6
+    mask[..., 0] = False
+    cat = np.where(mask, PAD, cat)
+    label = rng.integers(0, 2, b).astype(np.float32)
+
+    m1 = init_dlrm(jax.random.key(5), cfg, sparse_opt=SparseSGD(0.3))
+    m1, loss1 = make_train_step(cfg, sparse_opt=SparseSGD(0.3),
+                                dense_lr=0.3, jit=False)(
+        m1, jnp.asarray(dense), jnp.asarray(cat), jnp.asarray(label))
+
+    sm = shard_dlrm(init_dlrm(jax.random.key(5), cfg,
+                              sparse_opt=SparseSGD(0.3)),
+                    mesh, "data", sparse_opt=SparseSGD(0.3))
+    stepN = make_sharded_train_step(cfg, mesh, "data",
+                                    sparse_opt=SparseSGD(0.3), dense_lr=0.3,
+                                    exchange="a2a", capacity_factor=3.0,
+                                    with_overflow=True)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    sm, (lossN, ovf) = stepN(sm, jax.device_put(dense, sd),
+                             jax.device_put(cat, sc),
+                             jax.device_put(label, sl))
+    assert int(ovf) == 0, f"pads consumed capacity: overflow={int(ovf)}"
+    np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sm.tables.unshard()),
+                               np.asarray(m1.tables.data),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_eviction_trackers_skip_pads():
+    """evict_every + var-len bags: pads neither crash np.bincount nor count
+    as traffic (a pad-only 'row' must stay evictable-never-seen)."""
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models.train import train_dlrm
+    cfg = tiny_cfg(vocab_sizes=(80, 80, 80))
+    gen = SyntheticCriteo(vocab_sizes=cfg.vocab_sizes, num_dense=4,
+                          batch_size=128, bag=cfg.bag, pad_idx=PAD, seed=5)
+    res = train_dlrm(cfg, gen.batches(), 12,
+                     sparse_opt=SparseRowWiseAdaGrad(lr=0.05),
+                     dense_lr=0.05, log_every=6, evict_every=6,
+                     evict_threshold=1e-9, verbose=False)
+    assert np.isfinite(res.losses[-1])
+
+
+def test_guards_and_validation():
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models.train import train_dlrm
+    with pytest.raises(ValueError, match="pad_idx requires bag"):
+        SyntheticCriteo(vocab_sizes=(10,), pad_idx=-1)
+    with pytest.raises(ValueError, match="collides with real ids"):
+        SyntheticCriteo(vocab_sizes=(10,), bag=2, pad_idx=3)
+    # Planner placements reject pad_idx / dense_tx rather than silently
+    # mis-training.
+    import optax
+    from embeddingtables_tpu.parallel.mesh import default_mesh as dm
+    from embeddingtables_tpu.parallel.planner import plan_sharding
+    cfg = tiny_cfg(vocab_sizes=(64, 2048, 64))
+    mesh = dm(("data",))
+    plan = plan_sharding(cfg.vocab_sizes, cfg.dim, mesh,
+                         replicate_max_bytes=cfg.dim * 4 * 128)
+    with pytest.raises(NotImplementedError, match="pad_idx"):
+        train_dlrm(cfg, iter([]), 0, mesh=mesh, plan=plan, verbose=False)
+    cfg2 = tiny_cfg(vocab_sizes=(64, 2048, 64), pad_idx=None)
+    with pytest.raises(NotImplementedError, match="dense_tx"):
+        train_dlrm(cfg2, iter([]), 0, mesh=mesh, plan=plan,
+                   dense_tx=optax.adam(1e-3), verbose=False)
+
+
 def test_train_loop_on_variable_length_bags_learns():
     from embeddingtables_tpu.data import SyntheticCriteo
     from embeddingtables_tpu.models.train import train_dlrm
