@@ -150,15 +150,6 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     if plan is not None and exchange != "gather":
         raise NotImplementedError(
             "planner-placed training supports the gather exchange only")
-    if plan is not None and getattr(cfg, "pad_idx", None) is not None:
-        raise NotImplementedError(
-            "planner-placed training does not support cfg.pad_idx yet "
-            "(pads would shift into neighboring tables' rows); use the "
-            "uniform mesh placement for variable-length bags")
-    if plan is not None and dense_tx is not None:
-        raise NotImplementedError(
-            "planner-placed training uses plain-SGD towers; dense_tx is "
-            "supported on the single-chip and uniform mesh placements")
     if model is None and plan is None:
         with tel.phase("init"):
             model = init_dlrm(jax.random.key(seed), cfg,
@@ -178,22 +169,29 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
         if model is None:
             with tel.phase("init"):
                 model = init_planned_dlrm(jax.random.key(seed), cfg, plan,
-                                          mesh, sparse_opt=sparse_opt)
+                                          mesh, sparse_opt=sparse_opt,
+                                          dense_tx=dense_tx)
         elif isinstance(model, DLRM):
             # Carry the trained tables + row state onto the plan (resume
             # semantics must match shard_dlrm's accum reshard).
             pt = place_stacked_on_plan(plan, mesh, model.tables,
                                        model.emb_state, sparse_opt)
             repl = NamedSharding(mesh, _P())
-            model = PlannedDLRM(bottom=jax.device_put(model.bottom, repl),
-                                top=jax.device_put(model.top, repl),
-                                tables=pt, config=cfg)
+            bt = jax.device_put(model.bottom, repl)
+            tp = jax.device_put(model.top, repl)
+            dstate = model.dense_opt_state
+            if dstate is None and dense_tx is not None:
+                dstate = dense_tx.init((bt, tp))
+            if dstate is not None:
+                dstate = jax.device_put(dstate, repl)
+            model = PlannedDLRM(bottom=bt, top=tp, tables=pt, config=cfg,
+                                dense_opt_state=dstate)
         elif not isinstance(model, PlannedDLRM):
             raise TypeError(
                 f"plan= expects a DLRM or PlannedDLRM model, got "
                 f"{type(model).__name__} (unshard a sharded model first)")
         step = make_planned_train_step(cfg, mesh, sparse_opt=sparse_opt,
-                                       dense_lr=dense_lr)
+                                       dense_lr=dense_lr, dense_tx=dense_tx)
         eval_step = make_planned_eval_step(cfg, mesh)
         # The batch axis follows the PLAN's placement, not the loop's
         # axis= (which only governs the uniform sharded path).
@@ -358,14 +356,6 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
             "sharded step already splits activations across the mesh)")
     if plan is not None and mesh is None:
         raise ValueError("plan= requires mesh=")
-    if plan is not None and getattr(cfg, "pad_idx", None) is not None:
-        raise NotImplementedError(
-            "planner-placed training does not support cfg.pad_idx yet; "
-            "use the uniform mesh placement for variable-length bags")
-    if plan is not None and dense_tx is not None:
-        raise NotImplementedError(
-            "planner-placed training uses plain-SGD towers; dense_tx is "
-            "supported on the single-chip and uniform mesh placements")
     if model is None and plan is None:
         with tel.phase("init"):
             model = init_dcn(jax.random.key(seed), cfg,
@@ -382,21 +372,29 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         if model is None:
             with tel.phase("init"):
                 model = init_planned_dcn(jax.random.key(seed), cfg, plan,
-                                         mesh, sparse_opt=sparse_opt)
+                                         mesh, sparse_opt=sparse_opt,
+                                         dense_tx=dense_tx)
         elif isinstance(model, DCN):
             pt = place_stacked_on_plan(plan, mesh, model.tables,
                                        model.emb_state, sparse_opt)
             repl = NamedSharding(mesh, _P())
-            model = PlannedDCN(cross=jax.device_put(model.cross, repl),
-                               deep=jax.device_put(model.deep, repl),
-                               head=jax.device_put(model.head, repl),
-                               tables=pt, config=cfg)
+            cr = jax.device_put(model.cross, repl)
+            dp = jax.device_put(model.deep, repl)
+            hd = jax.device_put(model.head, repl)
+            dstate = model.dense_opt_state
+            if dstate is None and dense_tx is not None:
+                dstate = dense_tx.init((cr, dp, hd))
+            if dstate is not None:
+                dstate = jax.device_put(dstate, repl)
+            model = PlannedDCN(cross=cr, deep=dp, head=hd, tables=pt,
+                               config=cfg, dense_opt_state=dstate)
         elif not isinstance(model, PlannedDCN):
             raise TypeError(
                 f"plan= expects a DCN or PlannedDCN model, got "
                 f"{type(model).__name__} (unshard a sharded model first)")
         step = make_planned_dcn_train_step(cfg, mesh, sparse_opt=sparse_opt,
-                                           dense_lr=dense_lr)
+                                           dense_lr=dense_lr,
+                                           dense_tx=dense_tx)
         eval_step = make_planned_dcn_eval_step(cfg, mesh)
         sd, sc, sl = dcn_shardings(mesh, plan.axis)
         put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731

@@ -346,26 +346,52 @@ class PlannedTables:
                    vocab_sizes=tuple(a.shape[0] for a in arrs), dim=dim)
 
 
-def planned_lookup(mesh: Mesh, pt: PlannedTables, indices) -> jax.Array:
+def planned_lookup(mesh: Mesh, pt: PlannedTables, indices, *,
+                   combiner: str = "sum",
+                   pad_idx: int | None = None) -> jax.Array:
     """Ensemble lookup under a plan -> `(T, B, dim)` in ORIGINAL table order,
     batch-sharded like the index stream. Replicated group: one local stacked
-    gather (zero ICI). Sharded group: the standard gather exchange."""
+    gather (zero ICI). Sharded group: the standard gather exchange.
+
+    pad_idx: variable-length-bag sentinel (ops/lookup.py pad contract).
+    When set, `combiner` applies INSIDE (mean = over valid entries); when
+    None the caller keeps the legacy contract (plain bag sum; divide by
+    bag width for the padless mean)."""
     idx_list = normalize_indices(indices, pt.ntables)
     out = [None] * pt.ntables
 
     if pt.repl_tables:
-        shifted = jnp.stack([idx_list[t] + pt.repl_offsets[j]
-                             for j, t in enumerate(pt.repl_tables)])
+        if pad_idx is not None:
+            # Pad remap precedes the replicated-group offset shift.
+            msub = jnp.stack([jnp.asarray(idx_list[t]) != pad_idx
+                              for t in pt.repl_tables])
+            shifted = jnp.stack(
+                [jnp.where(msub[j], jnp.asarray(idx_list[t]), 0)
+                 + pt.repl_offsets[j]
+                 for j, t in enumerate(pt.repl_tables)])
+        else:
+            msub = None
+            shifted = jnp.stack([idx_list[t] + pt.repl_offsets[j]
+                                 for j, t in enumerate(pt.repl_tables)])
         rows = jnp.take(pt.repl, shifted.reshape(-1), axis=0)
         rows = rows.reshape(shifted.shape + (pt.dim,))
+        if msub is not None:
+            rows = rows * msub[..., None].astype(rows.dtype)
         if shifted.ndim == 3:           # (Tr, B, bag) -> bag sum
             rows = rows.sum(axis=2)
+            if msub is not None and combiner == "mean":
+                denom = jnp.maximum(msub.sum(axis=2), 1e-12)
+                rows = rows / denom[..., None].astype(rows.dtype)
         for j, t in enumerate(pt.repl_tables):
             out[t] = rows[j]
 
     if pt.shard_tables:
         sub = [idx_list[t] for t in pt.shard_tables]
-        so = sharded_ensemble_lookup(mesh, pt.shard, sub, stacked=True)
+        if pad_idx is not None:
+            so = sharded_ensemble_lookup(mesh, pt.shard, sub, stacked=True,
+                                         combiner=combiner, pad_idx=pad_idx)
+        else:
+            so = sharded_ensemble_lookup(mesh, pt.shard, sub, stacked=True)
         for j, t in enumerate(pt.shard_tables):
             out[t] = so[j]
 
@@ -373,7 +399,9 @@ def planned_lookup(mesh: Mesh, pt: PlannedTables, indices) -> jax.Array:
 
 
 def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
-                  delta_t: jax.Array, sparse_opt) -> PlannedTables:
+                  delta_t: jax.Array, sparse_opt, *,
+                  combiner: str = "sum",
+                  pad_idx: int | None = None) -> PlannedTables:
     """Apply the lazy ensemble update `(delta_t (T, B, dim), indices)` per
     the plan, advancing AdaGrad state where present.
 
@@ -382,13 +410,34 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
     Replicated group: every replica applies the FULL stream through the
     same dense-grad bodies (optim.py), so replicas remain bit-identical
     without a parameter all-reduce.
-    """
+
+    pad_idx: variable-length-bag sentinel. Pads remap to each group's row 0
+    pre-shift carrying an effective weight of 0 (mean-normalized over the
+    valid bag mass with combiner='mean'), so they never touch table rows
+    or optimizer state; without pad_idx, combiner is the caller's problem
+    (legacy contract: deltas pre-scaled by 1/bag for mean)."""
     if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
         raise NotImplementedError(
             f"planned_apply supports SparseSGD / SparseRowWiseAdaGrad, got "
             f"{type(sparse_opt).__name__}")
     adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
     idx_list = normalize_indices(indices, pt.ntables)
+    masks = None
+    if pad_idx is not None:
+        masks = [jnp.asarray(idx_list[t]) != pad_idx
+                 for t in range(pt.ntables)]
+        idx_list = [jnp.where(masks[t], jnp.asarray(idx_list[t]), 0)
+                    for t in range(pt.ntables)]
+
+    def eff_scale(table_ids):
+        """(Tg, B[, bag]) effective per-occurrence weights for a group."""
+        if masks is None:
+            return None
+        w = jnp.stack([masks[t] for t in table_ids]).astype(jnp.float32)
+        if w.ndim == 3 and combiner == "mean":
+            w = w / jnp.maximum(w.sum(axis=2, keepdims=True), 1e-12)
+        return w
+
     new_repl, new_repl_acc = pt.repl, pt.repl_accum
     new_shard, new_shard_acc = pt.shard, pt.shard_accum
 
@@ -402,6 +451,9 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
             g = jnp.repeat(g, shifted.shape[2], axis=0)
         else:
             rows = shifted.reshape(-1).astype(jnp.int32)
+        scale = eff_scale(pt.repl_tables)
+        if scale is not None:
+            g = g * scale.reshape(-1)[:, None]
         if adagrad:
             from ..optim import adagrad_dense_body
             new_repl, new_repl_acc = adagrad_dense_body(
@@ -419,7 +471,8 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
              for j, t in enumerate(pt.shard_tables)])
         dsub = jnp.stack([delta_t[t] for t in pt.shard_tables])
         new_shard, new_shard_acc = _sharded_sparse_apply(
-            mesh, pt.shard, pt.shard_accum, shifted, dsub, sparse_opt)
+            mesh, pt.shard, pt.shard_accum, shifted, dsub, sparse_opt,
+            scale_t=eff_scale(pt.shard_tables))
 
     return dataclasses.replace(pt, repl=new_repl, repl_accum=new_repl_acc,
                                shard=new_shard, shard_accum=new_shard_acc)
@@ -439,10 +492,12 @@ class PlannedDLRM:
     top: list
     tables: PlannedTables
     config: object = dataclasses.field(metadata=dict(static=True))
+    # Replicated optax state for the towers (dense_tx steps).
+    dense_opt_state: object = None
 
 
 def init_planned_dlrm(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
-                      sparse_opt=None) -> PlannedDLRM:
+                      sparse_opt=None, dense_tx=None) -> PlannedDLRM:
     """Initialize directly onto the plan: the sharded group generates
     per-shard (full array never materializes), dense towers replicate."""
     from ..models.dlrm import _init_mlp
@@ -465,11 +520,15 @@ def init_planned_dlrm(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
     top = jax.device_put(
         _init_mlp(kt, (cfg.interaction_features,) + cfg.top_mlp,
                   cfg.param_dtype), repl)
-    return PlannedDLRM(bottom=bottom, top=top, tables=pt, config=cfg)
+    dstate = (jax.device_put(dense_tx.init((bottom, top)), repl)
+              if dense_tx is not None else None)
+    return PlannedDLRM(bottom=bottom, top=top, tables=pt, config=cfg,
+                       dense_opt_state=dstate)
 
 
 def make_planned_train_step(cfg, mesh: Mesh, sparse_opt=None,
-                            dense_lr: float = 0.01, jit: bool = True):
+                            dense_lr: float = 0.01, jit: bool = True,
+                            dense_tx=None):
     """`step(model: PlannedDLRM, dense, cat, label) -> (model, loss)` with
     `batch_shardings(mesh, plan.axis)` on the batch arrays. Identical math
     to `make_sharded_train_step` (gather exchange); the embedding engine is
@@ -482,9 +541,12 @@ def make_planned_train_step(cfg, mesh: Mesh, sparse_opt=None,
             f"planned train step supports SparseSGD / SparseRowWiseAdaGrad, "
             f"got {type(sparse_opt).__name__}")
 
+    pad = getattr(cfg, "pad_idx", None)
+
     def step(model: PlannedDLRM, dense, cat, label):
-        emb_t = planned_lookup(mesh, model.tables, cat)
-        if cfg.combiner == "mean" and cat.ndim == 3:
+        emb_t = planned_lookup(mesh, model.tables, cat,
+                               combiner=cfg.combiner, pad_idx=pad)
+        if pad is None and cfg.combiner == "mean" and cat.ndim == 3:
             emb_t = emb_t / cat.shape[2]
 
         def loss_fn(dense_params, emb_act):
@@ -496,14 +558,15 @@ def make_planned_train_step(cfg, mesh: Mesh, sparse_opt=None,
         params = (model.bottom, model.top)
         loss, (dense_grads, delta_t) = jax.value_and_grad(
             loss_fn, argnums=(0, 1))(params, emb_t)
-        if cfg.combiner == "mean" and cat.ndim == 3:
+        if pad is None and cfg.combiner == "mean" and cat.ndim == 3:
             delta_t = delta_t / cat.shape[2]
-        new_bottom, new_top = jax.tree.map(
-            lambda p, g: (p - dense_lr * g).astype(p.dtype),
-            params, dense_grads)
-        new_pt = planned_apply(mesh, model.tables, cat, delta_t, sparse_opt)
+        from ..optim import apply_dense_tx
+        (new_bottom, new_top), new_dstate = apply_dense_tx(
+            params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
+        new_pt = planned_apply(mesh, model.tables, cat, delta_t, sparse_opt,
+                               combiner=cfg.combiner, pad_idx=pad)
         return PlannedDLRM(bottom=new_bottom, top=new_top, tables=new_pt,
-                           config=cfg), loss
+                           config=cfg, dense_opt_state=new_dstate), loss
 
     if jit:
         step = jax.jit(step, donate_argnums=(0,))
@@ -513,9 +576,12 @@ def make_planned_train_step(cfg, mesh: Mesh, sparse_opt=None,
 def make_planned_eval_step(cfg, mesh: Mesh, jit: bool = True):
     from ..models.dlrm import forward_from_embeddings
 
+    pad = getattr(cfg, "pad_idx", None)
+
     def step(model: PlannedDLRM, dense, cat):
-        emb_t = planned_lookup(mesh, model.tables, cat)
-        if cfg.combiner == "mean" and cat.ndim == 3:
+        emb_t = planned_lookup(mesh, model.tables, cat,
+                               combiner=cfg.combiner, pad_idx=pad)
+        if pad is None and cfg.combiner == "mean" and cat.ndim == 3:
             emb_t = emb_t / cat.shape[2]
         return forward_from_embeddings(model.bottom, model.top, cfg, dense,
                                        emb_t)
@@ -659,10 +725,12 @@ class PlannedDCN:
     head: tuple
     tables: PlannedTables
     config: object = dataclasses.field(metadata=dict(static=True))
+    # Replicated optax state for the dense parts (dense_tx steps).
+    dense_opt_state: object = None
 
 
 def init_planned_dcn(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
-                     sparse_opt=None) -> PlannedDCN:
+                     sparse_opt=None, dense_tx=None) -> PlannedDCN:
     from ..models.dcn import init_dense_params
     sparse_opt = sparse_opt or SparseSGD()
     adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
@@ -679,12 +747,15 @@ def init_planned_dcn(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
     cross = jax.device_put(cross, repl)
     deep = jax.device_put(deep, repl)
     head = jax.device_put(head, repl)
+    dstate = (jax.device_put(dense_tx.init((cross, deep, head)), repl)
+              if dense_tx is not None else None)
     return PlannedDCN(cross=cross, deep=deep, head=head, tables=pt,
-                      config=cfg)
+                      config=cfg, dense_opt_state=dstate)
 
 
 def make_planned_dcn_train_step(cfg, mesh: Mesh, sparse_opt=None,
-                                dense_lr: float = 0.01, jit: bool = True):
+                                dense_lr: float = 0.01, jit: bool = True,
+                                dense_tx=None):
     """DCN-v2 train step on a planner placement (cf. the uniform
     `parallel.dcn.make_sharded_dcn_train_step`)."""
     from ..models.dcn import forward_from_embeddings
@@ -695,9 +766,12 @@ def make_planned_dcn_train_step(cfg, mesh: Mesh, sparse_opt=None,
             f"planned DCN step supports SparseSGD / SparseRowWiseAdaGrad, "
             f"got {type(sparse_opt).__name__}")
 
+    pad = getattr(cfg, "pad_idx", None)
+
     def step(model: PlannedDCN, dense, cat, label):
-        emb_t = planned_lookup(mesh, model.tables, cat)
-        if cfg.combiner == "mean" and cat.ndim == 3:
+        emb_t = planned_lookup(mesh, model.tables, cat,
+                               combiner=cfg.combiner, pad_idx=pad)
+        if pad is None and cfg.combiner == "mean" and cat.ndim == 3:
             emb_t = emb_t / cat.shape[2]
 
         def loss_fn(dense_params, emb_act):
@@ -709,14 +783,16 @@ def make_planned_dcn_train_step(cfg, mesh: Mesh, sparse_opt=None,
         params = (model.cross, model.deep, model.head)
         loss, (dense_grads, delta_t) = jax.value_and_grad(
             loss_fn, argnums=(0, 1))(params, emb_t)
-        if cfg.combiner == "mean" and cat.ndim == 3:
+        if pad is None and cfg.combiner == "mean" and cat.ndim == 3:
             delta_t = delta_t / cat.shape[2]
-        new_cross, new_deep, new_head = jax.tree.map(
-            lambda p, g: (p - dense_lr * g).astype(p.dtype),
-            params, dense_grads)
-        new_pt = planned_apply(mesh, model.tables, cat, delta_t, sparse_opt)
+        from ..optim import apply_dense_tx
+        (new_cross, new_deep, new_head), new_dstate = apply_dense_tx(
+            params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
+        new_pt = planned_apply(mesh, model.tables, cat, delta_t, sparse_opt,
+                               combiner=cfg.combiner, pad_idx=pad)
         return PlannedDCN(cross=new_cross, deep=new_deep, head=new_head,
-                          tables=new_pt, config=cfg), loss
+                          tables=new_pt, config=cfg,
+                          dense_opt_state=new_dstate), loss
 
     if jit:
         step = jax.jit(step, donate_argnums=(0,))
@@ -726,9 +802,12 @@ def make_planned_dcn_train_step(cfg, mesh: Mesh, sparse_opt=None,
 def make_planned_dcn_eval_step(cfg, mesh: Mesh, jit: bool = True):
     from ..models.dcn import forward_from_embeddings
 
+    pad = getattr(cfg, "pad_idx", None)
+
     def step(model: PlannedDCN, dense, cat):
-        emb_t = planned_lookup(mesh, model.tables, cat)
-        if cfg.combiner == "mean" and cat.ndim == 3:
+        emb_t = planned_lookup(mesh, model.tables, cat,
+                               combiner=cfg.combiner, pad_idx=pad)
+        if pad is None and cfg.combiner == "mean" and cat.ndim == 3:
             emb_t = emb_t / cat.shape[2]
         return forward_from_embeddings(model.cross, model.deep, model.head,
                                        cfg, dense, emb_t)

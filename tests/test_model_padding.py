@@ -244,28 +244,64 @@ def test_eviction_trackers_skip_pads():
     assert np.isfinite(res.losses[-1])
 
 
-def test_guards_and_validation():
+def test_data_generator_validation():
     from embeddingtables_tpu.data import SyntheticCriteo
-    from embeddingtables_tpu.models.train import train_dlrm
     with pytest.raises(ValueError, match="pad_idx requires bag"):
         SyntheticCriteo(vocab_sizes=(10,), pad_idx=-1)
     with pytest.raises(ValueError, match="collides with real ids"):
         SyntheticCriteo(vocab_sizes=(10,), bag=2, pad_idx=3)
-    # Planner placements reject pad_idx / dense_tx rather than silently
-    # mis-training.
+
+
+@pytest.mark.parametrize("combiner", ["sum", "mean"])
+def test_planned_padded_step_matches_single_chip(combiner):
+    """Mixed replicate/row-shard placement with pads + optax adam towers:
+    the planned step must match the single-chip step bit-for-bit on both
+    groups (pads remap pre-shift per group and carry zero weight)."""
     import optax
-    from embeddingtables_tpu.parallel.mesh import default_mesh as dm
-    from embeddingtables_tpu.parallel.planner import plan_sharding
-    cfg = tiny_cfg(vocab_sizes=(64, 2048, 64))
-    mesh = dm(("data",))
+    from embeddingtables_tpu.parallel.planner import (
+        PlannedDLRM, make_planned_train_step, place_stacked_on_plan,
+        plan_sharding)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    cfg = tiny_cfg(vocab_sizes=(64, 2048, 64), combiner=combiner)
+    mesh = default_mesh(("data",))
     plan = plan_sharding(cfg.vocab_sizes, cfg.dim, mesh,
                          replicate_max_bytes=cfg.dim * 4 * 128)
-    with pytest.raises(NotImplementedError, match="pad_idx"):
-        train_dlrm(cfg, iter([]), 0, mesh=mesh, plan=plan, verbose=False)
-    cfg2 = tiny_cfg(vocab_sizes=(64, 2048, 64), pad_idx=None)
-    with pytest.raises(NotImplementedError, match="dense_tx"):
-        train_dlrm(cfg2, iter([]), 0, mesh=mesh, plan=plan,
-                   dense_tx=optax.adam(1e-3), verbose=False)
+    assert plan.replicated and plan.sharded    # genuinely mixed
+    tx = optax.adam(1e-2)
+    opt = SparseRowWiseAdaGrad(lr=0.3, eps=1e-6)
+    dense, cat, label = padded_batch(cfg, b=32, seed=13)
+
+    m1 = init_dlrm(jax.random.key(6), cfg, sparse_opt=opt, dense_tx=tx)
+    step1 = make_train_step(cfg, sparse_opt=opt, dense_tx=tx, jit=False)
+
+    src = init_dlrm(jax.random.key(6), cfg, sparse_opt=opt, dense_tx=tx)
+    pt = place_stacked_on_plan(plan, mesh, src.tables, src.emb_state, opt)
+    repl = NamedSharding(mesh, P())
+    pm = PlannedDLRM(bottom=jax.device_put(src.bottom, repl),
+                     top=jax.device_put(src.top, repl), tables=pt,
+                     config=cfg,
+                     dense_opt_state=jax.device_put(src.dense_opt_state,
+                                                    repl))
+    stepP = make_planned_train_step(cfg, mesh, sparse_opt=opt, dense_tx=tx)
+    sd, sc, sl = batch_shardings(mesh, plan.axis)
+    for it in range(2):
+        dense, cat, label = padded_batch(cfg, b=32, seed=13 + it)
+        m1, loss1 = step1(m1, jnp.asarray(dense), jnp.asarray(cat),
+                          jnp.asarray(label))
+        pm, lossP = stepP(pm, jax.device_put(dense, sd),
+                          jax.device_put(cat, sc),
+                          jax.device_put(label, sl))
+        np.testing.assert_allclose(float(lossP), float(loss1), rtol=1e-5)
+    for t in range(cfg.num_tables):
+        np.testing.assert_allclose(
+            np.asarray(pm.tables.table(t)),
+            np.asarray(m1.tables.data)[m1.tables.offsets[t]:
+                                       m1.tables.offsets[t + 1]],
+            rtol=2e-4, atol=1e-6, err_msg=f"table {t}")
+    for a, b in zip(jax.tree_util.tree_leaves((m1.bottom, m1.top)),
+                    jax.tree_util.tree_leaves((pm.bottom, pm.top))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=1e-6)
 
 
 def test_train_loop_on_variable_length_bags_learns():
