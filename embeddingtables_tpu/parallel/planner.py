@@ -685,21 +685,25 @@ class MixedDimPlannedTables:
 
 
 def mixed_planned_lookup(mesh: Mesh, mt: MixedDimPlannedTables,
-                         indices) -> list:
+                         indices, *, combiner: str = "sum",
+                         pad_idx: int | None = None) -> list:
     """Per-table lookup list `[ (B, D_t) ... ]` in original order — the
-    `maplookup` contract over a mixed-dim planned placement."""
+    `maplookup` contract over a mixed-dim planned placement (combiner /
+    pad_idx as in `planned_lookup`)."""
     idx_list = normalize_indices(indices, mt.ntables)
     out = [None] * mt.ntables
     for g, pt in enumerate(mt.groups):
         idxs = [t for t, (gg, _) in enumerate(mt.table_map) if gg == g]
-        sub = planned_lookup(mesh, pt, [idx_list[t] for t in idxs])
+        sub = planned_lookup(mesh, pt, [idx_list[t] for t in idxs],
+                             combiner=combiner, pad_idx=pad_idx)
         for j, t in enumerate(idxs):
             out[t] = sub[j]
     return out
 
 
 def mixed_planned_apply(mesh: Mesh, mt: MixedDimPlannedTables, indices,
-                        deltas: Sequence, sparse_opt
+                        deltas: Sequence, sparse_opt, *,
+                        combiner: str = "sum", pad_idx: int | None = None
                         ) -> MixedDimPlannedTables:
     """Apply per-table lazy deltas (list of (B, D_t)) per the mixed plan."""
     idx_list = normalize_indices(indices, mt.ntables)
@@ -708,7 +712,8 @@ def mixed_planned_apply(mesh: Mesh, mt: MixedDimPlannedTables, indices,
         idxs = [t for t, (gg, _) in enumerate(mt.table_map) if gg == g]
         delta_t = jnp.stack([deltas[t] for t in idxs])
         new_groups[g] = planned_apply(mesh, pt, [idx_list[t] for t in idxs],
-                                      delta_t, sparse_opt)
+                                      delta_t, sparse_opt,
+                                      combiner=combiner, pad_idx=pad_idx)
     return dataclasses.replace(mt, groups=tuple(new_groups))
 
 

@@ -325,15 +325,27 @@ def make_dcn_service(model, *, quantized: bool = False,
 
 
 def make_deepfm_service(model, *, quantized: bool = False,
-                        quantize_bits: int = 8, max_batch: int = 1024,
+                        quantize_bits: int = 8, mesh=None, axis="data",
+                        max_batch: int = 1024,
                         max_latency_ms: float = 5.0) -> MicroBatcher:
     """Batched DeepFM scoring service (same contract as
-    `make_dlrm_service`): model is a trained `models.deepfm.DeepFM`;
-    quantized=True serves int8/int4 FM-vector tables via
-    `quant.quantize_deepfm` (the dim-1 first-order stack stays full
-    precision — see that docstring). Single-chip."""
+    `make_dlrm_service`): model is a trained `models.deepfm.DeepFM` (or a
+    `parallel.deepfm.ShardedDeepFM` with `mesh=` — serve straight off the
+    training placement); quantized=True serves int8/int4 FM-vector tables
+    via `quant.quantize_deepfm` (the dim-1 first-order stack stays full
+    precision — see that docstring; single-chip only)."""
     import jax
 
+    if mesh is not None:
+        if quantized:
+            raise NotImplementedError(
+                "quantized serving is single-chip; unshard the model first")
+        from .parallel.deepfm import make_sharded_deepfm_eval_step
+        step = make_sharded_deepfm_eval_step(model.config, mesh, axis)
+        fn = _sharded_scoring_fn(
+            lambda dense, cat: step(model, dense, cat), mesh, axis)
+        return MicroBatcher(fn, max_batch=max_batch,
+                            max_latency_ms=max_latency_ms)
     if quantized:
         from .quant import quantize_deepfm
         _, predict = quantize_deepfm(model, bits=quantize_bits)  # jitted

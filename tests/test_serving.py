@@ -440,3 +440,30 @@ def test_deepfm_service_matches_direct_eval():
         tol = dict(rtol=1e-5, atol=1e-6) if not quantized else \
             dict(rtol=0.1, atol=0.05)       # int8 FM-vector rows
         np.testing.assert_allclose(got, want, **tol)
+
+
+def test_sharded_deepfm_service_matches_single_chip():
+    import jax
+    import jax.numpy as jnp
+    from embeddingtables_tpu.models import DeepFMConfig, init_deepfm
+    from embeddingtables_tpu.models.deepfm import make_eval_step
+    from embeddingtables_tpu.parallel.deepfm import shard_deepfm
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    from embeddingtables_tpu.serving import make_deepfm_service
+
+    cfg = DeepFMConfig(vocab_sizes=(40, 60), num_dense=3, dim=8,
+                       deep_mlp=(16, 8), compute_dtype=jnp.float32)
+    model = init_deepfm(jax.random.key(0), cfg)
+    mesh = default_mesh(("data",))
+    smodel = shard_deepfm(model, mesh, "data")
+    rng = np.random.default_rng(7)
+    dense = rng.normal(size=(5, 3)).astype(np.float32)  # 5 % 8 != 0: pads
+    cat = np.stack([rng.integers(0, v, 5).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    want = np.asarray(make_eval_step(cfg)(model, jnp.asarray(dense),
+                                          jnp.asarray(cat)))
+    svc = make_deepfm_service(smodel, mesh=mesh, max_batch=8,
+                              max_latency_ms=5.0)
+    got = svc.predict(dense, cat, timeout=60)
+    svc.stop()
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
