@@ -190,6 +190,13 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
             raise TypeError(
                 f"plan= expects a DLRM or PlannedDLRM model, got "
                 f"{type(model).__name__} (unshard a sharded model first)")
+        if dense_tx is not None and model.dense_opt_state is None:
+            # A planned model resumed from a plain-SGD run: initialize the
+            # replicated tower state here (mirrors shard_dlrm's contract).
+            model = dataclasses.replace(
+                model, dense_opt_state=jax.device_put(
+                    dense_tx.init((model.bottom, model.top)),
+                    NamedSharding(mesh, _P())))
         step = make_planned_train_step(cfg, mesh, sparse_opt=sparse_opt,
                                        dense_lr=dense_lr, dense_tx=dense_tx)
         eval_step = make_planned_eval_step(cfg, mesh)
@@ -392,6 +399,11 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
             raise TypeError(
                 f"plan= expects a DCN or PlannedDCN model, got "
                 f"{type(model).__name__} (unshard a sharded model first)")
+        if dense_tx is not None and model.dense_opt_state is None:
+            model = dataclasses.replace(
+                model, dense_opt_state=jax.device_put(
+                    dense_tx.init((model.cross, model.deep, model.head)),
+                    NamedSharding(mesh, _P())))
         step = make_planned_dcn_train_step(cfg, mesh, sparse_opt=sparse_opt,
                                            dense_lr=dense_lr,
                                            dense_tx=dense_tx)

@@ -304,6 +304,72 @@ def test_planned_padded_step_matches_single_chip(combiner):
                                    rtol=2e-4, atol=1e-6)
 
 
+def test_planned_resume_with_dense_tx_initializes_state():
+    """Resuming a PlannedDLRM trained with plain-SGD towers under
+    dense_tx= must initialize the replicated state, not crash in optax."""
+    import optax
+    from embeddingtables_tpu.data import SyntheticCriteo
+    from embeddingtables_tpu.models.train import train_dlrm
+    from embeddingtables_tpu.parallel.planner import plan_sharding
+    cfg = tiny_cfg(vocab_sizes=(64, 2048, 64), bag=None, pad_idx=None)
+    mesh = default_mesh(("data",))
+    plan = plan_sharding(cfg.vocab_sizes, cfg.dim, mesh,
+                         replicate_max_bytes=cfg.dim * 4 * 128)
+    gen = SyntheticCriteo(vocab_sizes=cfg.vocab_sizes, num_dense=4,
+                          batch_size=64, seed=3)
+    res = train_dlrm(cfg, gen.batches(), 2, mesh=mesh, plan=plan,
+                     log_every=0, verbose=False)
+    assert res.model.dense_opt_state is None
+    res2 = train_dlrm(cfg, gen.batches(), 2, model=res.model, mesh=mesh,
+                      plan=plan, dense_tx=optax.adam(1e-3), log_every=0,
+                      verbose=False)
+    assert res2.model.dense_opt_state is not None
+    assert np.isfinite(res2.losses[-1]) if res2.losses else True
+
+
+def test_mixed_dim_planned_pad_matches_oracle():
+    """mixed_planned_lookup/apply with pad_idx: per-dim groups match the
+    lookup_oracle composition and pads leave rows untouched."""
+    from embeddingtables_tpu.parallel.planner import (
+        MixedDimPlannedTables, mixed_planned_apply, mixed_planned_lookup,
+        plan_sharding_mixed)
+    mesh = default_mesh(("data",))
+    rng = np.random.default_rng(31)
+    vocabs = (64, 2048, 96)
+    dims = (8, 16, 8)
+    arrs = [jnp.asarray(rng.standard_normal((v, d)).astype(np.float32))
+            for v, d in zip(vocabs, dims)]
+    plans, groups = plan_sharding_mixed(vocabs, dims, mesh,
+                                        replicate_max_bytes=16 * 4 * 128)
+    mt = MixedDimPlannedTables.from_tables(plans, groups, mesh, arrs)
+    b, bag = 16, 3
+    cat = [np.where(rng.random((b, bag)) < 0.3, PAD,
+                    rng.integers(0, v, (b, bag))).astype(np.int32)
+           for v in vocabs]
+    outs = mixed_planned_lookup(mesh, mt, [jnp.asarray(c) for c in cat],
+                                combiner="mean", pad_idx=PAD)
+    for t in range(3):
+        exp = lookup_oracle(arrs[t], jnp.asarray(cat[t]), "mean", None,
+                            pad_idx=PAD)
+        np.testing.assert_allclose(np.asarray(outs[t]), np.asarray(exp),
+                                   rtol=2e-5, atol=1e-5, err_msg=f"t={t}")
+    # Update: pads contribute nothing (compare vs single-chip sgd_update).
+    from embeddingtables_tpu.ops.lookup import lookup_vjp
+    from embeddingtables_tpu.ops.sparse_update import sgd_update
+    deltas = [jnp.asarray(rng.standard_normal((b, d)).astype(np.float32))
+              for d in dims]
+    mt2 = mixed_planned_apply(mesh, mt, [jnp.asarray(c) for c in cat],
+                              deltas, SparseSGD(0.5), combiner="mean",
+                              pad_idx=PAD)
+    for t in range(3):
+        _, pb = lookup_vjp(arrs[t], jnp.asarray(cat[t]), combiner="mean",
+                           pad_idx=PAD)
+        exp = sgd_update(arrs[t], pb(deltas[t]), 0.5)
+        np.testing.assert_allclose(np.asarray(mt2.table(t)),
+                                   np.asarray(exp), rtol=2e-4, atol=1e-6,
+                                   err_msg=f"t={t}")
+
+
 def test_train_loop_on_variable_length_bags_learns():
     from embeddingtables_tpu.data import SyntheticCriteo
     from embeddingtables_tpu.models.train import train_dlrm
