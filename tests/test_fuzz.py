@@ -34,11 +34,17 @@ def test_lookup_fuzz(trial):
     weights = None
     if idx.ndim == 2 and rng.random() < 0.3:
         weights = rng.uniform(0.1, 2.0, idx.shape).astype(np.float32)
+    pad_idx = None
+    if rng.random() < 0.4:
+        # Random sentinel value and density (incl. all-pad bags sometimes).
+        pad_idx = int(rng.choice([-1, vocab, -7]))
+        idx = np.where(rng.random(idx.shape) < rng.uniform(0.1, 0.9),
+                       pad_idx, idx).astype(np.int32)
 
     out = et.lookup(table, jnp.asarray(idx), combiner=combiner,
-                    weights=weights)
+                    weights=weights, pad_idx=pad_idx)
     expect = lookup_oracle(jnp.asarray(data), jnp.asarray(idx), combiner,
-                           weights)
+                           weights, pad_idx=pad_idx)
     assert out.shape == (batch, dim)
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(expect, np.float32),
