@@ -113,7 +113,7 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                eval_every: int = 0, ckpt_manager=None, ckpt_every: int = 0,
                log_every: int = 100, mesh=None, axis: str = "data",
                exchange: str = "gather", capacity_factor: float = 2.0,
-               auto_capacity: bool = False, guard=None,
+               auto_capacity: bool = False, wire_dtype=None, guard=None,
                evict_every: int = 0, evict_threshold: float = 1e-3,
                freq_decay: float = 0.99, microbatch=None,
                device_prefetch: int = 0, plan=None,
@@ -219,7 +219,8 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
             return make_sharded_train_step(
                 cfg, mesh, axis, sparse_opt=sparse_opt, dense_lr=dense_lr,
                 exchange=exchange, capacity_factor=cf,
-                with_overflow=with_overflow, dense_tx=dense_tx)
+                with_overflow=with_overflow, dense_tx=dense_tx,
+                wire_dtype=wire_dtype)
 
         step = build_step(capacity_factor)
         if with_overflow:

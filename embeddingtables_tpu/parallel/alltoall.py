@@ -142,8 +142,8 @@ def _bucket_by_owner(flat: jax.Array, n: int, cap: int, valid=None):
 def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
                        *, capacity_factor: float = 2.0,
                        reducing: bool | None = None, combiner: str = "sum",
-                       weights=None, pad_idx: int | None = None
-                       ) -> Tuple[jax.Array, jax.Array]:
+                       weights=None, pad_idx: int | None = None,
+                       wire_dtype=None) -> Tuple[jax.Array, jax.Array]:
     """Butterfly lookup on a mod-row-sharded (stacked) table.
 
     idx: `(B,)` or `(B, bag)` global stacked row ids, batch-sharded over the
@@ -162,6 +162,12 @@ def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
     reassembled rows before the bag sum. `pad_idx` here is a GLOBAL stacked
     sentinel (e.g. -1 or st.vocab) — shift per-table indices first, keeping
     the sentinel unshifted.
+
+    wire_dtype: cast the ROW payload to this dtype for the return
+    all_to_all (e.g. jnp.bfloat16 halves the f32 wire traffic). The rows
+    are pure data movement here — no reduction happens on the wire — so
+    the only precision cost is ONE rounding of each looked-up element;
+    indices stay int32. None = no cast (bit-exact).
 
     2-D meshes (`axis=("data", "model")`): the batch is sharded over `data`
     (replicated across `model`); each model column routes a 1/n_model slice
@@ -210,9 +216,13 @@ def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
         rows = jnp.take(shard[0], safe, axis=0)
         rows = jnp.where((recv_slot.reshape(-1) >= 0)[:, None], rows,
                          jnp.zeros_like(rows)).reshape(n, cap, dim)
+        if wire_dtype is not None:
+            rows = rows.astype(wire_dtype)
         # 4. rows back to the requesters.
         back = jax.lax.all_to_all(rows, axes, split_axis=0, concat_axis=0,
                                   tiled=True)
+        if wire_dtype is not None:
+            back = back.astype(shard.dtype)
         # 5. un-permute to this column's stream positions.
         pos = send_pos.reshape(-1)
         target = jnp.where(pos >= 0, pos, sub)
@@ -246,7 +256,7 @@ def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
 def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
                                accum: jax.Array, upd: SparseEmbeddingUpdate,
                                opt, *, capacity_factor: float = 2.0,
-                               pad_idx: int | None = None):
+                               pad_idx: int | None = None, wire_dtype=None):
     """Butterfly row-wise-AdaGrad update: route occurrences to their owners,
     then each owner dedups its received stream into a shard-sized dense
     gradient (sort-free; docs/DESIGN.md §1e) and advances every owned row
@@ -283,10 +293,15 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         staged = jnp.take(vals, safe_pos, axis=0)
         staged = jnp.where((send_pos.reshape(-1) >= 0)[:, None], staged,
                            jnp.zeros_like(staged)).reshape(n, cap, dim)
+        if wire_dtype is not None:
+            # Delta rows are pure payload on the wire (the dedup
+            # accumulation happens owner-side in f32): one rounding each.
+            staged = staged.astype(wire_dtype)
         recv_slot = jax.lax.all_to_all(send_slot, axes, split_axis=0,
                                        concat_axis=0, tiled=True)
         recv_vals = jax.lax.all_to_all(staged, axes, split_axis=0,
-                                       concat_axis=0, tiled=True).reshape(-1, dim)
+                                       concat_axis=0, tiled=True
+                                       ).astype(jnp.float32).reshape(-1, dim)
 
         rows_local = shard.shape[1]
         slot = recv_slot.reshape(-1)
@@ -329,7 +344,8 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
                            upd: SparseEmbeddingUpdate, lr, *,
                            capacity_factor: float = 2.0,
                            weight_decay: float = 0.0,
-                           clipnorm=None, pad_idx: int | None = None
+                           clipnorm=None, pad_idx: int | None = None,
+                           wire_dtype=None
                            ) -> Tuple[ShardedStackedTables, jax.Array]:
     """Butterfly sparse-SGD update: route (row, delta) occurrences to their
     owner shards via all_to_all; owners scatter-add locally. ICI volume
@@ -368,11 +384,14 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         staged = jnp.take(vals, safe_pos, axis=0)
         staged = jnp.where((send_pos.reshape(-1) >= 0)[:, None], staged,
                            jnp.zeros_like(staged)).reshape(n, cap, dim)
+        if wire_dtype is not None:
+            staged = staged.astype(wire_dtype)
 
         recv_slot = jax.lax.all_to_all(send_slot, axes, split_axis=0,
                                        concat_axis=0, tiled=True)
         recv_vals = jax.lax.all_to_all(staged, axes, split_axis=0,
-                                       concat_axis=0, tiled=True)
+                                       concat_axis=0, tiled=True
+                                       ).astype(jnp.float32)
 
         rows_local = shard.shape[1]
         slot = recv_slot.reshape(-1)

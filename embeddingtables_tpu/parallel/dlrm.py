@@ -255,7 +255,8 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
                             sparse_opt=None, dense_lr: float = 0.01,
                             jit: bool = True, exchange: str = "gather",
                             capacity_factor: float = 2.0,
-                            with_overflow: bool = False, dense_tx=None):
+                            with_overflow: bool = False, dense_tx=None,
+                            wire_dtype=None):
     """Build the multi-chip fused train step.
 
     `step(model: ShardedDLRM, dense, cat, label) -> (model, loss)` where the
@@ -299,13 +300,15 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
         if bag is None:
             emb_bt, ovf_fwd = sharded_lookup_a2a(
                 mesh, st, shifted_bt, capacity_factor=capacity_factor,
-                reducing=False, pad_idx=a2a_pad)             # (B, T, D)
+                reducing=False, pad_idx=a2a_pad,
+                wire_dtype=wire_dtype)                       # (B, T, D)
         else:
             b = shifted_bt.shape[0]
             flat_bt = shifted_bt.reshape(b, t * bag)
             rows, ovf_fwd = sharded_lookup_a2a(
                 mesh, st, flat_bt, capacity_factor=capacity_factor,
-                reducing=False, pad_idx=a2a_pad)             # (B, T*bag, D)
+                reducing=False, pad_idx=a2a_pad,
+                wire_dtype=wire_dtype)                       # (B, T*bag, D)
             emb_bt = rows.reshape(b, t, bag, cfg.dim).sum(axis=2)
             if cfg.combiner == "mean":
                 if a2a_pad is not None:
@@ -346,13 +349,15 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
         if isinstance(sparse_opt, SparseRowWiseAdaGrad):
             new_st, new_accum, ovf_bwd = sharded_adagrad_update_a2a(
                 mesh, st, model.emb_accum, upd, sparse_opt,
-                capacity_factor=capacity_factor, pad_idx=a2a_pad)
+                capacity_factor=capacity_factor, pad_idx=a2a_pad,
+                wire_dtype=wire_dtype)
         else:
             new_st, ovf_bwd = sharded_sgd_update_a2a(
                 mesh, st, upd, sparse_opt.lr,
                 capacity_factor=capacity_factor,
                 weight_decay=sparse_opt.weight_decay,
-                clipnorm=sparse_opt.clipnorm, pad_idx=a2a_pad)
+                clipnorm=sparse_opt.clipnorm, pad_idx=a2a_pad,
+                wire_dtype=wire_dtype)
             new_accum = model.emb_accum
         new_model = ShardedDLRM(bottom=new_bottom, top=new_top,
                                 tables=new_st, emb_accum=new_accum,

@@ -36,6 +36,10 @@ def main():
                     help="sharded embedding exchange (a2a = butterfly)")
     ap.add_argument("--capacity-factor", type=float, default=2.0,
                     help="a2a bucket headroom (compile-time constant)")
+    ap.add_argument("--wire-dtype", choices=["f32", "bf16"], default="f32",
+                    help="a2a exchange payload dtype: bf16 halves the row "
+                         "wire traffic (one rounding per element; indices "
+                         "stay int32)")
     ap.add_argument("--auto-capacity", action="store_true",
                     help="watch a2a overflow and rebuild the step at a "
                          "larger capacity factor when occurrences drop")
@@ -172,6 +176,8 @@ def main():
                      mesh=mesh, exchange=args.exchange,
                      capacity_factor=args.capacity_factor,
                      auto_capacity=args.auto_capacity,
+                     wire_dtype=(jnp.bfloat16 if args.wire_dtype == "bf16"
+                                 else None),
                      evict_every=args.evict_every,
                      evict_threshold=args.evict_threshold,
                      microbatch=args.microbatch,

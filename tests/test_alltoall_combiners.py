@@ -142,3 +142,94 @@ def test_a2a_adagrad_update_pad_preserves_untouched_state():
     glob = np.asarray(new_accum).T.reshape(-1)[:V]
     np.testing.assert_allclose(glob, np.asarray(exp_state.accum), atol=1e-5)
     assert np.all(glob[8:] == 0.0)
+
+
+def test_wire_dtype_bf16_close_and_none_exact():
+    """wire_dtype=bf16: one rounding per element (payload-only cast, no
+    on-wire reduction), so lookup error is bounded by bf16 ulp; None is
+    bit-exact with the default."""
+    rng = np.random.default_rng(11)
+    data = make_data(rng)
+    mesh = mesh1d()
+    st = ShardedStackedTables.shard(mesh, "x", data)
+    idx = padded_bags(rng, -1)
+    exact, _ = sharded_lookup_a2a(mesh, st, idx, capacity_factor=8.0,
+                                  combiner="mean", pad_idx=-1)
+    same, _ = sharded_lookup_a2a(mesh, st, idx, capacity_factor=8.0,
+                                 combiner="mean", pad_idx=-1,
+                                 wire_dtype=None)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(same))
+    bf16, _ = sharded_lookup_a2a(mesh, st, idx, capacity_factor=8.0,
+                                 combiner="mean", pad_idx=-1,
+                                 wire_dtype=jnp.bfloat16)
+    # bf16 mantissa = 8 bits: relative error <= 2^-8 per element.
+    np.testing.assert_allclose(np.asarray(bf16), np.asarray(exact),
+                               rtol=2e-2, atol=2e-2)
+    assert not np.array_equal(np.asarray(bf16), np.asarray(exact))
+
+
+def test_wire_dtype_bf16_update_close():
+    rng = np.random.default_rng(13)
+    data = make_data(rng)
+    mesh = mesh1d()
+    st = ShardedStackedTables.shard(mesh, "x", data)
+    idx = jnp.asarray(rng.integers(0, V, size=(B,)).astype(np.int32))
+    delta = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    from embeddingtables_tpu.ops.sparse_update import SparseEmbeddingUpdate
+    upd = SparseEmbeddingUpdate(delta=delta, indices=idx)
+    exact, _ = sharded_sgd_update_a2a(mesh, st, upd, 0.5,
+                                      capacity_factor=8.0)
+    bf16, _ = sharded_sgd_update_a2a(mesh, st, upd, 0.5,
+                                     capacity_factor=8.0,
+                                     wire_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(bf16.unshard()),
+                               np.asarray(exact.unshard()),
+                               rtol=2e-2, atol=2e-2)
+    # AdaGrad variant compiles and stays close too.
+    accum = jnp.zeros(st.data.shape[:2], jnp.float32)
+    ex2, _, _ = sharded_adagrad_update_a2a(
+        mesh, st, accum, upd, SparseRowWiseAdaGrad(lr=0.5),
+        capacity_factor=8.0)
+    b2, _, _ = sharded_adagrad_update_a2a(
+        mesh, st, accum, upd, SparseRowWiseAdaGrad(lr=0.5),
+        capacity_factor=8.0, wire_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(b2.unshard()),
+                               np.asarray(ex2.unshard()),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_wire_dtype_model_step():
+    """The full a2a DLRM train step runs with bf16 wire payloads and stays
+    close to the f32-wire step."""
+    import dataclasses as dc
+    from embeddingtables_tpu.models.dlrm import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.optim import SparseSGD
+    from embeddingtables_tpu.parallel.dlrm import (batch_shardings,
+                                                   make_sharded_train_step,
+                                                   shard_dlrm)
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    cfg = DLRMConfig(vocab_sizes=(64, 96, 33), num_dense=4, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    mesh = default_mesh(("data",))
+    rng = np.random.default_rng(17)
+    dense = rng.normal(size=(32, 4)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, 32).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    label = rng.integers(0, 2, 32).astype(np.float32)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    outs = {}
+    for wd in (None, jnp.bfloat16):
+        m = shard_dlrm(init_dlrm(jax.random.key(0), cfg,
+                                 sparse_opt=SparseSGD(0.3)),
+                       mesh, "data", sparse_opt=SparseSGD(0.3))
+        step = make_sharded_train_step(cfg, mesh, "data",
+                                       sparse_opt=SparseSGD(0.3),
+                                       dense_lr=0.3, exchange="a2a",
+                                       capacity_factor=8.0, wire_dtype=wd)
+        m, loss = step(m, jax.device_put(dense, sd),
+                       jax.device_put(cat, sc), jax.device_put(label, sl))
+        outs[wd is None] = (float(loss), np.asarray(m.tables.unshard()))
+    np.testing.assert_allclose(outs[False][0], outs[True][0], rtol=1e-2)
+    np.testing.assert_allclose(outs[False][1], outs[True][1],
+                               rtol=2e-2, atol=2e-2)
