@@ -1,0 +1,246 @@
+"""Column (feature-dim) sharding: the other tensor-parallel axis.
+
+SURVEY.md §2.3's TP row names two decompositions of a `(V, D)` table:
+rows (vocab) — `sharded.py`'s mod-row sharding with index routing — and
+COLUMNS (features), realized here: device d owns the contiguous feature
+slice `[d·D/n, (d+1)·D/n)` of EVERY row (the Megatron-style column-parallel
+embedding).
+
+When it wins (the tradeoff vs row sharding):
+
+  - No index routing at all: every device gathers the full index stream
+    against its column slice, so there is no per-row ownership, no capacity
+    factor, no butterfly — POWER-LAW SKEW IS FREE (the row-sharded schemes
+    concentrate hot-row traffic on single owners).
+  - Exchange volume is the same `(B, D)` as the gather exchange (the
+    all_to_all below moves each element once), plus the index all-gather.
+  - HBM cost is `V·D/n` per device like row sharding — but the WHOLE vocab
+    id space lives on every device, so it suits moderate-vocab wide-dim
+    tables (content embeddings); beyond-HBM vocabularies still need rows.
+  - Row-wise AdaGrad needs one extra `(V,)` psum per step: the accumulator
+    tracks `mean_d(grad²)` over ALL features, and each device only sees
+    D/n of them. That collective is proportional to the vocab — acceptable
+    for the wide-dim tables this layout targets, wasteful for huge-V ones
+    (use row sharding there).
+
+Exchange shape (batch and columns sharded over the SAME axis, the standard
+hybrid): lookup all-gathers the local `(B/n,)` indices, gathers `(B, D/n)`
+locally, then ONE all_to_all turns the (batch-replicated, col-sharded)
+block into the (batch-sharded, col-complete) output. The update runs the
+same exchange transposed: all_to_all the `(B/n, D)` deltas into `(B, D/n)`
+column slices, then scatter-add on the local slice — race-free by COLUMN
+ownership (each device writes only its features; duplicates accumulate in
+the scatter like the single-chip path).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.ensemble import StackedTables
+from ..ops.sparse_update import SparseEmbeddingUpdate
+from ..optim import SparseRowWiseAdaGrad, SparseSGD
+from ..tables import SimpleEmbedding, as_table
+from ..types import cdiv
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ColShardedStackedTables:
+    """A (stacked) table column-sharded over one mesh axis.
+
+    data:    `(n_shards, vocab, cols_local)` with the leading axis sharded
+             `P(axis)` — device d holds columns `[d·cols_local, ...)` of
+             every row (feature dim padded up to a multiple of n).
+    offsets: per-table global row offsets (static).
+    dim:     the true (unpadded) feature width.
+    """
+
+    data: jax.Array
+    offsets: tuple = dataclasses.field(metadata=dict(static=True))
+    dim: int = dataclasses.field(metadata=dict(static=True))
+    axis: str = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def n_shards(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def vocab(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def ntables(self) -> int:
+        return len(self.offsets) - 1
+
+    @classmethod
+    def shard(cls, mesh: Mesh, axis: str, tables) -> "ColShardedStackedTables":
+        """Stack `tables` along the vocab axis and split the FEATURE dim
+        over `mesh[axis]` (padded to a multiple of the axis size)."""
+        if isinstance(tables, StackedTables):
+            st = tables
+        elif isinstance(tables, (list, tuple)):
+            st = StackedTables.stack(tables)
+        else:
+            t = as_table(tables)
+            st = StackedTables(data=t.data if isinstance(t, SimpleEmbedding)
+                               else t.rows(jnp.arange(t.spec.vocab)),
+                               offsets=(0, t.spec.vocab), dim=t.spec.dim)
+        n = mesh.shape[axis]
+        vocab, dim = st.data.shape
+        d_pad = cdiv(dim, n) * n
+        data = jnp.pad(st.data, ((0, 0), (0, d_pad - dim)))
+        data = data.reshape(vocab, n, d_pad // n).transpose(1, 0, 2)
+        data = jax.device_put(data, NamedSharding(mesh, P(axis)))
+        return cls(data=data, offsets=st.offsets, dim=dim, axis=axis)
+
+    def unshard(self) -> jax.Array:
+        """Dense `(vocab, dim)` view (test oracle only)."""
+        n, v, cl = self.data.shape
+        return self.data.transpose(1, 0, 2).reshape(v, n * cl)[:, :self.dim]
+
+    def table(self, t: int) -> jax.Array:
+        return self.unshard()[self.offsets[t]:self.offsets[t + 1]]
+
+
+def col_sharded_lookup(mesh: Mesh, ct: ColShardedStackedTables,
+                       idx: jax.Array, *, batch_sharded: bool = True
+                       ) -> jax.Array:
+    """Lookup on a column-sharded table: `(B,)` or `(B, bag)` GLOBAL stacked
+    row ids (batch-sharded over the table's axis) -> `(B, dim)` batch-sharded
+    the same way. No index routing; skew-free by construction."""
+    axis = ct.axis
+    n = ct.n_shards
+    reducing = idx.ndim == 2
+    cols_local = ct.data.shape[2]
+
+    def body(shard, lidx):
+        gidx = (jax.lax.all_gather(lidx, axis, tiled=True)
+                if batch_sharded else lidx)
+        flat = gidx.reshape(-1)
+        part = jnp.take(shard[0], flat, axis=0)     # (B*?bag, cols_local)
+        part = part.reshape(gidx.shape + (cols_local,))
+        if reducing:
+            part = part.sum(axis=1)                 # (B, cols_local)
+        if not batch_sharded:
+            # Replicated batch: assemble full features on every device.
+            full = jax.lax.all_gather(part, axis, axis=1, tiled=True)
+            return full
+        b = part.shape[0]
+        # (B, cols_local) -> (B/n, D_pad): one all_to_all redistributes
+        # batch blocks against column blocks.
+        blocks = part.reshape(n, b // n, cols_local)
+        got = jax.lax.all_to_all(blocks, axis, split_axis=0, concat_axis=0,
+                                 tiled=True)        # (n, B/n, cols_local)
+        return jnp.transpose(got.reshape(n, b // n, cols_local),
+                             (1, 0, 2)).reshape(b // n, n * cols_local)
+
+    spec = P(axis) if batch_sharded else P()
+    out = jax.shard_map(body, mesh=mesh, in_specs=(P(axis), spec),
+                        out_specs=spec,
+                        # The replicated-batch branch assembles full
+                        # features via all_gather — replicated by
+                        # construction, unprovable statically.
+                        check_vma=batch_sharded)(ct.data, idx)
+    return out[..., :ct.dim]
+
+
+def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
+                       upd: SparseEmbeddingUpdate, opt,
+                       accum: jax.Array | None = None, *,
+                       batch_sharded: bool = True):
+    """Sparse update on a column-sharded table: SGD or row-wise AdaGrad.
+
+    Each device receives every occurrence's slice of the delta via the
+    transposed all_to_all, scatter-accumulates into a dense `(V, cols_local)`
+    gradient (the sort-free dedup pass), and writes only its own columns —
+    race-free by column ownership. AdaGrad: the per-row `mean(grad²)` needs
+    the OTHER devices' column contributions, so one `(V,)` psum rides the
+    step (see module docstring for when that is acceptable).
+
+    Returns `new_ct` for SGD, `(new_ct, new_accum)` when `accum` is given
+    (row-wise AdaGrad; `accum` is a REPLICATED `(V,)` f32 array — every
+    device advances the identical full-row accumulator after the psum).
+    """
+    adagrad = isinstance(opt, SparseRowWiseAdaGrad)
+    if adagrad and accum is None:
+        raise ValueError("row-wise AdaGrad needs accum=(V,) f32")
+    if not isinstance(opt, (SparseSGD, SparseRowWiseAdaGrad)):
+        raise NotImplementedError(type(opt).__name__)
+    if getattr(opt, "weight_decay", 0.0) != 0.0 or \
+            getattr(opt, "clipnorm", None) is not None:
+        raise NotImplementedError(
+            "weight_decay/clipnorm on the column-sharded update need "
+            "full-row norms (an extra (V,) psum each); use row sharding "
+            "for regularized training")
+    axis = ct.axis
+    n = ct.n_shards
+    cols_local = ct.data.shape[2]
+    d_pad = n * cols_local
+    reducing = upd.indices.ndim == 2
+    w = (upd.weights if upd.weights is not None
+         else jnp.ones(upd.indices.shape, jnp.float32))
+
+    def body(shard, acc, lidx, ldelta, lw):
+        if batch_sharded:
+            gidx = jax.lax.all_gather(lidx, axis, tiled=True)
+        else:
+            gidx = lidx
+        # Deltas: pad features, then all_to_all so this device holds ITS
+        # column slice of EVERY example's delta.
+        d = ldelta.astype(jnp.float32)
+        d = jnp.pad(d, ((0, 0), (0, d_pad - d.shape[1])))
+        if batch_sharded:
+            bl = d.shape[0]
+            blocks = jnp.transpose(
+                d.reshape(bl, n, cols_local), (1, 0, 2))   # (n, B/n, cl)
+            mine = jax.lax.all_to_all(blocks, axis, split_axis=0,
+                                      concat_axis=0, tiled=True)
+            gdelta = mine.reshape(n * bl, cols_local)       # (B, cl)
+        else:
+            me = jax.lax.axis_index(axis)
+            gdelta = jax.lax.dynamic_slice_in_dim(
+                d, me * cols_local, cols_local, axis=1)
+        gw = (jax.lax.all_gather(lw, axis, tiled=True)
+              if batch_sharded else lw)
+        flat = gidx.reshape(-1)
+        vals = gdelta
+        if reducing:
+            vals = jnp.repeat(vals, gidx.shape[1], axis=0)
+        vals = vals * gw.reshape(-1)[:, None]
+        # Dense-grad dedup on the local column slice (sort-free).
+        grad = jnp.zeros(shard[0].shape, jnp.float32).at[flat].add(
+            vals, mode="drop")
+        if not adagrad:
+            new = (shard[0].astype(jnp.float32)
+                   - opt.lr * grad).astype(shard.dtype)
+            return new[None], acc
+        # Row-wise AdaGrad: sum(grad²) over LOCAL columns, psum to the full
+        # row second moment (mean over the true dim).
+        g2_local = jnp.square(grad).sum(axis=1)
+        g2 = jax.lax.psum(g2_local, axis) / ct.dim          # (V,)
+        new_acc = acc + g2
+        touched = g2 > 0.0
+        denom = jax.lax.rsqrt(jnp.maximum(new_acc + opt.eps, 1e-30))
+        step = opt.lr * grad * denom[:, None]
+        new = (shard[0].astype(jnp.float32)
+               - jnp.where(touched[:, None], step, 0.0)).astype(shard.dtype)
+        new_acc = jnp.where(touched, new_acc, acc)
+        return new[None], new_acc
+
+    spec = P(axis) if batch_sharded else P()
+    if adagrad:
+        new_data, new_acc = jax.shard_map(
+            body, mesh=mesh, in_specs=(P(axis), P(), spec, spec, spec),
+            out_specs=(P(axis), P()))(ct.data, accum, upd.indices,
+                                      upd.delta, w)
+        return dataclasses.replace(ct, data=new_data), new_acc
+    new_data = jax.shard_map(
+        lambda shard, lidx, ldelta, lw: body(shard, None, lidx, ldelta,
+                                             lw)[0],
+        mesh=mesh, in_specs=(P(axis), spec, spec, spec),
+        out_specs=P(axis))(ct.data, upd.indices, upd.delta, w)
+    return dataclasses.replace(ct, data=new_data)

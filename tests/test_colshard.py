@@ -1,0 +1,159 @@
+"""Column (feature-dim) sharding: parity with the single-chip contract.
+
+The other TP decomposition (SURVEY.md §2.3): no index routing, so hot-row
+skew costs nothing — verified by an all-one-row stream that the row-sharded
+butterfly would bottleneck on a single owner.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from embeddingtables_tpu.ops.lookup import lookup, lookup_vjp
+from embeddingtables_tpu.ops.sparse_update import (SparseEmbeddingUpdate,
+                                                   sgd_update)
+from embeddingtables_tpu.optim import SparseRowWiseAdaGrad, SparseSGD
+from embeddingtables_tpu.parallel.colshard import (ColShardedStackedTables,
+                                                   col_sharded_lookup,
+                                                   col_sharded_update)
+from embeddingtables_tpu.tables import SimpleEmbedding
+
+V, B, BAG = 96, 32, 4
+
+
+def mesh1d():
+    return Mesh(np.array(jax.devices()[:8]), ("x",))
+
+
+def put_batch(mesh, idx):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return jax.device_put(idx, NamedSharding(mesh, P("x")))
+
+
+@pytest.mark.parametrize("dim", [16, 24, 130])  # incl. non-divisible dims
+@pytest.mark.parametrize("bag", [None, BAG])
+def test_col_sharded_lookup_matches_single_chip(dim, bag):
+    rng = np.random.default_rng(hash((dim, bag)) % 2**31)
+    data = jnp.asarray(rng.standard_normal((V, dim)).astype(np.float32))
+    mesh = mesh1d()
+    ct = ColShardedStackedTables.shard(mesh, "x", data)
+    np.testing.assert_array_equal(np.asarray(ct.unshard()), np.asarray(data))
+    shape = (B,) if bag is None else (B, bag)
+    idx = jnp.asarray(rng.integers(0, V, shape).astype(np.int32))
+    got = col_sharded_lookup(mesh, ct, put_batch(mesh, idx))
+    exp = lookup(data, idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_col_sharded_lookup_replicated_batch():
+    rng = np.random.default_rng(3)
+    data = jnp.asarray(rng.standard_normal((V, 16)).astype(np.float32))
+    mesh = mesh1d()
+    ct = ColShardedStackedTables.shard(mesh, "x", data)
+    idx = jnp.asarray(rng.integers(0, V, (B,)).astype(np.int32))
+    got = col_sharded_lookup(mesh, ct, idx, batch_sharded=False)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(lookup(data, idx)), atol=1e-6)
+
+
+def test_col_sharded_stacked_ensemble():
+    rng = np.random.default_rng(5)
+    tabs = [SimpleEmbedding(jnp.asarray(
+        rng.standard_normal((40 + 10 * t, 16)).astype(np.float32)))
+        for t in range(3)]
+    mesh = mesh1d()
+    ct = ColShardedStackedTables.shard(mesh, "x", tabs)
+    assert ct.ntables == 3
+    for t in range(3):
+        np.testing.assert_array_equal(np.asarray(ct.table(t)),
+                                      np.asarray(tabs[t].data))
+
+
+@pytest.mark.parametrize("bag", [None, BAG])
+def test_col_sharded_sgd_update_matches_single_chip(bag):
+    rng = np.random.default_rng(7)
+    dim = 24
+    data = jnp.asarray(rng.standard_normal((V, dim)).astype(np.float32))
+    mesh = mesh1d()
+    ct = ColShardedStackedTables.shard(mesh, "x", data)
+    shape = (B,) if bag is None else (B, bag)
+    idx = jnp.asarray(rng.integers(0, V, shape).astype(np.int32))
+    delta = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
+    upd = SparseEmbeddingUpdate(delta=delta, indices=idx)
+    new_ct = col_sharded_update(mesh, ct,
+                                SparseEmbeddingUpdate(
+                                    delta=put_batch(mesh, delta),
+                                    indices=put_batch(mesh, idx)),
+                                SparseSGD(0.5))
+    exp = sgd_update(data, upd, 0.5)
+    np.testing.assert_allclose(np.asarray(new_ct.unshard()),
+                               np.asarray(exp), rtol=2e-5, atol=1e-6)
+
+
+def test_col_sharded_adagrad_matches_single_chip_multistep():
+    rng = np.random.default_rng(9)
+    dim = 16
+    data = jnp.asarray(rng.standard_normal((V, dim)).astype(np.float32))
+    mesh = mesh1d()
+    ct = ColShardedStackedTables.shard(mesh, "x", data)
+    opt = SparseRowWiseAdaGrad(lr=0.3, eps=1e-6)
+    accum = jnp.zeros((V,), jnp.float32)
+    data1 = data
+    state1 = opt.init(data)
+    for it in range(3):
+        idx = jnp.asarray(rng.integers(0, V, (B, BAG)).astype(np.int32))
+        delta = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
+        upd = SparseEmbeddingUpdate(delta=delta, indices=idx)
+        data1, state1 = opt.apply(data1, upd, state1)
+        ct, accum = col_sharded_update(
+            mesh, ct,
+            SparseEmbeddingUpdate(delta=put_batch(mesh, delta),
+                                  indices=put_batch(mesh, idx)),
+            opt, accum)
+        np.testing.assert_allclose(np.asarray(ct.unshard()),
+                                   np.asarray(data1), rtol=2e-4, atol=1e-6,
+                                   err_msg=f"step {it}")
+    np.testing.assert_allclose(np.asarray(accum), np.asarray(state1.accum),
+                               rtol=2e-5, atol=1e-7)
+
+
+def test_col_sharding_is_skew_free():
+    """Every occurrence hits ONE row: the column layout has no per-row
+    owner, so the lookup still matches exactly (the row-sharded butterfly
+    would need capacity ~= the whole stream on one owner for this)."""
+    rng = np.random.default_rng(11)
+    dim = 16
+    data = jnp.asarray(rng.standard_normal((V, dim)).astype(np.float32))
+    mesh = mesh1d()
+    ct = ColShardedStackedTables.shard(mesh, "x", data)
+    idx = jnp.full((B, BAG), 7, jnp.int32)   # all traffic on row 7
+    got = col_sharded_lookup(mesh, ct, put_batch(mesh, idx))
+    exp = lookup(data, idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-6)
+
+
+def test_col_sharded_weighted_update_and_guards():
+    rng = np.random.default_rng(13)
+    dim = 16
+    data = jnp.asarray(rng.standard_normal((V, dim)).astype(np.float32))
+    mesh = mesh1d()
+    ct = ColShardedStackedTables.shard(mesh, "x", data)
+    idx = jnp.asarray(rng.integers(0, V, (B, BAG)).astype(np.int32))
+    out, pb = lookup_vjp(data, idx, combiner="mean")
+    delta = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
+    upd = pb(delta)
+    new_ct = col_sharded_update(
+        mesh, ct,
+        SparseEmbeddingUpdate(delta=put_batch(mesh, upd.delta),
+                              indices=put_batch(mesh, upd.indices),
+                              weights=put_batch(mesh, upd.weights)),
+        SparseSGD(0.5))
+    exp = sgd_update(data, upd, 0.5)
+    np.testing.assert_allclose(np.asarray(new_ct.unshard()),
+                               np.asarray(exp), rtol=2e-5, atol=1e-6)
+    with pytest.raises(NotImplementedError, match="weight_decay"):
+        col_sharded_update(mesh, ct, upd, SparseSGD(0.5, weight_decay=0.1))
+    with pytest.raises(ValueError, match="accum"):
+        col_sharded_update(mesh, ct, upd, SparseRowWiseAdaGrad(lr=0.1))
