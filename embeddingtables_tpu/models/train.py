@@ -150,6 +150,11 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     if plan is not None and exchange != "gather":
         raise NotImplementedError(
             "planner-placed training supports the gather exchange only")
+    if wire_dtype is not None and (mesh is None or exchange != "a2a"):
+        raise ValueError(
+            "wire_dtype requires mesh= with exchange='a2a' (it compresses "
+            "the butterfly's row payloads; other paths would silently "
+            "ignore it)")
     if model is None and plan is None:
         with tel.phase("init"):
             model = init_dlrm(jax.random.key(seed), cfg,

@@ -107,36 +107,42 @@ class ColShardedStackedTables:
 
 
 def col_sharded_lookup(mesh: Mesh, ct: ColShardedStackedTables,
-                       idx: jax.Array, *, batch_sharded: bool = True
-                       ) -> jax.Array:
+                       idx: jax.Array, *, batch_sharded: bool = True,
+                       reducing: bool | None = None) -> jax.Array:
     """Lookup on a column-sharded table: `(B,)` or `(B, bag)` GLOBAL stacked
     row ids (batch-sharded over the table's axis) -> `(B, dim)` batch-sharded
-    the same way. No index routing; skew-free by construction."""
+    the same way. No index routing; skew-free by construction.
+
+    reducing: override bag detection — pass False for 2-D index streams
+    that are NOT bags (e.g. an ensemble's `(B, T)` layout, returning
+    `(B, T, dim)`), exactly like `sharded_lookup_a2a`."""
     axis = ct.axis
     n = ct.n_shards
-    reducing = idx.ndim == 2
+    if reducing is None:
+        reducing = idx.ndim == 2
     cols_local = ct.data.shape[2]
 
     def body(shard, lidx):
         gidx = (jax.lax.all_gather(lidx, axis, tiled=True)
                 if batch_sharded else lidx)
         flat = gidx.reshape(-1)
-        part = jnp.take(shard[0], flat, axis=0)     # (B*?bag, cols_local)
+        part = jnp.take(shard[0], flat, axis=0)     # (B*?, cols_local)
         part = part.reshape(gidx.shape + (cols_local,))
         if reducing:
             part = part.sum(axis=1)                 # (B, cols_local)
         if not batch_sharded:
             # Replicated batch: assemble full features on every device.
-            full = jax.lax.all_gather(part, axis, axis=1, tiled=True)
+            full = jax.lax.all_gather(part, axis, axis=-1, tiled=True)
             return full
         b = part.shape[0]
-        # (B, cols_local) -> (B/n, D_pad): one all_to_all redistributes
-        # batch blocks against column blocks.
-        blocks = part.reshape(n, b // n, cols_local)
+        inner = part.shape[1:-1]                    # () or (T,) non-reducing
+        # (B, ..., cols_local) -> (B/n, ..., D_pad): one all_to_all
+        # redistributes batch blocks against column blocks.
+        blocks = part.reshape((n, b // n) + inner + (cols_local,))
         got = jax.lax.all_to_all(blocks, axis, split_axis=0, concat_axis=0,
-                                 tiled=True)        # (n, B/n, cols_local)
-        return jnp.transpose(got.reshape(n, b // n, cols_local),
-                             (1, 0, 2)).reshape(b // n, n * cols_local)
+                                 tiled=True)        # (n, B/n, ..., cl)
+        moved = jnp.moveaxis(got, 0, -2)            # (B/n, ..., n, cl)
+        return moved.reshape((b // n,) + inner + (n * cols_local,))
 
     spec = P(axis) if batch_sharded else P()
     out = jax.shard_map(body, mesh=mesh, in_specs=(P(axis), spec),
@@ -161,9 +167,10 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
     the OTHER devices' column contributions, so one `(V,)` psum rides the
     step (see module docstring for when that is acceptable).
 
-    Returns `new_ct` for SGD, `(new_ct, new_accum)` when `accum` is given
-    (row-wise AdaGrad; `accum` is a REPLICATED `(V,)` f32 array — every
-    device advances the identical full-row accumulator after the psum).
+    Returns `new_ct` for SGD (which takes no `accum` — passing one
+    raises), or `(new_ct, new_accum)` for row-wise AdaGrad (`accum` is a
+    REPLICATED `(V,)` f32 array — every device advances the identical
+    full-row accumulator after the psum).
     """
     adagrad = isinstance(opt, SparseRowWiseAdaGrad)
     if adagrad and accum is None:
@@ -176,6 +183,14 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
             "weight_decay/clipnorm on the column-sharded update need "
             "full-row norms (an extra (V,) psum each); use row sharding "
             "for regularized training")
+    if getattr(opt, "stochastic_rounding", False):
+        raise NotImplementedError(
+            "stochastic rounding is not wired into the column-sharded "
+            "update (the cast back to storage here is round-to-nearest); "
+            "use row sharding for bf16 SR training")
+    if not adagrad and accum is not None:
+        raise ValueError("accum is row-wise-AdaGrad state; SparseSGD "
+                         "takes none (and returns only the table)")
     axis = ct.axis
     n = ct.n_shards
     cols_local = ct.data.shape[2]
@@ -218,12 +233,20 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
             new = (shard[0].astype(jnp.float32)
                    - opt.lr * grad).astype(shard.dtype)
             return new[None], acc
-        # Row-wise AdaGrad: sum(grad²) over LOCAL columns, psum to the full
-        # row second moment (mean over the true dim).
+        # Row-wise AdaGrad. This mirrors optim.adagrad_dense_body (same
+        # eps clamp, same touched-row fixed-point rule) with the one
+        # genuine difference that the row second moment needs the OTHER
+        # devices' column contributions — a (V,) psum between the local
+        # grad and the step. The body cannot call the shared helper
+        # directly because of that mid-body collective; keep the two in
+        # sync when touching either.
         g2_local = jnp.square(grad).sum(axis=1)
         g2 = jax.lax.psum(g2_local, axis) / ct.dim          # (V,)
+        # _touched semantics (any nonzero grad element across ALL columns;
+        # NOT g2 > 0, which FTZ squaring can miss for tiny grads).
+        touched_local = jnp.any(grad != 0.0, axis=1)
+        touched = jax.lax.psum(touched_local.astype(jnp.int32), axis) > 0
         new_acc = acc + g2
-        touched = g2 > 0.0
         denom = jax.lax.rsqrt(jnp.maximum(new_acc + opt.eps, 1e-30))
         step = opt.lr * grad * denom[:, None]
         new = (shard[0].astype(jnp.float32)

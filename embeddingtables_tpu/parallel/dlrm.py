@@ -274,6 +274,12 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
     sparse_opt = sparse_opt or SparseSGD()
     if exchange not in ("gather", "a2a"):
         raise ValueError(exchange)
+    if wire_dtype is not None and exchange != "a2a":
+        raise ValueError(
+            "wire_dtype applies to the a2a butterfly's row payloads only "
+            "(the gather exchange reduces on the wire via psum_scatter, "
+            "where a cast would change the accumulation dtype); pass "
+            "exchange='a2a' or drop wire_dtype")
     if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
         # The sharded exchanges implement SGD and row-wise AdaGrad shard
         # bodies; routing any other optimizer through them would silently

@@ -157,3 +157,55 @@ def test_col_sharded_weighted_update_and_guards():
         col_sharded_update(mesh, ct, upd, SparseSGD(0.5, weight_decay=0.1))
     with pytest.raises(ValueError, match="accum"):
         col_sharded_update(mesh, ct, upd, SparseRowWiseAdaGrad(lr=0.1))
+
+
+def test_col_sharded_ensemble_lookup_reducing_false():
+    """(B, T) ensemble layouts are NOT bags: reducing=False returns
+    per-table embeddings instead of silently summing across tables."""
+    rng = np.random.default_rng(17)
+    dim, T = 16, 3
+    tabs = [jnp.asarray(rng.standard_normal((40, dim)).astype(np.float32))
+            for _ in range(T)]
+    mesh = mesh1d()
+    ct = ColShardedStackedTables.shard(
+        mesh, "x", [SimpleEmbedding(t) for t in tabs])
+    local = np.stack([rng.integers(0, 40, B).astype(np.int32)
+                      for _ in range(T)], axis=1)          # (B, T)
+    shifted = local + np.asarray([ct.offsets[t] for t in range(T)])
+    got = col_sharded_lookup(mesh, ct, put_batch(mesh, jnp.asarray(shifted)),
+                             reducing=False)               # (B, T, dim)
+    assert got.shape == (B, T, dim)
+    for t in range(T):
+        exp = np.asarray(tabs[t])[local[:, t]]
+        np.testing.assert_allclose(np.asarray(got[:, t]), exp, atol=1e-6)
+
+
+def test_col_sharded_guard_matrix():
+    rng = np.random.default_rng(19)
+    data = jnp.asarray(rng.standard_normal((V, 16)).astype(np.float32))
+    mesh = mesh1d()
+    ct = ColShardedStackedTables.shard(mesh, "x", data)
+    upd = SparseEmbeddingUpdate(
+        delta=jnp.zeros((B, 16)), indices=jnp.zeros((B,), jnp.int32))
+    with pytest.raises(ValueError, match="accum is row-wise-AdaGrad"):
+        col_sharded_update(mesh, ct, upd, SparseSGD(0.1),
+                           jnp.zeros((V,), jnp.float32))
+    with pytest.raises(NotImplementedError, match="stochastic"):
+        col_sharded_update(mesh, ct, upd,
+                           SparseSGD(0.1, stochastic_rounding=True))
+
+
+def test_wire_dtype_requires_a2a():
+    from embeddingtables_tpu.models.dlrm import DLRMConfig
+    from embeddingtables_tpu.models.train import train_dlrm
+    from embeddingtables_tpu.parallel.dlrm import make_sharded_train_step
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    cfg = DLRMConfig(vocab_sizes=(64,), num_dense=4, dim=8,
+                     bottom_mlp=(16, 8), top_mlp=(16, 1))
+    mesh = default_mesh(("data",))
+    with pytest.raises(ValueError, match="a2a"):
+        make_sharded_train_step(cfg, mesh, "data",
+                                wire_dtype=jnp.bfloat16)  # gather default
+    with pytest.raises(ValueError, match="wire_dtype requires mesh"):
+        train_dlrm(cfg, iter([]), 0, wire_dtype=jnp.bfloat16,
+                   verbose=False)
