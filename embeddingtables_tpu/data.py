@@ -148,6 +148,56 @@ class SyntheticCriteo:
             i += 1
 
 
+def csr_to_padded(values, offsets, *, bag: Optional[int] = None,
+                  pad_idx: int = -1):
+    """CSR/offsets bags (torch `EmbeddingBag(input, offsets)` format) ->
+    the engine's fixed-width `(B, bag)` padded layout.
+
+    values:  (nnz,) concatenated ids; offsets: (B,) bag start positions
+    (bag i = values[offsets[i]:offsets[i+1]], last bag runs to the end —
+    torch's include_last_offset=False convention).
+    bag: fixed width (default: the longest bag). Longer bags TRUNCATE to
+    the first `bag` entries (returned `n_truncated` counts the dropped
+    occurrences — never truncate silently); shorter bags right-pad with
+    `pad_idx`. Returns `(padded (B, bag) int32, n_truncated int)`.
+
+    Feed the result to any lookup/model with the same `pad_idx`: pads
+    contribute zero rows, no mean mass, no gradient (ops/lookup.py).
+    """
+    values = np.asarray(values)
+    offsets = np.asarray(offsets, np.int64)
+    if offsets.ndim != 1 or values.ndim != 1:
+        raise ValueError("values and offsets must be 1-D")
+    if offsets.size and (offsets[0] != 0 or np.any(np.diff(offsets) < 0)
+                         or offsets[-1] > values.size):
+        raise ValueError("offsets must be nondecreasing, start at 0, and "
+                         "stay within values")
+    b = offsets.size
+    ends = np.append(offsets[1:], values.size)
+    lengths = ends - offsets
+    width = int(bag if bag is not None else max(int(lengths.max()), 1)) \
+        if b else int(bag or 1)
+    padded = np.full((b, width), pad_idx, values.dtype)
+    kept = np.minimum(lengths, width)
+    for i in range(b):
+        padded[i, :kept[i]] = values[offsets[i]:offsets[i] + kept[i]]
+    n_truncated = int((lengths - kept).sum())
+    return padded.astype(np.int32), n_truncated
+
+
+def padded_to_csr(padded, *, pad_idx: int = -1):
+    """Inverse of `csr_to_padded`: `(B, bag)` padded bags -> (values,
+    offsets) with pads dropped (ragged export / torch interop)."""
+    padded = np.asarray(padded)
+    if padded.ndim != 2:
+        raise ValueError("padded must be (B, bag)")
+    valid = padded != pad_idx
+    values = padded[valid].astype(np.int64)
+    lengths = valid.sum(axis=1)
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+    return values, offsets
+
+
 def criteo_kaggle_batches(path: str, vocab_sizes: Sequence[int],
                           batch_size: int = 8192,
                           max_batches: Optional[int] = None) -> Iterator[dict]:

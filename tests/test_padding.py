@@ -288,6 +288,50 @@ def test_maplookup_vjp_padded_grads_match_dense():
 
 
 # ---------------------------------------------------------------------------
+# CSR/offsets ingestion (torch EmbeddingBag(input, offsets) format)
+# ---------------------------------------------------------------------------
+
+def test_csr_roundtrip_and_truncation():
+    from embeddingtables_tpu.data import csr_to_padded, padded_to_csr
+    values = np.array([5, 9, 2, 7, 7, 1, 3, 8, 4], np.int64)
+    offsets = np.array([0, 2, 2, 6], np.int64)   # lengths 2, 0, 4, 3
+    padded, trunc = csr_to_padded(values, offsets)
+    assert padded.shape == (4, 4) and trunc == 0
+    np.testing.assert_array_equal(padded[1], [-1, -1, -1, -1])  # empty bag
+    v2, o2 = padded_to_csr(padded)
+    np.testing.assert_array_equal(v2, values)
+    np.testing.assert_array_equal(o2, offsets)
+    # Truncation is counted, never silent.
+    p3, trunc3 = csr_to_padded(values, offsets, bag=2)
+    assert trunc3 == 3 and p3.shape == (4, 2)
+    with pytest.raises(ValueError, match="nondecreasing"):
+        csr_to_padded(values, np.array([0, 3, 2]))
+
+
+@pytest.mark.parametrize("mode", ["sum", "mean"])
+def test_csr_matches_torch_offsets_embedding_bag(mode):
+    torch = pytest.importorskip("torch")
+    from embeddingtables_tpu.data import csr_to_padded
+    rng = np.random.default_rng(59)
+    values = rng.integers(0, V, size=40).astype(np.int64)
+    offsets = np.sort(rng.choice(np.arange(1, 40), 7, replace=False))
+    offsets = np.concatenate([[0], offsets]).astype(np.int64)
+    data = rng.standard_normal((V, D)).astype(np.float32)
+
+    bag = torch.nn.EmbeddingBag(V, D, mode=mode)
+    with torch.no_grad():
+        bag.weight.copy_(torch.from_numpy(data))
+    t_out = bag(torch.from_numpy(values), torch.from_numpy(offsets))
+
+    padded, trunc = csr_to_padded(values, offsets)
+    assert trunc == 0
+    out = lookup(jnp.asarray(data), jnp.asarray(padded), combiner=mode,
+                 pad_idx=-1)
+    np.testing.assert_allclose(np.asarray(out), t_out.detach().numpy(),
+                               atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # flax modules
 # ---------------------------------------------------------------------------
 
