@@ -108,26 +108,47 @@ class ColShardedStackedTables:
 
 def col_sharded_lookup(mesh: Mesh, ct: ColShardedStackedTables,
                        idx: jax.Array, *, batch_sharded: bool = True,
-                       reducing: bool | None = None) -> jax.Array:
+                       reducing: bool | None = None, combiner: str = "sum",
+                       weights=None,
+                       pad_idx: int | None = None) -> jax.Array:
     """Lookup on a column-sharded table: `(B,)` or `(B, bag)` GLOBAL stacked
     row ids (batch-sharded over the table's axis) -> `(B, dim)` batch-sharded
     the same way. No index routing; skew-free by construction.
 
     reducing: override bag detection — pass False for 2-D index streams
     that are NOT bags (e.g. an ensemble's `(B, T)` layout, returning
-    `(B, T, dim)`), exactly like `sharded_lookup_a2a`."""
+    `(B, T, dim)`), exactly like `sharded_lookup_a2a`.
+
+    combiner / weights `(B, bag)` / pad_idx: the single-chip `lookup`
+    contract on this exchange too — the fold (`sharded._fold_combiner`)
+    turns them into one per-occurrence scale riding the index all-gather;
+    pads remap to row 0 with scale 0 (global sentinels like -1 or
+    `ct.vocab` both work: the remap happens before the gather)."""
+    from .sharded import _fold_combiner
     axis = ct.axis
     n = ct.n_shards
     if reducing is None:
         reducing = idx.ndim == 2
     cols_local = ct.data.shape[2]
+    scale = None
+    if weights is not None or combiner != "sum" or pad_idx is not None:
+        if not reducing and idx.ndim == 2:
+            raise NotImplementedError(
+                "combiner/weights/pad_idx with reducing=False (ensemble "
+                "layouts) is not supported here — fold per-table masks "
+                "outside, as the planner group does")
+        idx, scale = _fold_combiner(idx, combiner, weights, pad_idx)
 
-    def body(shard, lidx):
+    def body(shard, lidx, *lscale):
         gidx = (jax.lax.all_gather(lidx, axis, tiled=True)
                 if batch_sharded else lidx)
         flat = gidx.reshape(-1)
         part = jnp.take(shard[0], flat, axis=0)     # (B*?, cols_local)
         part = part.reshape(gidx.shape + (cols_local,))
+        if lscale:
+            gs = (jax.lax.all_gather(lscale[0], axis, tiled=True)
+                  if batch_sharded else lscale[0])
+            part = part * gs[..., None].astype(part.dtype)
         if reducing:
             part = part.sum(axis=1)                 # (B, cols_local)
         if not batch_sharded:
@@ -145,12 +166,14 @@ def col_sharded_lookup(mesh: Mesh, ct: ColShardedStackedTables,
         return moved.reshape((b // n,) + inner + (n * cols_local,))
 
     spec = P(axis) if batch_sharded else P()
-    out = jax.shard_map(body, mesh=mesh, in_specs=(P(axis), spec),
+    operands = (ct.data, idx) + (() if scale is None else (scale,))
+    in_specs = (P(axis), spec) + (() if scale is None else (spec,))
+    out = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                         out_specs=spec,
                         # The replicated-batch branch assembles full
                         # features via all_gather — replicated by
                         # construction, unprovable statically.
-                        check_vma=batch_sharded)(ct.data, idx)
+                        check_vma=batch_sharded)(*operands)
     return out[..., :ct.dim]
 
 

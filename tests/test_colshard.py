@@ -209,3 +209,53 @@ def test_wire_dtype_requires_a2a():
     with pytest.raises(ValueError, match="wire_dtype requires mesh"):
         train_dlrm(cfg, iter([]), 0, wire_dtype=jnp.bfloat16,
                    verbose=False)
+
+
+@pytest.mark.parametrize("combiner", ["sum", "mean"])
+@pytest.mark.parametrize("weighted", [False, True])
+def test_col_sharded_lookup_combiner_pad_parity(combiner, weighted):
+    rng = np.random.default_rng(hash((combiner, weighted)) % 2**31)
+    dim = 16
+    data = jnp.asarray(rng.standard_normal((V, dim)).astype(np.float32))
+    mesh = mesh1d()
+    ct = ColShardedStackedTables.shard(mesh, "x", data)
+    idx = rng.integers(0, V, (B, BAG)).astype(np.int32)
+    idx = np.where(rng.random((B, BAG)) < 0.3, -1, idx)
+    idx[2, :] = -1
+    w = (jnp.asarray(rng.random((B, BAG)).astype(np.float32)) + 0.1
+         if weighted else None)
+    got = col_sharded_lookup(mesh, ct, put_batch(mesh, jnp.asarray(idx)),
+                             combiner=combiner,
+                             weights=None if w is None else put_batch(mesh, w),
+                             pad_idx=-1)
+    exp = lookup(data, jnp.asarray(idx), combiner=combiner, weights=w,
+                 pad_idx=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(exp),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_col_sharded_update_with_padded_lazy_weights():
+    """A lookup_vjp(pad_idx=) update applies correctly: pads carry weight 0
+    through the transposed exchange (wrapped row adds exactly zero)."""
+    rng = np.random.default_rng(61)
+    dim = 16
+    data = jnp.asarray(rng.standard_normal((V, dim)).astype(np.float32))
+    mesh = mesh1d()
+    ct = ColShardedStackedTables.shard(mesh, "x", data)
+    idx = np.where(rng.random((B, BAG)) < 0.3, -1,
+                   rng.integers(0, V, (B, BAG))).astype(np.int32)
+    out, pb = lookup_vjp(data, jnp.asarray(idx), combiner="mean", pad_idx=-1)
+    delta = jnp.asarray(rng.standard_normal((B, dim)).astype(np.float32))
+    upd = pb(delta)
+    # Remap sentinels to a safe in-range row for the local scatter (weight
+    # 0 makes the remap a numerical no-op; mode='drop' would wrap -1).
+    safe = jnp.where(upd.indices == -1, 0, upd.indices)
+    new_ct = col_sharded_update(
+        mesh, ct,
+        SparseEmbeddingUpdate(delta=put_batch(mesh, upd.delta),
+                              indices=put_batch(mesh, safe),
+                              weights=put_batch(mesh, upd.weights)),
+        SparseSGD(0.5))
+    exp = sgd_update(data, upd, 0.5)
+    np.testing.assert_allclose(np.asarray(new_ct.unshard()),
+                               np.asarray(exp), rtol=2e-5, atol=1e-6)
