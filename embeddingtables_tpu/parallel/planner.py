@@ -45,12 +45,16 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.ensemble import StackedTables, normalize_indices
+from ..ops.sparse_update import SparseEmbeddingUpdate
 from ..optim import SparseRowWiseAdaGrad, SparseSGD
+from .colshard import (ColShardedStackedTables, col_sharded_lookup,
+                       col_sharded_update)
 from .dlrm import _sharded_sparse_apply
 from .sharded import ShardedStackedTables, _axes_tuple, sharded_ensemble_lookup
 
 REPLICATE = "replicate"
 ROW_SHARD = "row_shard"
+COL_SHARD = "col_shard"
 
 
 # ---------------------------------------------------------------------------
@@ -88,6 +92,11 @@ class ShardingPlan:
                      if d.placement == ROW_SHARD)
 
     @property
+    def col_sharded(self) -> tuple:
+        return tuple(i for i, d in enumerate(self.decisions)
+                     if d.placement == COL_SHARD)
+
+    @property
     def bytes_per_device(self) -> int:
         return (sum(d.bytes_per_device for d in self.decisions)
                 + self.opt_state_bytes_per_device)
@@ -97,6 +106,7 @@ class ShardingPlan:
                  f"axis={self.axis!r}: "
                  f"{len(self.replicated)} replicated, "
                  f"{len(self.sharded)} row-sharded, "
+                 f"{len(self.col_sharded)} col-sharded, "
                  f"{self.bytes_per_device / 2**20:.1f} MiB/device "
                  f"(opt state {self.opt_state_bytes_per_device / 2**20:.1f})"]
         for d in self.decisions:
@@ -114,7 +124,8 @@ def plan_sharding(vocab_sizes: Sequence[int], dim: int, mesh: Mesh,
                   replicate_max_bytes: int = 4 << 20,
                   replicate_budget_bytes: int = 256 << 20,
                   hbm_budget_bytes: Optional[int] = None,
-                  opt_state_scalars: int = 0) -> ShardingPlan:
+                  opt_state_scalars: int = 0,
+                  col_shard: Optional[Sequence[int]] = None) -> ShardingPlan:
     """Choose a placement for every table.
 
     Rule (cost model in the module docstring): a table is replicated iff its
@@ -149,11 +160,21 @@ def plan_sharding(vocab_sizes: Sequence[int], dim: int, mesh: Mesh,
     order = sorted(range(len(vocab_sizes)),
                    key=lambda i: (-hot[i] / max(vocab_sizes[i] * dim * esize,
                                                 1), vocab_sizes[i]))
+    col_set = set(col_shard or ())
+    bad = [i for i in col_set if not 0 <= i < len(vocab_sizes)]
+    if bad:
+        raise ValueError(f"col_shard indices out of range: {bad}")
+    if col_set and not isinstance(axis, str):
+        raise NotImplementedError(
+            "col_shard is single-axis (parallel/colshard.py); use a 1-D "
+            "mesh axis or row-shard on multi-axis meshes")
     placement = {}
     repl_total = 0
     for i in order:
         tb = vocab_sizes[i] * dim * esize
-        if tb <= replicate_max_bytes and repl_total + tb <= \
+        if i in col_set:
+            placement[i] = COL_SHARD if n > 1 else REPLICATE
+        elif tb <= replicate_max_bytes and repl_total + tb <= \
                 replicate_budget_bytes and n > 1:
             placement[i] = REPLICATE
             repl_total += tb
@@ -174,6 +195,13 @@ def plan_sharding(vocab_sizes: Sequence[int], dim: int, mesh: Mesh,
                       f"small ({tb / 2**20:.2f} MiB <= "
                       f"{replicate_max_bytes / 2**20:.0f} MiB): local gather, "
                       f"zero exchange")
+            opt_bytes += v * 4 * opt_state_scalars
+        elif placement[i] == COL_SHARD:
+            cols_local = -(-dim // n)
+            per_dev = v * cols_local * esize
+            reason = (f"col-shard (explicit): feature slice 1/{n}, no "
+                      f"index routing — hot-row skew free")
+            # Replicated (V,) accumulator: full V scalars per device.
             opt_bytes += v * 4 * opt_state_scalars
         else:
             rows_local = -(-v // n)           # cdiv: mod-shard padding
@@ -225,6 +253,14 @@ class PlannedTables:
     repl_offsets: tuple = dataclasses.field(metadata=dict(static=True))
     vocab_sizes: tuple = dataclasses.field(metadata=dict(static=True))
     dim: int = dataclasses.field(metadata=dict(static=True))
+    # COL_SHARD group (feature-dim sharding, parallel/colshard.py); its
+    # row-wise AdaGrad accumulator is REPLICATED (rows span all column
+    # shards). Defaults keep older pytrees/callers structure-compatible.
+    col: Optional[ColShardedStackedTables] = None
+    col_accum: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0,), jnp.float32))
+    col_tables: tuple = dataclasses.field(default=(),
+                                          metadata=dict(static=True))
 
     @property
     def ntables(self) -> int:
@@ -235,6 +271,9 @@ class PlannedTables:
         if t in self.repl_tables:
             j = self.repl_tables.index(t)
             return self.repl[self.repl_offsets[j]:self.repl_offsets[j + 1]]
+        if t in self.col_tables:
+            j = self.col_tables.index(t)
+            return self.col.table(j)
         j = self.shard_tables.index(t)
         return self.shard.table(j)
 
@@ -284,11 +323,28 @@ class PlannedTables:
         if adagrad and vr:
             repl_accum = jax.device_put(repl_accum,
                                         NamedSharding(mesh, P()))
+        col_idx = plan.col_sharded
+        col = None
+        vc = sum(plan.decisions[i].vocab for i in col_idx)
+        if col_idx:
+            kc = jax.random.fold_in(key, 7)
+            u = jax.random.uniform(kc, (vc, dim), minval=-1.0, maxval=1.0)
+            st_c = StackedTables(
+                data=(u * scale).astype(dtype),
+                offsets=_offsets(tuple(plan.decisions[i].vocab
+                                       for i in col_idx)), dim=dim)
+            col = ColShardedStackedTables.shard(mesh, _axes_tuple(
+                plan.axis)[0], st_c)
+        col_accum = jnp.zeros((vc if (adagrad and col_idx) else 0,),
+                              jnp.float32)
+        if adagrad and col_idx:
+            col_accum = jax.device_put(col_accum, NamedSharding(mesh, P()))
         return cls(repl=repl, shard=shard, repl_accum=repl_accum,
                    shard_accum=shard_accum, repl_tables=repl_idx,
                    shard_tables=shard_idx, repl_offsets=roffs,
                    vocab_sizes=tuple(d.vocab for d in plan.decisions),
-                   dim=dim)
+                   dim=dim, col=col, col_accum=col_accum,
+                   col_tables=col_idx)
 
     @classmethod
     def from_tables(cls, plan: ShardingPlan, mesh: Mesh,
@@ -340,10 +396,28 @@ class PlannedTables:
                 repl_accum = jnp.concatenate([jnp.asarray(accums[i])
                                               for i in repl_idx])
             repl_accum = jax.device_put(repl_accum, NamedSharding(mesh, P()))
+        col_idx = plan.col_sharded
+        col = None
+        vc = sum(arrs[i].shape[0] for i in col_idx)
+        if col_idx:
+            col = ColShardedStackedTables.shard(
+                mesh, _axes_tuple(plan.axis)[0],
+                StackedTables(
+                    data=jnp.concatenate([arrs[i] for i in col_idx], axis=0),
+                    offsets=_offsets(tuple(arrs[i].shape[0]
+                                           for i in col_idx)), dim=dim))
+        col_accum = jnp.zeros((vc if (adagrad and col_idx) else 0,),
+                              jnp.float32)
+        if adagrad and col_idx:
+            if accums is not None:
+                col_accum = jnp.concatenate([jnp.asarray(accums[i])
+                                             for i in col_idx])
+            col_accum = jax.device_put(col_accum, NamedSharding(mesh, P()))
         return cls(repl=repl, shard=shard, repl_accum=repl_accum,
                    shard_accum=shard_accum, repl_tables=repl_idx,
                    shard_tables=shard_idx, repl_offsets=roffs,
-                   vocab_sizes=tuple(a.shape[0] for a in arrs), dim=dim)
+                   vocab_sizes=tuple(a.shape[0] for a in arrs), dim=dim,
+                   col=col, col_accum=col_accum, col_tables=col_idx)
 
 
 def planned_lookup(mesh: Mesh, pt: PlannedTables, indices, *,
@@ -395,7 +469,43 @@ def planned_lookup(mesh: Mesh, pt: PlannedTables, indices, *,
         for j, t in enumerate(pt.shard_tables):
             out[t] = so[j]
 
+    if pt.col_tables:
+        # Flatten (table, example) into the batch dim — B leads, so the
+        # reshape keeps per-device blocks contiguous under P(axis).
+        shifted, eff = _col_group_stream(pt, idx_list, combiner, pad_idx)
+        b = shifted.shape[1]
+        tc = len(pt.col_tables)
+        bt = jnp.swapaxes(shifted, 0, 1)             # (B, Tc[, bag])
+        flat = bt.reshape((b * tc,) + bt.shape[2:])
+        wflat = (None if eff is None else
+                 jnp.swapaxes(eff, 0, 1).reshape(flat.shape))
+        co = col_sharded_lookup(mesh, pt.col, flat, weights=wflat)
+        co = co.reshape(b, tc, pt.dim)
+        for j, t in enumerate(pt.col_tables):
+            out[t] = co[:, j]
+
     return jnp.stack(out)
+
+
+def _col_group_stream(pt: PlannedTables, idx_list, combiner, pad_idx):
+    """(shifted (Tc, B[, bag]) ids into the col stack, eff scale or None)
+    for the COL_SHARD group: pads remap pre-shift to local row 0 with
+    scale 0 (mean-normalized over valid mass when combiner='mean' and
+    pads are in play — matching the other groups' contract)."""
+    if pad_idx is None:
+        shifted = jnp.stack([idx_list[t] + pt.col.offsets[j]
+                             for j, t in enumerate(pt.col_tables)])
+        return shifted, None
+    masks = jnp.stack([jnp.asarray(idx_list[t]) != pad_idx
+                       for t in pt.col_tables])
+    shifted = jnp.stack(
+        [jnp.where(masks[j], jnp.asarray(idx_list[t]), 0)
+         + pt.col.offsets[j]
+         for j, t in enumerate(pt.col_tables)])
+    w = masks.astype(jnp.float32)
+    if w.ndim == 3 and combiner == "mean":
+        w = w / jnp.maximum(w.sum(axis=2, keepdims=True), 1e-12)
+    return shifted, w
 
 
 def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
@@ -422,6 +532,10 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
             f"{type(sparse_opt).__name__}")
     adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
     idx_list = normalize_indices(indices, pt.ntables)
+    # Keep the ORIGINAL stream for _col_group_stream (it detects pads
+    # itself; handing it the remapped ids would erase the mask — the
+    # remapped-to-0 entries are indistinguishable from real row-0 hits).
+    orig_idx_list = idx_list
     masks = None
     if pad_idx is not None:
         masks = [jnp.asarray(idx_list[t]) != pad_idx
@@ -474,8 +588,33 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
             mesh, pt.shard, pt.shard_accum, shifted, dsub, sparse_opt,
             scale_t=eff_scale(pt.shard_tables))
 
+    new_col, new_col_acc = pt.col, pt.col_accum
+    if pt.col_tables:
+        # Same (table, example)->batch flattening as the lookup; pads
+        # arrive remapped with eff weight 0, so the column scatter adds
+        # exact zeros for them. NOTE: stream built from the ORIGINAL ids
+        # (the remapped idx_list above would hide the pads).
+        shifted, eff = _col_group_stream(pt, orig_idx_list, combiner,
+                                         pad_idx)
+        b = shifted.shape[1]
+        tc = len(pt.col_tables)
+        bt = jnp.swapaxes(shifted, 0, 1)
+        flat = bt.reshape((b * tc,) + bt.shape[2:])
+        dsub = jnp.stack([delta_t[t] for t in pt.col_tables])  # (Tc, B, D)
+        dflat = jnp.swapaxes(dsub, 0, 1).reshape(b * tc, pt.dim)
+        wflat = (None if eff is None else
+                 jnp.swapaxes(eff, 0, 1).reshape(flat.shape))
+        upd = SparseEmbeddingUpdate(delta=dflat, indices=flat,
+                                    weights=wflat)
+        if adagrad:
+            new_col, new_col_acc = col_sharded_update(
+                mesh, pt.col, upd, sparse_opt, pt.col_accum)
+        else:
+            new_col = col_sharded_update(mesh, pt.col, upd, sparse_opt)
+
     return dataclasses.replace(pt, repl=new_repl, repl_accum=new_repl_acc,
-                               shard=new_shard, shard_accum=new_shard_acc)
+                               shard=new_shard, shard_accum=new_shard_acc,
+                               col=new_col, col_accum=new_col_acc)
 
 
 # ---------------------------------------------------------------------------
@@ -893,4 +1032,19 @@ def evict_rows_planned(pt: PlannedTables, cold_per_table) -> PlannedTables:
             shard, acc = evict_rows_sharded(pt.shard, pt.shard_accum,
                                             rows)
             new = dataclasses.replace(new, shard=shard, shard_accum=acc)
+    if pt.col_tables:
+        rows = np.concatenate(
+            [np.asarray(cold_per_table[t], np.int64) + pt.col.offsets[j]
+             for j, t in enumerate(pt.col_tables)])
+        if rows.size:
+            r = jnp.asarray(rows, jnp.int32)
+            # Zero the evicted rows across every column shard (+ the
+            # replicated accumulator entries).
+            cdata = pt.col.data.at[:, r, :].set(0.0, mode="drop")
+            cacc = pt.col_accum
+            if cacc.size:
+                cacc = cacc.at[r].set(0.0, mode="drop")
+            new = dataclasses.replace(
+                new, col=dataclasses.replace(pt.col, data=cdata),
+                col_accum=cacc)
     return new

@@ -736,3 +736,98 @@ def test_evict_rows_planned_layouts():
     n, rows = acc.shape
     acc_full = acc.T.reshape(n * rows)[:vocabs[1]]
     assert acc_full[100] == 0.0 and acc_full[2000] == 0.0 and acc_full[0] > 0
+
+
+# ---------------------------------------------------------------------------
+# COL_SHARD: the third placement
+# ---------------------------------------------------------------------------
+
+def test_plan_col_shard_placement_and_accounting():
+    from embeddingtables_tpu.parallel.planner import COL_SHARD
+    mesh = _mesh()
+    n = mesh.devices.size
+    plan = plan_sharding([100, 1_000_000, 500], DIM, mesh, col_shard=[2],
+                         opt_state_scalars=1)
+    p = [d.placement for d in plan.decisions]
+    assert p == [REPLICATE, ROW_SHARD, COL_SHARD]
+    assert plan.col_sharded == (2,)
+    assert plan.decisions[2].bytes_per_device == 500 * (-(-DIM // n)) * 4
+    assert "col-sharded" in plan.summary()
+    with pytest.raises(ValueError, match="out of range"):
+        plan_sharding([100], DIM, mesh, col_shard=[5])
+    with pytest.raises(NotImplementedError, match="single-axis"):
+        plan_sharding([100, 200], DIM,
+                      default_mesh(("data", "model"), shape=(4, 2)),
+                      axis=("data", "model"), col_shard=[0])
+
+
+@pytest.mark.parametrize("opt_name,bag,pad", [("sgd", None, None),
+                                              ("adagrad", 3, None),
+                                              ("adagrad", 3, -1),
+                                              ("sgd", 3, -1)])
+def test_three_way_placement_parity(opt_name, bag, pad):
+    """replicate + row-shard + col-shard in ONE plan: lookup and update
+    match the single-chip fused contract on every table, with bags, pads,
+    and AdaGrad state on all three groups."""
+    from embeddingtables_tpu.ops.lookup import lookup_oracle, lookup_vjp
+    mesh = _mesh()
+    vocabs = (100, 1_000_000 // 256, 500)  # keep the test fast
+    plan = plan_sharding(list(vocabs), DIM, mesh, col_shard=[2],
+                         replicate_max_bytes=DIM * 4 * 128)
+    assert plan.replicated and plan.sharded and plan.col_sharded
+    rng = np.random.default_rng(hash((opt_name, bag, pad)) % 2**31)
+    arrs = [jnp.asarray(rng.standard_normal((v, DIM)).astype(np.float32))
+            for v in vocabs]
+    opt = (SparseSGD(0.3) if opt_name == "sgd"
+           else SparseRowWiseAdaGrad(lr=0.3, eps=1e-6))
+    adagrad = opt_name == "adagrad"
+    pt = PlannedTables.from_tables(plan, mesh, arrs, adagrad=adagrad)
+
+    b = 32
+    shape = (b,) if bag is None else (b, bag)
+    cat = [rng.integers(0, v, shape).astype(np.int32) for v in vocabs]
+    if pad is not None:
+        cat = [np.where(rng.random(shape) < 0.3, pad, c) for c in cat]
+    cat = [jnp.asarray(c) for c in cat]
+    combiner = "mean" if pad is not None and bag is not None else "sum"
+
+    out = planned_lookup(mesh, pt, cat, combiner=combiner, pad_idx=pad)
+    for t in range(3):
+        exp = lookup_oracle(arrs[t], cat[t], combiner, None, pad_idx=pad)
+        np.testing.assert_allclose(np.asarray(out[t]), np.asarray(exp),
+                                   rtol=2e-5, atol=1e-5, err_msg=f"t={t}")
+
+    deltas = jnp.stack([jnp.asarray(
+        rng.standard_normal((b, DIM)).astype(np.float32)) for _ in range(3)])
+    pt2 = planned_apply(mesh, pt, cat, deltas, opt, combiner=combiner,
+                        pad_idx=pad)
+    for t in range(3):
+        _, pb = lookup_vjp(arrs[t], cat[t], combiner=combiner, pad_idx=pad)
+        upd = pb(deltas[t])
+        if adagrad:
+            exp, _ = opt.apply(arrs[t], upd, opt.init(arrs[t]))
+        else:
+            from embeddingtables_tpu.ops.sparse_update import sgd_update
+            exp = sgd_update(arrs[t], upd, 0.3)
+        np.testing.assert_allclose(np.asarray(pt2.table(t)),
+                                   np.asarray(exp), rtol=2e-4, atol=1e-6,
+                                   err_msg=f"t={t}")
+
+
+def test_col_shard_eviction_on_plan():
+    from embeddingtables_tpu.parallel.planner import evict_rows_planned
+    mesh = _mesh()
+    vocabs = (100, 8000, 64)
+    plan = plan_sharding(list(vocabs), DIM, mesh, col_shard=[2],
+                         replicate_max_bytes=DIM * 4 * 128)
+    rng = np.random.default_rng(3)
+    arrs = [jnp.asarray(rng.standard_normal((v, DIM)).astype(np.float32))
+            for v in vocabs]
+    pt = PlannedTables.from_tables(plan, mesh, arrs, adagrad=True)
+    cold = [np.array([], np.int64), np.array([5], np.int64),
+            np.array([3, 60], np.int64)]
+    pt2 = evict_rows_planned(pt, cold)
+    t2 = np.asarray(pt2.table(2))
+    assert np.all(t2[3] == 0.0) and np.all(t2[60] == 0.0)
+    assert np.all(t2[4] == np.asarray(arrs[2])[4])
+    assert np.all(np.asarray(pt2.col_accum)[[3, 60]] == 0.0)
