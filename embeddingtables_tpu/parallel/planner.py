@@ -125,7 +125,9 @@ def plan_sharding(vocab_sizes: Sequence[int], dim: int, mesh: Mesh,
                   replicate_budget_bytes: int = 256 << 20,
                   hbm_budget_bytes: Optional[int] = None,
                   opt_state_scalars: int = 0,
-                  col_shard: Optional[Sequence[int]] = None) -> ShardingPlan:
+                  col_shard: Optional[Sequence[int]] = None,
+                  skew: Optional[Sequence[float]] = None,
+                  col_shard_skew_threshold: float = 0.05) -> ShardingPlan:
     """Choose a placement for every table.
 
     Rule (cost model in the module docstring): a table is replicated iff its
@@ -161,6 +163,13 @@ def plan_sharding(vocab_sizes: Sequence[int], dim: int, mesh: Mesh,
                    key=lambda i: (-hot[i] / max(vocab_sizes[i] * dim * esize,
                                                 1), vocab_sizes[i]))
     col_set = set(col_shard or ())
+    if skew is not None:
+        if len(skew) != len(vocab_sizes):
+            raise ValueError("skew/vocab_sizes length mismatch")
+        if not isinstance(axis, str):
+            raise NotImplementedError(
+                "skew-driven col-sharding is single-axis "
+                "(parallel/colshard.py)")
     bad = [i for i in col_set if not 0 <= i < len(vocab_sizes)]
     if bad:
         raise ValueError(f"col_shard indices out of range: {bad}")
@@ -178,6 +187,11 @@ def plan_sharding(vocab_sizes: Sequence[int], dim: int, mesh: Mesh,
                 replicate_budget_bytes and n > 1:
             placement[i] = REPLICATE
             repl_total += tb
+        elif (skew is not None and n > 1
+              and skew[i] >= col_shard_skew_threshold):
+            # Would row-shard, but the traffic is hot-row concentrated:
+            # the column layout spreads it across all devices.
+            placement[i] = COL_SHARD
         elif n == 1:
             # Single device: "replicate" and "shard" coincide; keep the
             # whole ensemble in one stacked group.
@@ -199,8 +213,11 @@ def plan_sharding(vocab_sizes: Sequence[int], dim: int, mesh: Mesh,
         elif placement[i] == COL_SHARD:
             cols_local = -(-dim // n)
             per_dev = v * cols_local * esize
-            reason = (f"col-shard (explicit): feature slice 1/{n}, no "
-                      f"index routing — hot-row skew free")
+            reason = ((f"col-shard (explicit)" if i in col_set else
+                       f"col-shard (skew {skew[i]:.0%} >= "
+                       f"{col_shard_skew_threshold:.0%})")
+                      + f": feature slice 1/{n}, no index routing — "
+                      f"hot-row skew free")
             # Replicated (V,) accumulator: full V scalars per device.
             opt_bytes += v * 4 * opt_state_scalars
         else:
@@ -1000,6 +1017,18 @@ def hotness_from_trackers(trackers) -> list:
         denom = float(n) if d >= 1.0 else (1.0 - d ** n) / (1.0 - d)
         hot.append(max(float(tr.counts.sum()) / denom, 1e-9))
     return hot
+
+
+def skew_from_trackers(trackers) -> list:
+    """Per-table hot-row concentration for `plan_sharding(skew=)`: the
+    share of each table's observed (decayed) traffic landing on its single
+    hottest row. 0.0 for tables that saw no traffic (skew unknown — don't
+    trigger the col-shard rule on silence)."""
+    out = []
+    for tr in trackers:
+        total = float(tr.counts.sum())
+        out.append(float(tr.counts.max()) / total if total > 0 else 0.0)
+    return out
 
 
 def evict_rows_planned(pt: PlannedTables, cold_per_table) -> PlannedTables:

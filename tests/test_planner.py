@@ -831,3 +831,31 @@ def test_col_shard_eviction_on_plan():
     assert np.all(t2[3] == 0.0) and np.all(t2[60] == 0.0)
     assert np.all(t2[4] == np.asarray(arrs[2])[4])
     assert np.all(np.asarray(pt2.col_accum)[[3, 60]] == 0.0)
+
+
+def test_skew_driven_col_shard():
+    from embeddingtables_tpu.parallel.planner import (COL_SHARD,
+                                                      skew_from_trackers)
+    from embeddingtables_tpu.utils.rowstats import FrequencyTracker
+    mesh = _mesh()
+    big = 1_000_000
+    # Table 1 would row-shard; 40% of its traffic on one row -> col-shard.
+    # Table 0 replicates regardless (small); table 2 row-shards (no skew).
+    plan = plan_sharding([100, big, big], DIM, mesh,
+                         skew=[0.0, 0.4, 0.001])
+    p = [d.placement for d in plan.decisions]
+    assert p == [REPLICATE, COL_SHARD, ROW_SHARD]
+    assert "skew 40%" in plan.summary()
+    # skew_from_trackers: hottest-row share of decayed traffic; silent
+    # tables report 0 (unknown != skewed).
+    trs = [FrequencyTracker(10), FrequencyTracker(10),
+           FrequencyTracker(1000)]
+    trs[1].observe(np.array([3, 3, 3, 3, 7, 1, 2, 4, 5, 6], np.int64))
+    trs[2].observe(np.arange(1000, dtype=np.int64))  # flat: 0.1% share
+    skew = skew_from_trackers(trs)
+    assert skew[0] == 0.0
+    assert abs(skew[1] - 0.4) < 1e-6
+    assert abs(skew[2] - 0.001) < 1e-6
+    plan2 = plan_sharding([100, big, big], DIM, mesh, skew=skew)
+    assert plan2.decisions[1].placement == COL_SHARD
+    assert plan2.decisions[2].placement == ROW_SHARD
