@@ -253,6 +253,53 @@ def sharded_lookup_a2a(mesh: Mesh, st: ShardedStackedTables, idx: jax.Array,
     return out, jnp.sum(ovf)
 
 
+def _route_update_stream(lidx, ldelta, lw, *, n, axes, n_model, dim,
+                         reducing, capacity_factor, pad_idx, wire_dtype,
+                         rows_local):
+    """Shard-local half of every butterfly UPDATE: slice the (model-
+    replicated) occurrence stream on 2-D meshes, bucket by owner, and
+    all_to_all the (slot, delta-row) buckets so each owner receives exactly
+    the occurrences landing on its rows. Shared by the SGD / AdaGrad /
+    Adam / FTRL butterflies below — one home for the routing math.
+
+    Returns `(lrow, recv_vals, overflow)`: per-received-occurrence local
+    row ids carrying the `rows_local` OOB drop sentinel, the f32
+    `(n*cap, dim)` delta rows (weights pre-folded, wire-compressed if
+    `wire_dtype`), and the scalar count of capacity-dropped occurrences
+    (psum'd over the model axis on 2-D meshes)."""
+    flat = lidx.reshape(-1)
+    vals = ldelta.astype(jnp.float32)
+    if reducing:
+        vals = jnp.repeat(vals, lidx.shape[1], axis=0)
+    vals = vals * lw.reshape(-1)[:, None]
+    flat, vals, sub = _column_slice(flat, vals, n_model, axes)
+    cap = max(1, int(-(-cdiv(sub, n) * capacity_factor // 1)))
+    valid = None if pad_idx is None else (flat != pad_idx)
+    send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap, valid)
+
+    # Stage the value rows bucket-shaped (dropped slots carry zeros, and
+    # their received row ids carry the OOB sentinel).
+    safe_pos = jnp.maximum(send_pos.reshape(-1), 0)
+    staged = jnp.take(vals, safe_pos, axis=0)
+    staged = jnp.where((send_pos.reshape(-1) >= 0)[:, None], staged,
+                       jnp.zeros_like(staged)).reshape(n, cap, dim)
+    if wire_dtype is not None:
+        # Delta rows are pure payload on the wire (the dedup accumulation
+        # happens owner-side in f32): one rounding each.
+        staged = staged.astype(wire_dtype)
+
+    recv_slot = jax.lax.all_to_all(send_slot, axes, split_axis=0,
+                                   concat_axis=0, tiled=True)
+    recv_vals = jax.lax.all_to_all(staged, axes, split_axis=0,
+                                   concat_axis=0, tiled=True
+                                   ).astype(jnp.float32).reshape(-1, dim)
+    slot = recv_slot.reshape(-1)
+    lrow = jnp.where(slot >= 0, slot, rows_local)    # sentinel -> dropped
+    if n_model > 1:
+        overflow = jax.lax.psum(overflow, axes[1])
+    return lrow, recv_vals, overflow
+
+
 def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
                                accum: jax.Array, upd: SparseEmbeddingUpdate,
                                opt, *, capacity_factor: float = 2.0,
@@ -279,33 +326,11 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
          else jnp.ones(upd.indices.shape, jnp.float32))
 
     def body(shard, acc, lidx, ldelta, lw):
-        flat = lidx.reshape(-1)
-        vals = ldelta.astype(jnp.float32)
-        if reducing:
-            vals = jnp.repeat(vals, lidx.shape[1], axis=0)
-        vals = vals * lw.reshape(-1)[:, None]
-        flat, vals, sub = _column_slice(flat, vals, n_model, axes)
-        cap = max(1, int(-(-cdiv(sub, n) * capacity_factor // 1)))
-        valid = None if pad_idx is None else (flat != pad_idx)
-        send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap, valid)
-
-        safe_pos = jnp.maximum(send_pos.reshape(-1), 0)
-        staged = jnp.take(vals, safe_pos, axis=0)
-        staged = jnp.where((send_pos.reshape(-1) >= 0)[:, None], staged,
-                           jnp.zeros_like(staged)).reshape(n, cap, dim)
-        if wire_dtype is not None:
-            # Delta rows are pure payload on the wire (the dedup
-            # accumulation happens owner-side in f32): one rounding each.
-            staged = staged.astype(wire_dtype)
-        recv_slot = jax.lax.all_to_all(send_slot, axes, split_axis=0,
-                                       concat_axis=0, tiled=True)
-        recv_vals = jax.lax.all_to_all(staged, axes, split_axis=0,
-                                       concat_axis=0, tiled=True
-                                       ).astype(jnp.float32).reshape(-1, dim)
-
-        rows_local = shard.shape[1]
-        slot = recv_slot.reshape(-1)
-        lrow = jnp.where(slot >= 0, slot, rows_local)  # sentinel -> dropped
+        lrow, recv_vals, overflow = _route_update_stream(
+            lidx, ldelta, lw, n=n, axes=axes, n_model=n_model, dim=dim,
+            reducing=reducing, capacity_factor=capacity_factor,
+            pad_idx=pad_idx, wire_dtype=wire_dtype,
+            rows_local=shard.shape[1])
         # Dense-grad dedup, shared with the single-chip optimizer
         # (optim.adagrad_dense_body, docs/DESIGN.md §1e) so clip/decay and
         # numerical guards stay in one place.
@@ -313,8 +338,6 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         new_shard, new_acc = adagrad_dense_body(
             shard[0], acc[0], lrow, recv_vals, opt.lr, opt.eps,
             opt.weight_decay, opt.clipnorm)
-        if n_model > 1:
-            overflow = jax.lax.psum(overflow, axes[1])
         return new_shard[None], new_acc[None], overflow.reshape(1)
 
     spec = P(axis0)
@@ -368,48 +391,21 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
          else jnp.ones(upd.indices.shape, jnp.float32))
 
     def body(shard, lidx, ldelta, lw):
-        flat = lidx.reshape(-1)
-        vals = ldelta.astype(jnp.float32)
-        if reducing:
-            vals = jnp.repeat(vals, lidx.shape[1], axis=0)
-        vals = vals * lw.reshape(-1)[:, None]
-        flat, vals, sub = _column_slice(flat, vals, n_model, axes)
-        cap = max(1, int(-(-cdiv(sub, n) * capacity_factor // 1)))
-        valid = None if pad_idx is None else (flat != pad_idx)
-        send_slot, send_pos, overflow = _bucket_by_owner(flat, n, cap, valid)
-
-        # Stage the value rows bucket-shaped (dropped slots carry zeros so
-        # they are harmless adds to row 0 guard below).
-        safe_pos = jnp.maximum(send_pos.reshape(-1), 0)
-        staged = jnp.take(vals, safe_pos, axis=0)
-        staged = jnp.where((send_pos.reshape(-1) >= 0)[:, None], staged,
-                           jnp.zeros_like(staged)).reshape(n, cap, dim)
-        if wire_dtype is not None:
-            staged = staged.astype(wire_dtype)
-
-        recv_slot = jax.lax.all_to_all(send_slot, axes, split_axis=0,
-                                       concat_axis=0, tiled=True)
-        recv_vals = jax.lax.all_to_all(staged, axes, split_axis=0,
-                                       concat_axis=0, tiled=True
-                                       ).astype(jnp.float32)
-
-        rows_local = shard.shape[1]
-        slot = recv_slot.reshape(-1)
-        target = jnp.where(slot >= 0, slot, rows_local)  # sentinel -> drop
+        target, recv_vals, overflow = _route_update_stream(
+            lidx, ldelta, lw, n=n, axes=axes, n_model=n_model, dim=dim,
+            reducing=reducing, capacity_factor=capacity_factor,
+            pad_idx=pad_idx, wire_dtype=wire_dtype,
+            rows_local=shard.shape[1])
         if weight_decay == 0.0 and clipnorm is None:
             new = shard[0].at[target].add(
-                (-lr * recv_vals.reshape(-1, dim)).astype(shard.dtype),
-                mode="drop")
+                (-lr * recv_vals).astype(shard.dtype), mode="drop")
         else:
             # Regularized SGD shares the single-chip dense-grad body — each
             # row is fully owned by one shard, so the accumulated-row clip
             # and touched-row decay are exact after routing.
             from ..optim import sgd_dense_body
-            new = sgd_dense_body(shard[0], target,
-                                 recv_vals.reshape(-1, dim), lr,
+            new = sgd_dense_body(shard[0], target, recv_vals, lr,
                                  weight_decay, clipnorm)
-        if n_model > 1:
-            overflow = jax.lax.psum(overflow, axes[1])
         return new[None], overflow.reshape(1)
 
     spec = P(axis0)
@@ -418,3 +414,95 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         out_specs=(P(axes), spec), check_vma=False,
     )(st.data, upd.indices, upd.delta, w)
     return dataclasses.replace(st, data=new_data), jnp.sum(ovf)
+
+
+def sharded_adam_update_a2a(mesh: Mesh, st: ShardedStackedTables, m, v,
+                            count, upd: SparseEmbeddingUpdate, opt, *,
+                            capacity_factor: float = 2.0,
+                            pad_idx: int | None = None, wire_dtype=None):
+    """Butterfly lazy-Adam update: route occurrences to their owners
+    (shared `_route_update_stream`), then each owner advances the moments
+    and rows it owns through `optim.adam_dense_body` — the same shard math
+    as the gather exchange's `sharded_adam_apply`, after routing. Moments
+    `m`/`v` are `(n_shards, rows_local, dim)` f32, sharded like the table;
+    `count` is the replicated global step (bias correction uses the global
+    count). Returns (new_st, new_m, new_v, new_count, overflow). Capacity-
+    dropped occurrences lose their gradient AND their moment advance —
+    the standard capacity-factor contract.
+    """
+    from ..optim import adam_dense_body
+    axes = _axes_tuple(st.axis)
+    axis0 = axes[0]
+    n = st.n_shards
+    dim = st.dim
+    reducing = upd.indices.ndim == 2
+    n_model = 1 if len(axes) == 1 else mesh.shape[axes[1]]
+    t_next = count + 1
+
+    w = (upd.weights if upd.weights is not None
+         else jnp.ones(upd.indices.shape, jnp.float32))
+
+    def body(shard, lm, lv, lidx, ldelta, lw):
+        lrow, recv_vals, overflow = _route_update_stream(
+            lidx, ldelta, lw, n=n, axes=axes, n_model=n_model, dim=dim,
+            reducing=reducing, capacity_factor=capacity_factor,
+            pad_idx=pad_idx, wire_dtype=wire_dtype,
+            rows_local=shard.shape[1])
+        new_shard, new_m, new_v = adam_dense_body(
+            shard[0], lm[0], lv[0], t_next, lrow, recv_vals, opt.lr,
+            opt.b1, opt.b2, opt.eps, opt.weight_decay, opt.clipnorm)
+        return new_shard[None], new_m[None], new_v[None], \
+            overflow.reshape(1)
+
+    spec = P(axis0)
+    new_data, new_m, new_v, ovf = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes), P(axes), P(axes), spec, spec, spec),
+        out_specs=(P(axes), P(axes), P(axes), spec), check_vma=False,
+    )(st.data, m, v, upd.indices, upd.delta, w)
+    return (dataclasses.replace(st, data=new_data), new_m, new_v, t_next,
+            jnp.sum(ovf))
+
+
+def sharded_ftrl_update_a2a(mesh: Mesh, st: ShardedStackedTables, z,
+                            n_state, upd: SparseEmbeddingUpdate, opt, *,
+                            capacity_factor: float = 2.0,
+                            pad_idx: int | None = None, wire_dtype=None):
+    """Butterfly FTRL-Proximal update: route occurrences to their owners
+    (shared `_route_update_stream`), then each owner advances the (z, n)
+    state and rows it owns through `optim.ftrl_dense_body` — the same
+    shard math as the gather exchange's `sharded_ftrl_apply`, after
+    routing. `z`/`n_state` are `(n_shards, rows_local, dim)` f32, sharded
+    like the table. Returns (new_st, new_z, new_n, overflow).
+    """
+    from ..optim import ftrl_dense_body
+    axes = _axes_tuple(st.axis)
+    axis0 = axes[0]
+    n = st.n_shards
+    dim = st.dim
+    reducing = upd.indices.ndim == 2
+    n_model = 1 if len(axes) == 1 else mesh.shape[axes[1]]
+
+    w = (upd.weights if upd.weights is not None
+         else jnp.ones(upd.indices.shape, jnp.float32))
+
+    def body(shard, lz, ln, lidx, ldelta, lw):
+        lrow, recv_vals, overflow = _route_update_stream(
+            lidx, ldelta, lw, n=n, axes=axes, n_model=n_model, dim=dim,
+            reducing=reducing, capacity_factor=capacity_factor,
+            pad_idx=pad_idx, wire_dtype=wire_dtype,
+            rows_local=shard.shape[1])
+        new_shard, new_z, new_n = ftrl_dense_body(
+            shard[0], lz[0], ln[0], lrow, recv_vals, opt.lr, opt.beta,
+            opt.l1, opt.l2, opt.clipnorm)
+        return new_shard[None], new_z[None], new_n[None], \
+            overflow.reshape(1)
+
+    spec = P(axis0)
+    new_data, new_z, new_n, ovf = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(axes), P(axes), P(axes), spec, spec, spec),
+        out_specs=(P(axes), P(axes), P(axes), spec), check_vma=False,
+    )(st.data, z, n_state, upd.indices, upd.delta, w)
+    return (dataclasses.replace(st, data=new_data), new_z, new_n,
+            jnp.sum(ovf))

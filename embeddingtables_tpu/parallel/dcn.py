@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.dcn import DCN, DCNConfig, forward_from_embeddings
 from ..models.dlrm import bce_loss
-from ..optim import SparseRowWiseAdaGrad, SparseSGD, apply_dense_tx
+from ..optim import SparseSGD, apply_dense_tx
 from .dlrm import (_padded_stack_inputs, _sharded_sparse_apply,  # noqa: F401
                    batch_shardings)
 from .sharded import (ShardedStackedTables, _axes_tuple, shard_row_accum,
@@ -35,7 +35,9 @@ class ShardedDCN:
     deep: list
     head: tuple
     tables: ShardedStackedTables
-    emb_accum: jax.Array
+    # Sharded sparse-optimizer state (shard_row_accum's layout; see
+    # parallel.dlrm.ShardedDLRM.emb_accum).
+    emb_accum: object
     config: DCNConfig = dataclasses.field(metadata=dict(static=True))
     # Replicated optax state for the dense parts (dense_tx steps).
     dense_opt_state: object = None
@@ -71,10 +73,8 @@ def make_sharded_dcn_train_step(cfg: DCNConfig, mesh: Mesh,
     `batch_shardings(mesh, axis)` on the batch arrays. Gather exchange
     (exact); the DLRM module remains the reference for the a2a variant."""
     sparse_opt = sparse_opt or SparseSGD()
-    if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
-        raise NotImplementedError(
-            f"sharded train step supports SparseSGD / SparseRowWiseAdaGrad, "
-            f"got {type(sparse_opt).__name__}")
+    from .dlrm import _check_sharded_opt
+    _check_sharded_opt(sparse_opt)
 
     def step(model: ShardedDCN, dense, cat, label):
         st = model.tables
@@ -139,17 +139,12 @@ def unshard_dcn(model: ShardedDCN) -> DCN:
     """Dense single-chip DCN from the sharded one (checkpoint export,
     quantized serving via `quant.quantize_dcn`, test oracle)."""
     from ..ops.ensemble import StackedTables
-    from ..optim import SparseOptState
+    from .sharded import unshard_row_state
 
     st = model.tables
-    acc = model.emb_accum
-    if acc.shape[1] == 0:
-        accum = jnp.zeros((0,), jnp.float32)
-    else:
-        n, rows = acc.shape
-        accum = acc.T.reshape(n * rows)[:st.vocab]
     return DCN(cross=model.cross, deep=model.deep, head=model.head,
                tables=StackedTables(data=st.unshard(), offsets=st.offsets,
                                     dim=st.dim),
-               emb_state=SparseOptState(accum=accum), config=model.config,
+               emb_state=unshard_row_state(st, model.emb_accum),
+               config=model.config,
                dense_opt_state=model.dense_opt_state)

@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.deepfm import DeepFM, DeepFMConfig, forward_from_embeddings
 from ..models.dlrm import bce_loss
-from ..optim import SparseRowWiseAdaGrad, SparseSGD, apply_dense_tx
+from ..optim import SparseSGD, apply_dense_tx
 from .dlrm import (_padded_stack_inputs, _sharded_sparse_apply,  # noqa: F401
                    batch_shardings)
 from .sharded import (ShardedStackedTables, shard_row_accum,
@@ -38,8 +38,10 @@ class ShardedDeepFM:
     bias: jax.Array
     tables: ShardedStackedTables    # FM vectors (dim D)
     fm_w: ShardedStackedTables      # first-order weights (dim 1)
-    emb_accum: jax.Array
-    fm_accum: jax.Array
+    # Sharded sparse-optimizer state per stack (shard_row_accum's layout;
+    # see parallel.dlrm.ShardedDLRM.emb_accum).
+    emb_accum: object
+    fm_accum: object
     config: DeepFMConfig = dataclasses.field(metadata=dict(static=True))
     # Replicated optax state for the dense parts (dense_tx steps).
     dense_opt_state: object = None
@@ -80,10 +82,8 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
     `batch_shardings(mesh, axis)` on the batch arrays. Two gather exchanges
     per step (one per stack), two independent lazy updates."""
     sparse_opt = sparse_opt or SparseSGD()
-    if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
-        raise NotImplementedError(
-            f"sharded train step supports SparseSGD / SparseRowWiseAdaGrad, "
-            f"got {type(sparse_opt).__name__}")
+    from .dlrm import _check_sharded_opt
+    _check_sharded_opt(sparse_opt)
 
     def _lookups(model, cat):
         # use_fm=False: the fm_w stack's exchange is skipped entirely — the
@@ -180,13 +180,7 @@ def unshard_deepfm(model: ShardedDeepFM) -> DeepFM:
     """Dense single-chip DeepFM from the sharded one (checkpoint export,
     quantized serving via `quant.quantize_deepfm`, test oracle)."""
     from ..ops.ensemble import StackedTables
-    from ..optim import SparseOptState
-
-    def un_accum(acc, vocab):
-        if acc.shape[1] == 0:
-            return jnp.zeros((0,), jnp.float32)
-        n, rows = acc.shape
-        return acc.T.reshape(n * rows)[:vocab]
+    from .sharded import unshard_row_state
 
     st, sw = model.tables, model.fm_w
     return DeepFM(
@@ -195,6 +189,6 @@ def unshard_deepfm(model: ShardedDeepFM) -> DeepFM:
         tables=StackedTables(data=st.unshard(), offsets=st.offsets,
                              dim=st.dim),
         fm_w=StackedTables(data=sw.unshard(), offsets=sw.offsets, dim=1),
-        emb_state=SparseOptState(accum=un_accum(model.emb_accum, st.vocab)),
-        fm_state=SparseOptState(accum=un_accum(model.fm_accum, sw.vocab)),
+        emb_state=unshard_row_state(st, model.emb_accum),
+        fm_state=unshard_row_state(sw, model.fm_accum),
         config=model.config, dense_opt_state=model.dense_opt_state)

@@ -47,7 +47,10 @@ class ShardedDLRM:
     bottom: list
     top: list
     tables: ShardedStackedTables
-    emb_accum: jax.Array     # (n_shards, rows_local) f32, or (n_shards, 0)
+    # Sharded sparse-optimizer state (shard_row_accum's layout): the
+    # (n_shards, rows_local) AdaGrad accumulator or (n_shards, 0)
+    # placeholder, the Adam (m, v, count) tuple, or the FTRL (z, n) tuple.
+    emb_accum: object
     config: DLRMConfig = dataclasses.field(metadata=dict(static=True))
     # Replicated optax state for the towers when the step was built with
     # dense_tx (towers are replicated, so their optimizer state is too).
@@ -97,15 +100,8 @@ def init_sharded_dlrm(key: jax.Array, cfg: DLRMConfig, mesh: Mesh,
     top = jax.device_put(
         _init_mlp(kt, (cfg.interaction_features,) + cfg.top_mlp,
                   cfg.param_dtype), repl)
-    axes = _axes_tuple(axis)
-    if isinstance(sparse_opt, SparseRowWiseAdaGrad):
-        init_val = float(sparse_opt.initial_accum)
-        acc = jax.jit(lambda: jnp.full((n, rows_local), init_val,
-                                       jnp.float32),
-                      out_shardings=NamedSharding(mesh, P(axes)))()
-    else:
-        acc = jax.device_put(jnp.zeros((n, 0), jnp.float32),
-                             NamedSharding(mesh, P(axes)))
+    from .sharded import init_sharded_row_state
+    acc = init_sharded_row_state(mesh, st, sparse_opt)
     dstate = (jax.device_put(dense_tx.init((bottom, top)), repl)
               if dense_tx is not None else None)
     return ShardedDLRM(bottom=bottom, top=top, tables=st, emb_accum=acc,
@@ -141,7 +137,28 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
     scale_t: optional (T, B[, bag]) f32 per-occurrence gradient scale
     (mean-combiner normalization / pad masks — the lazy update's `weights`
     on the mesh); it rides the same all-gather.
+
+    `accum` is whatever `shard_row_accum` produced for this optimizer:
+    the `(n, rows_local)` AdaGrad accumulator (or `(n, 0)` placeholder),
+    the Adam `(m, v, count)` tuple, or the FTRL `(z, n)` tuple. Adam and
+    FTRL route to their dedicated shard primitives (sharded.py), which
+    share the same exchange and the same `optim.*_dense_body` math.
+    Returns `(new_st, new_accum)` with `new_accum` in the same layout.
     """
+    from ..optim import SparseFTRL, SparseLazyAdam
+    from .sharded import sharded_adam_apply, sharded_ftrl_apply
+    if isinstance(sparse_opt, SparseLazyAdam):
+        m, v, count = accum
+        new_st, new_m, new_v, new_count = sharded_adam_apply(
+            mesh, st, m, v, count, shifted_idx, delta_t, sparse_opt,
+            batch_sharded=batch_sharded, scale_t=scale_t)
+        return new_st, (new_m, new_v, new_count)
+    if isinstance(sparse_opt, SparseFTRL):
+        z, n_state = accum
+        new_st, new_z, new_n = sharded_ftrl_apply(
+            mesh, st, z, n_state, shifted_idx, delta_t, sparse_opt,
+            batch_sharded=batch_sharded, scale_t=scale_t)
+        return new_st, (new_z, new_n)
     axes = st.axes
     baxis = axes[0]
     n = st.n_shards
@@ -251,6 +268,30 @@ def _padded_stack_inputs(st: ShardedStackedTables, cat: jax.Array,
     return shifted, w
 
 
+def _check_sharded_opt(sparse_opt, exchange: str = "gather"):
+    """Reject optimizer/exchange combinations the sharded steps don't
+    implement — loudly, never silently running the wrong math (cf. the
+    round-1 ensemble_update bug). Shared by the DLRM/DCN/DeepFM builders.
+
+    Both exchanges take SGD / row-wise AdaGrad / lazy Adam / FTRL: gather
+    routes through `_sharded_sparse_apply`'s one exchange, a2a through the
+    butterfly update primitives (alltoall.py) — all sharing the
+    `optim.*_dense_body` shard math. Stochastic rounding is single-chip
+    only for now — the shard bodies don't thread a per-device PRNG key."""
+    from ..optim import SparseFTRL, SparseLazyAdam
+    allowed = (SparseSGD, SparseRowWiseAdaGrad, SparseLazyAdam, SparseFTRL)
+    if not isinstance(sparse_opt, allowed):
+        raise NotImplementedError(
+            f"sharded train step (exchange={exchange!r}) supports "
+            f"{' / '.join(c.__name__ for c in allowed)}, "
+            f"got {type(sparse_opt).__name__}")
+    if getattr(sparse_opt, "stochastic_rounding", False):
+        raise NotImplementedError(
+            "stochastic rounding is not wired into the sharded updates "
+            "(the shard bodies cast back round-to-nearest; threading a "
+            "per-device rounding key is single-chip only for now)")
+
+
 def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
                             sparse_opt=None, dense_lr: float = 0.01,
                             jit: bool = True, exchange: str = "gather",
@@ -280,13 +321,7 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
             "(the gather exchange reduces on the wire via psum_scatter, "
             "where a cast would change the accumulation dtype); pass "
             "exchange='a2a' or drop wire_dtype")
-    if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
-        # The sharded exchanges implement SGD and row-wise AdaGrad shard
-        # bodies; routing any other optimizer through them would silently
-        # run the wrong math (cf. the round-1 ensemble_update bug).
-        raise NotImplementedError(
-            f"sharded train step supports SparseSGD / SparseRowWiseAdaGrad, "
-            f"got {type(sparse_opt).__name__}")
+    _check_sharded_opt(sparse_opt, exchange=exchange)
     def step_a2a(model: ShardedDLRM, dense, cat, label):
         from .alltoall import (sharded_adagrad_update_a2a, sharded_lookup_a2a,
                                sharded_sgd_update_a2a)
@@ -352,18 +387,30 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
             indices=shifted_bt.reshape((-1,) if bag is None
                                        else (shifted_bt.shape[0] * t, bag)),
             weights=upd_w)
+        from ..optim import SparseFTRL, SparseLazyAdam
+        kw = dict(capacity_factor=capacity_factor, pad_idx=a2a_pad,
+                  wire_dtype=wire_dtype)
         if isinstance(sparse_opt, SparseRowWiseAdaGrad):
             new_st, new_accum, ovf_bwd = sharded_adagrad_update_a2a(
-                mesh, st, model.emb_accum, upd, sparse_opt,
-                capacity_factor=capacity_factor, pad_idx=a2a_pad,
-                wire_dtype=wire_dtype)
+                mesh, st, model.emb_accum, upd, sparse_opt, **kw)
+        elif isinstance(sparse_opt, SparseLazyAdam):
+            from .alltoall import sharded_adam_update_a2a
+            m_, v_, count_ = model.emb_accum
+            new_st, new_m, new_v, new_count, ovf_bwd = \
+                sharded_adam_update_a2a(mesh, st, m_, v_, count_, upd,
+                                        sparse_opt, **kw)
+            new_accum = (new_m, new_v, new_count)
+        elif isinstance(sparse_opt, SparseFTRL):
+            from .alltoall import sharded_ftrl_update_a2a
+            z_, n_ = model.emb_accum
+            new_st, new_z, new_n, ovf_bwd = sharded_ftrl_update_a2a(
+                mesh, st, z_, n_, upd, sparse_opt, **kw)
+            new_accum = (new_z, new_n)
         else:
             new_st, ovf_bwd = sharded_sgd_update_a2a(
                 mesh, st, upd, sparse_opt.lr,
-                capacity_factor=capacity_factor,
                 weight_decay=sparse_opt.weight_decay,
-                clipnorm=sparse_opt.clipnorm, pad_idx=a2a_pad,
-                wire_dtype=wire_dtype)
+                clipnorm=sparse_opt.clipnorm, **kw)
             new_accum = model.emb_accum
         new_model = ShardedDLRM(bottom=new_bottom, top=new_top,
                                 tables=new_st, emb_accum=new_accum,
@@ -444,21 +491,18 @@ def make_sharded_eval_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
 def unshard_dlrm(model: ShardedDLRM) -> DLRM:
     """Dense single-chip DLRM from the sharded one (checkpoint export,
     quantized serving via `quant.quantize_dlrm`, test oracle). Inverts the
-    mod-row layout for both the table and the (n, rows_local) accumulator."""
+    mod-row layout for the table and whatever optimizer state the model
+    carries (accumulator / Adam moments / FTRL z-n, via
+    `sharded.unshard_row_state`)."""
     from ..models.dlrm import DLRM as _DLRM
     from ..ops.ensemble import StackedTables
-    from ..optim import SparseOptState
+    from .sharded import unshard_row_state
 
     st = model.tables
-    acc = model.emb_accum
-    if acc.shape[1] == 0:
-        accum = jnp.zeros((0,), jnp.float32)
-    else:
-        n, rows = acc.shape
-        accum = acc.T.reshape(n * rows)[:st.vocab]
     return _DLRM(
         bottom=model.bottom, top=model.top,
         tables=StackedTables(data=st.unshard(), offsets=st.offsets,
                              dim=st.dim),
-        emb_state=SparseOptState(accum=accum), config=model.config,
+        emb_state=unshard_row_state(st, model.emb_accum),
+        config=model.config,
         dense_opt_state=model.dense_opt_state)

@@ -165,15 +165,29 @@ def shard_table(mesh: Mesh, axis: str, table) -> ShardedStackedTables:
 
 
 def shard_row_accum(mesh: Mesh, axis, st: ShardedStackedTables, state,
-                    sparse_opt) -> jax.Array:
-    """Mod-shard a `(ΣV,)` row-wise accumulator exactly like the table rows
-    (pad, then global row r -> shard r % n, slot r // n); stateless
-    optimizers get the `(n, 0)` placeholder. The ONE home of this layout
-    transform — `shard_dlrm`/`shard_dcn`/`shard_deepfm` all route through
-    it, so the ownership rule cannot silently diverge across families."""
-    from ..optim import SparseRowWiseAdaGrad
+                    sparse_opt):
+    """Mod-shard a single-chip sparse-optimizer state exactly like the table
+    rows (pad, then global row r -> shard r % n, slot r // n). The ONE home
+    of this layout transform — `shard_dlrm`/`shard_dcn`/`shard_deepfm` all
+    route through it, so the ownership rule cannot silently diverge across
+    families. Returns the sharded state in the layout `_sharded_sparse_apply`
+    consumes:
+
+      - `SparseSGD` (stateless): the `(n, 0)` placeholder array.
+      - `SparseRowWiseAdaGrad`: `(n, rows_local)` f32 accumulator.
+      - `SparseLazyAdam`: `(m, v, count)` tuple — `(n, rows_local, dim)`
+        moments + replicated scalar count (`shard_adam_state`).
+      - `SparseFTRL`: `(z, n)` tuple of `(n, rows_local, dim)` f32
+        (`shard_ftrl_state`).
+    """
+    from ..optim import (SparseAdamState, SparseFTRLState,
+                         SparseRowWiseAdaGrad)
     axes = _axes_tuple(axis)
     n, rows_local, _ = st.data.shape
+    if isinstance(state, SparseAdamState):
+        return shard_adam_state(mesh, st, state)
+    if isinstance(state, SparseFTRLState):
+        return shard_ftrl_state(mesh, st, state)
     if isinstance(sparse_opt, SparseRowWiseAdaGrad):
         acc = state.accum
         v_pad = n * rows_local
@@ -182,6 +196,49 @@ def shard_row_accum(mesh: Mesh, axis, st: ShardedStackedTables, state,
     else:
         acc = jnp.zeros((n, 0), jnp.float32)
     return jax.device_put(acc, NamedSharding(mesh, P(axes)))
+
+
+def init_sharded_row_state(mesh: Mesh, st: ShardedStackedTables, sparse_opt):
+    """Fresh sharded optimizer state for a stack initialized directly on the
+    mesh (no single-chip state to reshard): the per-optimizer counterpart of
+    `shard_row_accum`, generated shard-locally under jit so no full-table
+    buffer ever materializes."""
+    from ..optim import SparseFTRL, SparseLazyAdam, SparseRowWiseAdaGrad
+    axes = st.axes
+    n, rows_local, _ = st.data.shape
+    if isinstance(sparse_opt, SparseLazyAdam):
+        return init_sharded_adam_state(mesh, st)
+    if isinstance(sparse_opt, SparseFTRL):
+        return init_sharded_ftrl_state(mesh, st, sparse_opt)
+    if isinstance(sparse_opt, SparseRowWiseAdaGrad):
+        init_val = float(sparse_opt.initial_accum)
+        return jax.jit(lambda: jnp.full((n, rows_local), init_val,
+                                        jnp.float32),
+                       out_shardings=NamedSharding(mesh, P(axes)))()
+    return jax.device_put(jnp.zeros((n, 0), jnp.float32),
+                          NamedSharding(mesh, P(axes)))
+
+
+def unshard_row_state(st: ShardedStackedTables, accum):
+    """Single-chip sparse-optimizer state back from the sharded layout (the
+    inverse of `shard_row_accum`): `SparseOptState` from the `(n, rows)`
+    accumulator or `(n, 0)` placeholder, `SparseAdamState` from the
+    `(m, v, count)` tuple, `SparseFTRLState` from the `(z, n)` tuple."""
+    from ..optim import SparseFTRLState, SparseOptState
+    if isinstance(accum, tuple) and len(accum) == 3:
+        return unshard_adam_state(st, *accum)
+    if isinstance(accum, tuple) and len(accum) == 2:
+        z, n_state = accum
+        n, rows, dim = z.shape
+
+        def un(x):
+            return x.transpose(1, 0, 2).reshape(n * rows, dim)[:st.vocab]
+
+        return SparseFTRLState(z=un(z), n=un(n_state))
+    if accum.shape[1] == 0:
+        return SparseOptState(accum=jnp.zeros((0,), jnp.float32))
+    n, rows = accum.shape
+    return SparseOptState(accum=accum.T.reshape(n * rows)[:st.vocab])
 
 
 # ---------------------------------------------------------------------------
@@ -474,13 +531,16 @@ def shard_adam_state(mesh: Mesh, st: ShardedStackedTables, state):
 
 def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
                        shifted_idx: jax.Array, delta_t: jax.Array, opt, *,
-                       batch_sharded: bool = True):
+                       batch_sharded: bool = True, scale_t=None):
     """Lazy Adam on the sharded stack: ONE exchange (all-gather of the
     occurrence stream), then each shard advances the moments and rows it
     owns through the shared `optim.adam_dense_body` — single-write-per-
     owned-row, bit-matching the single-chip `SparseLazyAdam.apply`.
 
     shifted_idx: (T, B[, bag]) stacked global rows; delta_t: (T, B, dim).
+    scale_t: optional (T, B[, bag]) f32 per-occurrence gradient scale
+    (pad masks / mean normalization — the lazy update's `weights` on the
+    mesh); rides the same all-gather.
     Returns (new_st, new_m, new_v, new_count).
     """
     from ..optim import adam_dense_body
@@ -490,12 +550,15 @@ def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
     dim = st.dim
     t_next = count + 1
 
-    def body(shard, lm, lv, lidx, ldelta):
+    def body(shard, lm, lv, lidx, ldelta, *lscale):
         if batch_sharded:
             gidx = jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
             gdelta = jax.lax.all_gather(ldelta, baxis, axis=1, tiled=True)
+            gscale = (jax.lax.all_gather(lscale[0], baxis, axis=1,
+                                         tiled=True) if lscale else None)
         else:
             gidx, gdelta = lidx, ldelta
+            gscale = lscale[0] if lscale else None
         flat_idx = gidx.reshape((-1,) + gidx.shape[2:])
         g = gdelta.reshape(-1, dim).astype(jnp.float32)
         if flat_idx.ndim == 2:
@@ -503,6 +566,8 @@ def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
             g = jnp.repeat(g, flat_idx.shape[1], axis=0)
         else:
             rows = flat_idx.astype(jnp.int32)
+        if gscale is not None:
+            g = g * gscale.reshape(-1)[:, None]
         me = _flat_axis_index(axes)
         mine = (rows % n) == me
         rows_local = shard.shape[1]
@@ -513,11 +578,13 @@ def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
         return new_data[None], new_m[None], new_v[None]
 
     spec = P(None, baxis) if batch_sharded else P()
+    extra = () if scale_t is None else (scale_t,)
+    extra_spec = () if scale_t is None else (spec,)
     new_data, new_m, new_v = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axes), P(axes), P(axes), spec, spec),
+        in_specs=(P(axes), P(axes), P(axes), spec, spec) + extra_spec,
         out_specs=(P(axes), P(axes), P(axes)))(
-            st.data, m, v, shifted_idx, delta_t)
+            st.data, m, v, shifted_idx, delta_t, *extra)
     return (dataclasses.replace(st, data=new_data), new_m, new_v, t_next)
 
 
@@ -551,18 +618,34 @@ def init_sharded_ftrl_state(mesh: Mesh, st: ShardedStackedTables, opt):
     return jax.jit(gen, out_shardings=(sharding, sharding))(st.data)
 
 
+def shard_ftrl_state(mesh: Mesh, st: ShardedStackedTables, state):
+    """Mod-shard a single-chip `SparseFTRLState` ((ΣV, D) z/n buffers) onto
+    the stack's layout: `(n_shards, rows_local, dim)` with `P(axes)` — the
+    FTRL counterpart of `shard_adam_state`."""
+    n, rows_local, dim = st.data.shape
+    axes = st.axes
+
+    def reshard(x):
+        v_pad = n * rows_local
+        x = jnp.pad(x, ((0, v_pad - x.shape[0]), (0, 0)))
+        x = x.reshape(rows_local, n, dim).transpose(1, 0, 2)
+        return jax.device_put(x, NamedSharding(mesh, P(axes)))
+
+    return reshard(state.z), reshard(state.n)
+
+
 def sharded_ftrl_apply(mesh: Mesh, st: ShardedStackedTables, z, n_state,
                        shifted_idx: jax.Array, delta_t: jax.Array, opt, *,
-                       batch_sharded: bool = True):
+                       batch_sharded: bool = True, scale_t=None):
     """FTRL-Proximal on the sharded stack: ONE exchange (all-gather of the
     occurrence stream), then each shard advances the (z, n) state and rows
     it owns through the shared `optim.ftrl_dense_body` — matching the
     single-chip `SparseFTRL.apply` per owned row.
 
-    shifted_idx: (T, B[, bag]) stacked global rows (weights, if any, must
-    already be folded into delta_t's occurrence stream — or pass the raw
-    per-table lazy updates through `sharded_ensemble_update`-style stacking
-    with `upd.weights` pre-multiplied). Returns (new_st, new_z, new_n).
+    shifted_idx: (T, B[, bag]) stacked global rows. scale_t: optional
+    (T, B[, bag]) f32 per-occurrence gradient scale (pad masks / mean
+    normalization — the lazy update's `weights` on the mesh); rides the
+    same all-gather. Returns (new_st, new_z, new_n).
     """
     from ..optim import ftrl_dense_body
     axes = st.axes
@@ -570,12 +653,15 @@ def sharded_ftrl_apply(mesh: Mesh, st: ShardedStackedTables, z, n_state,
     n = st.n_shards
     dim = st.dim
 
-    def body(shard, lz, ln, lidx, ldelta):
+    def body(shard, lz, ln, lidx, ldelta, *lscale):
         if batch_sharded:
             gidx = jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
             gdelta = jax.lax.all_gather(ldelta, baxis, axis=1, tiled=True)
+            gscale = (jax.lax.all_gather(lscale[0], baxis, axis=1,
+                                         tiled=True) if lscale else None)
         else:
             gidx, gdelta = lidx, ldelta
+            gscale = lscale[0] if lscale else None
         flat_idx = gidx.reshape((-1,) + gidx.shape[2:])
         g = gdelta.reshape(-1, dim).astype(jnp.float32)
         if flat_idx.ndim == 2:
@@ -583,6 +669,8 @@ def sharded_ftrl_apply(mesh: Mesh, st: ShardedStackedTables, z, n_state,
             g = jnp.repeat(g, flat_idx.shape[1], axis=0)
         else:
             rows = flat_idx.astype(jnp.int32)
+        if gscale is not None:
+            g = g * gscale.reshape(-1)[:, None]
         me = _flat_axis_index(axes)
         mine = (rows % n) == me
         rows_local = shard.shape[1]
@@ -593,9 +681,11 @@ def sharded_ftrl_apply(mesh: Mesh, st: ShardedStackedTables, z, n_state,
         return new_data[None], new_z[None], new_n[None]
 
     spec = P(None, baxis) if batch_sharded else P()
+    extra = () if scale_t is None else (scale_t,)
+    extra_spec = () if scale_t is None else (spec,)
     new_data, new_z, new_n = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axes), P(axes), P(axes), spec, spec),
+        in_specs=(P(axes), P(axes), P(axes), spec, spec) + extra_spec,
         out_specs=(P(axes), P(axes), P(axes)))(
-            st.data, z, n_state, shifted_idx, delta_t)
+            st.data, z, n_state, shifted_idx, delta_t, *extra)
     return dataclasses.replace(st, data=new_data), new_z, new_n

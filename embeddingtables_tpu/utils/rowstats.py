@@ -164,10 +164,18 @@ def remap_batch(cat: np.ndarray, inverse_perms: Sequence[np.ndarray]
 def evict_rows_sharded(tables, accum, global_rows):
     """Evict global rows of a mod-row-sharded stacked table
     (`parallel.ShardedStackedTables`: global row r -> shard r % n, slot
-    r // n). Zeroes the rows and, when present, their `(n, rows_local)`
-    accumulator entries. Functional; GSPMD routes each scatter to the
-    owning shard (eviction is occasional, so the cross-shard routing cost
-    is irrelevant).
+    r // n). Zeroes the rows and their optimizer-state entries. Functional;
+    GSPMD routes each scatter to the owning shard (eviction is occasional,
+    so the cross-shard routing cost is irrelevant).
+
+    `accum` is any state layout `parallel.sharded.shard_row_accum`
+    produces: the `(n, rows_local)` AdaGrad accumulator, the Adam
+    `(m, v, count)` tuple (`(n, rows_local, dim)` moments; the scalar
+    count passes through), or the FTRL `(z, n)` tuple. Leaf rule: array
+    leaves with a `(n_shards, rows_local, ...)` leading pair reset at the
+    evicted (shard, slot) cells; scalars and `(n, 0)` placeholders pass
+    through. Zero state is the correct evicted fixed point for every
+    built-in optimizer (FTRL's closed form gives w=0 at z=0).
     """
     import dataclasses
     rows = jnp.asarray(global_rows, jnp.int32)
@@ -176,7 +184,13 @@ def evict_rows_sharded(tables, accum, global_rows):
     n = tables.n_shards
     shard, slot = rows % n, rows // n
     new_data = tables.data.at[shard, slot].set(0.0, mode="drop")
-    new_accum = accum
-    if accum is not None and accum.ndim == 2 and accum.shape[1] > 0:
-        new_accum = accum.at[shard, slot].set(0.0, mode="drop")
+
+    def leaf(x):
+        if (hasattr(x, "ndim") and x.ndim >= 2 and x.shape[0] == n
+                and x.shape[1] > 0):
+            return x.at[shard, slot].set(0.0, mode="drop")
+        return x
+
+    new_accum = (jax.tree_util.tree_map(leaf, accum)
+                 if accum is not None else None)
     return dataclasses.replace(tables, data=new_data), new_accum

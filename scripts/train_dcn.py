@@ -44,7 +44,10 @@ def main():
     ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
     ap.add_argument("--var-len-bags", action="store_true",
                     help="with --bag: variable-length bags right-padded\nwith the -1 sentinel (cfg.pad_idx; pads carry no gradient)")
-    ap.add_argument("--opt", choices=["sgd", "adagrad"], default="adagrad")
+    ap.add_argument("--opt", choices=["sgd", "adagrad", "adam", "ftrl"],
+                    default="adagrad")
+    ap.add_argument("--l1", type=float, default=0.0,
+                    help="FTRL l1 (trained sparsity)")
     ap.add_argument("--weight-decay", type=float, default=0.0)
     ap.add_argument("--clipnorm", type=float, default=None)
     ap.add_argument("--evict-every", type=int, default=0,
@@ -74,7 +77,8 @@ def main():
     from embeddingtables_tpu.io import CriteoFileLoader, PrefetchLoader
     from embeddingtables_tpu.models import DCNConfig
     from embeddingtables_tpu.models.train import train_dcn
-    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad, SparseSGD
+    from embeddingtables_tpu.optim import (SparseFTRL, SparseLazyAdam,
+                                           SparseRowWiseAdaGrad, SparseSGD)
     from embeddingtables_tpu.utils import CheckpointManager
     from embeddingtables_tpu.utils.telemetry import get_telemetry
 
@@ -122,8 +126,15 @@ def main():
 
     reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
     opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
-           "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg)
+           "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg),
+           "adam": lambda: SparseLazyAdam(lr=args.lr, **reg),
+           "ftrl": lambda: SparseFTRL(lr=args.lr, l1=args.l1,
+                                      l2=args.weight_decay,
+                                      clipnorm=args.clipnorm)
            }[args.opt]()
+    if args.opt in ("adam", "ftrl") and args.auto_shard:
+        raise SystemExit(f"--opt {args.opt} is not supported with "
+                         "--auto-shard (planner placements are sgd/adagrad)")
     mgr = CheckpointManager(args.ckpt) if args.ckpt else None
 
     print(f"backend={jax.default_backend()} devices={jax.device_count()} "

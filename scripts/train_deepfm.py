@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
     ap.add_argument("--var-len-bags", action="store_true",
                     help="with --bag: variable-length bags right-padded\nwith the -1 sentinel (cfg.pad_idx; pads carry no gradient)")
-    ap.add_argument("--opt", choices=["sgd", "adagrad", "ftrl"],
+    ap.add_argument("--opt", choices=["sgd", "adagrad", "adam", "ftrl"],
                     default="adagrad")
     ap.add_argument("--weight-decay", type=float, default=0.0)
     ap.add_argument("--clipnorm", type=float, default=None)
@@ -70,8 +70,8 @@ def main():
     from embeddingtables_tpu.io import CriteoFileLoader, PrefetchLoader
     from embeddingtables_tpu.models import DeepFMConfig
     from embeddingtables_tpu.models.train import train_deepfm
-    from embeddingtables_tpu.optim import (SparseFTRL, SparseRowWiseAdaGrad,
-                                           SparseSGD)
+    from embeddingtables_tpu.optim import (SparseFTRL, SparseLazyAdam,
+                                           SparseRowWiseAdaGrad, SparseSGD)
     from embeddingtables_tpu.utils import CheckpointManager
     from embeddingtables_tpu.utils.telemetry import get_telemetry
 
@@ -101,15 +101,11 @@ def main():
         from embeddingtables_tpu.parallel.mesh import default_mesh
         mesh = default_mesh(("data",))
         print(f"mesh: {mesh}", flush=True)
-        if args.opt == "ftrl":
-            raise SystemExit("--mesh supports sgd/adagrad (FTRL's "
-                             "per-coordinate state is single-chip; see "
-                             "parallel.sharded.sharded_ftrl_apply for the "
-                             "mesh primitive)")
 
     reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
     opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
            "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg),
+           "adam": lambda: SparseLazyAdam(lr=args.lr, **reg),
            "ftrl": lambda: SparseFTRL(lr=args.lr, l1=args.l1,
                                       l2=args.weight_decay,
                                       clipnorm=args.clipnorm),

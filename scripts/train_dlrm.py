@@ -48,8 +48,10 @@ def main():
     ap.add_argument("--combiner", choices=["sum", "mean"], default="sum")
     ap.add_argument("--var-len-bags", action="store_true",
                     help="with --bag: variable-length bags right-padded\nwith the -1 sentinel (cfg.pad_idx; pads carry no gradient)")
-    ap.add_argument("--opt", choices=["sgd", "adagrad", "adam"],
+    ap.add_argument("--opt", choices=["sgd", "adagrad", "adam", "ftrl"],
                     default="adagrad")
+    ap.add_argument("--l1", type=float, default=0.0,
+                    help="FTRL l1 (trained sparsity)")
     ap.add_argument("--weight-decay", type=float, default=0.0,
                     help="lazy L2 on touched rows (sparse opts)")
     ap.add_argument("--clipnorm", type=float, default=None,
@@ -88,7 +90,7 @@ def main():
     from embeddingtables_tpu.io import CriteoFileLoader, PrefetchLoader
     from embeddingtables_tpu.models import DLRMConfig
     from embeddingtables_tpu.models.train import train_dlrm
-    from embeddingtables_tpu.optim import (SparseLazyAdam,
+    from embeddingtables_tpu.optim import (SparseFTRL, SparseLazyAdam,
                                            SparseRowWiseAdaGrad, SparseSGD)
     from embeddingtables_tpu.utils import CheckpointManager
     from embeddingtables_tpu.utils.telemetry import get_telemetry
@@ -156,7 +158,17 @@ def main():
     reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
     opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
            "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg),
-           "adam": lambda: SparseLazyAdam(lr=args.lr, **reg)}[args.opt]()
+           "adam": lambda: SparseLazyAdam(lr=args.lr, **reg),
+           "ftrl": lambda: SparseFTRL(lr=args.lr, l1=args.l1,
+                                      l2=args.weight_decay,
+                                      clipnorm=args.clipnorm)}[args.opt]()
+    if args.opt in ("adam", "ftrl") and args.auto_shard:
+        # Both mesh exchanges take all four optimizers; the planner's
+        # mixed placements implement SGD/AdaGrad only
+        # (planner.planned_apply).
+        raise SystemExit(f"--opt {args.opt} is not supported with "
+                         "--auto-shard (planner placements are "
+                         "sgd/adagrad)")
     mgr = CheckpointManager(args.ckpt) if args.ckpt else None
 
     print(f"backend={jax.default_backend()} devices={jax.device_count()} "
