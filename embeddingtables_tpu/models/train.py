@@ -141,10 +141,11 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     `evict_rows_sharded`), and planner (`evict_rows_planned`).
     """
     tel = _telemetry.get_telemetry()
-    if mesh is not None and microbatch:
+    if plan is not None and microbatch:
         raise NotImplementedError(
-            "microbatch gradient accumulation is single-chip only (the "
-            "sharded step already splits activations across the mesh)")
+            "microbatch gradient accumulation is not wired into the "
+            "planner step (single-chip and uniform-mesh gather steps "
+            "take microbatch=)")
     if plan is not None and mesh is None:
         raise ValueError("plan= requires mesh=")
     if plan is not None and exchange != "gather":
@@ -225,7 +226,7 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                 cfg, mesh, axis, sparse_opt=sparse_opt, dense_lr=dense_lr,
                 exchange=exchange, capacity_factor=cf,
                 with_overflow=with_overflow, dense_tx=dense_tx,
-                wire_dtype=wire_dtype)
+                wire_dtype=wire_dtype, microbatch=microbatch)
 
         step = build_step(capacity_factor)
         if with_overflow:
@@ -363,10 +364,11 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
     from .dcn import init_dcn, make_eval_step as make_dcn_eval, \
         make_train_step as make_dcn_step
     tel = _telemetry.get_telemetry()
-    if mesh is not None and microbatch:
+    if plan is not None and microbatch:
         raise NotImplementedError(
-            "microbatch gradient accumulation is single-chip only (the "
-            "sharded step already splits activations across the mesh)")
+            "microbatch gradient accumulation is not wired into the "
+            "planner step (single-chip and uniform-mesh gather steps "
+            "take microbatch=)")
     if plan is not None and mesh is None:
         raise ValueError("plan= requires mesh=")
     if model is None and plan is None:
@@ -429,7 +431,8 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         step = make_sharded_dcn_train_step(cfg, mesh, axis,
                                            sparse_opt=sparse_opt,
                                            dense_lr=dense_lr,
-                                           dense_tx=dense_tx)
+                                           dense_tx=dense_tx,
+                                           microbatch=microbatch)
         eval_step = make_sharded_dcn_eval_step(cfg, mesh, axis)
         sd, sc, sl = dcn_shardings(mesh, axis)
         put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731

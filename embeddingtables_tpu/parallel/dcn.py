@@ -68,34 +68,76 @@ def shard_dcn(model: DCN, mesh: Mesh, axis="data",
 def make_sharded_dcn_train_step(cfg: DCNConfig, mesh: Mesh,
                                 axis: str = "data", sparse_opt=None,
                                 dense_lr: float = 0.01, jit: bool = True,
-                                dense_tx=None):
+                                dense_tx=None, microbatch=None):
     """`step(model: ShardedDCN, dense, cat, label) -> (model, loss)` with
     `batch_shardings(mesh, axis)` on the batch arrays. Gather exchange
-    (exact); the DLRM module remains the reference for the a2a variant."""
+    (exact); the DLRM module remains the reference for the a2a variant.
+    microbatch=k: gradient accumulation over k `lax.scan` slices (see
+    `parallel.dlrm.make_sharded_train_step` — same grouping-independent
+    math, one full-batch sparse update)."""
     sparse_opt = sparse_opt or SparseSGD()
     from .dlrm import _check_sharded_opt
     _check_sharded_opt(sparse_opt)
 
     def step(model: ShardedDCN, dense, cat, label):
         st = model.tables
-        if cfg.pad_idx is not None:
-            emb_t = sharded_ensemble_lookup(mesh, st, cat, stacked=True,
-                                            combiner=cfg.combiner,
-                                            pad_idx=cfg.pad_idx)
-        else:
-            emb_t = sharded_ensemble_lookup(mesh, st, cat, stacked=True)
-            if cfg.combiner == "mean" and cat.ndim == 3:
-                emb_t = emb_t / cat.shape[2]
 
-        def loss_fn(dense_params, emb_act):
-            cross, deep, head = dense_params
-            logits = forward_from_embeddings(cross, deep, head, cfg,
-                                             dense, emb_act)
-            return bce_loss(logits, label)
+        def lookup_fn(c):
+            if cfg.pad_idx is not None:
+                return sharded_ensemble_lookup(mesh, st, c, stacked=True,
+                                               combiner=cfg.combiner,
+                                               pad_idx=cfg.pad_idx)
+            e = sharded_ensemble_lookup(mesh, st, c, stacked=True)
+            if cfg.combiner == "mean" and c.ndim == 3:
+                e = e / c.shape[2]
+            return e
 
         params = (model.cross, model.deep, model.head)
-        loss, (dense_grads, delta_t) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1))(params, emb_t)
+        if microbatch and microbatch > 1:
+            k = microbatch
+            b = dense.shape[0]
+            if b % k:
+                raise ValueError(f"batch {b} not divisible by "
+                                 f"microbatch {k}")
+            mb = b // k
+            dense_s = dense.reshape(k, mb, dense.shape[1])
+            cat_s = jnp.moveaxis(
+                cat.reshape(cat.shape[0], k, mb, *cat.shape[2:]), 1, 0)
+            label_s = label.reshape(k, mb)
+
+            def micro(dg_acc, xs):
+                d_i, c_i, l_i = xs
+                emb_i = lookup_fn(c_i)
+
+                def loss_fn(dense_params, emb_act):
+                    cross, deep, head = dense_params
+                    logits = forward_from_embeddings(cross, deep, head,
+                                                     cfg, d_i, emb_act)
+                    return bce_loss(logits, l_i)
+
+                loss_i, (dg_i, delta_i) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1))(params, emb_i)
+                return jax.tree.map(jnp.add, dg_acc, dg_i), \
+                    (loss_i, delta_i)
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            dg_sum, (losses, deltas) = jax.lax.scan(
+                micro, zeros, (dense_s, cat_s, label_s))
+            dense_grads = jax.tree.map(lambda x: x / k, dg_sum)
+            delta_t = deltas.transpose(1, 0, 2, 3).reshape(
+                cat.shape[0], b, cfg.dim) / k
+            loss = losses.mean()
+        else:
+            emb_t = lookup_fn(cat)
+
+            def loss_fn(dense_params, emb_act):
+                cross, deep, head = dense_params
+                logits = forward_from_embeddings(cross, deep, head, cfg,
+                                                 dense, emb_act)
+                return bce_loss(logits, label)
+
+            loss, (dense_grads, delta_t) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(params, emb_t)
         if cfg.pad_idx is None and cfg.combiner == "mean" and cat.ndim == 3:
             delta_t = delta_t / cat.shape[2]
         (new_cross, new_deep, new_head), new_dstate = apply_dense_tx(

@@ -297,7 +297,7 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
                             jit: bool = True, exchange: str = "gather",
                             capacity_factor: float = 2.0,
                             with_overflow: bool = False, dense_tx=None,
-                            wire_dtype=None):
+                            wire_dtype=None, microbatch=None):
     """Build the multi-chip fused train step.
 
     `step(model: ShardedDLRM, dense, cat, label) -> (model, loss)` where the
@@ -311,10 +311,24 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
     Pass `with_overflow=True` to have the a2a step return
     `(model, (loss, overflow))` — feed the observed drop fraction to
     `alltoall.suggest_capacity_factor` and rebuild the step when nonzero.
+
+    microbatch=k (gather exchange): gradient accumulation — the lookup +
+    dense fwd/bwd scan over k equal batch slices so only B/k examples'
+    activations are live at once, exactly like the single-chip
+    `models.dlrm.make_train_step(microbatch=)`; the ONE fused sparse update
+    still applies the full-batch (T, B, dim) lazy delta. Slicing is
+    grouping-independent math (pointwise BCE, mean-of-means loss, 1/B
+    per-example delta scale), so this bit-matches the monolithic step up
+    to float re-association.
     """
     sparse_opt = sparse_opt or SparseSGD()
     if exchange not in ("gather", "a2a"):
         raise ValueError(exchange)
+    if microbatch and microbatch > 1 and exchange != "gather":
+        raise NotImplementedError(
+            "microbatch accumulation rides the gather exchange only (the "
+            "a2a butterfly's per-slice capacity buckets would change the "
+            "drop semantics); pass exchange='gather' or drop microbatch")
     if wire_dtype is not None and exchange != "a2a":
         raise ValueError(
             "wire_dtype applies to the a2a butterfly's row payloads only "
@@ -424,28 +438,71 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
 
     def step(model: ShardedDLRM, dense, cat, label):
         st = model.tables
-        # (T, B, D), batch-sharded: indices shift to stacked global rows
-        # inside, one all-gather + psum_scatter exchange. With pad_idx the
-        # combiner/pad fold rides the exchange as a weight scale
-        # (sharded_ensemble_lookup's contract).
-        if cfg.pad_idx is not None:
-            emb_t = sharded_ensemble_lookup(mesh, st, cat, stacked=True,
-                                            combiner=cfg.combiner,
-                                            pad_idx=cfg.pad_idx)
-        else:
-            emb_t = sharded_ensemble_lookup(mesh, st, cat, stacked=True)
-            if cfg.combiner == "mean" and cat.ndim == 3:
+
+        def lookup_fn(c):
+            # (T, b, D), batch-sharded: indices shift to stacked global
+            # rows inside, one all-gather + psum_scatter exchange. With
+            # pad_idx the combiner/pad fold rides the exchange as a weight
+            # scale (sharded_ensemble_lookup's contract).
+            if cfg.pad_idx is not None:
+                return sharded_ensemble_lookup(mesh, st, c, stacked=True,
+                                               combiner=cfg.combiner,
+                                               pad_idx=cfg.pad_idx)
+            e = sharded_ensemble_lookup(mesh, st, c, stacked=True)
+            if cfg.combiner == "mean" and c.ndim == 3:
                 # mean = sum / bag (linear), so the same scale applies to
                 # the backward delta below.
-                emb_t = emb_t / cat.shape[2]
+                e = e / c.shape[2]
+            return e
 
-        def loss_fn(dense_params, emb_act):
-            bottom, top = dense_params
-            logits = forward_from_embeddings(bottom, top, cfg, dense, emb_act)
-            return bce_loss(logits, label)
+        params = (model.bottom, model.top)
+        if microbatch and microbatch > 1:
+            k = microbatch
+            b = dense.shape[0]
+            if b % k:
+                raise ValueError(f"batch {b} not divisible by "
+                                 f"microbatch {k}")
+            mb = b // k
+            dense_s = dense.reshape(k, mb, dense.shape[1])
+            cat_s = jnp.moveaxis(
+                cat.reshape(cat.shape[0], k, mb, *cat.shape[2:]), 1, 0)
+            label_s = label.reshape(k, mb)
 
-        loss, (dense_grads, delta_t) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1))((model.bottom, model.top), emb_t)
+            def micro(dg_acc, xs):
+                d_i, c_i, l_i = xs
+                emb_i = lookup_fn(c_i)
+
+                def loss_fn(dense_params, emb_act):
+                    bottom, top = dense_params
+                    logits = forward_from_embeddings(bottom, top, cfg,
+                                                     d_i, emb_act)
+                    return bce_loss(logits, l_i)
+
+                loss_i, (dg_i, delta_i) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1))(params, emb_i)
+                return jax.tree.map(jnp.add, dg_acc, dg_i), \
+                    (loss_i, delta_i)
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            dg_sum, (losses, deltas) = jax.lax.scan(
+                micro, zeros, (dense_s, cat_s, label_s))
+            dense_grads = jax.tree.map(lambda x: x / k, dg_sum)
+            # deltas: (k, T, mb, D) -> the full-batch (T, B, D) delta,
+            # scaled 1/k (full-batch loss = mean of the k slice means).
+            delta_t = deltas.transpose(1, 0, 2, 3).reshape(
+                cat.shape[0], b, cfg.dim) / k
+            loss = losses.mean()
+        else:
+            emb_t = lookup_fn(cat)
+
+            def loss_fn(dense_params, emb_act):
+                bottom, top = dense_params
+                logits = forward_from_embeddings(bottom, top, cfg, dense,
+                                                 emb_act)
+                return bce_loss(logits, label)
+
+            loss, (dense_grads, delta_t) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(params, emb_t)
         if cfg.pad_idx is None and cfg.combiner == "mean" and cat.ndim == 3:
             delta_t = delta_t / cat.shape[2]
 

@@ -68,7 +68,7 @@ def main():
     ap.add_argument("--device-prefetch", type=int, default=0,
                     help="stage N batches ON DEVICE ahead of the step (hides\nthe host->device upload; 2 is a good start)")
     ap.add_argument("--microbatch", type=int, default=None,
-                    help="gradient accumulation: scan the fwd/bwd over N slices\n(single-chip; pushes batch past the activation HBM limit)")
+                    help="gradient accumulation: scan the fwd/bwd over N slices\n(single-chip or --mesh gather; pushes batch past the\nactivation HBM limit)")
     args = ap.parse_args()
 
     import jax

@@ -352,3 +352,83 @@ def test_a2a_adam_ftrl_matches_single_chip(opt_name, bag, pad):
         np.testing.assert_allclose(np.asarray(got.emb_state.z),
                                    np.asarray(model.emb_state.z),
                                    rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("opt_name,bag", [("adam", None), ("ftrl", 2)])
+def test_sharded_microbatch_matches_monolithic(opt_name, bag):
+    """Sharded gradient accumulation (gather exchange): scanning the
+    lookup + dense fwd/bwd over k slices must match the monolithic sharded
+    step (grouping-independent math: pointwise BCE, mean-of-means loss,
+    1/B per-example delta scale)."""
+    cfg = tiny_cfg(bag=bag)
+    mesh = default_mesh(("data",))
+
+    def build(microbatch):
+        return shard_dlrm(init_dlrm(jax.random.key(0), cfg,
+                                    sparse_opt=make_opt(opt_name)),
+                          mesh, "data", sparse_opt=make_opt(opt_name)), \
+            make_sharded_train_step(cfg, mesh, "data",
+                                    sparse_opt=make_opt(opt_name),
+                                    dense_lr=0.1, jit=False,
+                                    microbatch=microbatch)
+
+    m_mono, step_mono = build(None)
+    m_micro, step_micro = build(4)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    for i in range(2):
+        dense, cat, label = synth_batch(cfg, b=32, seed=40 + i, bag=bag)
+        args = (jax.device_put(dense, sd), jax.device_put(cat, sc),
+                jax.device_put(label, sl))
+        m_mono, loss_a = step_mono(m_mono, *args)
+        m_micro, loss_b = step_micro(m_micro, *args)
+        np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_micro.tables.unshard()),
+                               np.asarray(m_mono.tables.unshard()),
+                               rtol=2e-4, atol=1e-6)
+    for (w1, b1), (wN, bN) in zip(m_mono.bottom + m_mono.top,
+                                  m_micro.bottom + m_micro.top):
+        np.testing.assert_allclose(np.asarray(wN), np.asarray(w1),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_dcn_microbatch_matches_monolithic():
+    from embeddingtables_tpu.models.dcn import DCNConfig, init_dcn
+    from embeddingtables_tpu.parallel.dcn import (make_sharded_dcn_train_step,
+                                                  shard_dcn)
+    cfg = DCNConfig(vocab_sizes=(48, 80), num_dense=4, dim=8, num_cross=2,
+                    cross_rank=None, deep_mlp=(16,),
+                    compute_dtype=jnp.float32)
+    mesh = default_mesh(("data",))
+    opt = lambda: SparseRowWiseAdaGrad(lr=0.2)  # noqa: E731
+
+    def build(microbatch):
+        return shard_dcn(init_dcn(jax.random.key(0), cfg, sparse_opt=opt()),
+                         mesh, "data", sparse_opt=opt()), \
+            make_sharded_dcn_train_step(cfg, mesh, "data", sparse_opt=opt(),
+                                        dense_lr=0.1, jit=False,
+                                        microbatch=microbatch)
+
+    m_mono, step_mono = build(None)
+    m_micro, step_micro = build(2)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    rng = np.random.default_rng(11)
+    dense = rng.normal(size=(16, 4)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, 16).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    label = rng.integers(0, 2, 16).astype(np.float32)
+    args = (jax.device_put(dense, sd), jax.device_put(cat, sc),
+            jax.device_put(label, sl))
+    m_mono, loss_a = step_mono(m_mono, *args)
+    m_micro, loss_b = step_micro(m_micro, *args)
+    np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_micro.tables.unshard()),
+                               np.asarray(m_mono.tables.unshard()),
+                               rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_microbatch_rejects_a2a():
+    cfg = tiny_cfg()
+    mesh = default_mesh(("data",))
+    with pytest.raises(NotImplementedError, match="gather"):
+        make_sharded_train_step(cfg, mesh, "data", exchange="a2a",
+                                microbatch=2)
