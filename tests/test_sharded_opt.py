@@ -432,3 +432,35 @@ def test_sharded_microbatch_rejects_a2a():
     with pytest.raises(NotImplementedError, match="gather"):
         make_sharded_train_step(cfg, mesh, "data", exchange="a2a",
                                 microbatch=2)
+
+
+@pytest.mark.parametrize("opt_name", ["adam", "ftrl"])
+def test_sharded_opt_2d_mesh_matches_single_chip(opt_name):
+    """Adam/FTRL on the 2-D (data x model) mesh: rows owned over the
+    flattened axes, batch sharded over data only — the state exchange must
+    match the single-chip step exactly like the 1-D case."""
+    mesh = default_mesh(("data", "model"), shape=(4, 2))
+    cfg = tiny_cfg()
+    axis = ("data", "model")
+    model = init_dlrm(jax.random.key(0), cfg, sparse_opt=make_opt(opt_name))
+    smodel = shard_dlrm(init_dlrm(jax.random.key(0), cfg,
+                                  sparse_opt=make_opt(opt_name)),
+                        mesh, axis, sparse_opt=make_opt(opt_name))
+    step1 = make_train_step(cfg, sparse_opt=make_opt(opt_name),
+                            dense_lr=0.1, jit=False)
+    stepN = make_sharded_train_step(cfg, mesh, axis,
+                                    sparse_opt=make_opt(opt_name),
+                                    dense_lr=0.1, jit=False)
+    sd, sc, sl = batch_shardings(mesh, axis)
+    for i in range(2):
+        dense, cat, label = synth_batch(cfg, b=32, seed=60 + i)
+        model, loss1 = step1(model, jnp.asarray(dense), jnp.asarray(cat),
+                             jnp.asarray(label))
+        smodel, lossN = stepN(smodel, jax.device_put(dense, sd),
+                              jax.device_put(cat, sc),
+                              jax.device_put(label, sl))
+        np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    got = unshard_dlrm(smodel)
+    np.testing.assert_allclose(np.asarray(got.tables.data),
+                               np.asarray(model.tables.data),
+                               rtol=2e-4, atol=1e-6)
