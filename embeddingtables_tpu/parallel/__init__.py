@@ -1,5 +1,5 @@
 from .colshard import (ColShardedStackedTables, col_sharded_lookup,
-                       col_sharded_update)
+                       col_sharded_update, init_col_row_state)
 from .mesh import default_mesh, local_mesh
 from .planner import (PlannedTables, ShardingPlan, plan_sharding,
                       planned_apply, planned_lookup)

@@ -177,43 +177,88 @@ def col_sharded_lookup(mesh: Mesh, ct: ColShardedStackedTables,
     return out[..., :ct.dim]
 
 
+def init_col_row_state(mesh: Mesh, ct: ColShardedStackedTables, opt):
+    """Fresh optimizer state for a column-sharded stack, placed like the
+    table (the colshard counterpart of `sharded.init_sharded_row_state`):
+
+      - `SparseSGD`: None (stateless).
+      - `SparseRowWiseAdaGrad`: replicated `(V,)` f32 accumulator (rows
+        span all column shards; every device advances the identical copy
+        after the step's psum).
+      - `SparseLazyAdam`: `(m, v, count)` — moments shaped/sharded like
+        `ct.data` (`(n, V, cols_local)` with `P(axis)`; per-coordinate
+        state column-shards cleanly), replicated scalar count.
+      - `SparseFTRL`: `(z, n)` like `ct.data`, solved per column slice
+        from the current weights (`ftrl_init_arrays` is elementwise, so
+        the padded zero columns get z=0/n=initial_accum harmlessly).
+    """
+    from ..optim import SparseFTRL, SparseLazyAdam, ftrl_init_arrays
+    sharding = NamedSharding(mesh, P(ct.axis))
+    if isinstance(opt, SparseLazyAdam):
+        zeros = jax.jit(lambda: jnp.zeros(ct.data.shape, jnp.float32),
+                        out_shardings=sharding)
+        return zeros(), zeros(), jnp.zeros((), jnp.int32)
+    if isinstance(opt, SparseFTRL):
+        def gen(data):
+            s = data.shape
+            z, n_st = ftrl_init_arrays(
+                data.reshape(-1, s[2]), opt.lr, opt.beta, opt.l1,
+                opt.l2, opt.initial_accum)
+            return z.reshape(s), n_st.reshape(s)
+        return jax.jit(gen, out_shardings=(sharding, sharding))(ct.data)
+    if isinstance(opt, SparseRowWiseAdaGrad):
+        return jax.device_put(
+            jnp.full((ct.vocab,), float(opt.initial_accum), jnp.float32),
+            NamedSharding(mesh, P()))
+    return None
+
+
 def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
                        upd: SparseEmbeddingUpdate, opt,
-                       accum: jax.Array | None = None, *,
-                       batch_sharded: bool = True):
-    """Sparse update on a column-sharded table: SGD or row-wise AdaGrad.
+                       accum=None, *, batch_sharded: bool = True):
+    """Sparse update on a column-sharded table: SGD, row-wise AdaGrad,
+    lazy Adam, or FTRL-Proximal.
 
     Each device receives every occurrence's slice of the delta via the
     transposed all_to_all, scatter-accumulates into a dense `(V, cols_local)`
     gradient (the sort-free dedup pass), and writes only its own columns —
-    race-free by column ownership. AdaGrad: the per-row `mean(grad²)` needs
-    the OTHER devices' column contributions, so one `(V,)` psum rides the
-    step (see module docstring for when that is acceptable).
+    race-free by column ownership.
 
-    Returns `new_ct` for SGD (which takes no `accum` — passing one
-    raises), or `(new_ct, new_accum)` for row-wise AdaGrad (`accum` is a
-    REPLICATED `(V,)` f32 array — every device advances the identical
-    full-row accumulator after the psum).
+    Cross-slice row facts ride ONE fused `(V, 2)` psum when needed: the
+    touched mask (a row whose gradient lands entirely in OTHER devices'
+    columns must still advance its state here — single-chip `_touched`
+    semantics) and the full-row sumsq, which serves both `clipnorm` (clip
+    the ACCUMULATED full-row gradient) and AdaGrad's row second moment.
+    Plain unregularized SGD skips the collective entirely. Per-coordinate
+    state (Adam moments, FTRL z/n) column-shards cleanly and advances
+    locally — each branch mirrors its `optim.*_dense_body` exactly (the
+    bodies cannot be called directly because of the mid-body collective;
+    keep them in sync when touching either).
+
+    `accum` per optimizer (see `init_col_row_state`): None for SGD
+    (returns `new_ct`), replicated `(V,)` for AdaGrad, `(m, v, count)`
+    for Adam, `(z, n)` for FTRL (each returns `(new_ct, new_state)`).
     """
-    adagrad = isinstance(opt, SparseRowWiseAdaGrad)
-    if adagrad and accum is None:
-        raise ValueError("row-wise AdaGrad needs accum=(V,) f32")
-    if not isinstance(opt, (SparseSGD, SparseRowWiseAdaGrad)):
+    from ..optim import SparseFTRL, SparseLazyAdam
+    kind = ("adagrad" if isinstance(opt, SparseRowWiseAdaGrad) else
+            "adam" if isinstance(opt, SparseLazyAdam) else
+            "ftrl" if isinstance(opt, SparseFTRL) else
+            "sgd" if isinstance(opt, SparseSGD) else None)
+    if kind is None:
         raise NotImplementedError(type(opt).__name__)
-    if getattr(opt, "weight_decay", 0.0) != 0.0 or \
-            getattr(opt, "clipnorm", None) is not None:
-        raise NotImplementedError(
-            "weight_decay/clipnorm on the column-sharded update need "
-            "full-row norms (an extra (V,) psum each); use row sharding "
-            "for regularized training")
     if getattr(opt, "stochastic_rounding", False):
         raise NotImplementedError(
             "stochastic rounding is not wired into the column-sharded "
             "update (the cast back to storage here is round-to-nearest); "
             "use row sharding for bf16 SR training")
-    if not adagrad and accum is not None:
-        raise ValueError("accum is row-wise-AdaGrad state; SparseSGD "
-                         "takes none (and returns only the table)")
+    if kind == "sgd" and accum is not None:
+        raise ValueError("accum is optimizer state; SparseSGD takes none "
+                         "(and returns only the table)")
+    if kind != "sgd" and accum is None:
+        raise ValueError(f"{type(opt).__name__} needs accum= state "
+                         "(init_col_row_state)")
+    wd = getattr(opt, "weight_decay", 0.0)
+    clip = getattr(opt, "clipnorm", None)
     axis = ct.axis
     n = ct.n_shards
     cols_local = ct.data.shape[2]
@@ -222,7 +267,8 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
     w = (upd.weights if upd.weights is not None
          else jnp.ones(upd.indices.shape, jnp.float32))
 
-    def body(shard, acc, lidx, ldelta, lw):
+    def local_grad(shard, lidx, ldelta, lw):
+        """Dense-grad dedup of this device's column slice (sort-free)."""
         if batch_sharded:
             gidx = jax.lax.all_gather(lidx, axis, tiled=True)
         else:
@@ -249,41 +295,113 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
         if reducing:
             vals = jnp.repeat(vals, gidx.shape[1], axis=0)
         vals = vals * gw.reshape(-1)[:, None]
-        # Dense-grad dedup on the local column slice (sort-free).
-        grad = jnp.zeros(shard[0].shape, jnp.float32).at[flat].add(
+        return jnp.zeros(shard[0].shape, jnp.float32).at[flat].add(
             vals, mode="drop")
-        if not adagrad:
+
+    def row_stats(grad):
+        """(touched, clipped grad, clipped full-row sumsq) via the ONE
+        fused (V, 2) psum of [sumsq, touched]. Pad columns carry zero
+        gradient, so they contribute nothing."""
+        sumsq_local = jnp.square(grad).sum(axis=1)
+        # _touched semantics (any nonzero grad element across ALL columns;
+        # NOT sumsq > 0, which FTZ squaring can miss for tiny grads).
+        touched_local = jnp.any(grad != 0.0, axis=1).astype(jnp.float32)
+        stats = jax.lax.psum(
+            jnp.stack([sumsq_local, touched_local], axis=1), axis)
+        sumsq, touched = stats[:, 0], stats[:, 1] > 0
+        if clip is not None:
+            # optim._clip_rows with the norm from the psum; the row
+            # second moment scales by s**2 without a second collective.
+            norm = jnp.sqrt(sumsq)
+            s = jnp.minimum(1.0, clip / jnp.maximum(norm, 1e-12))
+            grad = grad * s[:, None]
+            sumsq = sumsq * jnp.square(s)
+        return touched, grad, sumsq
+
+    def decay(new, touched):
+        if wd != 0.0:
+            new = new * jnp.where(touched, 1.0 - opt.lr * wd, 1.0)[:, None]
+        return new
+
+    def body(shard, acc, lidx, ldelta, lw):
+        grad = local_grad(shard, lidx, ldelta, lw)
+        if kind == "sgd" and wd == 0.0 and clip is None:
             new = (shard[0].astype(jnp.float32)
                    - opt.lr * grad).astype(shard.dtype)
-            return new[None], acc
-        # Row-wise AdaGrad. This mirrors optim.adagrad_dense_body (same
-        # eps clamp, same touched-row fixed-point rule) with the one
-        # genuine difference that the row second moment needs the OTHER
-        # devices' column contributions — a (V,) psum between the local
-        # grad and the step. The body cannot call the shared helper
-        # directly because of that mid-body collective; keep the two in
-        # sync when touching either.
-        g2_local = jnp.square(grad).sum(axis=1)
-        g2 = jax.lax.psum(g2_local, axis) / ct.dim          # (V,)
-        # _touched semantics (any nonzero grad element across ALL columns;
-        # NOT g2 > 0, which FTZ squaring can miss for tiny grads).
-        touched_local = jnp.any(grad != 0.0, axis=1)
-        touched = jax.lax.psum(touched_local.astype(jnp.int32), axis) > 0
-        new_acc = acc + g2
-        denom = jax.lax.rsqrt(jnp.maximum(new_acc + opt.eps, 1e-30))
-        step = opt.lr * grad * denom[:, None]
-        new = (shard[0].astype(jnp.float32)
-               - jnp.where(touched[:, None], step, 0.0)).astype(shard.dtype)
-        new_acc = jnp.where(touched, new_acc, acc)
-        return new[None], new_acc
+            return (new[None],)
+        touched, grad, sumsq = row_stats(grad)
+        wloc = shard[0].astype(jnp.float32)
+        if kind == "sgd":
+            new = decay(wloc - opt.lr * grad, touched)
+            return (new[None].astype(shard.dtype),)
+        if kind == "adagrad":
+            g2 = sumsq / ct.dim                             # (V,)
+            new_acc = acc + g2
+            denom = jax.lax.rsqrt(jnp.maximum(new_acc + opt.eps, 1e-30))
+            step = opt.lr * grad * denom[:, None]
+            new = decay(wloc - jnp.where(touched[:, None], step, 0.0),
+                        touched)
+            new_acc = jnp.where(touched, new_acc, acc)
+            return new[None].astype(shard.dtype), new_acc
+        if kind == "adam":
+            lm, lv, t_next = acc
+            tmask = touched[:, None]
+            new_m = jnp.where(tmask, opt.b1 * lm[0] + (1 - opt.b1) * grad,
+                              lm[0])
+            new_v = jnp.where(tmask,
+                              opt.b2 * lv[0] + (1 - opt.b2) * grad * grad,
+                              lv[0])
+            tf = t_next.astype(jnp.float32)
+            mhat = new_m / (1 - opt.b1 ** tf)
+            vhat = new_v / (1 - opt.b2 ** tf)
+            step = opt.lr * mhat / (jnp.sqrt(vhat) + opt.eps)
+            new = decay(wloc - jnp.where(tmask, step, 0.0), touched)
+            return (new[None].astype(shard.dtype), new_m[None],
+                    new_v[None])
+        # FTRL-Proximal: per-coordinate closed form with the global
+        # touched mask (zero-grad coordinates of a touched row recompute
+        # to their current value exactly in f32, as on a single chip).
+        lz, ln = acc
+        tmask = touched[:, None]
+        new_n = ln[0] + grad * grad
+        sigma = (jnp.sqrt(new_n) - jnp.sqrt(ln[0])) / opt.lr
+        new_z = jnp.where(tmask, lz[0] + grad - sigma * wloc, lz[0])
+        new_n = jnp.where(tmask, new_n, ln[0])
+        denom = (opt.beta + jnp.sqrt(new_n)) / opt.lr + opt.l2
+        w_new = jnp.where(jnp.abs(new_z) > opt.l1,
+                          -(new_z - jnp.sign(new_z) * opt.l1) / denom, 0.0)
+        new = jnp.where(tmask, w_new, wloc)
+        return (new[None].astype(shard.dtype), new_z[None], new_n[None])
 
     spec = P(axis) if batch_sharded else P()
-    if adagrad:
+    if kind == "adagrad":
         new_data, new_acc = jax.shard_map(
             body, mesh=mesh, in_specs=(P(axis), P(), spec, spec, spec),
             out_specs=(P(axis), P()))(ct.data, accum, upd.indices,
                                       upd.delta, w)
         return dataclasses.replace(ct, data=new_data), new_acc
+    if kind == "adam":
+        m, v, count = accum
+        t_next = count + 1
+        new_data, new_m, new_v = jax.shard_map(
+            lambda shard, lm, lv, lidx, ldelta, lw: body(
+                shard, (lm, lv, t_next), lidx, ldelta, lw),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), spec, spec, spec),
+            out_specs=(P(axis), P(axis), P(axis)))(
+                ct.data, m, v, upd.indices, upd.delta, w)
+        return (dataclasses.replace(ct, data=new_data),
+                (new_m, new_v, t_next))
+    if kind == "ftrl":
+        z, n_state = accum
+        new_data, new_z, new_n = jax.shard_map(
+            lambda shard, lz, ln, lidx, ldelta, lw: body(
+                shard, (lz, ln), lidx, ldelta, lw),
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), spec, spec, spec),
+            out_specs=(P(axis), P(axis), P(axis)))(
+                ct.data, z, n_state, upd.indices, upd.delta, w)
+        return (dataclasses.replace(ct, data=new_data), (new_z, new_n))
     new_data = jax.shard_map(
         lambda shard, lidx, ldelta, lw: body(shard, None, lidx, ldelta,
                                              lw)[0],

@@ -153,8 +153,6 @@ def test_col_sharded_weighted_update_and_guards():
     exp = sgd_update(data, upd, 0.5)
     np.testing.assert_allclose(np.asarray(new_ct.unshard()),
                                np.asarray(exp), rtol=2e-5, atol=1e-6)
-    with pytest.raises(NotImplementedError, match="weight_decay"):
-        col_sharded_update(mesh, ct, upd, SparseSGD(0.5, weight_decay=0.1))
     with pytest.raises(ValueError, match="accum"):
         col_sharded_update(mesh, ct, upd, SparseRowWiseAdaGrad(lr=0.1))
 
@@ -187,7 +185,7 @@ def test_col_sharded_guard_matrix():
     ct = ColShardedStackedTables.shard(mesh, "x", data)
     upd = SparseEmbeddingUpdate(
         delta=jnp.zeros((B, 16)), indices=jnp.zeros((B,), jnp.int32))
-    with pytest.raises(ValueError, match="accum is row-wise-AdaGrad"):
+    with pytest.raises(ValueError, match="accum is optimizer state"):
         col_sharded_update(mesh, ct, upd, SparseSGD(0.1),
                            jnp.zeros((V,), jnp.float32))
     with pytest.raises(NotImplementedError, match="stochastic"):
@@ -259,3 +257,98 @@ def test_col_sharded_update_with_padded_lazy_weights():
     exp = sgd_update(data, upd, 0.5)
     np.testing.assert_allclose(np.asarray(new_ct.unshard()),
                                np.asarray(exp), rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("opt_name", ["sgd_reg", "adagrad_reg", "adam",
+                                      "adam_reg", "ftrl"])
+def test_col_sharded_optimizers_match_single_chip(opt_name):
+    """Round-2 colshard closure: regularized SGD/AdaGrad (full-row clip +
+    lazy decay via the fused (V, 2) psum) and per-coordinate Adam/FTRL
+    state (column-sharded moments / z-n) all match the single-chip
+    optimizer over multiple steps — including occurrences whose gradient
+    lands entirely in other devices' columns (global touched mask)."""
+    from embeddingtables_tpu.optim import SparseFTRL, SparseLazyAdam
+    from embeddingtables_tpu.parallel.colshard import init_col_row_state
+    opt = {
+        "sgd_reg": lambda: SparseSGD(0.3, weight_decay=0.02, clipnorm=0.5),
+        "adagrad_reg": lambda: SparseRowWiseAdaGrad(
+            lr=0.3, weight_decay=0.02, clipnorm=0.5),
+        "adam": lambda: SparseLazyAdam(lr=0.05),
+        "adam_reg": lambda: SparseLazyAdam(lr=0.05, weight_decay=0.01,
+                                           clipnorm=1.0),
+        "ftrl": lambda: SparseFTRL(lr=0.2, l1=0.002, l2=0.01),
+    }[opt_name]()
+    rng = np.random.default_rng(hash(opt_name) % 2**31)
+    dim = 24   # not divisible by 8: exercises the padded column slices
+    data = jnp.asarray(rng.standard_normal((V, dim)).astype(np.float32))
+    mesh = mesh1d()
+    ct = ColShardedStackedTables.shard(mesh, "x", data)
+    state_c = init_col_row_state(mesh, ct, opt)
+    data_1 = data
+    state_1 = opt.init(data)
+    for i in range(3):
+        idx = rng.integers(0, V, (B, BAG)).astype(np.int32)
+        delta = rng.standard_normal((B, dim)).astype(np.float32)
+        upd = SparseEmbeddingUpdate(delta=jnp.asarray(delta),
+                                    indices=jnp.asarray(idx))
+        data_1, state_1 = opt.apply(data_1, upd, state_1)
+        upd_c = SparseEmbeddingUpdate(
+            delta=put_batch(mesh, jnp.asarray(delta)),
+            indices=put_batch(mesh, jnp.asarray(idx)))
+        if isinstance(opt, SparseSGD):
+            ct = col_sharded_update(mesh, ct, upd_c, opt)
+        else:
+            ct, state_c = col_sharded_update(mesh, ct, upd_c, opt,
+                                             state_c)
+    np.testing.assert_allclose(np.asarray(ct.unshard()),
+                               np.asarray(data_1), rtol=2e-4, atol=1e-6)
+    if isinstance(opt, SparseRowWiseAdaGrad):
+        np.testing.assert_allclose(np.asarray(state_c),
+                                   np.asarray(state_1.accum),
+                                   rtol=2e-4, atol=1e-7)
+    elif isinstance(opt, SparseLazyAdam):
+        m, v, count = state_c
+        n = ct.n_shards
+        cl = ct.data.shape[2]
+        m_full = np.asarray(m).transpose(1, 0, 2).reshape(V, n * cl)[:, :dim]
+        np.testing.assert_allclose(m_full, np.asarray(state_1.m),
+                                   rtol=2e-4, atol=1e-7)
+        assert int(count) == 3
+    elif isinstance(opt, SparseFTRL):
+        z, n_st = state_c
+        n = ct.n_shards
+        cl = ct.data.shape[2]
+        z_full = np.asarray(z).transpose(1, 0, 2).reshape(V, n * cl)[:, :dim]
+        np.testing.assert_allclose(z_full, np.asarray(state_1.z),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_col_sharded_cross_slice_touched():
+    """A gradient that is nonzero ONLY in device 0's columns must still
+    advance the full-row state everywhere (global touched via the psum)."""
+    from embeddingtables_tpu.optim import SparseLazyAdam
+    from embeddingtables_tpu.parallel.colshard import init_col_row_state
+    opt = SparseLazyAdam(lr=0.1)
+    dim = 16   # cols_local = 2 per device on the 8-mesh
+    data = jnp.ones((V, dim), jnp.float32)
+    mesh = mesh1d()
+    ct = ColShardedStackedTables.shard(mesh, "x", data)
+    state = init_col_row_state(mesh, ct, opt)
+    delta = np.zeros((B, dim), np.float32)
+    delta[:, 0] = 1.0   # gradient only in the first column (device 0)
+    idx = np.full((B,), 7, np.int32)
+    upd = SparseEmbeddingUpdate(delta=put_batch(mesh, jnp.asarray(delta)),
+                                indices=put_batch(mesh, jnp.asarray(idx)))
+    ct2, state2 = col_sharded_update(mesh, ct, upd, opt, state)
+    d1, s1 = opt.init(data), None
+    d1, s1 = opt.apply(data, SparseEmbeddingUpdate(
+        delta=jnp.asarray(delta), indices=jnp.asarray(idx)),
+        opt.init(data))
+    np.testing.assert_allclose(np.asarray(ct2.unshard()), np.asarray(d1),
+                               rtol=1e-5, atol=1e-6)
+    # Row 7's moments advanced in EVERY column slice (decay applies to the
+    # whole touched row, as on a single chip).
+    m, v, count = state2
+    m_full = np.asarray(m).transpose(1, 0, 2).reshape(
+        V, -1)[:, :dim]
+    np.testing.assert_allclose(m_full, np.asarray(s1.m), atol=1e-7)
