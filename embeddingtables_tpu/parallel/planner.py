@@ -525,12 +525,172 @@ def _col_group_stream(pt: PlannedTables, idx_list, combiner, pad_idx):
     return shifted, w
 
 
+def _col_reshard(mesh: Mesh, ct: ColShardedStackedTables, x: jax.Array):
+    """Place a per-coordinate `(V_c, D)` state buffer in the col group's
+    layout (`(n, V_c, cols_local)` with `P(axis)` — same transform as
+    `ColShardedStackedTables.shard`)."""
+    n, vc, cl = ct.data.shape
+    x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, n * cl - x.shape[1])))
+    x = x.reshape(vc, n, cl).transpose(1, 0, 2)
+    return jax.device_put(x, NamedSharding(mesh, P(ct.axis)))
+
+
+def planned_row_state(mesh: Mesh, pt: PlannedTables, sparse_opt, *,
+                      state=None, offsets=None):
+    """`(repl_accum, shard_accum, col_accum)` for ANY sparse optimizer —
+    the planner counterpart of `sharded.init_sharded_row_state` /
+    `colshard.init_col_row_state`, covering all three placements at once.
+
+    Fresh state when `state` is None; otherwise `state` is the single-chip
+    optimizer state over the ORIGINAL stacked ensemble (`SparseOptState` /
+    `SparseAdamState` / `SparseFTRLState`) with per-table row `offsets`,
+    and each group receives its tables' slices (the resume path).
+
+    Layouts: AdaGrad keeps the historical raw arrays — replicated `(V_r,)`
+    / mod-sharded `(n, rows_local)` / replicated `(V_c,)`. Adam is
+    `(m, v, count)` per group (replicated `(V_r, D)` buffers; mod-sharded
+    `(n, rows_local, D)`; col-sharded `(n, V_c, cols_local)`); FTRL is
+    `(z, n)` likewise. SGD gets the structural placeholders. Groups the
+    plan does not use keep their zero-size placeholders regardless."""
+    from ..optim import (SparseAdamState, SparseFTRL, SparseFTRLState,
+                         SparseLazyAdam, ftrl_init_arrays)
+    from .colshard import init_col_row_state
+    from .sharded import (init_sharded_row_state, shard_adam_state,
+                          shard_ftrl_state)
+    repl_sh = NamedSharding(mesh, P())
+    vr = pt.repl.shape[0]
+    vc = pt.col.vocab if pt.col is not None else 0
+
+    def group_cat(x, table_ids):
+        """Concatenate one vocab-leading state buffer's per-table slices
+        in group order."""
+        if not table_ids:
+            return x[:0]
+        return jnp.concatenate([x[offsets[t]:offsets[t + 1]]
+                                for t in table_ids], axis=0)
+
+    if isinstance(sparse_opt, SparseLazyAdam):
+        # Every buffer below must be DISTINCT — donated train steps alias
+        # each pytree leaf to an output, and two leaves sharing one buffer
+        # (e.g. one `count` array referenced by all three groups, or
+        # m-is-v zeros) is a donation conflict at execute time.
+        def fresh_count():
+            return (jnp.array(state.count, jnp.int32) if state is not None
+                    else jnp.zeros((), jnp.int32))
+        count = fresh_count()
+        if state is not None:
+            m_r = group_cat(state.m, pt.repl_tables)
+            v_r = group_cat(state.v, pt.repl_tables)
+        else:
+            m_r = jnp.zeros((vr, pt.dim), jnp.float32)
+            v_r = jnp.zeros((vr, pt.dim), jnp.float32)
+        repl_acc = (jax.device_put(m_r.astype(jnp.float32), repl_sh),
+                    jax.device_put(v_r.astype(jnp.float32), repl_sh),
+                    count)
+        if pt.shard is not None:
+            if state is not None:
+                shard_acc = shard_adam_state(mesh, pt.shard, SparseAdamState(
+                    m=group_cat(state.m, pt.shard_tables),
+                    v=group_cat(state.v, pt.shard_tables),
+                    count=fresh_count()))
+            else:
+                from .sharded import init_sharded_adam_state
+                shard_acc = init_sharded_adam_state(mesh, pt.shard)
+        else:
+            shard_acc = pt.shard_accum
+        if pt.col is not None:
+            if state is not None:
+                col_acc = (_col_reshard(mesh, pt.col,
+                                        group_cat(state.m, pt.col_tables)),
+                           _col_reshard(mesh, pt.col,
+                                        group_cat(state.v, pt.col_tables)),
+                           fresh_count())
+            else:
+                col_acc = init_col_row_state(mesh, pt.col, sparse_opt)
+        else:
+            col_acc = pt.col_accum
+        return repl_acc, shard_acc, col_acc
+
+    if isinstance(sparse_opt, SparseFTRL):
+        if state is not None:
+            z_r = group_cat(state.z, pt.repl_tables)
+            n_r = group_cat(state.n, pt.repl_tables)
+        elif vr:
+            z_r, n_r = ftrl_init_arrays(pt.repl, sparse_opt.lr,
+                                        sparse_opt.beta, sparse_opt.l1,
+                                        sparse_opt.l2,
+                                        sparse_opt.initial_accum)
+        else:
+            z_r = jnp.zeros((0, pt.dim), jnp.float32)
+            n_r = jnp.zeros((0, pt.dim), jnp.float32)
+        repl_acc = (jax.device_put(z_r.astype(jnp.float32), repl_sh),
+                    jax.device_put(n_r.astype(jnp.float32), repl_sh))
+        if pt.shard is not None:
+            if state is not None:
+                shard_acc = shard_ftrl_state(mesh, pt.shard, SparseFTRLState(
+                    z=group_cat(state.z, pt.shard_tables),
+                    n=group_cat(state.n, pt.shard_tables)))
+            else:
+                from .sharded import init_sharded_ftrl_state
+                shard_acc = init_sharded_ftrl_state(mesh, pt.shard,
+                                                    sparse_opt)
+        else:
+            shard_acc = pt.shard_accum
+        if pt.col is not None:
+            if state is not None:
+                col_acc = (_col_reshard(mesh, pt.col,
+                                        group_cat(state.z, pt.col_tables)),
+                           _col_reshard(mesh, pt.col,
+                                        group_cat(state.n, pt.col_tables)))
+            else:
+                col_acc = init_col_row_state(mesh, pt.col, sparse_opt)
+        else:
+            col_acc = pt.col_accum
+        return repl_acc, shard_acc, col_acc
+
+    if isinstance(sparse_opt, SparseRowWiseAdaGrad):
+        iv = float(sparse_opt.initial_accum)
+        if state is not None and state.accum.size:
+            repl_acc = group_cat(state.accum, pt.repl_tables)
+        else:
+            repl_acc = jnp.full((vr,), iv, jnp.float32)
+        repl_acc = jax.device_put(repl_acc.astype(jnp.float32), repl_sh)
+        if pt.shard is not None:
+            if state is not None and state.accum.size:
+                from ..optim import SparseOptState
+                from .sharded import shard_row_accum
+                shard_acc = shard_row_accum(
+                    mesh, pt.shard.axes, pt.shard,
+                    SparseOptState(accum=group_cat(state.accum,
+                                                   pt.shard_tables)),
+                    sparse_opt)
+            else:
+                from .sharded import init_sharded_row_state as _isrs
+                shard_acc = _isrs(mesh, pt.shard, sparse_opt)
+        else:
+            shard_acc = pt.shard_accum
+        if pt.col is not None:
+            if state is not None and state.accum.size:
+                col_acc = group_cat(state.accum, pt.col_tables)
+            else:
+                col_acc = jnp.full((vc,), iv, jnp.float32)
+            col_acc = jax.device_put(col_acc.astype(jnp.float32), repl_sh)
+        else:
+            col_acc = pt.col_accum
+        return repl_acc, shard_acc, col_acc
+
+    # Stateless SGD: the structural placeholders.
+    return (jnp.zeros((0,), jnp.float32), pt.shard_accum,
+            jnp.zeros((0,), jnp.float32))
+
+
 def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
                   delta_t: jax.Array, sparse_opt, *,
                   combiner: str = "sum",
                   pad_idx: int | None = None) -> PlannedTables:
     """Apply the lazy ensemble update `(delta_t (T, B, dim), indices)` per
-    the plan, advancing AdaGrad state where present.
+    the plan, advancing optimizer state (AdaGrad accumulators, Adam
+    moments, FTRL z/n — `planned_row_state`'s layouts) where present.
 
     Sharded group: `_sharded_sparse_apply` (all-gather the occurrence
     stream, disjoint-ownership scatter — one write per owned row).
@@ -543,11 +703,19 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
     valid bag mass with combiner='mean'), so they never touch table rows
     or optimizer state; without pad_idx, combiner is the caller's problem
     (legacy contract: deltas pre-scaled by 1/bag for mean)."""
-    if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
+    from ..optim import SparseFTRL, SparseLazyAdam
+    if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad,
+                                   SparseLazyAdam, SparseFTRL)):
         raise NotImplementedError(
-            f"planned_apply supports SparseSGD / SparseRowWiseAdaGrad, got "
+            f"planned_apply supports SparseSGD / SparseRowWiseAdaGrad / "
+            f"SparseLazyAdam / SparseFTRL, got "
             f"{type(sparse_opt).__name__}")
+    if getattr(sparse_opt, "stochastic_rounding", False):
+        raise NotImplementedError(
+            "stochastic rounding is not wired into the planned update")
     adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
+    adam = isinstance(sparse_opt, SparseLazyAdam)
+    ftrl = isinstance(sparse_opt, SparseFTRL)
     idx_list = normalize_indices(indices, pt.ntables)
     # Keep the ORIGINAL stream for _col_group_stream (it detects pads
     # itself; handing it the remapped ids would erase the mask — the
@@ -590,6 +758,22 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
             new_repl, new_repl_acc = adagrad_dense_body(
                 pt.repl, pt.repl_accum, rows, g, sparse_opt.lr,
                 sparse_opt.eps, sparse_opt.weight_decay, sparse_opt.clipnorm)
+        elif adam:
+            from ..optim import adam_dense_body
+            m_r, v_r, count = pt.repl_accum
+            t_next = count + 1
+            new_repl, new_m, new_v = adam_dense_body(
+                pt.repl, m_r, v_r, t_next, rows, g, sparse_opt.lr,
+                sparse_opt.b1, sparse_opt.b2, sparse_opt.eps,
+                sparse_opt.weight_decay, sparse_opt.clipnorm)
+            new_repl_acc = (new_m, new_v, t_next)
+        elif ftrl:
+            from ..optim import ftrl_dense_body
+            z_r, n_r = pt.repl_accum
+            new_repl, new_z, new_n = ftrl_dense_body(
+                pt.repl, z_r, n_r, rows, g, sparse_opt.lr, sparse_opt.beta,
+                sparse_opt.l1, sparse_opt.l2, sparse_opt.clipnorm)
+            new_repl_acc = (new_z, new_n)
         else:
             from ..optim import sgd_dense_body
             new_repl = sgd_dense_body(pt.repl, rows, g, sparse_opt.lr,
@@ -623,11 +807,11 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
                  jnp.swapaxes(eff, 0, 1).reshape(flat.shape))
         upd = SparseEmbeddingUpdate(delta=dflat, indices=flat,
                                     weights=wflat)
-        if adagrad:
+        if isinstance(sparse_opt, SparseSGD):
+            new_col = col_sharded_update(mesh, pt.col, upd, sparse_opt)
+        else:
             new_col, new_col_acc = col_sharded_update(
                 mesh, pt.col, upd, sparse_opt, pt.col_accum)
-        else:
-            new_col = col_sharded_update(mesh, pt.col, upd, sparse_opt)
 
     return dataclasses.replace(pt, repl=new_repl, repl_accum=new_repl_acc,
                                shard=new_shard, shard_accum=new_shard_acc,
@@ -662,12 +846,9 @@ def init_planned_dlrm(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
     kd, ke = jax.random.split(key)
     pt = PlannedTables.init(ke, plan, mesh, dtype=cfg.param_dtype,
                             adagrad=adagrad)
-    if adagrad and float(getattr(sparse_opt, "initial_accum", 0.0)):
-        iv = float(sparse_opt.initial_accum)
-        pt = dataclasses.replace(
-            pt,
-            repl_accum=jnp.full_like(pt.repl_accum, iv),
-            shard_accum=jnp.full_like(pt.shard_accum, iv))
+    ra, sa, ca = planned_row_state(mesh, pt, sparse_opt)
+    pt = dataclasses.replace(pt, repl_accum=ra, shard_accum=sa,
+                             col_accum=ca)
     repl = NamedSharding(mesh, P())
     kb, kt = jax.random.split(kd)
     bottom = jax.device_put(
@@ -692,10 +873,8 @@ def make_planned_train_step(cfg, mesh: Mesh, sparse_opt=None,
     own placement (the plan's axis), so there is no separate axis knob."""
     from ..models.dlrm import bce_loss, forward_from_embeddings
     sparse_opt = sparse_opt or SparseSGD()
-    if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
-        raise NotImplementedError(
-            f"planned train step supports SparseSGD / SparseRowWiseAdaGrad, "
-            f"got {type(sparse_opt).__name__}")
+    from .dlrm import _check_sharded_opt
+    _check_sharded_opt(sparse_opt)
 
     pad = getattr(cfg, "pad_idx", None)
 
@@ -898,11 +1077,9 @@ def init_planned_dcn(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
     kd, ke = jax.random.split(key)
     pt = PlannedTables.init(ke, plan, mesh, dtype=cfg.param_dtype,
                             adagrad=adagrad)
-    if adagrad and float(getattr(sparse_opt, "initial_accum", 0.0)):
-        iv = float(sparse_opt.initial_accum)
-        pt = dataclasses.replace(
-            pt, repl_accum=jnp.full_like(pt.repl_accum, iv),
-            shard_accum=jnp.full_like(pt.shard_accum, iv))
+    ra, sa, ca = planned_row_state(mesh, pt, sparse_opt)
+    pt = dataclasses.replace(pt, repl_accum=ra, shard_accum=sa,
+                             col_accum=ca)
     repl = NamedSharding(mesh, P())
     cross, deep, head = init_dense_params(kd, cfg)
     cross = jax.device_put(cross, repl)
@@ -922,10 +1099,8 @@ def make_planned_dcn_train_step(cfg, mesh: Mesh, sparse_opt=None,
     from ..models.dcn import forward_from_embeddings
     from ..models.dlrm import bce_loss
     sparse_opt = sparse_opt or SparseSGD()
-    if not isinstance(sparse_opt, (SparseSGD, SparseRowWiseAdaGrad)):
-        raise NotImplementedError(
-            f"planned DCN step supports SparseSGD / SparseRowWiseAdaGrad, "
-            f"got {type(sparse_opt).__name__}")
+    from .dlrm import _check_sharded_opt
+    _check_sharded_opt(sparse_opt)
 
     pad = getattr(cfg, "pad_idx", None)
 
@@ -982,15 +1157,17 @@ def place_stacked_on_plan(plan: ShardingPlan, mesh: Mesh, stacked,
     """Place a trained `StackedTables` (+ its sparse-optimizer state) onto
     a plan — the shared resume path for `train_dlrm(plan=)` and
     `train_dcn(plan=)` (one copy of the offsets/accum-carry logic)."""
-    adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
     offs = stacked.offsets
     arrs = [stacked.data[offs[t]:offs[t + 1]] for t in range(len(offs) - 1)]
-    accums = None
-    if adagrad and emb_state is not None and emb_state.accum.size:
-        acc = emb_state.accum
-        accums = [acc[offs[t]:offs[t + 1]] for t in range(len(offs) - 1)]
-    return PlannedTables.from_tables(plan, mesh, arrs, adagrad=adagrad,
-                                     accums=accums)
+    pt = PlannedTables.from_tables(plan, mesh, arrs)
+    has_state = (emb_state is not None
+                 and any(getattr(x, "size", 1)
+                         for x in jax.tree_util.tree_leaves(emb_state)))
+    ra, sa, ca = planned_row_state(
+        mesh, pt, sparse_opt,
+        state=emb_state if has_state else None, offsets=offs)
+    return dataclasses.replace(pt, repl_accum=ra, shard_accum=sa,
+                               col_accum=ca)
 
 
 def hotness_from_trackers(trackers) -> list:
@@ -1049,9 +1226,18 @@ def evict_rows_planned(pt: PlannedTables, cold_per_table) -> PlannedTables:
         if rows.size:
             r = jnp.asarray(rows, jnp.int32)
             repl = evict_rows(pt.repl, r)
-            acc = pt.repl_accum
-            if acc.size:
-                acc = acc.at[r].set(0.0, mode="drop")
+            vr = pt.repl.shape[0]
+
+            def _reset_repl(x):
+                # Vocab-leading state buffers ((V_r,) accum, (V_r, D)
+                # Adam/FTRL) reset at the evicted rows; scalars (Adam
+                # count) and placeholders pass through.
+                if (hasattr(x, "ndim") and x.ndim >= 1
+                        and x.shape[0] == vr and vr):
+                    return x.at[r].set(0.0, mode="drop")
+                return x
+
+            acc = jax.tree_util.tree_map(_reset_repl, pt.repl_accum)
             new = dataclasses.replace(new, repl=repl, repl_accum=acc)
     if pt.shard_tables:
         rows = np.concatenate(
@@ -1067,12 +1253,25 @@ def evict_rows_planned(pt: PlannedTables, cold_per_table) -> PlannedTables:
              for j, t in enumerate(pt.col_tables)])
         if rows.size:
             r = jnp.asarray(rows, jnp.int32)
-            # Zero the evicted rows across every column shard (+ the
-            # replicated accumulator entries).
+            # Zero the evicted rows across every column shard (+ their
+            # optimizer-state entries).
             cdata = pt.col.data.at[:, r, :].set(0.0, mode="drop")
-            cacc = pt.col_accum
-            if cacc.size:
-                cacc = cacc.at[r].set(0.0, mode="drop")
+            vc = pt.col.vocab
+            nsh = pt.col.n_shards
+
+            def _reset_col(x):
+                # (V_c,) replicated accum, or (n, V_c, cols_local)
+                # col-sharded Adam/FTRL buffers; scalars pass through.
+                if not hasattr(x, "ndim"):
+                    return x
+                if x.ndim == 1 and x.shape[0] == vc and vc:
+                    return x.at[r].set(0.0, mode="drop")
+                if (x.ndim == 3 and x.shape[0] == nsh
+                        and x.shape[1] == vc and vc):
+                    return x.at[:, r, :].set(0.0, mode="drop")
+                return x
+
+            cacc = jax.tree_util.tree_map(_reset_col, pt.col_accum)
             new = dataclasses.replace(
                 new, col=dataclasses.replace(pt.col, data=cdata),
                 col_accum=cacc)

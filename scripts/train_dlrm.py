@@ -152,7 +152,8 @@ def main():
             plan = plan_sharding(
                 vocabs, args.dim, mesh,
                 hotness=[float(args.bag or 1)] * args.tables,
-                opt_state_scalars=1 if args.opt == "adagrad" else 0)
+                opt_state_scalars={"adagrad": 1, "adam": 2 * args.dim,
+                                   "ftrl": 2 * args.dim}.get(args.opt, 0))
             print(plan.summary(), flush=True)
 
     reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
@@ -162,13 +163,6 @@ def main():
            "ftrl": lambda: SparseFTRL(lr=args.lr, l1=args.l1,
                                       l2=args.weight_decay,
                                       clipnorm=args.clipnorm)}[args.opt]()
-    if args.opt in ("adam", "ftrl") and args.auto_shard:
-        # Both mesh exchanges take all four optimizers; the planner's
-        # mixed placements implement SGD/AdaGrad only
-        # (planner.planned_apply).
-        raise SystemExit(f"--opt {args.opt} is not supported with "
-                         "--auto-shard (planner placements are "
-                         "sgd/adagrad)")
     mgr = CheckpointManager(args.ckpt) if args.ckpt else None
 
     print(f"backend={jax.default_backend()} devices={jax.device_count()} "
