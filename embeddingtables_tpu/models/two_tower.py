@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..ops.ensemble import StackedTables
 from ..ops.lookup import lookup
 from ..ops.sparse_update import SparseEmbeddingUpdate
-from ..optim import SparseOptState, SparseSGD
+from ..optim import SparseSGD
 from ..tables import SimpleEmbedding
 from .dlrm import _init_mlp, _mlp
 
@@ -58,8 +58,10 @@ class TwoTower:
     item_table: SimpleEmbedding      # (item_vocab, dim)
     query_mlp: list
     item_mlp: list
-    q_state: SparseOptState
-    i_state: SparseOptState
+    # Sparse-optimizer state per table (whatever sparse_opt.init returns:
+    # SparseOptState / SparseAdamState / SparseFTRLState).
+    q_state: object
+    i_state: object
     config: TwoTowerConfig = dataclasses.field(metadata=dict(static=True))
 
 

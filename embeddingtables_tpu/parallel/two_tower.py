@@ -176,22 +176,12 @@ class ShardedTwoTower:
     item_table: "ShardedStackedTables"
     query_mlp: list
     item_mlp: list
-    q_accum: jax.Array       # (n_shards, rows_local) f32, or (n_shards, 0)
-    i_accum: jax.Array
+    # Sharded sparse-optimizer state per table (shard_row_accum's layout:
+    # (n_shards, rows_local) accumulator / (n, 0) placeholder / Adam
+    # (m, v, count) tuple / FTRL (z, n) tuple).
+    q_accum: object
+    i_accum: object
     config: object = dataclasses.field(metadata=dict(static=True))
-
-
-def _shard_accum(mesh: Mesh, axes, accum: jax.Array, n: int,
-                 rows_local: int) -> jax.Array:
-    """Mod-shard a `(ΣV,)` per-row accumulator exactly like the table rows:
-    global row r -> (r % n, r // n)."""
-    if accum.shape[0] == 0:
-        return jax.device_put(jnp.zeros((n, 0), jnp.float32),
-                              NamedSharding(mesh, P(axes)))
-    v_pad = n * rows_local
-    acc = jnp.pad(accum, (0, v_pad - accum.shape[0]))
-    acc = acc.reshape(rows_local, n).T
-    return jax.device_put(acc, NamedSharding(mesh, P(axes)))
 
 
 def shard_two_tower(model: TwoTower, mesh: Mesh, axis="data",
@@ -200,20 +190,19 @@ def shard_two_tower(model: TwoTower, mesh: Mesh, axis="data",
     mod-shard both tables and their row state). `axis` may be an axis tuple
     for the 2-D (data x model) decomposition."""
     from ..optim import SparseSGD
-    from .sharded import ShardedStackedTables, _axes_tuple
+    from .sharded import ShardedStackedTables, shard_row_accum
     sparse_opt = sparse_opt or SparseSGD(0.05)
     st_q = ShardedStackedTables.shard(mesh, axis, model.query_tables)
     st_i = ShardedStackedTables.shard(mesh, axis, model.item_table)
-    axes = _axes_tuple(axis)
     repl = NamedSharding(mesh, P())
-    nq, rq, _ = st_q.data.shape
-    ni, ri, _ = st_i.data.shape
     return ShardedTwoTower(
         query_tables=st_q, item_table=st_i,
         query_mlp=jax.device_put(model.query_mlp, repl),
         item_mlp=jax.device_put(model.item_mlp, repl),
-        q_accum=_shard_accum(mesh, axes, model.q_state.accum, nq, rq),
-        i_accum=_shard_accum(mesh, axes, model.i_state.accum, ni, ri),
+        q_accum=shard_row_accum(mesh, axis, st_q, model.q_state,
+                                sparse_opt),
+        i_accum=shard_row_accum(mesh, axis, st_i, model.i_state,
+                                sparse_opt),
         config=model.config)
 
 
@@ -247,8 +236,9 @@ def make_sharded_tt_train_step(cfg, mesh: Mesh, axis="data", sparse_opt=None,
     """
     from ..models.two_tower import in_batch_softmax_loss
     from ..optim import SparseSGD
-    from .dlrm import _sharded_sparse_apply
+    from .dlrm import _check_sharded_opt, _sharded_sparse_apply
     sparse_opt = sparse_opt or SparseSGD(0.05)
+    _check_sharded_opt(sparse_opt)
     t = cfg.num_query_tables
 
     def step(model: ShardedTwoTower, dense, q_cat, item_ids):
@@ -293,21 +283,15 @@ def unshard_two_tower(model: ShardedTwoTower) -> TwoTower:
     """Dense single-chip view (checkpoint export / test oracle)."""
     from ..models.two_tower import TwoTower as TT
     from ..ops.ensemble import StackedTables
-    from ..optim import SparseOptState
     from ..tables import SimpleEmbedding
 
-    def unshard_acc(acc, vocab):
-        if acc.shape[1] == 0:
-            return jnp.zeros((0,), jnp.float32)
-        n, rows = acc.shape
-        return acc.T.reshape(n * rows)[:vocab]
-
+    from .sharded import unshard_row_state
     st_q, st_i = model.query_tables, model.item_table
     return TT(
         query_tables=StackedTables(data=st_q.unshard(), offsets=st_q.offsets,
                                    dim=st_q.dim),
         item_table=SimpleEmbedding(st_i.unshard()),
         query_mlp=model.query_mlp, item_mlp=model.item_mlp,
-        q_state=SparseOptState(accum=unshard_acc(model.q_accum, st_q.vocab)),
-        i_state=SparseOptState(accum=unshard_acc(model.i_accum, st_i.vocab)),
+        q_state=unshard_row_state(st_q, model.q_accum),
+        i_state=unshard_row_state(st_i, model.i_accum),
         config=model.config)

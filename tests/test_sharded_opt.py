@@ -464,3 +464,51 @@ def test_sharded_opt_2d_mesh_matches_single_chip(opt_name):
     np.testing.assert_allclose(np.asarray(got.tables.data),
                                np.asarray(model.tables.data),
                                rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_two_tower_adam_matches_single_chip():
+    """Two-tower rides the same state plumbing: shard_row_accum places the
+    Adam moments for both tables, the contrastive step advances them, and
+    unshard_two_tower round-trips the SparseAdamState."""
+    from embeddingtables_tpu.models.two_tower import (TwoTowerConfig,
+                                                      init_two_tower,
+                                                      make_train_step as
+                                                      tt_step)
+    from embeddingtables_tpu.parallel.two_tower import (
+        make_sharded_tt_train_step, shard_two_tower, tt_batch_shardings,
+        unshard_two_tower)
+    cfg = TwoTowerConfig(query_vocab_sizes=(48, 64), item_vocab=96,
+                         num_dense=3, dim=8, embed_dim=8,
+                         query_mlp=(16, 8), item_mlp=(16, 8))
+    mesh = default_mesh(("data",))
+    opt = lambda: SparseLazyAdam(lr=0.05)  # noqa: E731
+    model = init_two_tower(jax.random.key(0), cfg, sparse_opt=opt())
+    smodel = shard_two_tower(init_two_tower(jax.random.key(0), cfg,
+                                            sparse_opt=opt()),
+                             mesh, "data", sparse_opt=opt())
+    step1 = tt_step(cfg, sparse_opt=opt(), dense_lr=0.1, jit=False)
+    stepN = make_sharded_tt_train_step(cfg, mesh, "data", sparse_opt=opt(),
+                                       dense_lr=0.1, jit=False)
+    sd, sq, si = tt_batch_shardings(mesh)
+    rng = np.random.default_rng(23)
+    for i in range(2):
+        dense = rng.normal(size=(16, 3)).astype(np.float32)
+        q_cat = np.stack([rng.integers(0, v, 16).astype(np.int32)
+                          for v in cfg.query_vocab_sizes])
+        items = rng.permutation(cfg.item_vocab)[:16].astype(np.int32)
+        model, (loss1, _) = step1(model, jnp.asarray(dense),
+                                  jnp.asarray(q_cat), jnp.asarray(items))
+        smodel, (lossN, _) = stepN(smodel, jax.device_put(dense, sd),
+                                   jax.device_put(q_cat, sq),
+                                   jax.device_put(items, si))
+        np.testing.assert_allclose(float(lossN), float(loss1), rtol=1e-5)
+    got = unshard_two_tower(smodel)
+    assert isinstance(got.q_state, SparseAdamState)
+    assert isinstance(got.i_state, SparseAdamState)
+    np.testing.assert_allclose(np.asarray(got.query_tables.data),
+                               np.asarray(model.query_tables.data),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.i_state.m),
+                               np.asarray(model.i_state.m),
+                               rtol=2e-4, atol=1e-7)
+    assert int(got.q_state.count) == 2
