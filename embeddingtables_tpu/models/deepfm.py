@@ -207,16 +207,21 @@ def _lazy_update(tables: StackedTables, cat: jax.Array, delta_t: jax.Array,
 
 def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
                     dense_lr: float = 0.01, jit: bool = True,
-                    dense_tx=None):
+                    dense_tx=None, microbatch=None):
     """Fused single-chip train step, same lazy-sparse discipline as the
     DLRM/DCN steps: the loss is differentiated w.r.t. BOTH looked-up
     activation sets, each becoming a lazy `(delta, indices)` update on its
     stacked ensemble (FM vectors and first-order weights share indices but
     carry independent states). Returns
-    `step(model, dense, cat, label) -> (model, loss)`."""
+    `step(model, dense, cat, label) -> (model, loss)`.
+
+    microbatch=k: gradient accumulation over k `lax.scan` slices — the
+    DLRM/DCN pattern applied to BOTH activation sets (one fused optimizer
+    application per stack; exact monolithic parity up to float
+    re-association)."""
     sparse_opt = sparse_opt or SparseSGD()
 
-    def step(model: DeepFM, dense, cat, label):
+    def _grads(model, dense, cat, label):
         emb_t = embedding_forward(model.tables, cat, cfg.combiner,
                                   cfg.pad_idx)
         # use_fm=False: the fm_w stack neither looks up nor updates — the
@@ -237,7 +242,64 @@ def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
             loss, (dense_grads, delta_emb) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1))(params, emb_t, None)
             delta_w = None
+        return loss, dense_grads, delta_emb, delta_w
 
+    def _grads_micro(model, dense, cat, label, k):
+        b = dense.shape[0]
+        if b % k:
+            raise ValueError(f"batch {b} not divisible by microbatch {k}")
+        mb = b // k
+        dense_s = dense.reshape(k, mb, dense.shape[1])
+        cat_s = jnp.moveaxis(
+            cat.reshape(cat.shape[0], k, mb, *cat.shape[2:]), 1, 0)
+        label_s = label.reshape(k, mb)
+        params = (model.deep, model.head, model.dense_w, model.bias)
+
+        def micro(dg_acc, xs):
+            d_i, c_i, l_i = xs
+            emb_i = embedding_forward(model.tables, c_i, cfg.combiner,
+                                      cfg.pad_idx)
+            w_i = (_fm_weight_forward(model.fm_w, c_i, cfg.combiner,
+                                      cfg.pad_idx) if cfg.use_fm else None)
+
+            def loss_fn(dense_params, emb_act, w_act):
+                logits = forward_from_embeddings(dense_params, cfg, d_i,
+                                                 emb_act, w_act)
+                return bce_loss(logits, l_i)
+
+            if cfg.use_fm:
+                loss_i, (dg_i, de_i, dw_i) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2))(params, emb_i, w_i)
+                ys = (loss_i, de_i, dw_i)
+            else:
+                loss_i, (dg_i, de_i) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1))(params, emb_i, None)
+                ys = (loss_i, de_i)
+            return jax.tree.map(jnp.add, dg_acc, dg_i), ys
+
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        dg_sum, ys = jax.lax.scan(micro, zeros, (dense_s, cat_s, label_s))
+        dense_grads = jax.tree.map(lambda x: x / k, dg_sum)
+        t = cat.shape[0]
+
+        def unslice(d):                     # (k, T, mb, D) -> (T, B, D)/k
+            return d.transpose(1, 0, 2, 3).reshape(t, b, d.shape[3]) / k
+
+        if cfg.use_fm:
+            losses, de, dw = ys
+            return losses.mean(), dense_grads, unslice(de), unslice(dw)
+        losses, de = ys
+        return losses.mean(), dense_grads, unslice(de), None
+
+    def step(model: DeepFM, dense, cat, label):
+        if microbatch and microbatch > 1:
+            loss, dense_grads, delta_emb, delta_w = _grads_micro(
+                model, dense, cat, label, microbatch)
+        else:
+            loss, dense_grads, delta_emb, delta_w = _grads(
+                model, dense, cat, label)
+
+        params = (model.deep, model.head, model.dense_w, model.bias)
         (new_deep, new_head, new_dw, new_bias), new_dense_state = \
             apply_dense_tx(params, dense_grads, dense_tx,
                            model.dense_opt_state, dense_lr)

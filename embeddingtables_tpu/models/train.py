@@ -534,6 +534,7 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                  guard=None, device_prefetch: int = 0,
                  evict_every: int = 0, evict_threshold: float = 1e-3,
                  freq_decay: float = 0.99, eval_metrics: bool = False,
+                 microbatch=None,
                  verbose: bool = True) -> TrainResult:
     """Train a DeepFM (`models/deepfm.py`) on the same batch layout as
     `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
@@ -563,7 +564,8 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         step = make_sharded_deepfm_train_step(cfg, mesh, axis,
                                               sparse_opt=sparse_opt,
                                               dense_lr=dense_lr,
-                                              dense_tx=dense_tx)
+                                              dense_tx=dense_tx,
+                                              microbatch=microbatch)
         eval_step = make_sharded_deepfm_eval_step(cfg, mesh, axis)
         sd, sc, sl = fm_shardings(mesh, axis)
         put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731
@@ -571,7 +573,7 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                          jax.device_put(b["label"], sl))
     else:
         step = make_fm_step(cfg, sparse_opt=sparse_opt, dense_lr=dense_lr,
-                            dense_tx=dense_tx)
+                            dense_tx=dense_tx, microbatch=microbatch)
         eval_step = make_fm_eval(cfg)
         put = lambda b: (jnp.asarray(b["dense"]),              # noqa: E731
                          jnp.asarray(b["cat"]),

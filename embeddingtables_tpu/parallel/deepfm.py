@@ -77,10 +77,14 @@ def shard_deepfm(model: DeepFM, mesh: Mesh, axis="data",
 def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
                                    axis: str = "data", sparse_opt=None,
                                    dense_lr: float = 0.01, jit: bool = True,
-                                   dense_tx=None):
+                                   dense_tx=None, microbatch=None):
     """`step(model: ShardedDeepFM, dense, cat, label) -> (model, loss)` with
     `batch_shardings(mesh, axis)` on the batch arrays. Two gather exchanges
-    per step (one per stack), two independent lazy updates."""
+    per step (one per stack), two independent lazy updates.
+    microbatch=k: gradient accumulation over k `lax.scan` slices of the
+    lookups + dense fwd/bwd (see `parallel.dlrm.make_sharded_train_step` —
+    same grouping-independent math; BOTH stacks still take ONE full-batch
+    update each)."""
     sparse_opt = sparse_opt or SparseSGD()
     from .dlrm import _check_sharded_opt
     _check_sharded_opt(sparse_opt)
@@ -105,21 +109,71 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
         return emb_t, w_t
 
     def step(model: ShardedDeepFM, dense, cat, label):
-        emb_t, w_t = _lookups(model, cat)
-
-        def loss_fn(dense_params, emb_act, w_act):
-            logits = forward_from_embeddings(dense_params, cfg, dense,
-                                             emb_act, w_act)
-            return bce_loss(logits, label)
-
         params = (model.deep, model.head, model.dense_w, model.bias)
-        if cfg.use_fm:
-            loss, (dense_grads, delta_emb, delta_w) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1, 2))(params, emb_t, w_t)
+        if microbatch and microbatch > 1:
+            k = microbatch
+            b = dense.shape[0]
+            if b % k:
+                raise ValueError(f"batch {b} not divisible by "
+                                 f"microbatch {k}")
+            mb = b // k
+            dense_s = dense.reshape(k, mb, dense.shape[1])
+            cat_s = jnp.moveaxis(
+                cat.reshape(cat.shape[0], k, mb, *cat.shape[2:]), 1, 0)
+            label_s = label.reshape(k, mb)
+
+            def micro(dg_acc, xs):
+                d_i, c_i, l_i = xs
+                emb_i, w_i = _lookups(model, c_i)
+
+                def loss_fn(dense_params, emb_act, w_act):
+                    logits = forward_from_embeddings(dense_params, cfg,
+                                                     d_i, emb_act, w_act)
+                    return bce_loss(logits, l_i)
+
+                if cfg.use_fm:
+                    loss_i, (dg_i, de_i, dw_i) = jax.value_and_grad(
+                        loss_fn, argnums=(0, 1, 2))(params, emb_i, w_i)
+                    ys = (loss_i, de_i, dw_i)
+                else:
+                    loss_i, (dg_i, de_i) = jax.value_and_grad(
+                        loss_fn, argnums=(0, 1))(params, emb_i, None)
+                    ys = (loss_i, de_i)
+                return jax.tree.map(jnp.add, dg_acc, dg_i), ys
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            dg_sum, ys = jax.lax.scan(micro, zeros,
+                                      (dense_s, cat_s, label_s))
+            dense_grads = jax.tree.map(lambda x: x / k, dg_sum)
+            t = cat.shape[0]
+
+            def unslice(d):                 # (k, T, mb, D) -> (T, B, D)/k
+                return d.transpose(1, 0, 2, 3).reshape(
+                    t, b, d.shape[3]) / k
+
+            if cfg.use_fm:
+                losses, de, dw = ys
+                delta_emb, delta_w = unslice(de), unslice(dw)
+            else:
+                losses, de = ys
+                delta_emb, delta_w = unslice(de), None
+            loss = losses.mean()
         else:
-            loss, (dense_grads, delta_emb) = jax.value_and_grad(
-                loss_fn, argnums=(0, 1))(params, emb_t, None)
-            delta_w = None
+            emb_t, w_t = _lookups(model, cat)
+
+            def loss_fn(dense_params, emb_act, w_act):
+                logits = forward_from_embeddings(dense_params, cfg, dense,
+                                                 emb_act, w_act)
+                return bce_loss(logits, label)
+
+            if cfg.use_fm:
+                loss, (dense_grads, delta_emb, delta_w) = \
+                    jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+                        params, emb_t, w_t)
+            else:
+                loss, (dense_grads, delta_emb) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1))(params, emb_t, None)
+                delta_w = None
         if (cfg.pad_idx is None and cfg.combiner == "mean"
                 and cat.ndim == 3):
             delta_emb = delta_emb / cat.shape[2]

@@ -993,30 +993,45 @@ class MixedDimPlannedTables:
 
     @classmethod
     def from_tables(cls, plans, group_idxs, mesh: Mesh, tables: Sequence,
-                    *, adagrad: bool = False) -> "MixedDimPlannedTables":
-        groups = tuple(
-            PlannedTables.from_tables(plan, mesh, [tables[i] for i in idxs],
-                                      adagrad=adagrad)
-            for plan, idxs in zip(plans, group_idxs))
+                    *, adagrad: bool = False,
+                    sparse_opt=None) -> "MixedDimPlannedTables":
+        """sparse_opt: build each group's optimizer state via
+        `planned_row_state` (any optimizer; supersedes the legacy
+        `adagrad` flag)."""
+        groups = []
+        for plan, idxs in zip(plans, group_idxs):
+            pt = PlannedTables.from_tables(
+                plan, mesh, [tables[i] for i in idxs], adagrad=adagrad)
+            if sparse_opt is not None:
+                ra, sa, ca = planned_row_state(mesh, pt, sparse_opt)
+                pt = dataclasses.replace(pt, repl_accum=ra, shard_accum=sa,
+                                         col_accum=ca)
+            groups.append(pt)
         table_map = [None] * sum(len(ix) for ix in group_idxs)
         for g, idxs in enumerate(group_idxs):
             for j, t in enumerate(idxs):
                 table_map[t] = (g, j)
-        return cls(groups=groups, table_map=tuple(table_map))
+        return cls(groups=tuple(groups), table_map=tuple(table_map))
 
     @classmethod
     def init(cls, key: jax.Array, plans, group_idxs, mesh: Mesh, *,
-             dtype=jnp.float32, adagrad: bool = False
-             ) -> "MixedDimPlannedTables":
+             dtype=jnp.float32, adagrad: bool = False,
+             sparse_opt=None) -> "MixedDimPlannedTables":
         keys = jax.random.split(key, len(plans))
-        groups = tuple(
-            PlannedTables.init(k, plan, mesh, dtype=dtype, adagrad=adagrad)
-            for k, plan in zip(keys, plans))
+        groups = []
+        for k, plan in zip(keys, plans):
+            pt = PlannedTables.init(k, plan, mesh, dtype=dtype,
+                                    adagrad=adagrad)
+            if sparse_opt is not None:
+                ra, sa, ca = planned_row_state(mesh, pt, sparse_opt)
+                pt = dataclasses.replace(pt, repl_accum=ra, shard_accum=sa,
+                                         col_accum=ca)
+            groups.append(pt)
         table_map = [None] * sum(len(ix) for ix in group_idxs)
         for g, idxs in enumerate(group_idxs):
             for j, t in enumerate(idxs):
                 table_map[t] = (g, j)
-        return cls(groups=groups, table_map=tuple(table_map))
+        return cls(groups=tuple(groups), table_map=tuple(table_map))
 
 
 def mixed_planned_lookup(mesh: Mesh, mt: MixedDimPlannedTables,

@@ -63,6 +63,8 @@ def main():
     ap.add_argument("--prefetch", type=int, default=2)
     ap.add_argument("--device-prefetch", type=int, default=0,
                     help="stage N batches ON DEVICE ahead of the step")
+    ap.add_argument("--microbatch", type=int, default=None,
+                    help="gradient accumulation: scan the fwd/bwd over N slices\n(single-chip or --mesh; pushes batch past the\nactivation HBM limit)")
     args = ap.parse_args()
 
     import jax
@@ -127,6 +129,7 @@ def main():
                        eval_metrics=args.eval_metrics, ckpt_manager=mgr,
                        ckpt_every=args.ckpt_every, log_every=args.log_every,
                        mesh=mesh, device_prefetch=args.device_prefetch,
+                       microbatch=args.microbatch,
                        evict_every=args.evict_every,
                        evict_threshold=args.evict_threshold)
     if args.evict_every:

@@ -216,3 +216,30 @@ def test_eval_step_matches_forward():
     got = make_eval_step(CFG)(model, dense, cat)
     exp = deepfm_forward(model, dense, cat)
     np.testing.assert_allclose(np.asarray(got), np.asarray(exp), atol=1e-6)
+
+
+@pytest.mark.parametrize("use_fm", [True, False])
+def test_microbatch_matches_monolithic(use_fm):
+    """Gradient accumulation (lax.scan over 4 slices) matches the
+    monolithic step on BOTH stacks — the DLRM/DCN microbatch contract
+    extended to DeepFM's two activation sets."""
+    cfg = dataclasses.replace(CFG, use_fm=use_fm)
+    rng = np.random.default_rng(31)
+    opt = lambda: SparseRowWiseAdaGrad(lr=0.2)  # noqa: E731
+    m_mono = init_deepfm(jax.random.key(3), cfg, sparse_opt=opt())
+    m_micro = init_deepfm(jax.random.key(3), cfg, sparse_opt=opt())
+    step_mono = make_train_step(cfg, sparse_opt=opt(), dense_lr=0.1,
+                                jit=False)
+    step_micro = make_train_step(cfg, sparse_opt=opt(), dense_lr=0.1,
+                                 jit=False, microbatch=4)
+    for i in range(2):
+        dense, cat, label = make_batch(rng, cfg, b=32)
+        m_mono, loss_a = step_mono(m_mono, dense, cat, label)
+        m_micro, loss_b = step_micro(m_micro, dense, cat, label)
+        np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_micro.tables.data),
+                               np.asarray(m_mono.tables.data),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_micro.fm_w.data),
+                               np.asarray(m_mono.fm_w.data),
+                               rtol=2e-4, atol=1e-6)

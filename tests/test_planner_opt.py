@@ -240,3 +240,39 @@ def test_planned_train_step_adam_matches_single_chip():
         want = np.asarray(model.tables.data[offs[t]:offs[t + 1]])
         np.testing.assert_allclose(np.asarray(pm.tables.table(t)), want,
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_mixed_dim_planner_adam():
+    """Mixed feature dims x lazy Adam: per-group state via
+    MixedDimPlannedTables(sparse_opt=), per-table parity vs single-chip."""
+    from embeddingtables_tpu.parallel.planner import (
+        MixedDimPlannedTables, mixed_planned_apply, mixed_planned_lookup,
+        plan_sharding_mixed)
+    mesh = _mesh()
+    vocabs = (64, 2048, 96, 80)
+    dims = (8, 16, 8, 16)
+    plans, groups = plan_sharding_mixed(vocabs, dims, mesh,
+                                        replicate_max_bytes=16 * 4 * 80)
+    rng = np.random.default_rng(29)
+    arrs = [jnp.asarray(rng.normal(size=(v, d)).astype(np.float32))
+            for v, d in zip(vocabs, dims)]
+    opt = make_opt("adam")
+    mt = MixedDimPlannedTables.from_tables(plans, groups, mesh, arrs,
+                                           sparse_opt=opt)
+    datas = list(arrs)
+    states = [opt.init(a) for a in arrs]
+    for i in range(2):
+        idx = [jnp.asarray(rng.integers(0, v, 16).astype(np.int32))
+               for v in vocabs]
+        deltas = [jnp.asarray(rng.normal(size=(16, d)).astype(np.float32))
+                  for d in dims]
+        mt = mixed_planned_apply(mesh, mt, idx, deltas, opt)
+        for t in range(4):
+            upd = SparseEmbeddingUpdate(delta=deltas[t], indices=idx[t])
+            datas[t], states[t] = opt.apply(datas[t], upd, states[t])
+    for t in range(4):
+        np.testing.assert_allclose(np.asarray(mt.table(t)),
+                                   np.asarray(datas[t]),
+                                   rtol=2e-4, atol=1e-6)
+    out = mixed_planned_lookup(mesh, mt, [jnp.zeros(8, jnp.int32)] * 4)
+    assert [o.shape for o in out] == [(8, d) for d in dims]

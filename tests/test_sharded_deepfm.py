@@ -195,3 +195,42 @@ def test_sharded_deepfm_optax_towers_match_single_chip():
                                                back.dense_w, back.bias))):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=1e-6)
+
+
+def test_sharded_deepfm_microbatch_matches_monolithic():
+    """Sharded gradient accumulation: scanning the two lookup exchanges +
+    dense fwd/bwd over k slices matches the monolithic sharded step."""
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    cfg = DeepFMConfig(vocab_sizes=(48, 80), num_dense=4, dim=8,
+                       deep_mlp=(16,), compute_dtype=jnp.float32)
+    mesh = default_mesh(("data",))
+    opt = lambda: SparseRowWiseAdaGrad(lr=0.2)  # noqa: E731
+
+    def build(microbatch):
+        return (shard_deepfm(init_deepfm(jax.random.key(0), cfg,
+                                         sparse_opt=opt()),
+                             mesh, "data", sparse_opt=opt()),
+                make_sharded_deepfm_train_step(cfg, mesh, "data",
+                                               sparse_opt=opt(),
+                                               dense_lr=0.1, jit=False,
+                                               microbatch=microbatch))
+
+    m_mono, step_mono = build(None)
+    m_micro, step_micro = build(2)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    rng = np.random.default_rng(37)
+    dense = rng.normal(size=(16, 4)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, 16).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    label = rng.integers(0, 2, 16).astype(np.float32)
+    args = (jax.device_put(dense, sd), jax.device_put(cat, sc),
+            jax.device_put(label, sl))
+    m_mono, loss_a = step_mono(m_mono, *args)
+    m_micro, loss_b = step_micro(m_micro, *args)
+    np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_micro.tables.unshard()),
+                               np.asarray(m_mono.tables.unshard()),
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(m_micro.fm_w.unshard()),
+                               np.asarray(m_mono.fm_w.unshard()),
+                               rtol=2e-4, atol=1e-6)
