@@ -215,18 +215,10 @@ def make_train_step(cfg: DCNConfig, sparse_opt=None, dense_lr: float = 0.01,
             (model.cross, model.deep, model.head), emb_t)
 
     def _grads_micro(model, dense, cat, label, k):
-        b = dense.shape[0]
-        if b % k:
-            raise ValueError(f"batch {b} not divisible by microbatch {k}")
-        mb = b // k
-        dense_s = dense.reshape(k, mb, dense.shape[1])
-        cat_s = jnp.moveaxis(
-            cat.reshape(cat.shape[0], k, mb, *cat.shape[2:]), 1, 0)
-        label_s = label.reshape(k, mb)
+        from .microbatch import microbatch_grads
         params = (model.cross, model.deep, model.head)
 
-        def micro(dg_acc, xs):
-            d_i, c_i, l_i = xs
+        def slice_grads(d_i, c_i, l_i):
             emb_t = embedding_forward(model.tables, c_i, cfg.combiner,
                                       cfg.pad_idx)
 
@@ -238,15 +230,11 @@ def make_train_step(cfg: DCNConfig, sparse_opt=None, dense_lr: float = 0.01,
 
             loss_i, (dg_i, delta_i) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1))(params, emb_t)
-            return jax.tree.map(jnp.add, dg_acc, dg_i), (loss_i, delta_i)
+            return loss_i, dg_i, (delta_i,)
 
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        dg_sum, (losses, deltas) = jax.lax.scan(
-            micro, zeros, (dense_s, cat_s, label_s))
-        delta_t = deltas.transpose(1, 0, 2, 3).reshape(
-            cat.shape[0], b, cfg.dim) / k
-        return losses.mean(), (jax.tree.map(lambda x: x / k, dg_sum),
-                               delta_t)
+        loss, dense_grads, (delta_t,) = microbatch_grads(
+            params, dense, cat, label, k, slice_grads)
+        return loss, (dense_grads, delta_t)
 
     def step(model: DCN, dense, cat, label):
         if microbatch and microbatch > 1:

@@ -245,18 +245,10 @@ def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
         return loss, dense_grads, delta_emb, delta_w
 
     def _grads_micro(model, dense, cat, label, k):
-        b = dense.shape[0]
-        if b % k:
-            raise ValueError(f"batch {b} not divisible by microbatch {k}")
-        mb = b // k
-        dense_s = dense.reshape(k, mb, dense.shape[1])
-        cat_s = jnp.moveaxis(
-            cat.reshape(cat.shape[0], k, mb, *cat.shape[2:]), 1, 0)
-        label_s = label.reshape(k, mb)
+        from .microbatch import microbatch_grads
         params = (model.deep, model.head, model.dense_w, model.bias)
 
-        def micro(dg_acc, xs):
-            d_i, c_i, l_i = xs
+        def slice_grads(d_i, c_i, l_i):
             emb_i = embedding_forward(model.tables, c_i, cfg.combiner,
                                       cfg.pad_idx)
             w_i = (_fm_weight_forward(model.fm_w, c_i, cfg.combiner,
@@ -270,26 +262,16 @@ def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
             if cfg.use_fm:
                 loss_i, (dg_i, de_i, dw_i) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1, 2))(params, emb_i, w_i)
-                ys = (loss_i, de_i, dw_i)
-            else:
-                loss_i, (dg_i, de_i) = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1))(params, emb_i, None)
-                ys = (loss_i, de_i)
-            return jax.tree.map(jnp.add, dg_acc, dg_i), ys
+                return loss_i, dg_i, (de_i, dw_i)
+            loss_i, (dg_i, de_i) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(params, emb_i, None)
+            return loss_i, dg_i, (de_i,)
 
-        zeros = jax.tree.map(jnp.zeros_like, params)
-        dg_sum, ys = jax.lax.scan(micro, zeros, (dense_s, cat_s, label_s))
-        dense_grads = jax.tree.map(lambda x: x / k, dg_sum)
-        t = cat.shape[0]
-
-        def unslice(d):                     # (k, T, mb, D) -> (T, B, D)/k
-            return d.transpose(1, 0, 2, 3).reshape(t, b, d.shape[3]) / k
-
+        loss, dense_grads, deltas = microbatch_grads(
+            params, dense, cat, label, k, slice_grads)
         if cfg.use_fm:
-            losses, de, dw = ys
-            return losses.mean(), dense_grads, unslice(de), unslice(dw)
-        losses, de = ys
-        return losses.mean(), dense_grads, unslice(de), None
+            return loss, dense_grads, deltas[0], deltas[1]
+        return loss, dense_grads, deltas[0], None
 
     def step(model: DeepFM, dense, cat, label):
         if microbatch and microbatch > 1:

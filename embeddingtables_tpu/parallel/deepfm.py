@@ -111,19 +111,9 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
     def step(model: ShardedDeepFM, dense, cat, label):
         params = (model.deep, model.head, model.dense_w, model.bias)
         if microbatch and microbatch > 1:
-            k = microbatch
-            b = dense.shape[0]
-            if b % k:
-                raise ValueError(f"batch {b} not divisible by "
-                                 f"microbatch {k}")
-            mb = b // k
-            dense_s = dense.reshape(k, mb, dense.shape[1])
-            cat_s = jnp.moveaxis(
-                cat.reshape(cat.shape[0], k, mb, *cat.shape[2:]), 1, 0)
-            label_s = label.reshape(k, mb)
+            from ..models.microbatch import microbatch_grads
 
-            def micro(dg_acc, xs):
-                d_i, c_i, l_i = xs
+            def slice_grads(d_i, c_i, l_i):
                 emb_i, w_i = _lookups(model, c_i)
 
                 def loss_fn(dense_params, emb_act, w_act):
@@ -134,30 +124,15 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
                 if cfg.use_fm:
                     loss_i, (dg_i, de_i, dw_i) = jax.value_and_grad(
                         loss_fn, argnums=(0, 1, 2))(params, emb_i, w_i)
-                    ys = (loss_i, de_i, dw_i)
-                else:
-                    loss_i, (dg_i, de_i) = jax.value_and_grad(
-                        loss_fn, argnums=(0, 1))(params, emb_i, None)
-                    ys = (loss_i, de_i)
-                return jax.tree.map(jnp.add, dg_acc, dg_i), ys
+                    return loss_i, dg_i, (de_i, dw_i)
+                loss_i, (dg_i, de_i) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1))(params, emb_i, None)
+                return loss_i, dg_i, (de_i,)
 
-            zeros = jax.tree.map(jnp.zeros_like, params)
-            dg_sum, ys = jax.lax.scan(micro, zeros,
-                                      (dense_s, cat_s, label_s))
-            dense_grads = jax.tree.map(lambda x: x / k, dg_sum)
-            t = cat.shape[0]
-
-            def unslice(d):                 # (k, T, mb, D) -> (T, B, D)/k
-                return d.transpose(1, 0, 2, 3).reshape(
-                    t, b, d.shape[3]) / k
-
-            if cfg.use_fm:
-                losses, de, dw = ys
-                delta_emb, delta_w = unslice(de), unslice(dw)
-            else:
-                losses, de = ys
-                delta_emb, delta_w = unslice(de), None
-            loss = losses.mean()
+            loss, dense_grads, deltas = microbatch_grads(
+                params, dense, cat, label, microbatch, slice_grads)
+            delta_emb = deltas[0]
+            delta_w = deltas[1] if cfg.use_fm else None
         else:
             emb_t, w_t = _lookups(model, cat)
 

@@ -457,19 +457,9 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
 
         params = (model.bottom, model.top)
         if microbatch and microbatch > 1:
-            k = microbatch
-            b = dense.shape[0]
-            if b % k:
-                raise ValueError(f"batch {b} not divisible by "
-                                 f"microbatch {k}")
-            mb = b // k
-            dense_s = dense.reshape(k, mb, dense.shape[1])
-            cat_s = jnp.moveaxis(
-                cat.reshape(cat.shape[0], k, mb, *cat.shape[2:]), 1, 0)
-            label_s = label.reshape(k, mb)
+            from ..models.microbatch import microbatch_grads
 
-            def micro(dg_acc, xs):
-                d_i, c_i, l_i = xs
+            def slice_grads(d_i, c_i, l_i):
                 emb_i = lookup_fn(c_i)
 
                 def loss_fn(dense_params, emb_act):
@@ -480,18 +470,10 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
 
                 loss_i, (dg_i, delta_i) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1))(params, emb_i)
-                return jax.tree.map(jnp.add, dg_acc, dg_i), \
-                    (loss_i, delta_i)
+                return loss_i, dg_i, (delta_i,)
 
-            zeros = jax.tree.map(jnp.zeros_like, params)
-            dg_sum, (losses, deltas) = jax.lax.scan(
-                micro, zeros, (dense_s, cat_s, label_s))
-            dense_grads = jax.tree.map(lambda x: x / k, dg_sum)
-            # deltas: (k, T, mb, D) -> the full-batch (T, B, D) delta,
-            # scaled 1/k (full-batch loss = mean of the k slice means).
-            delta_t = deltas.transpose(1, 0, 2, 3).reshape(
-                cat.shape[0], b, cfg.dim) / k
-            loss = losses.mean()
+            loss, dense_grads, (delta_t,) = microbatch_grads(
+                params, dense, cat, label, microbatch, slice_grads)
         else:
             emb_t = lookup_fn(cat)
 

@@ -553,10 +553,22 @@ def planned_row_state(mesh: Mesh, pt: PlannedTables, sparse_opt, *,
     `(z, n)` likewise. SGD gets the structural placeholders. Groups the
     plan does not use keep their zero-size placeholders regardless."""
     from ..optim import (SparseAdamState, SparseFTRL, SparseFTRLState,
-                         SparseLazyAdam, ftrl_init_arrays)
+                         SparseLazyAdam, SparseOptState, ftrl_init_arrays)
     from .colshard import init_col_row_state
-    from .sharded import (init_sharded_row_state, shard_adam_state,
-                          shard_ftrl_state)
+    from .sharded import shard_adam_state, shard_ftrl_state
+    if state is not None:
+        want = (SparseAdamState if isinstance(sparse_opt, SparseLazyAdam)
+                else SparseFTRLState if isinstance(sparse_opt, SparseFTRL)
+                else SparseOptState)
+        if not isinstance(state, want):
+            # Switching optimizer families on resume needs an explicit
+            # state conversion the caller must own — raise loudly instead
+            # of an AttributeError deep in the slicing below.
+            raise NotImplementedError(
+                f"resume state {type(state).__name__} does not match "
+                f"{type(sparse_opt).__name__} (expected "
+                f"{want.__name__}); re-init the optimizer state or keep "
+                f"the optimizer family")
     repl_sh = NamedSharding(mesh, P())
     vr = pt.repl.shape[0]
     vc = pt.col.vocab if pt.col is not None else 0
@@ -665,8 +677,9 @@ def planned_row_state(mesh: Mesh, pt: PlannedTables, sparse_opt, *,
                                                    pt.shard_tables)),
                     sparse_opt)
             else:
-                from .sharded import init_sharded_row_state as _isrs
-                shard_acc = _isrs(mesh, pt.shard, sparse_opt)
+                from .sharded import init_sharded_row_state
+                shard_acc = init_sharded_row_state(mesh, pt.shard,
+                                                   sparse_opt)
         else:
             shard_acc = pt.shard_accum
         if pt.col is not None:
@@ -842,10 +855,10 @@ def init_planned_dlrm(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
     per-shard (full array never materializes), dense towers replicate."""
     from ..models.dlrm import _init_mlp
     sparse_opt = sparse_opt or SparseSGD()
-    adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
     kd, ke = jax.random.split(key)
-    pt = PlannedTables.init(ke, plan, mesh, dtype=cfg.param_dtype,
-                            adagrad=adagrad)
+    # adagrad=False: planned_row_state builds ALL optimizer state below
+    # (allocating accumulators in init just to replace them wastes HBM).
+    pt = PlannedTables.init(ke, plan, mesh, dtype=cfg.param_dtype)
     ra, sa, ca = planned_row_state(mesh, pt, sparse_opt)
     pt = dataclasses.replace(pt, repl_accum=ra, shard_accum=sa,
                              col_accum=ca)
@@ -1088,10 +1101,10 @@ def init_planned_dcn(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
                      sparse_opt=None, dense_tx=None) -> PlannedDCN:
     from ..models.dcn import init_dense_params
     sparse_opt = sparse_opt or SparseSGD()
-    adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
     kd, ke = jax.random.split(key)
-    pt = PlannedTables.init(ke, plan, mesh, dtype=cfg.param_dtype,
-                            adagrad=adagrad)
+    # adagrad=False: planned_row_state builds ALL optimizer state below
+    # (allocating accumulators in init just to replace them wastes HBM).
+    pt = PlannedTables.init(ke, plan, mesh, dtype=cfg.param_dtype)
     ra, sa, ca = planned_row_state(mesh, pt, sparse_opt)
     pt = dataclasses.replace(pt, repl_accum=ra, shard_accum=sa,
                              col_accum=ca)

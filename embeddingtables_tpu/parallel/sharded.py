@@ -180,19 +180,29 @@ def shard_row_accum(mesh: Mesh, axis, st: ShardedStackedTables, state,
       - `SparseFTRL`: `(z, n)` tuple of `(n, rows_local, dim)` f32
         (`shard_ftrl_state`).
     """
-    from ..optim import (SparseAdamState, SparseFTRLState,
-                         SparseRowWiseAdaGrad)
+    from ..optim import SparseAdamState, SparseFTRLState
     axes = _axes_tuple(axis)
     n, rows_local, _ = st.data.shape
     if isinstance(state, SparseAdamState):
         return shard_adam_state(mesh, st, state)
     if isinstance(state, SparseFTRLState):
         return shard_ftrl_state(mesh, st, state)
-    if isinstance(sparse_opt, SparseRowWiseAdaGrad):
-        acc = state.accum
+    # Dispatch on the STATE's contents, not the opt type: a populated
+    # row-wise accumulator must survive the placement even when the caller
+    # omits sparse_opt (whose default is SGD) — dropping trained state
+    # silently is exactly the class of bug the loud-guard discipline
+    # exists to prevent.
+    from ..optim import SparseRowWiseAdaGrad
+    if state is not None and state.accum.size:
+        acc = state.accum.astype(jnp.float32)
         v_pad = n * rows_local
         acc = jnp.pad(acc, (0, v_pad - acc.shape[0]))
         acc = acc.reshape(rows_local, n).T
+    elif isinstance(sparse_opt, SparseRowWiseAdaGrad):
+        # Fresh accumulator (e.g. switching an SGD-trained model to
+        # AdaGrad at placement time).
+        acc = jnp.full((n, rows_local), float(sparse_opt.initial_accum),
+                       jnp.float32)
     else:
         acc = jnp.zeros((n, 0), jnp.float32)
     return jax.device_put(acc, NamedSharding(mesh, P(axes)))

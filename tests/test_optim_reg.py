@@ -135,14 +135,20 @@ def test_lazy_adam_trains_a_table():
 
 
 def test_sharded_step_rejects_unsupported_optimizer():
+    # Round 2: Adam/FTRL are supported on the mesh now; the guard must
+    # still reject optimizers the shard bodies do not implement.
     from embeddingtables_tpu.models import DLRMConfig
     from embeddingtables_tpu.parallel.dlrm import make_sharded_train_step
     from embeddingtables_tpu.parallel.mesh import default_mesh
     cfg = DLRMConfig(vocab_sizes=(16, 16), num_dense=4, dim=8,
                      bottom_mlp=(8, 8), top_mlp=(8, 1))
     mesh = default_mesh(("data",))
-    with pytest.raises(NotImplementedError, match="SparseSGD"):
-        make_sharded_train_step(cfg, mesh, sparse_opt=SparseLazyAdam())
+
+    class NotAnOptimizer:
+        lr = 0.1
+
+    with pytest.raises(NotImplementedError, match="NotAnOptimizer"):
+        make_sharded_train_step(cfg, mesh, sparse_opt=NotAnOptimizer())
 
 
 def test_ensemble_update_regularized_sgd_protocol_table():

@@ -512,3 +512,44 @@ def test_sharded_two_tower_adam_matches_single_chip():
                                np.asarray(model.i_state.m),
                                rtol=2e-4, atol=1e-7)
     assert int(got.q_state.count) == 2
+
+
+def test_shard_without_opt_preserves_trained_accum():
+    """Review regression: placing an AdaGrad-trained model WITHOUT
+    re-passing sparse_opt must keep the trained accumulator (dispatch on
+    the state's contents, not the opt argument, whose default is SGD)."""
+    mesh = default_mesh(("data",))
+    vocab, dim = 40, 8
+    data = jax.random.normal(jax.random.key(1), (vocab, dim))
+    st = ShardedStackedTables.shard(
+        mesh, "data", StackedTables(data=data, offsets=(0,), dim=dim))
+    trained = SparseOptState(
+        accum=jax.random.uniform(jax.random.key(2), (vocab,)) + 0.5)
+    sharded = shard_row_accum(mesh, "data", st, trained, SparseSGD(0.01))
+    back = unshard_row_state(st, sharded)
+    np.testing.assert_allclose(np.asarray(back.accum),
+                               np.asarray(trained.accum), rtol=1e-6)
+    # Fresh accumulator at initial_accum when switching SGD -> AdaGrad.
+    empty = SparseOptState(accum=jnp.zeros((0,), jnp.float32))
+    sharded = shard_row_accum(mesh, "data", st, empty,
+                              SparseRowWiseAdaGrad(lr=0.1,
+                                                   initial_accum=0.25))
+    assert sharded.shape[1] > 0
+    assert np.allclose(np.asarray(sharded), 0.25)
+
+
+def test_planned_resume_rejects_state_optimizer_mismatch():
+    """Review regression: resuming an AdaGrad-trained state with a
+    different optimizer family raises loudly instead of AttributeError."""
+    from embeddingtables_tpu.ops.ensemble import StackedTables as _ST
+    from embeddingtables_tpu.parallel.planner import (place_stacked_on_plan,
+                                                      plan_sharding)
+    mesh = default_mesh(("data",))
+    vocabs = (64, 4096)
+    plan = plan_sharding(vocabs, 8, mesh, replicate_max_bytes=8 * 4 * 80)
+    data = jax.random.normal(jax.random.key(0), (sum(vocabs), 8))
+    stacked = _ST(data=data, offsets=(0, 64, 64 + 4096), dim=8)
+    trained = SparseOptState(accum=jnp.ones((sum(vocabs),)))
+    with pytest.raises(NotImplementedError, match="does not match"):
+        place_stacked_on_plan(plan, mesh, stacked, trained,
+                              SparseLazyAdam(lr=0.05))

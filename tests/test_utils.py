@@ -122,3 +122,27 @@ def test_checkpoint_roundtrip_planned_dlrm(tmp_path):
     assert restored.tables.shard.data.sharding == \
         NamedSharding(mesh, P("data"))
     assert restored.tables.repl.sharding == NamedSharding(mesh, P())
+
+
+def test_checkpoint_roundtrip_sharded_adam_state(tmp_path):
+    """Sharded models carrying TUPLE optimizer state (Adam (m, v, count) in
+    emb_accum) survive an orbax save/restore onto the mesh — regression
+    for the round-2 generic-state plumbing."""
+    from embeddingtables_tpu.models import init_dlrm
+    from embeddingtables_tpu.optim import SparseLazyAdam
+    cfg = tiny_cfg()
+    mesh = default_mesh(("data",))
+    opt = SparseLazyAdam(lr=0.05)
+    model = shard_dlrm(init_dlrm(jax.random.key(0), cfg, sparse_opt=opt),
+                       mesh, "data", sparse_opt=opt)
+    # Make the state non-trivial so equality is meaningful.
+    import dataclasses as dc
+    m, v, count = model.emb_accum
+    model = dc.replace(model, emb_accum=(m + 1.0, v + 2.0,
+                                         count + jnp.asarray(7)))
+    mgr = CheckpointManager(str(tmp_path / "adam_run"))
+    mgr.save(1, model)
+    got = mgr.restore_latest(model)
+    assert_tree_equal(got, model)
+    assert isinstance(got.emb_accum, tuple) and len(got.emb_accum) == 3
+    assert int(got.emb_accum[2]) == 7
