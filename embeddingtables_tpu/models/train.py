@@ -141,11 +141,6 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     `evict_rows_sharded`), and planner (`evict_rows_planned`).
     """
     tel = _telemetry.get_telemetry()
-    if plan is not None and microbatch:
-        raise NotImplementedError(
-            "microbatch gradient accumulation is not wired into the "
-            "planner step (single-chip and uniform-mesh gather steps "
-            "take microbatch=)")
     if plan is not None and mesh is None:
         raise ValueError("plan= requires mesh=")
     if plan is not None and exchange != "gather":
@@ -204,7 +199,8 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                     dense_tx.init((model.bottom, model.top)),
                     NamedSharding(mesh, _P())))
         step = make_planned_train_step(cfg, mesh, sparse_opt=sparse_opt,
-                                       dense_lr=dense_lr, dense_tx=dense_tx)
+                                       dense_lr=dense_lr, dense_tx=dense_tx,
+                                       microbatch=microbatch)
         eval_step = make_planned_eval_step(cfg, mesh)
         # The batch axis follows the PLAN's placement, not the loop's
         # axis= (which only governs the uniform sharded path).
@@ -364,11 +360,6 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
     from .dcn import init_dcn, make_eval_step as make_dcn_eval, \
         make_train_step as make_dcn_step
     tel = _telemetry.get_telemetry()
-    if plan is not None and microbatch:
-        raise NotImplementedError(
-            "microbatch gradient accumulation is not wired into the "
-            "planner step (single-chip and uniform-mesh gather steps "
-            "take microbatch=)")
     if plan is not None and mesh is None:
         raise ValueError("plan= requires mesh=")
     if model is None and plan is None:
@@ -414,7 +405,8 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                     NamedSharding(mesh, _P())))
         step = make_planned_dcn_train_step(cfg, mesh, sparse_opt=sparse_opt,
                                            dense_lr=dense_lr,
-                                           dense_tx=dense_tx)
+                                           dense_tx=dense_tx,
+                                           microbatch=microbatch)
         eval_step = make_planned_dcn_eval_step(cfg, mesh)
         sd, sc, sl = dcn_shardings(mesh, plan.axis)
         put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731

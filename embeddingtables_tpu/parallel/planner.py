@@ -878,12 +878,15 @@ def init_planned_dlrm(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
 
 def make_planned_train_step(cfg, mesh: Mesh, sparse_opt=None,
                             dense_lr: float = 0.01, jit: bool = True,
-                            dense_tx=None):
+                            dense_tx=None, microbatch=None):
     """`step(model: PlannedDLRM, dense, cat, label) -> (model, loss)` with
     `batch_shardings(mesh, plan.axis)` on the batch arrays. Identical math
     to `make_sharded_train_step` (gather exchange); the embedding engine is
     the plan's mixed placement — every sharding derives from the model's
-    own placement (the plan's axis), so there is no separate axis knob."""
+    own placement (the plan's axis), so there is no separate axis knob.
+    microbatch=k: gradient accumulation over k `lax.scan` slices of the
+    planned lookup + dense fwd/bwd (`models.microbatch.microbatch_grads`);
+    ONE planned_apply on the full-batch delta."""
     from ..models.dlrm import bce_loss, forward_from_embeddings
     sparse_opt = sparse_opt or SparseSGD()
     from .dlrm import _check_sharded_opt
@@ -892,20 +895,44 @@ def make_planned_train_step(cfg, mesh: Mesh, sparse_opt=None,
     pad = getattr(cfg, "pad_idx", None)
 
     def step(model: PlannedDLRM, dense, cat, label):
-        emb_t = planned_lookup(mesh, model.tables, cat,
-                               combiner=cfg.combiner, pad_idx=pad)
-        if pad is None and cfg.combiner == "mean" and cat.ndim == 3:
-            emb_t = emb_t / cat.shape[2]
-
-        def loss_fn(dense_params, emb_act):
-            bottom, top = dense_params
-            logits = forward_from_embeddings(bottom, top, cfg, dense,
-                                             emb_act)
-            return bce_loss(logits, label)
-
         params = (model.bottom, model.top)
-        loss, (dense_grads, delta_t) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1))(params, emb_t)
+
+        def lookup_fn(c):
+            e = planned_lookup(mesh, model.tables, c,
+                               combiner=cfg.combiner, pad_idx=pad)
+            if pad is None and cfg.combiner == "mean" and c.ndim == 3:
+                e = e / c.shape[2]
+            return e
+
+        if microbatch and microbatch > 1:
+            from ..models.microbatch import microbatch_grads
+
+            def slice_grads(d_i, c_i, l_i):
+                emb_i = lookup_fn(c_i)
+
+                def loss_fn(dense_params, emb_act):
+                    bottom, top = dense_params
+                    logits = forward_from_embeddings(bottom, top, cfg,
+                                                     d_i, emb_act)
+                    return bce_loss(logits, l_i)
+
+                loss_i, (dg_i, delta_i) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1))(params, emb_i)
+                return loss_i, dg_i, (delta_i,)
+
+            loss, dense_grads, (delta_t,) = microbatch_grads(
+                params, dense, cat, label, microbatch, slice_grads)
+        else:
+            emb_t = lookup_fn(cat)
+
+            def loss_fn(dense_params, emb_act):
+                bottom, top = dense_params
+                logits = forward_from_embeddings(bottom, top, cfg, dense,
+                                                 emb_act)
+                return bce_loss(logits, label)
+
+            loss, (dense_grads, delta_t) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(params, emb_t)
         if pad is None and cfg.combiner == "mean" and cat.ndim == 3:
             delta_t = delta_t / cat.shape[2]
         from ..optim import apply_dense_tx
@@ -1121,9 +1148,10 @@ def init_planned_dcn(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
 
 def make_planned_dcn_train_step(cfg, mesh: Mesh, sparse_opt=None,
                                 dense_lr: float = 0.01, jit: bool = True,
-                                dense_tx=None):
+                                dense_tx=None, microbatch=None):
     """DCN-v2 train step on a planner placement (cf. the uniform
-    `parallel.dcn.make_sharded_dcn_train_step`)."""
+    `parallel.dcn.make_sharded_dcn_train_step`). microbatch=k: see
+    `make_planned_train_step`."""
     from ..models.dcn import forward_from_embeddings
     from ..models.dlrm import bce_loss
     sparse_opt = sparse_opt or SparseSGD()
@@ -1133,20 +1161,44 @@ def make_planned_dcn_train_step(cfg, mesh: Mesh, sparse_opt=None,
     pad = getattr(cfg, "pad_idx", None)
 
     def step(model: PlannedDCN, dense, cat, label):
-        emb_t = planned_lookup(mesh, model.tables, cat,
-                               combiner=cfg.combiner, pad_idx=pad)
-        if pad is None and cfg.combiner == "mean" and cat.ndim == 3:
-            emb_t = emb_t / cat.shape[2]
-
-        def loss_fn(dense_params, emb_act):
-            cross, deep, head = dense_params
-            logits = forward_from_embeddings(cross, deep, head, cfg,
-                                             dense, emb_act)
-            return bce_loss(logits, label)
-
         params = (model.cross, model.deep, model.head)
-        loss, (dense_grads, delta_t) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1))(params, emb_t)
+
+        def lookup_fn(c):
+            e = planned_lookup(mesh, model.tables, c,
+                               combiner=cfg.combiner, pad_idx=pad)
+            if pad is None and cfg.combiner == "mean" and c.ndim == 3:
+                e = e / c.shape[2]
+            return e
+
+        if microbatch and microbatch > 1:
+            from ..models.microbatch import microbatch_grads
+
+            def slice_grads(d_i, c_i, l_i):
+                emb_i = lookup_fn(c_i)
+
+                def loss_fn(dense_params, emb_act):
+                    cross, deep, head = dense_params
+                    logits = forward_from_embeddings(cross, deep, head,
+                                                     cfg, d_i, emb_act)
+                    return bce_loss(logits, l_i)
+
+                loss_i, (dg_i, delta_i) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1))(params, emb_i)
+                return loss_i, dg_i, (delta_i,)
+
+            loss, dense_grads, (delta_t,) = microbatch_grads(
+                params, dense, cat, label, microbatch, slice_grads)
+        else:
+            emb_t = lookup_fn(cat)
+
+            def loss_fn(dense_params, emb_act):
+                cross, deep, head = dense_params
+                logits = forward_from_embeddings(cross, deep, head, cfg,
+                                                 dense, emb_act)
+                return bce_loss(logits, label)
+
+            loss, (dense_grads, delta_t) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(params, emb_t)
         if pad is None and cfg.combiner == "mean" and cat.ndim == 3:
             delta_t = delta_t / cat.shape[2]
         from ..optim import apply_dense_tx

@@ -260,4 +260,43 @@ np.testing.assert_allclose(_m15[4000], np.asarray(_td)[4000] + 1.0,
                            rtol=1e-5)
 print("15. tiered hot/cold table on-chip: routed gather + tiered scatter")
 
+# --- 16. round-2 optimizer x placement closure on-chip ---------------------
+# Single real chip => 1-device mesh; this still drives the full sharded
+# code path (shard_map, exchanges, state plumbing) through the compiler.
+from embeddingtables_tpu.models import DLRMConfig as _DC16, init_dlrm as _init16
+from embeddingtables_tpu.models.dlrm import make_train_step as _mts16
+from embeddingtables_tpu.optim import SparseFTRL as _FT16, SparseLazyAdam as _LA16
+from embeddingtables_tpu.parallel.dlrm import (batch_shardings as _bs16,
+                                               make_sharded_train_step as _sts16,
+                                               shard_dlrm as _sd16,
+                                               unshard_dlrm as _us16)
+from embeddingtables_tpu.parallel.mesh import default_mesh as _dm16
+_cfg16 = _DC16(vocab_sizes=(256, 512), num_dense=4, dim=128,
+               bottom_mlp=(64, 128), top_mlp=(64, 1),
+               compute_dtype=jnp.float32)
+_mesh16 = _dm16(("data",))
+for _opt16 in (_LA16(lr=0.05), _FT16(lr=0.2, l1=0.001)):
+    _m1 = _init16(jax.random.key(0), _cfg16, sparse_opt=_opt16)
+    _mN = _sd16(_init16(jax.random.key(0), _cfg16, sparse_opt=_opt16),
+                _mesh16, "data", sparse_opt=_opt16)
+    _s1 = _mts16(_cfg16, sparse_opt=_opt16, dense_lr=0.1)
+    _sN = _sts16(_cfg16, _mesh16, "data", sparse_opt=_opt16, dense_lr=0.1,
+                 microbatch=2)
+    _sd, _sc, _sl = _bs16(_mesh16, "data")
+    _d16 = _r.normal(size=(64, 4)).astype(np.float32)
+    _c16 = np.stack([_r.integers(0, v, 64).astype(np.int32)
+                     for v in _cfg16.vocab_sizes])
+    _l16 = (_r.random(64) < 0.3).astype(np.float32)
+    _m1, _loss1 = _s1(_m1, jnp.asarray(_d16), jnp.asarray(_c16),
+                      jnp.asarray(_l16))
+    _mN, _lossN = _sN(_mN, jax.device_put(_d16, _sd),
+                      jax.device_put(_c16, _sc), jax.device_put(_l16, _sl))
+    np.testing.assert_allclose(float(_lossN), float(_loss1), rtol=1e-4)
+    _got16 = _us16(_mN)
+    np.testing.assert_allclose(np.asarray(_got16.tables.data),
+                               np.asarray(_m1.tables.data), rtol=5e-4,
+                               atol=1e-5)
+    print(f"16. sharded {type(_opt16).__name__} + microbatch on-chip: "
+          "matches single-chip step")
+
 print("ALL TPU VERIFICATION CHECKS PASSED")

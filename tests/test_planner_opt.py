@@ -276,3 +276,51 @@ def test_mixed_dim_planner_adam():
                                    rtol=2e-4, atol=1e-6)
     out = mixed_planned_lookup(mesh, mt, [jnp.zeros(8, jnp.int32)] * 4)
     assert [o.shape for o in out] == [(8, d) for d in dims]
+
+
+def test_planned_microbatch_matches_monolithic():
+    """Planner + gradient accumulation: the scanned planned_lookup + dense
+    fwd/bwd matches the monolithic planned step (ONE planned_apply)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.parallel.dlrm import batch_shardings
+    from embeddingtables_tpu.parallel.planner import (
+        PlannedDLRM, make_planned_train_step)
+    mesh = _mesh()
+    vocabs = (64, 4096, 96)
+    plan = plan_sharding(vocabs, DIM, mesh,
+                         replicate_max_bytes=DIM * 4 * 80, col_shard=[2])
+    cfg = DLRMConfig(vocab_sizes=vocabs, num_dense=4, dim=DIM,
+                     bottom_mlp=(16, DIM), top_mlp=(16, 1),
+                     compute_dtype=jnp.float32)
+    opt = lambda: SparseRowWiseAdaGrad(lr=0.2)  # noqa: E731
+
+    def build(microbatch):
+        model = init_dlrm(jax.random.key(0), cfg, sparse_opt=opt())
+        pt = place_stacked_on_plan(plan, mesh, model.tables,
+                                   model.emb_state, opt())
+        repl = NamedSharding(mesh, P())
+        pm = PlannedDLRM(bottom=jax.device_put(model.bottom, repl),
+                         top=jax.device_put(model.top, repl),
+                         tables=pt, config=cfg)
+        return pm, make_planned_train_step(cfg, mesh, sparse_opt=opt(),
+                                           dense_lr=0.2,
+                                           microbatch=microbatch)
+
+    m_mono, step_mono = build(None)
+    m_micro, step_micro = build(4)
+    sd, sc, sl = batch_shardings(mesh, "data")
+    rng = np.random.default_rng(41)
+    dense = rng.normal(size=(32, 4)).astype(np.float32)
+    cat = np.stack([rng.integers(0, v, 32).astype(np.int32)
+                    for v in vocabs])
+    label = rng.integers(0, 2, 32).astype(np.float32)
+    args = (jax.device_put(dense, sd), jax.device_put(cat, sc),
+            jax.device_put(label, sl))
+    m_mono, loss_a = step_mono(m_mono, *args)
+    m_micro, loss_b = step_micro(m_micro, *args)
+    np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-5)
+    for t in range(3):
+        np.testing.assert_allclose(np.asarray(m_micro.tables.table(t)),
+                                   np.asarray(m_mono.tables.table(t)),
+                                   rtol=2e-4, atol=1e-6)
