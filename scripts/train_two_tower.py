@@ -30,7 +30,10 @@ def main():
     ap.add_argument("--num-dense", type=int, default=4)
     ap.add_argument("--mesh", action="store_true",
                     help="shard over all local devices (data axis)")
-    ap.add_argument("--opt", choices=["sgd", "adagrad"], default="adagrad")
+    ap.add_argument("--opt", choices=["sgd", "adagrad", "adam", "ftrl"],
+                    default="adagrad")
+    ap.add_argument("--l1", type=float, default=0.0,
+                    help="FTRL l1 (trained sparsity)")
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--eval-every", type=int, default=0)
@@ -48,7 +51,8 @@ def main():
     from embeddingtables_tpu.data import SyntheticRetrieval
     from embeddingtables_tpu.models.train import train_two_tower
     from embeddingtables_tpu.models.two_tower import TwoTowerConfig
-    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad, SparseSGD
+    from embeddingtables_tpu.optim import (SparseFTRL, SparseLazyAdam,
+                                           SparseRowWiseAdaGrad, SparseSGD)
     from embeddingtables_tpu.utils import CheckpointManager
     from embeddingtables_tpu.utils.telemetry import get_telemetry
 
@@ -72,8 +76,11 @@ def main():
         from embeddingtables_tpu.parallel.mesh import default_mesh
         mesh = default_mesh(("data",))
         print(f"mesh: {mesh}", flush=True)
-    opt = (SparseSGD(args.lr) if args.opt == "sgd"
-           else SparseRowWiseAdaGrad(lr=args.lr))
+    opt = {"sgd": lambda: SparseSGD(args.lr),
+           "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr),
+           "adam": lambda: SparseLazyAdam(lr=args.lr),
+           "ftrl": lambda: SparseFTRL(lr=args.lr, l1=args.l1)
+           }[args.opt]()
     mgr = CheckpointManager(args.ckpt) if args.ckpt else None
 
     print(f"backend={jax.default_backend()} devices={jax.device_count()} "
