@@ -236,7 +236,7 @@ def make_train_step(cfg: DCNConfig, sparse_opt=None, dense_lr: float = 0.01,
             params, dense, cat, label, k, slice_grads)
         return loss, (dense_grads, delta_t)
 
-    def step(model: DCN, dense, cat, label):
+    def step(model: DCN, dense, cat, label, lr=None):
         if microbatch and microbatch > 1:
             loss, grads = _grads_micro(model, dense, cat, label, microbatch)
         else:
@@ -254,7 +254,7 @@ def make_train_step(cfg: DCNConfig, sparse_opt=None, dense_lr: float = 0.01,
         upd = SparseEmbeddingUpdate(delta=flat_delta, indices=flat_idx,
                                     weights=w)
         new_data, new_state = sparse_opt.apply(model.tables.data, upd,
-                                               model.emb_state)
+                                               model.emb_state, lr=lr)
         new_tables = dataclasses.replace(model.tables, data=new_data)
         new_model = DCN(cross=new_cross, deep=new_deep, head=new_head,
                         tables=new_tables, emb_state=new_state, config=cfg,

@@ -273,7 +273,7 @@ def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
             return loss, dense_grads, deltas[0], deltas[1]
         return loss, dense_grads, deltas[0], None
 
-    def step(model: DeepFM, dense, cat, label):
+    def step(model: DeepFM, dense, cat, label, lr=None):
         if microbatch and microbatch > 1:
             loss, dense_grads, delta_emb, delta_w = _grads_micro(
                 model, dense, cat, label, microbatch)
@@ -289,12 +289,12 @@ def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
         upd_e = _lazy_update(model.tables, cat, delta_emb, cfg.dim,
                              cfg.combiner, cfg.pad_idx)
         new_data, new_estate = sparse_opt.apply(model.tables.data, upd_e,
-                                                model.emb_state)
+                                                model.emb_state, lr=lr)
         if cfg.use_fm:
             upd_w = _lazy_update(model.fm_w, cat, delta_w, 1, cfg.combiner,
                                  cfg.pad_idx)
             new_wdata, new_wstate = sparse_opt.apply(model.fm_w.data, upd_w,
-                                                     model.fm_state)
+                                                     model.fm_state, lr=lr)
             new_fm_w = dataclasses.replace(model.fm_w, data=new_wdata)
         else:
             new_fm_w, new_wstate = model.fm_w, model.fm_state

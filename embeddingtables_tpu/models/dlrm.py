@@ -315,7 +315,7 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
             params, dense, cat, label, k, slice_grads)
         return loss, (dense_grads, delta_t)
 
-    def step(model: DLRM, dense, cat, label):
+    def step(model: DLRM, dense, cat, label, lr=None):
         if microbatch and microbatch > 1:
             loss, grads = _grads_micro(model, dense, cat, label, microbatch)
         else:
@@ -339,8 +339,10 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
         w = stacked_update_weights(valid, cfg.combiner, flat_idx.shape)
         upd = SparseEmbeddingUpdate(delta=flat_delta, indices=flat_idx,
                                     weights=w)
+        # lr: optional traced scalar overriding sparse_opt.lr this step
+        # (train loops' lr_schedule=; zero recompiles).
         new_data, new_state = sparse_opt.apply(model.tables.data, upd,
-                                               model.emb_state)
+                                               model.emb_state, lr=lr)
         new_tables = dataclasses.replace(model.tables, data=new_data)
         new_model = DLRM(bottom=new_bottom, top=new_top, tables=new_tables,
                          emb_state=new_state, config=cfg,

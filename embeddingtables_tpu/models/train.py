@@ -117,7 +117,7 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                evict_every: int = 0, evict_threshold: float = 1e-3,
                freq_decay: float = 0.99, microbatch=None,
                device_prefetch: int = 0, plan=None,
-               eval_metrics: bool = False,
+               eval_metrics: bool = False, lr_schedule=None,
                verbose: bool = True) -> TrainResult:
     """Train a DLRM for `num_steps` batches from `train_iter`.
 
@@ -151,6 +151,12 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
             "wire_dtype requires mesh= with exchange='a2a' (it compresses "
             "the butterfly's row payloads; other paths would silently "
             "ignore it)")
+    if lr_schedule is not None and (plan is not None
+                                    or (mesh is not None
+                                        and exchange != "gather")):
+        raise NotImplementedError(
+            "lr_schedule rides the single-chip and mesh-gather steps "
+            "(planner/a2a steps take a fixed sparse lr)")
     if model is None and plan is None:
         with tel.phase("init"):
             model = init_dlrm(jax.random.key(seed), cfg,
@@ -273,7 +279,12 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                     ids = ids[ids != cfg.pad_idx]
                 tr.observe(ids)
         with tel.phase("step"):
-            model, out = step(model, dense, cat, label)
+            if lr_schedule is not None:
+                # Traced scalar: a schedule costs ZERO recompiles.
+                model, out = step(model, dense, cat, label,
+                                  jnp.float32(lr_schedule(i)))
+            else:
+                model, out = step(model, dense, cat, label)
         if trackers is not None and (i + 1) % evict_every == 0:
             # pop_cold: only rows seen-then-stale, marked so they are not
             # re-evicted every interval (never-seen rows sit at init).
@@ -350,6 +361,7 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
               guard=None, device_prefetch: int = 0, plan=None,
               evict_every: int = 0, evict_threshold: float = 1e-3,
               freq_decay: float = 0.99, eval_metrics: bool = False,
+              lr_schedule=None,
               verbose: bool = True) -> TrainResult:
     """Train a DCN-v2 (`models/dcn.py`) on the same batch layout as
     `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
@@ -362,6 +374,10 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
     tel = _telemetry.get_telemetry()
     if plan is not None and mesh is None:
         raise ValueError("plan= requires mesh=")
+    if lr_schedule is not None and plan is not None:
+        raise NotImplementedError(
+            "lr_schedule rides the single-chip and mesh-gather steps "
+            "(planner steps take a fixed sparse lr)")
     if model is None and plan is None:
         with tel.phase("init"):
             model = init_dcn(jax.random.key(seed), cfg,
@@ -469,7 +485,11 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                     ids = ids[ids != cfg.pad_idx]
                 tr.observe(ids)
         with tel.phase("step"):
-            model, loss = step(model, dense, cat, label)
+            if lr_schedule is not None:
+                model, loss = step(model, dense, cat, label,
+                                   jnp.float32(lr_schedule(i)))
+            else:
+                model, loss = step(model, dense, cat, label)
         if trackers is not None and (i + 1) % evict_every == 0:
             # pop_cold: only rows seen-then-stale, marked so they are not
             # re-evicted every interval (never-seen rows sit at init).
@@ -526,7 +546,7 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                  guard=None, device_prefetch: int = 0,
                  evict_every: int = 0, evict_threshold: float = 1e-3,
                  freq_decay: float = 0.99, eval_metrics: bool = False,
-                 microbatch=None,
+                 microbatch=None, lr_schedule=None,
                  verbose: bool = True) -> TrainResult:
     """Train a DeepFM (`models/deepfm.py`) on the same batch layout as
     `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
@@ -601,7 +621,11 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                     ids = ids[ids != cfg.pad_idx]
                 tr.observe(ids)
         with tel.phase("step"):
-            model, loss = step(model, dense, cat, label)
+            if lr_schedule is not None:
+                model, loss = step(model, dense, cat, label,
+                                   jnp.float32(lr_schedule(i)))
+            else:
+                model, loss = step(model, dense, cat, label)
         if trackers is not None and (i + 1) % evict_every == 0:
             model, n = _maybe_evict(
                 model, trackers, None, mesh, evict_threshold,

@@ -483,3 +483,42 @@ class SparseLazyAdam:
             data, state.m, state.v, t, rows, g, lr, self.b1, self.b2,
             self.eps, self.weight_decay, self.clipnorm, rounding_key=rkey)
         return out, SparseAdamState(m=new_m, v=new_v, count=t)
+
+
+# ---------------------------------------------------------------------------
+# Learning-rate schedules (beyond the reference: the reference's update! is
+# fixed-eta SGD, /root/reference/src/sparseupdate.jl:160-178). These return
+# plain callables step -> lr for the train loops' `lr_schedule=`; the value
+# is passed into the jitted step as a TRACED scalar, so a schedule costs
+# zero recompiles. FTRL cannot take a per-step lr (alpha is baked into its
+# accumulated z state) — the loops reject that combination loudly.
+# ---------------------------------------------------------------------------
+
+def warmup_cosine_lr(base_lr: float, total_steps: int,
+                     warmup_steps: int = 0, final_scale: float = 0.0):
+    """Linear warmup to `base_lr` over `warmup_steps`, then cosine decay to
+    `final_scale * base_lr` at `total_steps` (the standard CTR/LLM shape)."""
+    import math
+
+    def schedule(step: int) -> float:
+        if warmup_steps and step < warmup_steps:
+            return base_lr * (step + 1) / warmup_steps
+        if total_steps <= warmup_steps:
+            return base_lr
+        frac = min(1.0, (step - warmup_steps)
+                   / max(1, total_steps - warmup_steps))
+        cos = 0.5 * (1.0 + math.cos(math.pi * frac))
+        return base_lr * (final_scale + (1.0 - final_scale) * cos)
+
+    return schedule
+
+
+def warmup_constant_lr(base_lr: float, warmup_steps: int):
+    """Linear warmup to `base_lr`, then constant."""
+
+    def schedule(step: int) -> float:
+        if warmup_steps and step < warmup_steps:
+            return base_lr * (step + 1) / warmup_steps
+        return base_lr
+
+    return schedule

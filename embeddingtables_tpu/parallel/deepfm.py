@@ -108,7 +108,7 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
                 w_t = w_t / cat.shape[2]
         return emb_t, w_t
 
-    def step(model: ShardedDeepFM, dense, cat, label):
+    def step(model: ShardedDeepFM, dense, cat, label, lr=None):
         params = (model.deep, model.head, model.dense_w, model.bias)
         if microbatch and microbatch > 1:
             from ..models.microbatch import microbatch_grads
@@ -161,11 +161,11 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
                                                 cfg.combiner, cfg.pad_idx)
         new_st, new_acc = _sharded_sparse_apply(
             mesh, model.tables, model.emb_accum, shifted, delta_emb,
-            sparse_opt, scale_t=scale_t)
+            sparse_opt, scale_t=scale_t, lr=lr)
         if cfg.use_fm:
             new_sw, new_wacc = _sharded_sparse_apply(
                 mesh, model.fm_w, model.fm_accum, shifted, delta_w,
-                sparse_opt, scale_t=scale_t)
+                sparse_opt, scale_t=scale_t, lr=lr)
         else:
             new_sw, new_wacc = model.fm_w, model.fm_accum
         return ShardedDeepFM(deep=new_deep, head=new_head, dense_w=new_dw,

@@ -124,7 +124,8 @@ def batch_shardings(mesh: Mesh, axis="data"):
 def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
                           accum: jax.Array, shifted_idx: jax.Array,
                           delta_t: jax.Array, sparse_opt, *,
-                          batch_sharded: bool = True, scale_t=None):
+                          batch_sharded: bool = True, scale_t=None,
+                          lr=None):
     """Apply per-table lazy updates `(delta_t[(T,B,D)], shifted_idx[(T,B[,bag])])`
     to the mod-sharded stack in ONE exchange.
 
@@ -137,6 +138,11 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
     scale_t: optional (T, B[, bag]) f32 per-occurrence gradient scale
     (mean-combiner normalization / pad masks — the lazy update's `weights`
     on the mesh); it rides the same all-gather.
+
+    lr: optional TRACED scalar overriding `sparse_opt.lr` this step (the
+    train loops' `lr_schedule=`; None keeps the baked-in constant and the
+    exact pre-existing program). FTRL rejects it — alpha is baked into
+    the accumulated z state (`SparseFTRL.apply`'s contract).
 
     `accum` is whatever `shard_row_accum` produced for this optimizer:
     the `(n, rows_local)` AdaGrad accumulator (or `(n, 0)` placeholder),
@@ -151,9 +157,14 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
         m, v, count = accum
         new_st, new_m, new_v, new_count = sharded_adam_apply(
             mesh, st, m, v, count, shifted_idx, delta_t, sparse_opt,
-            batch_sharded=batch_sharded, scale_t=scale_t)
+            batch_sharded=batch_sharded, scale_t=scale_t, lr=lr)
         return new_st, (new_m, new_v, new_count)
     if isinstance(sparse_opt, SparseFTRL):
+        if lr is not None:
+            raise ValueError(
+                "SparseFTRL cannot change lr per step: alpha is baked "
+                "into the accumulated z state (drop lr_schedule or use "
+                "another optimizer)")
         z, n_state = accum
         new_st, new_z, new_n = sharded_ftrl_apply(
             mesh, st, z, n_state, shifted_idx, delta_t, sparse_opt,
@@ -165,15 +176,23 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
     adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
     dim = st.dim
 
-    def body(shard, acc, lidx, ldelta, *lscale):
+    has_scale = scale_t is not None
+    has_lr = lr is not None
+
+    def body(shard, acc, lidx, ldelta, *extra):
+        lscale = extra[0] if has_scale else None
+        # Traced per-step lr (replicated scalar operand) or the Python
+        # constant: lr_val is whatever multiplies the deduped gradient.
+        lr_val = extra[-1] if has_lr else sparse_opt.lr
         if batch_sharded:
             gidx = jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
             gdelta = jax.lax.all_gather(ldelta, baxis, axis=1, tiled=True)
-            gscale = (jax.lax.all_gather(lscale[0], baxis, axis=1,
-                                         tiled=True) if lscale else None)
+            gscale = (jax.lax.all_gather(lscale, baxis, axis=1,
+                                         tiled=True)
+                      if lscale is not None else None)
         else:
             gidx, gdelta = lidx, ldelta
-            gscale = lscale[0] if lscale else None
+            gscale = lscale
         # Per-occurrence (global row, delta row) stream; (T,B,bag) indices fan
         # one delta row out over the bag (reference `columns()` iterator,
         # `src/utils.jl:69-83`). Streaming repeat, not a delta[cols] gather
@@ -199,22 +218,25 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
         if not adagrad:
             if sparse_opt.weight_decay == 0.0 and sparse_opt.clipnorm is None:
                 new = shard[0].at[lrow].add(
-                    (-sparse_opt.lr * g).astype(shard.dtype), mode="drop")
+                    (-lr_val * g).astype(shard.dtype), mode="drop")
                 return new[None], acc
             from ..optim import sgd_dense_body
-            new = sgd_dense_body(shard[0], lrow, g, sparse_opt.lr,
+            new = sgd_dense_body(shard[0], lrow, g, lr_val,
                                  sparse_opt.weight_decay,
                                  sparse_opt.clipnorm)
             return new[None], acc
         from ..optim import adagrad_dense_body
         new_shard, new_acc = adagrad_dense_body(
-            shard[0], acc[0], lrow, g, sparse_opt.lr, sparse_opt.eps,
+            shard[0], acc[0], lrow, g, lr_val, sparse_opt.eps,
             sparse_opt.weight_decay, sparse_opt.clipnorm)
         return new_shard[None], new_acc[None]
 
     spec = P(None, baxis) if batch_sharded else P()
     extra = () if scale_t is None else (scale_t,)
     extra_spec = () if scale_t is None else (spec,)
+    if has_lr:
+        extra = extra + (jnp.asarray(lr, jnp.float32),)
+        extra_spec = extra_spec + (P(),)
     if not adagrad:
         # Stateless: don't thread the (n, 0) placeholder through the
         # exchange — XLA canonicalizes zero-size arrays to a replicated
@@ -336,7 +358,11 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
             "where a cast would change the accumulation dtype); pass "
             "exchange='a2a' or drop wire_dtype")
     _check_sharded_opt(sparse_opt, exchange=exchange)
-    def step_a2a(model: ShardedDLRM, dense, cat, label):
+    def step_a2a(model: ShardedDLRM, dense, cat, label, lr=None):
+        if lr is not None:
+            raise NotImplementedError(
+                "per-step lr (lr_schedule) rides the gather exchange only; "
+                "pass exchange='gather' or drop the schedule")
         from .alltoall import (sharded_adagrad_update_a2a, sharded_lookup_a2a,
                                sharded_sgd_update_a2a)
         from ..ops.sparse_update import SparseEmbeddingUpdate
@@ -436,7 +462,7 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
     if exchange == "a2a":
         return jax.jit(step_a2a, donate_argnums=(0,)) if jit else step_a2a
 
-    def step(model: ShardedDLRM, dense, cat, label):
+    def step(model: ShardedDLRM, dense, cat, label, lr=None):
         st = model.tables
 
         def lookup_fn(c):
@@ -496,7 +522,7 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
                                                 cfg.pad_idx)
         new_st, new_accum = _sharded_sparse_apply(
             mesh, st, model.emb_accum, shifted, delta_t, sparse_opt,
-            scale_t=scale_t)
+            scale_t=scale_t, lr=lr)
         new_model = ShardedDLRM(bottom=new_bottom, top=new_top,
                                 tables=new_st, emb_accum=new_accum,
                                 config=cfg, dense_opt_state=new_dstate)

@@ -541,7 +541,7 @@ def shard_adam_state(mesh: Mesh, st: ShardedStackedTables, state):
 
 def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
                        shifted_idx: jax.Array, delta_t: jax.Array, opt, *,
-                       batch_sharded: bool = True, scale_t=None):
+                       batch_sharded: bool = True, scale_t=None, lr=None):
     """Lazy Adam on the sharded stack: ONE exchange (all-gather of the
     occurrence stream), then each shard advances the moments and rows it
     owns through the shared `optim.adam_dense_body` — single-write-per-
@@ -550,7 +550,8 @@ def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
     shifted_idx: (T, B[, bag]) stacked global rows; delta_t: (T, B, dim).
     scale_t: optional (T, B[, bag]) f32 per-occurrence gradient scale
     (pad masks / mean normalization — the lazy update's `weights` on the
-    mesh); rides the same all-gather.
+    mesh); rides the same all-gather. lr: optional traced scalar
+    overriding `opt.lr` this step (lr schedules).
     Returns (new_st, new_m, new_v, new_count).
     """
     from ..optim import adam_dense_body
@@ -560,15 +561,21 @@ def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
     dim = st.dim
     t_next = count + 1
 
-    def body(shard, lm, lv, lidx, ldelta, *lscale):
+    has_scale = scale_t is not None
+    has_lr = lr is not None
+
+    def body(shard, lm, lv, lidx, ldelta, *extra):
+        lscale = extra[0] if has_scale else None
+        lr_val = extra[-1] if has_lr else opt.lr
         if batch_sharded:
             gidx = jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
             gdelta = jax.lax.all_gather(ldelta, baxis, axis=1, tiled=True)
-            gscale = (jax.lax.all_gather(lscale[0], baxis, axis=1,
-                                         tiled=True) if lscale else None)
+            gscale = (jax.lax.all_gather(lscale, baxis, axis=1,
+                                         tiled=True)
+                      if lscale is not None else None)
         else:
             gidx, gdelta = lidx, ldelta
-            gscale = lscale[0] if lscale else None
+            gscale = lscale
         flat_idx = gidx.reshape((-1,) + gidx.shape[2:])
         g = gdelta.reshape(-1, dim).astype(jnp.float32)
         if flat_idx.ndim == 2:
@@ -583,13 +590,16 @@ def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
         rows_local = shard.shape[1]
         lrow = jnp.where(mine, rows // n, rows_local)   # OOB -> drop
         new_data, new_m, new_v = adam_dense_body(
-            shard[0], lm[0], lv[0], t_next, lrow, g, opt.lr, opt.b1,
+            shard[0], lm[0], lv[0], t_next, lrow, g, lr_val, opt.b1,
             opt.b2, opt.eps, opt.weight_decay, opt.clipnorm)
         return new_data[None], new_m[None], new_v[None]
 
     spec = P(None, baxis) if batch_sharded else P()
     extra = () if scale_t is None else (scale_t,)
     extra_spec = () if scale_t is None else (spec,)
+    if has_lr:
+        extra = extra + (jnp.asarray(lr, jnp.float32),)
+        extra_spec = extra_spec + (P(),)
     new_data, new_m, new_v = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(axes), P(axes), P(axes), spec, spec) + extra_spec,

@@ -54,6 +54,11 @@ def main():
                     help="row-lifecycle: evict stale rows every N steps")
     ap.add_argument("--evict-threshold", type=float, default=1e-3)
     ap.add_argument("--lr", type=float, default=0.01)
+    ap.add_argument("--warmup-steps", type=int, default=0,
+                    help="linear lr warmup for the sparse optimizer")
+    ap.add_argument("--lr-decay", choices=["none", "cosine"],
+                    default="none",
+                    help="sparse-lr decay after warmup (cosine to 0 at\n--steps); traced scalar, zero recompiles")
     ap.add_argument("--dense-opt", choices=["sgd", "adam"],
                     default="sgd",
                     help="tower optimizer: plain SGD at --lr, or optax\nadam (replicated state on mesh placements)")
@@ -143,7 +148,16 @@ def main():
         import optax
         dense_tx = optax.adam(args.lr)
 
-    res = train_dcn(cfg, train_it, args.steps, sparse_opt=opt,
+    lr_schedule = None
+    if args.warmup_steps or args.lr_decay != "none":
+        from embeddingtables_tpu.optim import (warmup_constant_lr,
+                                               warmup_cosine_lr)
+        lr_schedule = (warmup_cosine_lr(args.lr, args.steps,
+                                        args.warmup_steps)
+                       if args.lr_decay == "cosine"
+                       else warmup_constant_lr(args.lr, args.warmup_steps))
+
+    res = train_dcn(cfg, train_it, args.steps, sparse_opt=opt, lr_schedule=lr_schedule,
                     dense_lr=args.lr, dense_tx=dense_tx,
                     eval_batches=eval_batches,
                     eval_every=args.eval_every,
