@@ -151,12 +151,6 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
             "wire_dtype requires mesh= with exchange='a2a' (it compresses "
             "the butterfly's row payloads; other paths would silently "
             "ignore it)")
-    if lr_schedule is not None and (plan is not None
-                                    or (mesh is not None
-                                        and exchange != "gather")):
-        raise NotImplementedError(
-            "lr_schedule rides the single-chip and mesh-gather steps "
-            "(planner/a2a steps take a fixed sparse lr)")
     if model is None and plan is None:
         with tel.phase("init"):
             model = init_dlrm(jax.random.key(seed), cfg,
@@ -374,10 +368,6 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
     tel = _telemetry.get_telemetry()
     if plan is not None and mesh is None:
         raise ValueError("plan= requires mesh=")
-    if lr_schedule is not None and plan is not None:
-        raise NotImplementedError(
-            "lr_schedule rides the single-chip and mesh-gather steps "
-            "(planner steps take a fixed sparse lr)")
     if model is None and plan is None:
         with tel.phase("init"):
             model = init_dcn(jax.random.key(seed), cfg,

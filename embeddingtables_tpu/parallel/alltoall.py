@@ -303,7 +303,8 @@ def _route_update_stream(lidx, ldelta, lw, *, n, axes, n_model, dim,
 def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
                                accum: jax.Array, upd: SparseEmbeddingUpdate,
                                opt, *, capacity_factor: float = 2.0,
-                               pad_idx: int | None = None, wire_dtype=None):
+                               pad_idx: int | None = None, wire_dtype=None,
+                               lr=None):
     """Butterfly row-wise-AdaGrad update: route occurrences to their owners,
     then each owner dedups its received stream into a shard-sized dense
     gradient (sort-free; docs/DESIGN.md §1e) and advances every owned row
@@ -336,7 +337,8 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         # numerical guards stay in one place.
         from ..optim import adagrad_dense_body
         new_shard, new_acc = adagrad_dense_body(
-            shard[0], acc[0], lrow, recv_vals, opt.lr, opt.eps,
+            shard[0], acc[0], lrow, recv_vals,
+            opt.lr if lr is None else lr, opt.eps,
             opt.weight_decay, opt.clipnorm)
         return new_shard[None], new_acc[None], overflow.reshape(1)
 
@@ -419,7 +421,8 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
 def sharded_adam_update_a2a(mesh: Mesh, st: ShardedStackedTables, m, v,
                             count, upd: SparseEmbeddingUpdate, opt, *,
                             capacity_factor: float = 2.0,
-                            pad_idx: int | None = None, wire_dtype=None):
+                            pad_idx: int | None = None, wire_dtype=None,
+                            lr=None):
     """Butterfly lazy-Adam update: route occurrences to their owners
     (shared `_route_update_stream`), then each owner advances the moments
     and rows it owns through `optim.adam_dense_body` — the same shard math
@@ -449,7 +452,8 @@ def sharded_adam_update_a2a(mesh: Mesh, st: ShardedStackedTables, m, v,
             pad_idx=pad_idx, wire_dtype=wire_dtype,
             rows_local=shard.shape[1])
         new_shard, new_m, new_v = adam_dense_body(
-            shard[0], lm[0], lv[0], t_next, lrow, recv_vals, opt.lr,
+            shard[0], lm[0], lv[0], t_next, lrow, recv_vals,
+            opt.lr if lr is None else lr,
             opt.b1, opt.b2, opt.eps, opt.weight_decay, opt.clipnorm)
         return new_shard[None], new_m[None], new_v[None], \
             overflow.reshape(1)

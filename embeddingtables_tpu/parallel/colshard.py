@@ -215,7 +215,7 @@ def init_col_row_state(mesh: Mesh, ct: ColShardedStackedTables, opt):
 
 def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
                        upd: SparseEmbeddingUpdate, opt,
-                       accum=None, *, batch_sharded: bool = True):
+                       accum=None, *, batch_sharded: bool = True, lr=None):
     """Sparse update on a column-sharded table: SGD, row-wise AdaGrad,
     lazy Adam, or FTRL-Proximal.
 
@@ -257,6 +257,11 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
     if kind != "sgd" and accum is None:
         raise ValueError(f"{type(opt).__name__} needs accum= state "
                          "(init_col_row_state)")
+    if lr is not None and kind == "ftrl":
+        raise ValueError(
+            "SparseFTRL cannot change lr per step: alpha is baked into "
+            "the accumulated z state")
+    lr_val = opt.lr if lr is None else lr
     wd = getattr(opt, "weight_decay", 0.0)
     clip = getattr(opt, "clipnorm", None)
     axis = ct.axis
@@ -320,25 +325,25 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
 
     def decay(new, touched):
         if wd != 0.0:
-            new = new * jnp.where(touched, 1.0 - opt.lr * wd, 1.0)[:, None]
+            new = new * jnp.where(touched, 1.0 - lr_val * wd, 1.0)[:, None]
         return new
 
     def body(shard, acc, lidx, ldelta, lw):
         grad = local_grad(shard, lidx, ldelta, lw)
         if kind == "sgd" and wd == 0.0 and clip is None:
             new = (shard[0].astype(jnp.float32)
-                   - opt.lr * grad).astype(shard.dtype)
+                   - lr_val * grad).astype(shard.dtype)
             return (new[None],)
         touched, grad, sumsq = row_stats(grad)
         wloc = shard[0].astype(jnp.float32)
         if kind == "sgd":
-            new = decay(wloc - opt.lr * grad, touched)
+            new = decay(wloc - lr_val * grad, touched)
             return (new[None].astype(shard.dtype),)
         if kind == "adagrad":
             g2 = sumsq / ct.dim                             # (V,)
             new_acc = acc + g2
             denom = jax.lax.rsqrt(jnp.maximum(new_acc + opt.eps, 1e-30))
-            step = opt.lr * grad * denom[:, None]
+            step = lr_val * grad * denom[:, None]
             new = decay(wloc - jnp.where(touched[:, None], step, 0.0),
                         touched)
             new_acc = jnp.where(touched, new_acc, acc)
@@ -354,7 +359,7 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
             tf = t_next.astype(jnp.float32)
             mhat = new_m / (1 - opt.b1 ** tf)
             vhat = new_v / (1 - opt.b2 ** tf)
-            step = opt.lr * mhat / (jnp.sqrt(vhat) + opt.eps)
+            step = lr_val * mhat / (jnp.sqrt(vhat) + opt.eps)
             new = decay(wloc - jnp.where(tmask, step, 0.0), touched)
             return (new[None].astype(shard.dtype), new_m[None],
                     new_v[None])

@@ -359,10 +359,12 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
             "exchange='a2a' or drop wire_dtype")
     _check_sharded_opt(sparse_opt, exchange=exchange)
     def step_a2a(model: ShardedDLRM, dense, cat, label, lr=None):
-        if lr is not None:
-            raise NotImplementedError(
-                "per-step lr (lr_schedule) rides the gather exchange only; "
-                "pass exchange='gather' or drop the schedule")
+        from ..optim import SparseFTRL as _FT
+        if lr is not None and isinstance(sparse_opt, _FT):
+            raise ValueError(
+                "SparseFTRL cannot change lr per step: alpha is baked "
+                "into the accumulated z state (drop lr_schedule or use "
+                "another optimizer)")
         from .alltoall import (sharded_adagrad_update_a2a, sharded_lookup_a2a,
                                sharded_sgd_update_a2a)
         from ..ops.sparse_update import SparseEmbeddingUpdate
@@ -432,13 +434,13 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
                   wire_dtype=wire_dtype)
         if isinstance(sparse_opt, SparseRowWiseAdaGrad):
             new_st, new_accum, ovf_bwd = sharded_adagrad_update_a2a(
-                mesh, st, model.emb_accum, upd, sparse_opt, **kw)
+                mesh, st, model.emb_accum, upd, sparse_opt, lr=lr, **kw)
         elif isinstance(sparse_opt, SparseLazyAdam):
             from .alltoall import sharded_adam_update_a2a
             m_, v_, count_ = model.emb_accum
             new_st, new_m, new_v, new_count, ovf_bwd = \
                 sharded_adam_update_a2a(mesh, st, m_, v_, count_, upd,
-                                        sparse_opt, **kw)
+                                        sparse_opt, lr=lr, **kw)
             new_accum = (new_m, new_v, new_count)
         elif isinstance(sparse_opt, SparseFTRL):
             from .alltoall import sharded_ftrl_update_a2a
@@ -448,7 +450,7 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
             new_accum = (new_z, new_n)
         else:
             new_st, ovf_bwd = sharded_sgd_update_a2a(
-                mesh, st, upd, sparse_opt.lr,
+                mesh, st, upd, sparse_opt.lr if lr is None else lr,
                 weight_decay=sparse_opt.weight_decay,
                 clipnorm=sparse_opt.clipnorm, **kw)
             new_accum = model.emb_accum

@@ -700,7 +700,7 @@ def planned_row_state(mesh: Mesh, pt: PlannedTables, sparse_opt, *,
 def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
                   delta_t: jax.Array, sparse_opt, *,
                   combiner: str = "sum",
-                  pad_idx: int | None = None) -> PlannedTables:
+                  pad_idx: int | None = None, lr=None) -> PlannedTables:
     """Apply the lazy ensemble update `(delta_t (T, B, dim), indices)` per
     the plan, advancing optimizer state (AdaGrad accumulators, Adam
     moments, FTRL z/n — `planned_row_state`'s layouts) where present.
@@ -726,6 +726,11 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
     if getattr(sparse_opt, "stochastic_rounding", False):
         raise NotImplementedError(
             "stochastic rounding is not wired into the planned update")
+    if lr is not None and isinstance(sparse_opt, SparseFTRL):
+        raise ValueError(
+            "SparseFTRL cannot change lr per step: alpha is baked into "
+            "the accumulated z state")
+    lr_val = sparse_opt.lr if lr is None else lr
     adagrad = isinstance(sparse_opt, SparseRowWiseAdaGrad)
     adam = isinstance(sparse_opt, SparseLazyAdam)
     ftrl = isinstance(sparse_opt, SparseFTRL)
@@ -769,14 +774,14 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
         if adagrad:
             from ..optim import adagrad_dense_body
             new_repl, new_repl_acc = adagrad_dense_body(
-                pt.repl, pt.repl_accum, rows, g, sparse_opt.lr,
+                pt.repl, pt.repl_accum, rows, g, lr_val,
                 sparse_opt.eps, sparse_opt.weight_decay, sparse_opt.clipnorm)
         elif adam:
             from ..optim import adam_dense_body
             m_r, v_r, count = pt.repl_accum
             t_next = count + 1
             new_repl, new_m, new_v = adam_dense_body(
-                pt.repl, m_r, v_r, t_next, rows, g, sparse_opt.lr,
+                pt.repl, m_r, v_r, t_next, rows, g, lr_val,
                 sparse_opt.b1, sparse_opt.b2, sparse_opt.eps,
                 sparse_opt.weight_decay, sparse_opt.clipnorm)
             new_repl_acc = (new_m, new_v, t_next)
@@ -789,7 +794,7 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
             new_repl_acc = (new_z, new_n)
         else:
             from ..optim import sgd_dense_body
-            new_repl = sgd_dense_body(pt.repl, rows, g, sparse_opt.lr,
+            new_repl = sgd_dense_body(pt.repl, rows, g, lr_val,
                                       sparse_opt.weight_decay,
                                       sparse_opt.clipnorm)
 
@@ -800,7 +805,7 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
         dsub = jnp.stack([delta_t[t] for t in pt.shard_tables])
         new_shard, new_shard_acc = _sharded_sparse_apply(
             mesh, pt.shard, pt.shard_accum, shifted, dsub, sparse_opt,
-            scale_t=eff_scale(pt.shard_tables))
+            scale_t=eff_scale(pt.shard_tables), lr=lr)
 
     new_col, new_col_acc = pt.col, pt.col_accum
     if pt.col_tables:
@@ -821,10 +826,11 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
         upd = SparseEmbeddingUpdate(delta=dflat, indices=flat,
                                     weights=wflat)
         if isinstance(sparse_opt, SparseSGD):
-            new_col = col_sharded_update(mesh, pt.col, upd, sparse_opt)
+            new_col = col_sharded_update(mesh, pt.col, upd, sparse_opt,
+                                         lr=lr)
         else:
             new_col, new_col_acc = col_sharded_update(
-                mesh, pt.col, upd, sparse_opt, pt.col_accum)
+                mesh, pt.col, upd, sparse_opt, pt.col_accum, lr=lr)
 
     return dataclasses.replace(pt, repl=new_repl, repl_accum=new_repl_acc,
                                shard=new_shard, shard_accum=new_shard_acc,
@@ -894,7 +900,7 @@ def make_planned_train_step(cfg, mesh: Mesh, sparse_opt=None,
 
     pad = getattr(cfg, "pad_idx", None)
 
-    def step(model: PlannedDLRM, dense, cat, label):
+    def step(model: PlannedDLRM, dense, cat, label, lr=None):
         params = (model.bottom, model.top)
 
         def lookup_fn(c):
@@ -939,7 +945,7 @@ def make_planned_train_step(cfg, mesh: Mesh, sparse_opt=None,
         (new_bottom, new_top), new_dstate = apply_dense_tx(
             params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
         new_pt = planned_apply(mesh, model.tables, cat, delta_t, sparse_opt,
-                               combiner=cfg.combiner, pad_idx=pad)
+                               combiner=cfg.combiner, pad_idx=pad, lr=lr)
         return PlannedDLRM(bottom=new_bottom, top=new_top, tables=new_pt,
                            config=cfg, dense_opt_state=new_dstate), loss
 
@@ -1160,7 +1166,7 @@ def make_planned_dcn_train_step(cfg, mesh: Mesh, sparse_opt=None,
 
     pad = getattr(cfg, "pad_idx", None)
 
-    def step(model: PlannedDCN, dense, cat, label):
+    def step(model: PlannedDCN, dense, cat, label, lr=None):
         params = (model.cross, model.deep, model.head)
 
         def lookup_fn(c):
@@ -1205,7 +1211,7 @@ def make_planned_dcn_train_step(cfg, mesh: Mesh, sparse_opt=None,
         (new_cross, new_deep, new_head), new_dstate = apply_dense_tx(
             params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
         new_pt = planned_apply(mesh, model.tables, cat, delta_t, sparse_opt,
-                               combiner=cfg.combiner, pad_idx=pad)
+                               combiner=cfg.combiner, pad_idx=pad, lr=lr)
         return PlannedDCN(cross=new_cross, deep=new_deep, head=new_head,
                           tables=new_pt, config=cfg,
                           dense_opt_state=new_dstate), loss

@@ -137,8 +137,102 @@ def test_ftrl_rejects_schedule():
     with pytest.raises(ValueError, match="cannot change lr"):
         stepN(mN, jax.device_put(d, sd), jax.device_put(c, sc),
               jax.device_put(l, sl), jnp.float32(0.05))
-    # Loop-level guard for planner/a2a combinations.
-    from embeddingtables_tpu.models.train import train_dlrm
-    with pytest.raises(NotImplementedError, match="lr_schedule"):
-        train_dlrm(cfg, iter([]), 1, mesh=mesh, exchange="a2a",
-                   lr_schedule=lambda i: 0.1)
+    # Same rejection on the a2a exchange and the planner path.
+    stepA = make_sharded_train_step(cfg, mesh, "data", sparse_opt=opt,
+                                    dense_lr=0.1, jit=False,
+                                    exchange="a2a")
+    with pytest.raises(ValueError, match="cannot change lr"):
+        stepA(mN, jax.device_put(d, sd), jax.device_put(c, sc),
+              jax.device_put(l, sl), jnp.float32(0.05))
+
+
+@pytest.mark.parametrize("placement", ["a2a", "planner", "colshard"])
+def test_scheduled_lr_everywhere(placement):
+    """The traced lr reaches every placement: a2a butterfly, planner
+    (three-way placement), and the column-sharded update — each matching
+    the single-chip scheduled sequence."""
+    cfg = tiny_cfg()
+    mesh = default_mesh(("data",))
+    make = lambda: SparseRowWiseAdaGrad(lr=0.5)  # noqa: E731
+    lrs = [0.05, 0.3]
+    if placement == "colshard":
+        from embeddingtables_tpu.ops.sparse_update import \
+            SparseEmbeddingUpdate
+        from embeddingtables_tpu.parallel.colshard import (
+            ColShardedStackedTables, col_sharded_update, init_col_row_state)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rng = np.random.default_rng(3)
+        data = jnp.asarray(rng.standard_normal((48, 16)).astype(np.float32))
+        ct = ColShardedStackedTables.shard(mesh, "data", data)
+        opt = make()
+        acc_c = init_col_row_state(mesh, ct, opt)
+        d1, s1 = data, opt.init(data)
+        put = lambda x: jax.device_put(  # noqa: E731
+            x, NamedSharding(mesh, P("data")))
+        for lr in lrs:
+            idx = rng.integers(0, 48, 32).astype(np.int32)
+            delta = rng.standard_normal((32, 16)).astype(np.float32)
+            upd1 = SparseEmbeddingUpdate(delta=jnp.asarray(delta),
+                                         indices=jnp.asarray(idx))
+            d1, s1 = opt.apply(d1, upd1, s1, lr=lr)
+            updc = SparseEmbeddingUpdate(delta=put(jnp.asarray(delta)),
+                                         indices=put(jnp.asarray(idx)))
+            ct, acc_c = col_sharded_update(mesh, ct, updc, opt, acc_c,
+                                           lr=jnp.float32(lr))
+        np.testing.assert_allclose(np.asarray(ct.unshard()),
+                                   np.asarray(d1), rtol=2e-4, atol=1e-6)
+        return
+    m1 = init_dlrm(jax.random.key(0), cfg, sparse_opt=make())
+    step1 = make_train_step(cfg, sparse_opt=make(), dense_lr=0.1, jit=False)
+    if placement == "a2a":
+        mN = shard_dlrm(init_dlrm(jax.random.key(0), cfg,
+                                  sparse_opt=make()),
+                        mesh, "data", sparse_opt=make())
+        stepN = make_sharded_train_step(cfg, mesh, "data",
+                                        sparse_opt=make(), dense_lr=0.1,
+                                        jit=False, exchange="a2a",
+                                        capacity_factor=8.0)
+        unshard = unshard_dlrm
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from embeddingtables_tpu.parallel.planner import (
+            PlannedDLRM, make_planned_train_step, place_stacked_on_plan,
+            plan_sharding)
+        plan = plan_sharding(cfg.vocab_sizes, cfg.dim, mesh,
+                             replicate_max_bytes=cfg.dim * 4 * 80,
+                             col_shard=[1])
+        pt = place_stacked_on_plan(plan, mesh, m1.tables, m1.emb_state,
+                                   make())
+        repl = NamedSharding(mesh, P())
+        mN = PlannedDLRM(bottom=jax.device_put(m1.bottom, repl),
+                         top=jax.device_put(m1.top, repl),
+                         tables=pt, config=cfg)
+        stepN = make_planned_train_step(cfg, mesh, sparse_opt=make(),
+                                        dense_lr=0.1, jit=False)
+
+        def unshard(m):
+            return m
+    sd, sc, sl = batch_shardings(mesh, "data")
+    for i, lr in enumerate(lrs):
+        d, c, l = batch(cfg, seed=80 + i)
+        m1, loss_a = step1(m1, jnp.asarray(d), jnp.asarray(c),
+                           jnp.asarray(l), jnp.float32(lr))
+        mN, loss_b = stepN(mN, jax.device_put(d, sd),
+                           jax.device_put(c, sc), jax.device_put(l, sl),
+                           jnp.float32(lr))
+        if placement == "a2a":
+            loss_b, ovf = (loss_b if isinstance(loss_b, tuple)
+                           else (loss_b, 0))
+        np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-5)
+    if placement == "a2a":
+        got = unshard(mN)
+        np.testing.assert_allclose(np.asarray(got.tables.data),
+                                   np.asarray(m1.tables.data),
+                                   rtol=2e-4, atol=1e-6)
+    else:
+        offs = m1.tables.offsets
+        for t in range(len(cfg.vocab_sizes)):
+            np.testing.assert_allclose(
+                np.asarray(mN.tables.table(t)),
+                np.asarray(m1.tables.data[offs[t]:offs[t + 1]]),
+                rtol=2e-4, atol=1e-6)
