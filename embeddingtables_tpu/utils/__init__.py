@@ -5,6 +5,8 @@ no metrics — only the `telemetry_cb` hook slot); they are new obligations for
 a production TPU framework.
 """
 from .checkpoint import CheckpointManager, restore_checkpoint, save_checkpoint
+from .deltackpt import (DeltaCheckpointManager, TouchedRowTracker,
+                        apply_delta, snapshot_delta)
 from .rowstats import (FrequencyTracker, evict_rows, evict_rows_sharded,
                        inverse_permutation, relayout, remap_batch,
                        reset_rows_state)
@@ -13,5 +15,7 @@ from .telemetry import (Telemetry, get_telemetry, phase, set_telemetry,
 
 __all__ = [
     "CheckpointManager", "save_checkpoint", "restore_checkpoint",
+    "DeltaCheckpointManager", "TouchedRowTracker", "snapshot_delta",
+    "apply_delta",
     "Telemetry", "get_telemetry", "set_telemetry", "phase", "trace_profile",
 ]

@@ -76,8 +76,12 @@ def restore_checkpoint(path: str, restore_like) -> Any:
 
     targets = {f"leaf_{i}": abstract(l) for i, l in enumerate(leaves)
                if _size(l) > 0}
+    # Plain abstract targets alone don't carry shardings into orbax's
+    # restore; explicit restore_args do (otherwise a ShapeDtypeStruct with
+    # .sharding silently restores single-device).
+    restore_args = ocp.checkpoint_utils.construct_restore_args(targets)
     with ocp.PyTreeCheckpointer() as ckptr:
-        restored = ckptr.restore(path, targets)
+        restored = ckptr.restore(path, targets, restore_args=restore_args)
     # Zero-size leaves were not serialized; take them from the template.
     new_leaves = [restored.get(f"leaf_{i}", leaf)
                   for i, leaf in enumerate(leaves)]

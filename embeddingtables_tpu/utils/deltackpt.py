@@ -1,0 +1,250 @@
+"""Incremental (delta) checkpointing: save only the rows touched since the
+last checkpoint.
+
+At production scale the tables ARE the model (a 26x10M-row D=128 f32
+ensemble is 133 GB) while a training interval touches a tiny, skewed
+fraction of rows (Zipf(1.1): 383K unique of 1.7M occurrences per 64Ki
+batch, docs/DESIGN.md §1b). A full-table checkpoint every few minutes
+writes gigabytes of rows that have not changed since the last one. The
+incremental discipline — the sparse-update analog of log-structured
+checkpointing — is:
+
+  - a FULL base checkpoint every `base_every` saves (orbax, sharded,
+    via `utils.checkpoint.save_checkpoint`);
+  - in between, a DELTA: the touched global row ids, their current values,
+    and the matching rows of every row-wise optimizer-state leaf —
+    gathered on device in one `take` per leaf (exactly the forward-path
+    gather primitive, docs/DESIGN.md §1c) and written as one .npz.
+
+Restore = restore the base, then `at[rows].set(vals)` each delta in step
+order. Row-exactness is free: gather and scatter of whole rows are
+bit-preserving, so a restored state is BITWISE the live state (tested).
+
+Which rows were touched is known on the HOST for free: the training loops
+already hold every batch's categorical indices before feeding the device
+(the same stream `utils.rowstats.FrequencyTracker` consumes), and the lazy
+sparse update touches exactly the looked-up rows (SURVEY.md §2.4 item 5:
+the cotangent is `(delta, indices)`). `TouchedRowTracker.observe` is a
+vectorized boolean-mask write, zero device work.
+
+Placement-agnostic by construction: deltas are keyed by GLOBAL row id, so
+a delta saved from an 8-device mod-sharded run restores onto a 4-device
+mesh, a single chip, or the host — the scatter runs under whatever
+sharding the restore target carries (elastic resharding; the base restore
+already does this through orbax's `restore_like`). The reference has no
+checkpointing at all (SURVEY.md §5).
+
+Optimizer-state convention (matches `optim.py`): a state leaf with leading
+dimension == vocab (AdaGrad `(V,)` accum, Adam `(V, D)` moments, FTRL
+`(V, D)` z/n) is row-sliced; anything else (Adam's scalar `count`,
+zero-size SGD placeholders) is small and saved whole in every delta.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .checkpoint import restore_checkpoint, save_checkpoint
+
+
+class TouchedRowTracker:
+    """Host-side record of which global rows were touched since `clear()`.
+
+    Feed it the same host-side index batches the input pipeline already
+    holds (before device transfer). For a `StackedTables` ensemble pass
+    the per-table `(T, B[, bag])` categorical batch plus the stacked
+    `offsets` and the tracker shifts to global stacked row ids itself.
+    """
+
+    def __init__(self, vocab: int):
+        self.vocab = int(vocab)
+        self._mask = np.zeros(self.vocab, dtype=bool)
+
+    def observe(self, indices) -> None:
+        """Mark global row ids (any shape) as touched."""
+        idx = np.asarray(indices).ravel()
+        if idx.size:
+            self._mask[idx] = True
+
+    def observe_batch(self, cat, offsets: Sequence[int],
+                      pad_idx: Optional[int] = None) -> None:
+        """Mark a `(T, B[, bag])` per-table batch, shifting table t's ids by
+        `offsets[t]` (the `StackedTables.offsets` convention). `pad_idx`
+        entries (variable-length-bag sentinels) are not real rows."""
+        cat = np.asarray(cat)
+        offs = np.asarray(offsets[:cat.shape[0]], dtype=cat.dtype)
+        flat = (cat + offs.reshape((-1,) + (1,) * (cat.ndim - 1))).ravel()
+        if pad_idx is not None:
+            flat = flat[cat.ravel() != pad_idx]
+        if flat.size:
+            self._mask[flat] = True
+
+    def rows(self) -> np.ndarray:
+        """Touched global row ids, ascending, int32."""
+        return np.nonzero(self._mask)[0].astype(np.int32)
+
+    def count(self) -> int:
+        return int(self._mask.sum())
+
+    def clear(self) -> None:
+        self._mask[:] = False
+
+
+def _is_rowwise(leaf, vocab: int) -> bool:
+    shape = getattr(leaf, "shape", ())
+    return len(shape) >= 1 and shape[0] == vocab and vocab > 0
+
+
+def snapshot_delta(data: jax.Array, state, rows: np.ndarray) -> dict:
+    """Gather the touched rows of `data` and of every row-wise state leaf
+    onto the host. One device `take` per leaf; O(rows), never O(vocab)."""
+    vocab = data.shape[0]
+    rows = np.asarray(rows, dtype=np.int32)
+    rows_j = jnp.asarray(rows)
+    out = {"rows": rows, "vals": np.asarray(jnp.take(data, rows_j, axis=0))}
+    leaves = jax.tree_util.tree_leaves(state)
+    for i, leaf in enumerate(leaves):
+        if _is_rowwise(leaf, vocab):
+            out[f"srow_{i}"] = np.asarray(jnp.take(leaf, rows_j, axis=0))
+        else:
+            out[f"sfull_{i}"] = np.asarray(leaf)
+    return out
+
+
+def apply_delta(data: jax.Array, state, delta: dict):
+    """Scatter a `snapshot_delta` dict back into `(data, state)`. Whole-row
+    set (not add): the delta holds the rows' full post-update values."""
+    vocab = data.shape[0]
+    rows = jnp.asarray(delta["rows"])
+    data = data.at[rows].set(jnp.asarray(delta["vals"], dtype=data.dtype))
+    leaves, treedef = jax.tree_util.tree_flatten(state)
+    new = []
+    for i, leaf in enumerate(leaves):
+        if _is_rowwise(leaf, vocab):
+            vals = jnp.asarray(delta[f"srow_{i}"],
+                               dtype=getattr(leaf, "dtype", None))
+            new.append(leaf.at[rows].set(vals))
+        elif f"sfull_{i}" in delta:
+            full = delta[f"sfull_{i}"]
+            arr = jnp.asarray(full, dtype=getattr(leaf, "dtype", None))
+            new.append(arr.reshape(getattr(leaf, "shape", arr.shape)))
+        else:
+            new.append(leaf)  # zero-size placeholder, never serialized
+    return data, jax.tree_util.tree_unflatten(treedef, new)
+
+
+def _atomic_savez(path: str, payload: dict) -> None:
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **payload)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+class DeltaCheckpointManager:
+    """Base + delta checkpoint rotation for one table array + its
+    (row-wise) optimizer state.
+
+        mgr = DeltaCheckpointManager(dir, base_every=8)
+        tracker = TouchedRowTracker(stacked.data.shape[0])
+        ... per step: tracker.observe_batch(cat_host, stacked.offsets) ...
+        mgr.save(step, stacked.data, opt_state, tracker)   # clears tracker
+        data, state = mgr.restore_latest(data, opt_state)  # templates
+
+    Layout under `directory`: `base_<step>/` (orbax pytree of
+    `(data, state)`) and `delta_<step>.npz`. Every `base_every`-th save is
+    a full base; a new base prunes the previous base and its deltas.
+    Deltas are written atomically (tmp + rename), so a crash mid-save
+    leaves the previous chain restorable.
+    """
+
+    def __init__(self, directory: str, base_every: int = 8):
+        if base_every < 1:
+            raise ValueError("base_every must be >= 1")
+        self.directory = os.path.abspath(directory)
+        self.base_every = base_every
+        os.makedirs(self.directory, exist_ok=True)
+        self._since_base = self._count_since_latest_base()
+
+    # -- directory scan helpers -------------------------------------------
+    def _bases(self):
+        out = []
+        for name in os.listdir(self.directory):
+            if name.startswith("base_") and name[5:].isdigit():
+                out.append(int(name[5:]))
+        return sorted(out)
+
+    def _deltas(self):
+        out = []
+        for name in os.listdir(self.directory):
+            if name.startswith("delta_") and name.endswith(".npz"):
+                mid = name[6:-4]
+                if mid.isdigit():
+                    out.append(int(mid))
+        return sorted(out)
+
+    def _count_since_latest_base(self) -> int:
+        bases = self._bases()
+        if not bases:
+            return 0
+        return sum(1 for d in self._deltas() if d > bases[-1])
+
+    def latest_step(self) -> Optional[int]:
+        bases, deltas = self._bases(), self._deltas()
+        steps = bases + [d for d in deltas if bases and d > bases[-1]]
+        return max(steps) if steps else None
+
+    # -- save / restore ----------------------------------------------------
+    def save(self, step: int, data: jax.Array, state,
+             tracker: TouchedRowTracker) -> str:
+        """Save a checkpoint at `step`; consumes (clears) the tracker."""
+        bases = self._bases()
+        if not bases or self._since_base >= self.base_every - 1:
+            path = save_checkpoint(
+                os.path.join(self.directory, f"base_{step}"), (data, state))
+            # A committed new base supersedes the old chain.
+            for b in bases:
+                shutil.rmtree(os.path.join(self.directory, f"base_{b}"),
+                              ignore_errors=True)
+            for d in self._deltas():
+                if d <= step:
+                    os.unlink(os.path.join(self.directory,
+                                           f"delta_{d}.npz"))
+            self._since_base = 0
+        else:
+            payload = snapshot_delta(data, state, tracker.rows())
+            path = os.path.join(self.directory, f"delta_{step}.npz")
+            _atomic_savez(path, payload)
+            self._since_base += 1
+        tracker.clear()
+        return path
+
+    def restore_latest(self, data_like, state_like):
+        """Restore the newest `(data, state)`: base restore (orbax,
+        sharding-aware via the templates) + delta replay in step order.
+        Returns None if the directory holds no committed base."""
+        bases = self._bases()
+        if not bases:
+            return None
+        base = bases[-1]
+        data, state = restore_checkpoint(
+            os.path.join(self.directory, f"base_{base}"),
+            (data_like, state_like))
+        for d in self._deltas():
+            if d > base:
+                with np.load(os.path.join(self.directory,
+                                          f"delta_{d}.npz")) as z:
+                    delta = {k: z[k] for k in z.files}
+                data, state = apply_delta(data, state, delta)
+        return data, state

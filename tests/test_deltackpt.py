@@ -1,0 +1,172 @@
+"""Incremental (delta) checkpointing: bitwise restore, chain rotation,
+placement-agnostic replay.
+
+The restore contract is BITWISE equality with the live state: gather and
+scatter of whole rows are exact, and the base restore is orbax byte
+round-trip. Oracle discipline mirrors the package's checkpoint tests; the
+reference has no checkpointing at all (SURVEY.md §5).
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from embeddingtables_tpu.optim import (SparseLazyAdam, SparseRowWiseAdaGrad,
+                                       SparseSGD)
+from embeddingtables_tpu.ops.sparse_update import SparseEmbeddingUpdate
+from embeddingtables_tpu.utils import (DeltaCheckpointManager,
+                                       TouchedRowTracker, apply_delta,
+                                       snapshot_delta)
+
+V, D, B = 300, 16, 48
+
+
+def _train_steps(data, opt, state, tracker, rng, n, bag=None):
+    """Run n real sparse-optimizer steps, observing indices like a host
+    input pipeline would."""
+    for _ in range(n):
+        shape = (B,) if bag is None else (B, bag)
+        idx = rng.integers(0, V, size=shape).astype(np.int32)
+        tracker.observe(idx)
+        upd = SparseEmbeddingUpdate(
+            delta=jnp.asarray(rng.normal(size=(B, D)).astype(np.float32)),
+            indices=jnp.asarray(idx))
+        data, state = opt.apply(data, upd, state)
+    return data, state
+
+
+def test_tracker_observe_batch_offsets_and_pad():
+    tr = TouchedRowTracker(30)
+    cat = np.array([[[0, 2, 9], [1, 9, 9]],     # table 0, pad=9
+                    [[3, 9, 9], [0, 1, 9]]], dtype=np.int32)
+    tr.observe_batch(cat, offsets=(0, 10, 20), pad_idx=9)
+    assert set(tr.rows().tolist()) == {0, 1, 2, 13, 10, 11}
+    assert tr.count() == 6
+    tr.clear()
+    assert tr.count() == 0
+    # Without pad_idx the sentinel rows are marked too (9 and 19).
+    tr.observe_batch(cat, offsets=(0, 10, 20))
+    assert set(tr.rows().tolist()) == {0, 1, 2, 9, 13, 10, 11, 19}
+
+
+@pytest.mark.parametrize("opt", [
+    SparseRowWiseAdaGrad(lr=0.05),
+    SparseLazyAdam(lr=0.05),
+    SparseSGD(lr=0.05),
+], ids=["adagrad", "adam", "sgd"])
+def test_snapshot_apply_roundtrip_bitwise(opt):
+    rng = np.random.default_rng(0)
+    data0 = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    state0 = opt.init(data0)
+    tracker = TouchedRowTracker(V)
+    data1, state1 = _train_steps(data0, opt, state0, tracker, rng, 3)
+    delta = snapshot_delta(data1, state1, tracker.rows())
+    # Replay onto the PRE-training arrays: rows were saved post-update, so
+    # the scattered result must equal the live state bitwise (untouched
+    # rows never moved: lazy updates touch only looked-up rows).
+    data_r, state_r = apply_delta(data0, state0, delta)
+    assert (np.asarray(data_r) == np.asarray(data1)).all()
+    for a, b in zip(jax.tree_util.tree_leaves(state_r),
+                    jax.tree_util.tree_leaves(state1)):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_delta_is_orows_not_ovocab():
+    rng = np.random.default_rng(1)
+    data = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    opt = SparseRowWiseAdaGrad(lr=0.05)
+    state = opt.init(data)
+    rows = np.array([3, 7, 250], dtype=np.int32)
+    delta = snapshot_delta(data, state, rows)
+    assert delta["vals"].shape == (3, D)
+    assert delta["srow_0"].shape == (3,)  # (V,) accum row-sliced
+
+
+def test_manager_chain_restore_bitwise(tmp_path):
+    rng = np.random.default_rng(2)
+    opt = SparseRowWiseAdaGrad(lr=0.05)
+    data = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    state = opt.init(data)
+    tracker = TouchedRowTracker(V)
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=4)
+
+    step = 0
+    for ck in range(6):  # saves: base, d, d, d, base, d
+        data, state = _train_steps(data, opt, state, tracker, rng, 2,
+                                   bag=3 if ck % 2 else None)
+        step += 2
+        mgr.save(step, data, state, tracker)
+        assert tracker.count() == 0  # save consumes the tracker
+    assert mgr.latest_step() == step
+    names = sorted(os.listdir(tmp_path))
+    # base_every=4: saves 1 and 5 are bases (steps 2 and 10); the new base
+    # pruned the first chain, so exactly one base + the trailing delta.
+    assert "base_10" in names and "delta_12.npz" in names
+    assert sum(n.startswith("base_") for n in names) == 1
+
+    restored = mgr.restore_latest(jnp.zeros_like(data), opt.init(data))
+    assert restored is not None
+    data_r, state_r = restored
+    assert (np.asarray(data_r) == np.asarray(data)).all()
+    assert (np.asarray(state_r.accum) == np.asarray(state.accum)).all()
+
+
+def test_manager_restore_none_when_empty(tmp_path):
+    mgr = DeltaCheckpointManager(str(tmp_path))
+    assert mgr.restore_latest(jnp.zeros((V, D)), None) is None
+    assert mgr.latest_step() is None
+
+
+def test_manager_reopen_resumes_cadence(tmp_path):
+    """A new manager over an existing directory keeps the base cadence by
+    counting deltas since the latest base."""
+    rng = np.random.default_rng(3)
+    opt = SparseSGD(lr=0.1)
+    data = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    state = opt.init(data)
+    tracker = TouchedRowTracker(V)
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=3)
+    for s in (1, 2, 3):  # base_1, delta_2, delta_3
+        data, state = _train_steps(data, opt, state, tracker, rng, 1)
+        mgr.save(s, data, state, tracker)
+    mgr2 = DeltaCheckpointManager(str(tmp_path), base_every=3)
+    data, state = _train_steps(data, opt, state, tracker, rng, 1)
+    p = mgr2.save(4, data, state, tracker)
+    assert os.path.basename(p) == "base_4"  # fourth save rolls a new base
+    restored = mgr2.restore_latest(jnp.zeros_like(data), opt.init(data))
+    assert (np.asarray(restored[0]) == np.asarray(data)).all()
+
+
+def test_delta_restore_is_placement_agnostic(tmp_path):
+    """Deltas are keyed by global row id: a chain saved from unsharded
+    arrays replays onto a mesh-sharded restore target (elastic restore)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(4)
+    opt = SparseRowWiseAdaGrad(lr=0.05)
+    Vs = 320  # divisible by 8 devices
+    data = jnp.asarray(rng.normal(size=(Vs, D)).astype(np.float32))
+    state = opt.init(data)
+    tracker = TouchedRowTracker(Vs)
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=2)
+    for s in (1, 2, 3):
+        idx = rng.integers(0, Vs, size=B).astype(np.int32)
+        tracker.observe(idx)
+        upd = SparseEmbeddingUpdate(
+            delta=jnp.asarray(rng.normal(size=(B, D)).astype(np.float32)),
+            indices=jnp.asarray(idx))
+        data, state = opt.apply(data, upd, state)
+        mgr.save(s, data, state, tracker)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("model",))
+    sh = NamedSharding(mesh, P("model", None))
+    sh1 = NamedSharding(mesh, P("model"))
+    data_t = jax.ShapeDtypeStruct((Vs, D), jnp.float32, sharding=sh)
+    state_t = type(state)(accum=jax.ShapeDtypeStruct(
+        (Vs,), jnp.float32, sharding=sh1))
+    data_r, state_r = mgr.restore_latest(data_t, state_t)
+    assert data_r.sharding.is_equivalent_to(sh, 2)
+    assert (np.asarray(data_r) == np.asarray(data)).all()
+    assert (np.asarray(state_r.accum) == np.asarray(state.accum)).all()
