@@ -118,6 +118,7 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                freq_decay: float = 0.99, microbatch=None,
                device_prefetch: int = 0, plan=None,
                eval_metrics: bool = False, lr_schedule=None,
+               delta_ckpt=None, delta_every: int = 0,
                verbose: bool = True) -> TrainResult:
     """Train a DLRM for `num_steps` batches from `train_iter`.
 
@@ -139,10 +140,25 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     rows are left at their init values. Works on all three placements:
     single-chip, uniform sharded (mod-row ownership via
     `evict_rows_sharded`), and planner (`evict_rows_planned`).
+
+    delta_ckpt (a `utils.DeltaCheckpointManager`) + delta_every > 0 turn on
+    incremental table checkpointing: a `TouchedRowTracker` follows the host
+    batches and every `delta_every` steps only the rows touched since the
+    last save are written (full base at the manager's `base_every` cadence).
+    The manager covers `(tables.data, emb_state)`; pair with `ckpt_manager`
+    if the dense towers must be checkpointed too. Resume with
+    `restore_dlrm_delta`. Single-chip and uniform-sharded placements
+    (the planner's mixed placement has no single global row space).
     """
     tel = _telemetry.get_telemetry()
     if plan is not None and mesh is None:
         raise ValueError("plan= requires mesh=")
+    if delta_ckpt is not None and not delta_every:
+        raise ValueError("delta_ckpt requires delta_every > 0")
+    if delta_ckpt is not None and plan is not None:
+        raise NotImplementedError(
+            "delta checkpointing covers single-chip and uniform sharded "
+            "placements (a planner placement has no single global row space)")
     if plan is not None and exchange != "gather":
         raise NotImplementedError(
             "planner-placed training supports the gather exchange only")
@@ -248,6 +264,15 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
         trackers = [FrequencyTracker(v, decay=freq_decay)
                     for v in cfg.vocab_sizes]
 
+    delta_tracker = None
+    if delta_ckpt is not None:
+        from ..utils.deltackpt import ModRowLayout, TouchedRowTracker
+        # The manager's layout must match this model's placement; set it
+        # here so one manager construction works for either.
+        delta_ckpt.layout = (ModRowLayout.for_tables(model.tables)
+                             if mesh is not None else None)
+        delta_tracker = TouchedRowTracker(model.tables.offsets[-1])
+
     losses, aucs = [], []
     examples = 0
     evicted_total = 0
@@ -328,6 +353,15 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                           f"{m['calibration']:.3f}", flush=True)
                 else:
                     print(f"step {i+1:6d}  eval AUC {a:.4f}", flush=True)
+        if delta_tracker is not None:
+            delta_tracker.observe_batch(batch["cat"], model.tables.offsets,
+                                        pad_idx=getattr(cfg, "pad_idx", None))
+            if (i + 1) % delta_every == 0:
+                with tel.phase("delta_ckpt"):
+                    state = (model.emb_accum if hasattr(model, "emb_accum")
+                             else model.emb_state)
+                    delta_ckpt.save(i + 1, model.tables.data, state,
+                                    delta_tracker)
         if ckpt_manager is not None and ckpt_every and (i + 1) % ckpt_every == 0:
             with tel.phase("checkpoint"):
                 ckpt_manager.save(i + 1, model)
@@ -345,6 +379,29 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
 # ---------------------------------------------------------------------------
 # DCN-v2 training loop
 # ---------------------------------------------------------------------------
+
+def restore_dlrm_delta(delta_ckpt, model):
+    """Resume `model`'s tables + sparse-optimizer row state from a
+    `DeltaCheckpointManager` chain (the counterpart of `train_dlrm`'s
+    `delta_ckpt=` saves). Works on single-chip `DLRM` and uniform
+    `ShardedDLRM` models (the restore scatters by global row id through
+    the matching layout, so the chain's origin placement is irrelevant).
+    Dense towers are untouched — pair with a full `ckpt_manager` when the
+    towers must resume too. Returns `model` unchanged if the directory
+    holds no committed base."""
+    from ..utils.deltackpt import ModRowLayout
+    sharded = hasattr(model, "emb_accum")
+    state = model.emb_accum if sharded else model.emb_state
+    delta_ckpt.layout = (ModRowLayout.for_tables(model.tables)
+                         if sharded else None)
+    restored = delta_ckpt.restore_latest(model.tables.data, state)
+    if restored is None:
+        return model
+    data, state = restored
+    tables = dataclasses.replace(model.tables, data=data)
+    key = "emb_accum" if sharded else "emb_state"
+    return dataclasses.replace(model, tables=tables, **{key: state})
+
 
 def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
               dense_lr: float = 0.01, dense_tx=None, model=None,

@@ -96,40 +96,85 @@ class TouchedRowTracker:
         self._mask[:] = False
 
 
-def _is_rowwise(leaf, vocab: int) -> bool:
-    shape = getattr(leaf, "shape", ())
-    return len(shape) >= 1 and shape[0] == vocab and vocab > 0
+class FlatRowLayout:
+    """Canonical `(V, ...)` global-row layout: global row r is leaf[r]."""
+
+    def __init__(self, vocab: int):
+        self.vocab = int(vocab)
+
+    def is_rowwise(self, leaf) -> bool:
+        shape = getattr(leaf, "shape", ())
+        return len(shape) >= 1 and shape[0] == self.vocab and self.vocab > 0
+
+    def take(self, leaf, rows):
+        return jnp.take(leaf, rows, axis=0)
+
+    def set(self, leaf, rows, vals):
+        return leaf.at[rows].set(vals)
 
 
-def snapshot_delta(data: jax.Array, state, rows: np.ndarray) -> dict:
+class ModRowLayout:
+    """The mod-sharded `(n_shards, rows_per_shard, ...)` layout of
+    `parallel.sharded.ShardedStackedTables`: global row r lives at
+    `leaf[r % n, r // n]` (docs/DESIGN.md §3). Gather/scatter of global
+    rows is one advanced-index op; under jit on a mesh-sharded array XLA
+    inserts the collectives."""
+
+    def __init__(self, n_shards: int, rows_per_shard: int):
+        self.n = int(n_shards)
+        self.rps = int(rows_per_shard)
+
+    @classmethod
+    def for_tables(cls, sharded_tables) -> "ModRowLayout":
+        return cls(sharded_tables.data.shape[0],
+                   sharded_tables.data.shape[1])
+
+    def is_rowwise(self, leaf) -> bool:
+        shape = getattr(leaf, "shape", ())
+        return len(shape) >= 2 and shape[0] == self.n and shape[1] == self.rps
+
+    def take(self, leaf, rows):
+        return leaf[rows % self.n, rows // self.n]
+
+    def set(self, leaf, rows, vals):
+        return leaf.at[rows % self.n, rows // self.n].set(vals)
+
+
+def snapshot_delta(data: jax.Array, state, rows: np.ndarray,
+                   layout=None) -> dict:
     """Gather the touched rows of `data` and of every row-wise state leaf
-    onto the host. One device `take` per leaf; O(rows), never O(vocab)."""
-    vocab = data.shape[0]
+    onto the host. One device gather per leaf; O(rows), never O(vocab).
+    `layout` defaults to the flat `(V, ...)` convention; pass a
+    `ModRowLayout` for mod-sharded arrays."""
+    layout = layout or FlatRowLayout(data.shape[0])
     rows = np.asarray(rows, dtype=np.int32)
     rows_j = jnp.asarray(rows)
-    out = {"rows": rows, "vals": np.asarray(jnp.take(data, rows_j, axis=0))}
+    out = {"rows": rows, "vals": np.asarray(layout.take(data, rows_j))}
     leaves = jax.tree_util.tree_leaves(state)
     for i, leaf in enumerate(leaves):
-        if _is_rowwise(leaf, vocab):
-            out[f"srow_{i}"] = np.asarray(jnp.take(leaf, rows_j, axis=0))
+        if layout.is_rowwise(leaf):
+            out[f"srow_{i}"] = np.asarray(layout.take(leaf, rows_j))
         else:
             out[f"sfull_{i}"] = np.asarray(leaf)
     return out
 
 
-def apply_delta(data: jax.Array, state, delta: dict):
+def apply_delta(data: jax.Array, state, delta: dict, layout=None):
     """Scatter a `snapshot_delta` dict back into `(data, state)`. Whole-row
-    set (not add): the delta holds the rows' full post-update values."""
-    vocab = data.shape[0]
+    set (not add): the delta holds the rows' full post-update values.
+    `layout` must describe the TARGET arrays (flat and mod layouts
+    interoperate: deltas are keyed by global row id)."""
+    layout = layout or FlatRowLayout(data.shape[0])
     rows = jnp.asarray(delta["rows"])
-    data = data.at[rows].set(jnp.asarray(delta["vals"], dtype=data.dtype))
+    data = layout.set(data, rows,
+                      jnp.asarray(delta["vals"], dtype=data.dtype))
     leaves, treedef = jax.tree_util.tree_flatten(state)
     new = []
     for i, leaf in enumerate(leaves):
-        if _is_rowwise(leaf, vocab):
+        if layout.is_rowwise(leaf):
             vals = jnp.asarray(delta[f"srow_{i}"],
                                dtype=getattr(leaf, "dtype", None))
-            new.append(leaf.at[rows].set(vals))
+            new.append(layout.set(leaf, rows, vals))
         elif f"sfull_{i}" in delta:
             full = delta[f"sfull_{i}"]
             arr = jnp.asarray(full, dtype=getattr(leaf, "dtype", None))
@@ -169,11 +214,12 @@ class DeltaCheckpointManager:
     leaves the previous chain restorable.
     """
 
-    def __init__(self, directory: str, base_every: int = 8):
+    def __init__(self, directory: str, base_every: int = 8, layout=None):
         if base_every < 1:
             raise ValueError("base_every must be >= 1")
         self.directory = os.path.abspath(directory)
         self.base_every = base_every
+        self.layout = layout  # None = flat (V, ...); ModRowLayout for sharded
         os.makedirs(self.directory, exist_ok=True)
         self._since_base = self._count_since_latest_base()
 
@@ -223,7 +269,8 @@ class DeltaCheckpointManager:
                                            f"delta_{d}.npz"))
             self._since_base = 0
         else:
-            payload = snapshot_delta(data, state, tracker.rows())
+            payload = snapshot_delta(data, state, tracker.rows(),
+                                     layout=self.layout)
             path = os.path.join(self.directory, f"delta_{step}.npz")
             _atomic_savez(path, payload)
             self._since_base += 1
@@ -246,5 +293,6 @@ class DeltaCheckpointManager:
                 with np.load(os.path.join(self.directory,
                                           f"delta_{d}.npz")) as z:
                     delta = {k: z[k] for k in z.files}
-                data, state = apply_delta(data, state, delta)
+                data, state = apply_delta(data, state, delta,
+                                          layout=self.layout)
         return data, state
