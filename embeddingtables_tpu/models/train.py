@@ -106,6 +106,39 @@ def _maybe_evict(model, trackers, plan, mesh, evict_threshold,
     return model, int(cold.size)
 
 
+def _delta_setup(delta_ckpt, delta_every, plan, mesh, model):
+    """Shared `delta_ckpt=` plumbing for the CTR train loops: validate,
+    point the manager's layout at this model's placement, and build the
+    touched-row tracker over the stacked vocab. Returns None when delta
+    checkpointing is off."""
+    if delta_ckpt is None:
+        return None
+    if not delta_every:
+        raise ValueError("delta_ckpt requires delta_every > 0")
+    if plan is not None:
+        raise NotImplementedError(
+            "delta checkpointing covers single-chip and uniform sharded "
+            "placements (a planner placement has no single global row space)")
+    from ..utils.deltackpt import ModRowLayout, TouchedRowTracker
+    delta_ckpt.layout = (ModRowLayout.for_tables(model.tables)
+                         if mesh is not None else None)
+    return TouchedRowTracker(model.tables.offsets[-1])
+
+
+def _delta_observe_save(delta_ckpt, delta_every, tracker, model, batch,
+                        cfg, i, tel):
+    """Per-step tracker feed + cadence save for `delta_ckpt=` loops."""
+    if tracker is None:
+        return
+    tracker.observe_batch(batch["cat"], model.tables.offsets,
+                          pad_idx=getattr(cfg, "pad_idx", None))
+    if (i + 1) % delta_every == 0:
+        with tel.phase("delta_ckpt"):
+            state = (model.emb_accum if hasattr(model, "emb_accum")
+                     else model.emb_state)
+            delta_ckpt.save(i + 1, model.tables.data, state, tracker)
+
+
 def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                sparse_opt=None, dense_lr: float = 0.01, dense_tx=None,
                model=None,
@@ -153,12 +186,6 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
     tel = _telemetry.get_telemetry()
     if plan is not None and mesh is None:
         raise ValueError("plan= requires mesh=")
-    if delta_ckpt is not None and not delta_every:
-        raise ValueError("delta_ckpt requires delta_every > 0")
-    if delta_ckpt is not None and plan is not None:
-        raise NotImplementedError(
-            "delta checkpointing covers single-chip and uniform sharded "
-            "placements (a planner placement has no single global row space)")
     if plan is not None and exchange != "gather":
         raise NotImplementedError(
             "planner-placed training supports the gather exchange only")
@@ -264,14 +291,7 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
         trackers = [FrequencyTracker(v, decay=freq_decay)
                     for v in cfg.vocab_sizes]
 
-    delta_tracker = None
-    if delta_ckpt is not None:
-        from ..utils.deltackpt import ModRowLayout, TouchedRowTracker
-        # The manager's layout must match this model's placement; set it
-        # here so one manager construction works for either.
-        delta_ckpt.layout = (ModRowLayout.for_tables(model.tables)
-                             if mesh is not None else None)
-        delta_tracker = TouchedRowTracker(model.tables.offsets[-1])
+    delta_tracker = _delta_setup(delta_ckpt, delta_every, plan, mesh, model)
 
     losses, aucs = [], []
     examples = 0
@@ -353,15 +373,8 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                           f"{m['calibration']:.3f}", flush=True)
                 else:
                     print(f"step {i+1:6d}  eval AUC {a:.4f}", flush=True)
-        if delta_tracker is not None:
-            delta_tracker.observe_batch(batch["cat"], model.tables.offsets,
-                                        pad_idx=getattr(cfg, "pad_idx", None))
-            if (i + 1) % delta_every == 0:
-                with tel.phase("delta_ckpt"):
-                    state = (model.emb_accum if hasattr(model, "emb_accum")
-                             else model.emb_state)
-                    delta_ckpt.save(i + 1, model.tables.data, state,
-                                    delta_tracker)
+        _delta_observe_save(delta_ckpt, delta_every, delta_tracker, model,
+                            batch, cfg, i, tel)
         if ckpt_manager is not None and ckpt_every and (i + 1) % ckpt_every == 0:
             with tel.phase("checkpoint"):
                 ckpt_manager.save(i + 1, model)
@@ -412,14 +425,16 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
               guard=None, device_prefetch: int = 0, plan=None,
               evict_every: int = 0, evict_threshold: float = 1e-3,
               freq_decay: float = 0.99, eval_metrics: bool = False,
-              lr_schedule=None,
+              lr_schedule=None, delta_ckpt=None, delta_every: int = 0,
               verbose: bool = True) -> TrainResult:
     """Train a DCN-v2 (`models/dcn.py`) on the same batch layout as
     `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
     fused step; mesh given -> the sharded gather-exchange step
     (parallel/dcn.py); mesh + plan -> the planner's mixed placement
     (parallel/planner.py). Same telemetry/eval/checkpoint cadence as the
-    DLRM loop."""
+    DLRM loop, including incremental table checkpoints
+    (`delta_ckpt=`/`delta_every=`, resume via `restore_dlrm_delta` —
+    placement rules as in `train_dlrm`)."""
     from .dcn import init_dcn, make_eval_step as make_dcn_eval, \
         make_train_step as make_dcn_step
     tel = _telemetry.get_telemetry()
@@ -507,6 +522,7 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         from ..utils.rowstats import FrequencyTracker
         trackers = [FrequencyTracker(v, decay=freq_decay)
                     for v in cfg.vocab_sizes]
+    delta_tracker = _delta_setup(delta_ckpt, delta_every, plan, mesh, model)
     losses, aucs = [], []
     examples = 0
     evicted_total = 0
@@ -571,6 +587,8 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                           f"{m['calibration']:.3f}", flush=True)
                 else:
                     print(f"step {i+1:6d}  eval AUC {a:.4f}", flush=True)
+        _delta_observe_save(delta_ckpt, delta_every, delta_tracker, model,
+                            batch, cfg, i, tel)
         if ckpt_manager is not None and ckpt_every and \
                 (i + 1) % ckpt_every == 0:
             with tel.phase("checkpoint"):

@@ -242,3 +242,24 @@ def test_train_loop_delta_ckpt_sharded(tmp_path):
     # emb_accum is the raw (n_shards, rows_local) accumulator array here.
     assert (np.asarray(resumed.emb_accum)
             == np.asarray(res6.model.emb_accum)).all()
+
+
+def test_train_dcn_delta_ckpt(tmp_path):
+    from embeddingtables_tpu.models import DCNConfig, init_dcn
+    from embeddingtables_tpu.models.train import (restore_dlrm_delta,
+                                                  train_dcn)
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    cfg = DCNConfig(vocab_sizes=(40, 24), num_dense=4, dim=8,
+                    num_cross=1, cross_rank=None, deep_mlp=(8,),
+                    compute_dtype=jnp.float32)
+    opt = SparseRowWiseAdaGrad(lr=0.1)
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=2)
+    res = train_dcn(cfg, _dlrm_batches(cfg.vocab_sizes), 6, sparse_opt=opt,
+                    dense_lr=0.1, log_every=0, verbose=False,
+                    delta_ckpt=mgr, delta_every=2)
+    fresh = init_dcn(jax.random.key(11), cfg, sparse_opt=opt)
+    resumed = restore_dlrm_delta(mgr, fresh)
+    assert (np.asarray(resumed.tables.data)
+            == np.asarray(res.model.tables.data)).all()
+    assert (np.asarray(resumed.emb_state.accum)
+            == np.asarray(res.model.emb_state.accum)).all()
