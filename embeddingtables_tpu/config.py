@@ -2,8 +2,11 @@
 
 The reference's tuning surface is type-level (`Static` vs `Dynamic`,
 `Val(Nontemporal)`, `MAX_ACCUMULATOR_SIZE`, SURVEY.md §5 "Config"). Ours is a
-small module-level config: which backend implements the hot ops ("auto" picks
-Pallas on TPU when shapes are lane-aligned, XLA otherwise), and whether Pallas
+small module-level config: which backend implements the hot ops ("auto" uses
+XLA everywhere — the measured decision, docs/DESIGN.md §1b-§1d: XLA's
+gather/scatter sit at the v5e DMA-issue floor and every Pallas per-row-DMA
+structure tried costs 15-18 ns/copy in kernel-side overhead; the Pallas
+kernels remain forceable here for other chips/shapes), and whether Pallas
 kernels run in interpreter mode (CPU testing).
 """
 from __future__ import annotations

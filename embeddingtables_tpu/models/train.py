@@ -59,7 +59,8 @@ def evaluate_metrics(eval_step, model, batches, *,
 
 
 def _maybe_evict(model, trackers, plan, mesh, evict_threshold,
-                 stacks=(("tables", "emb_state", "emb_accum"),)):
+                 stacks=(("tables", "emb_state", "emb_accum"),),
+                 delta_tracker=None):
     """Pop each tracker's stale rows and evict them from whichever
     placement `model` uses (single-chip / uniform sharded / planner).
     Shared by the DLRM, DCN, and DeepFM loops. Returns (model, n_evicted).
@@ -68,6 +69,12 @@ def _maybe_evict(model, trackers, plan, mesh, evict_threshold,
     the first stack's offsets/trackers — DeepFM passes its second (dim-1
     first-order) stack so a stale row loses BOTH representations and both
     optimizer states. The planner path manages one stack only.
+
+    delta_tracker: the delta-checkpoint `TouchedRowTracker`, if delta
+    checkpointing is on. Eviction REWRITES rows (values + optimizer state
+    reset) without the input stream seeing them, so they must be marked
+    touched or the next delta would omit them and a restore would diverge
+    from the live state.
     """
     import dataclasses as _dc
     from ..utils.rowstats import (evict_rows, evict_rows_sharded,
@@ -86,6 +93,8 @@ def _maybe_evict(model, trackers, plan, mesh, evict_threshold,
          for t, tr in enumerate(trackers)])
     if not cold.size:
         return model, 0
+    if delta_tracker is not None:
+        delta_tracker.observe(cold)
     for tables_attr, state_attr, accum_attr in stacks:
         if mesh is not None:
             # Mod-row ownership (r % n, r // n); accum is the
@@ -328,7 +337,8 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
             # pop_cold: only rows seen-then-stale, marked so they are not
             # re-evicted every interval (never-seen rows sit at init).
             model, n = _maybe_evict(model, trackers, plan, mesh,
-                                    evict_threshold)
+                                    evict_threshold,
+                                    delta_tracker=delta_tracker)
             evicted_total += n
         loss, ovf = out if with_overflow else (out, None)
         examples += batch["label"].shape[0]
@@ -352,9 +362,15 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                 # Divergence watchdog (checked at log cadence — a per-step
                 # device->host fetch would serialize the pipeline).
                 model, rolled = guard.observe(lv, model)
-                if rolled and verbose:
-                    print(f"step {i:6d}  DIVERGED (loss {lv:.3g}) — rolled "
-                          f"back to checkpoint", flush=True)
+                if rolled:
+                    if delta_ckpt is not None:
+                        # The live model jumped to an older snapshot; the
+                        # tracker can no longer name the rows that differ
+                        # from the last save. Next save = full base.
+                        delta_ckpt.force_base()
+                    if verbose:
+                        print(f"step {i:6d}  DIVERGED (loss {lv:.3g}) — "
+                              f"rolled back to checkpoint", flush=True)
             if verbose:
                 print(f"step {i:6d}  loss {lv:.5f}", flush=True)
         if eval_every and eval_batches and (i + 1) % eval_every == 0:
@@ -557,7 +573,8 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
             # pop_cold: only rows seen-then-stale, marked so they are not
             # re-evicted every interval (never-seen rows sit at init).
             model, n = _maybe_evict(model, trackers, plan, mesh,
-                                    evict_threshold)
+                                    evict_threshold,
+                                    delta_tracker=delta_tracker)
             evicted_total += n
         examples += batch["label"].shape[0]
         if log_every and (i % log_every == 0 or i == num_steps - 1):
@@ -566,9 +583,14 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
             if guard is not None:
                 # Divergence watchdog (log cadence, like the DLRM loop).
                 model, rolled = guard.observe(lv, model)
-                if rolled and verbose:
-                    print(f"step {i:6d}  DIVERGED (loss {lv:.3g}) — rolled "
-                          f"back to checkpoint", flush=True)
+                if rolled:
+                    if delta_ckpt is not None:
+                        # Rollback invalidates the delta chain's premise;
+                        # see the DLRM loop. Next save = full base.
+                        delta_ckpt.force_base()
+                    if verbose:
+                        print(f"step {i:6d}  DIVERGED (loss {lv:.3g}) — "
+                              f"rolled back to checkpoint", flush=True)
             if verbose:
                 print(f"step {i:6d}  loss {lv:.5f}", flush=True)
         if eval_every and eval_batches and (i + 1) % eval_every == 0:

@@ -41,6 +41,7 @@ zero-size SGD placeholders) is small and saved whole in every delta.
 """
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -184,6 +185,41 @@ def apply_delta(data: jax.Array, state, delta: dict, layout=None):
     return data, jax.tree_util.tree_unflatten(treedef, new)
 
 
+def _layout_meta(layout, data) -> dict:
+    """Serializable description of the row layout a base was saved under."""
+    if isinstance(layout, ModRowLayout):
+        return {"kind": "mod", "n": layout.n, "rps": layout.rps}
+    return {"kind": "flat", "vocab": int(data.shape[0])}
+
+
+def _rows_to_flat(arr: np.ndarray, meta: dict) -> np.ndarray:
+    """Re-lay a row-wise leaf from its SAVED layout into the canonical flat
+    global-row order (capacity rows; mod capacity = n*rps >= vocab)."""
+    if meta["kind"] == "mod":
+        n, rps = meta["n"], meta["rps"]
+        # flat[k*n + s] = mod[s, k]  (global row r lives at [r % n, r // n])
+        return np.moveaxis(arr, 0, 1).reshape((n * rps,) + arr.shape[2:])
+    return arr
+
+
+def _rows_from_flat(flat: np.ndarray, target_layout,
+                    target_shape) -> np.ndarray:
+    """Re-lay canonical flat global rows into the TARGET layout, padding
+    (rows past the saved capacity are table padding, value-irrelevant) or
+    trimming as the capacities differ."""
+    if isinstance(target_layout, ModRowLayout):
+        n, rps = target_layout.n, target_layout.rps
+        cap = n * rps
+        if flat.shape[0] < cap:
+            pad = np.zeros((cap - flat.shape[0],) + flat.shape[1:],
+                           dtype=flat.dtype)
+            flat = np.concatenate([flat, pad], axis=0)
+        else:
+            flat = flat[:cap]
+        return np.moveaxis(flat.reshape((rps, n) + flat.shape[1:]), 0, 1)
+    return flat[:target_shape[0]]
+
+
 def _atomic_savez(path: str, payload: dict) -> None:
     d = os.path.dirname(path)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
@@ -223,6 +259,14 @@ class DeltaCheckpointManager:
         os.makedirs(self.directory, exist_ok=True)
         self._since_base = self._count_since_latest_base()
 
+    def force_base(self) -> None:
+        """Make the NEXT save a full base checkpoint. Call after any event
+        that invalidates the delta chain's premise that the live state =
+        last checkpoint + touched rows — e.g. a DivergenceGuard rollback
+        (the live model jumped to an older snapshot, so rows that differ
+        from the last save are no longer knowable from the tracker)."""
+        self._since_base = self.base_every
+
     # -- directory scan helpers -------------------------------------------
     def _bases(self):
         out = []
@@ -259,14 +303,26 @@ class DeltaCheckpointManager:
         if not bases or self._since_base >= self.base_every - 1:
             path = save_checkpoint(
                 os.path.join(self.directory, f"base_{step}"), (data, state))
-            # A committed new base supersedes the old chain.
+            # Record the layout the base's row-wise leaves are laid out in,
+            # so a restore into a DIFFERENT placement can convert them
+            # (deltas are global-row-keyed and need no conversion).
+            with open(os.path.join(self.directory,
+                                   f"rowlayout_{step}.json"), "w") as f:
+                json.dump(_layout_meta(self.layout, data), f)
+            # A committed new base supersedes the old chain — delete ALL
+            # deltas, including any with d > step: a directory reused by a
+            # run whose step counter restarted would otherwise replay stale
+            # deltas from the previous run onto the new base.
             for b in bases:
                 shutil.rmtree(os.path.join(self.directory, f"base_{b}"),
                               ignore_errors=True)
-            for d in self._deltas():
-                if d <= step:
+                try:
                     os.unlink(os.path.join(self.directory,
-                                           f"delta_{d}.npz"))
+                                           f"rowlayout_{b}.json"))
+                except FileNotFoundError:
+                    pass
+            for d in self._deltas():
+                os.unlink(os.path.join(self.directory, f"delta_{d}.npz"))
             self._since_base = 0
         else:
             payload = snapshot_delta(data, state, tracker.rows(),
@@ -277,17 +333,42 @@ class DeltaCheckpointManager:
         tracker.clear()
         return path
 
+    def _saved_meta(self, base: int) -> Optional[dict]:
+        p = os.path.join(self.directory, f"rowlayout_{base}.json")
+        if not os.path.exists(p):
+            return None  # pre-sidecar chain: assume same layout as target
+        with open(p) as f:
+            return json.load(f)
+
     def restore_latest(self, data_like, state_like):
         """Restore the newest `(data, state)`: base restore (orbax,
         sharding-aware via the templates) + delta replay in step order.
-        Returns None if the directory holds no committed base."""
+        Returns None if the directory holds no committed base.
+
+        Placement-agnostic across the BASE too: if the base was saved under
+        a different row layout than the target templates (mod-sharded save
+        restored onto a single chip, or onto a mesh with a different shard
+        count), the row-wise leaves are restored host-side in the saved
+        layout, re-laid by global row id, and device_put under the target's
+        shardings."""
         bases = self._bases()
         if not bases:
             return None
         base = bases[-1]
-        data, state = restore_checkpoint(
-            os.path.join(self.directory, f"base_{base}"),
-            (data_like, state_like))
+        target_layout = self.layout or FlatRowLayout(data_like.shape[0])
+        saved = self._saved_meta(base)
+        target_meta = _layout_meta(self.layout, data_like)
+        if saved is None or \
+                {k: saved[k] for k in ("kind", "n", "rps") if k in saved} == \
+                {k: target_meta[k] for k in ("kind", "n", "rps")
+                 if k in target_meta}:
+            # Same layout: direct (possibly sharded, direct-to-device).
+            data, state = restore_checkpoint(
+                os.path.join(self.directory, f"base_{base}"),
+                (data_like, state_like))
+        else:
+            data, state = self._restore_base_converted(
+                base, saved, target_layout, data_like, state_like)
         for d in self._deltas():
             if d > base:
                 with np.load(os.path.join(self.directory,
@@ -295,4 +376,50 @@ class DeltaCheckpointManager:
                     delta = {k: z[k] for k in z.files}
                 data, state = apply_delta(data, state, delta,
                                           layout=self.layout)
+        return data, state
+
+    def _restore_base_converted(self, base: int, saved: dict, target_layout,
+                                data_like, state_like):
+        """Cross-layout base restore: read row-wise leaves host-side in the
+        SAVED layout's shapes, convert to the target layout by global row
+        id, and place them under the target leaves' shardings."""
+        mod_target = isinstance(target_layout, ModRowLayout)
+
+        def saved_template(leaf):
+            shape = tuple(getattr(leaf, "shape", np.asarray(leaf).shape))
+            dtype = getattr(leaf, "dtype", None) or np.asarray(leaf).dtype
+            if target_layout.is_rowwise(leaf):
+                rest = shape[2:] if mod_target else shape[1:]
+                if saved["kind"] == "mod":
+                    sshape = (saved["n"], saved["rps"]) + tuple(rest)
+                else:
+                    sshape = (saved["vocab"],) + tuple(rest)
+                return jax.ShapeDtypeStruct(sshape, dtype)
+            return jax.ShapeDtypeStruct(shape, dtype)  # saved whole
+
+        templates = jax.tree_util.tree_map(saved_template,
+                                           (data_like, state_like))
+        raw_data, raw_state = restore_checkpoint(
+            os.path.join(self.directory, f"base_{base}"), templates)
+
+        def place(converted, like):
+            sharding = getattr(like, "sharding", None)
+            if sharding is not None:
+                return jax.device_put(converted, sharding)
+            return jnp.asarray(converted)
+
+        def convert(raw, like):
+            shape = tuple(getattr(like, "shape", np.asarray(like).shape))
+            if int(np.prod(shape, dtype=np.int64)) == 0:
+                return like  # zero-size placeholder, never serialized
+            if target_layout.is_rowwise(like):
+                flat = _rows_to_flat(np.asarray(raw), saved)
+                out = _rows_from_flat(flat, target_layout,
+                                      tuple(like.shape))
+            else:
+                out = np.asarray(raw)
+            return place(out, like)
+
+        data = convert(raw_data, data_like)
+        state = jax.tree_util.tree_map(convert, raw_state, state_like)
         return data, state

@@ -244,6 +244,139 @@ def test_train_loop_delta_ckpt_sharded(tmp_path):
             == np.asarray(res6.model.emb_accum)).all()
 
 
+def test_stale_deltas_pruned_on_base_commit(tmp_path):
+    """A new base deletes ALL deltas — including ones with step > base. A
+    directory reused by a run whose step counter restarted must not replay
+    the previous run's deltas onto the new base (ADVICE r2)."""
+    rng = np.random.default_rng(5)
+    opt = SparseSGD(lr=0.1)
+    data = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    state = opt.init(data)
+    tracker = TouchedRowTracker(V)
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=2)
+    for s in (10, 11):  # base_10, delta_11
+        data, state = _train_steps(data, opt, state, tracker, rng, 1)
+        mgr.save(s, data, state, tracker)
+    # Second run over the same directory, step counter restarted at 2.
+    # Its first save rolls a base (cadence counted from delta_11); every
+    # old delta — including delta_11 with 11 > 2 — must die with it.
+    mgr2 = DeltaCheckpointManager(str(tmp_path), base_every=2)
+    data2 = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    mgr2.save(2, data2, opt.init(data2), TouchedRowTracker(V))
+    names = os.listdir(tmp_path)
+    assert not any(n.startswith("delta_") for n in names)
+    restored = mgr2.restore_latest(jnp.zeros_like(data2), opt.init(data2))
+    assert (np.asarray(restored[0]) == np.asarray(data2)).all()
+
+
+def test_force_base_makes_next_save_full(tmp_path):
+    """force_base(): the manager's escape hatch for events that invalidate
+    the delta chain's premise (DivergenceGuard rollback, ADVICE r2)."""
+    rng = np.random.default_rng(6)
+    opt = SparseSGD(lr=0.1)
+    data = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    state = opt.init(data)
+    tracker = TouchedRowTracker(V)
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=8)
+    data, state = _train_steps(data, opt, state, tracker, rng, 1)
+    mgr.save(1, data, state, tracker)                      # base_1
+    data, state = _train_steps(data, opt, state, tracker, rng, 1)
+    mgr.save(2, data, state, tracker)                      # delta_2
+    mgr.force_base()
+    # Simulate a rollback: the live model regresses to an OLD state the
+    # tracker knows nothing about; only a full base can capture it.
+    data_old = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    p = mgr.save(3, data_old, opt.init(data_old), tracker)
+    assert os.path.basename(p) == "base_3"
+    restored = mgr.restore_latest(jnp.zeros_like(data), opt.init(data))
+    assert (np.asarray(restored[0]) == np.asarray(data_old)).all()
+
+
+def test_train_loop_evict_marks_delta_tracker(tmp_path):
+    """evict_every rewrites rows OUTSIDE the input stream (value + state
+    reset); with delta_ckpt on, those rows must land in the next delta or a
+    restore diverges from the live model (ADVICE r2 medium)."""
+    from embeddingtables_tpu.models import init_dlrm
+    from embeddingtables_tpu.models.train import (restore_dlrm_delta,
+                                                  train_dlrm)
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    cfg = _tiny_cfg()
+    opt = SparseRowWiseAdaGrad(lr=0.1)
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=100)
+    # evict_threshold huge: every seen-then-tracked row is evicted at each
+    # interval, maximizing rewritten-outside-the-stream rows. base_every
+    # huge: saves after the first are all deltas, so the fix (not the base
+    # cadence) must carry the evicted rows.
+    res = train_dlrm(cfg, _dlrm_batches(cfg.vocab_sizes), 12, sparse_opt=opt,
+                     dense_lr=0.1, log_every=0, verbose=False,
+                     delta_ckpt=mgr, delta_every=3,
+                     evict_every=4, evict_threshold=1e9)
+    assert res.evicted_rows > 0, "test premise: eviction must fire"
+    fresh = init_dlrm(jax.random.key(321), cfg, sparse_opt=opt)
+    resumed = restore_dlrm_delta(mgr, fresh)
+    assert (np.asarray(resumed.tables.data)
+            == np.asarray(res.model.tables.data)).all()
+    assert (np.asarray(resumed.emb_state.accum)
+            == np.asarray(res.model.emb_state.accum)).all()
+
+
+def test_sharded_save_restores_single_chip(tmp_path):
+    """The headline placement-agnostic claim, base included: a chain saved
+    from a mod-sharded run restores BITWISE into an unsharded model (the
+    base's row-wise leaves are re-laid by global row id)."""
+    from embeddingtables_tpu.models import init_dlrm
+    from embeddingtables_tpu.models.train import (restore_dlrm_delta,
+                                                  train_dlrm)
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    from embeddingtables_tpu.parallel.dlrm import unshard_dlrm
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    cfg = _tiny_cfg()
+    opt = SparseRowWiseAdaGrad(lr=0.1)
+    mesh = default_mesh(("data",))
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=2)
+    res = train_dlrm(cfg, _dlrm_batches(cfg.vocab_sizes), 6, sparse_opt=opt,
+                     dense_lr=0.1, log_every=0, verbose=False, mesh=mesh,
+                     delta_ckpt=mgr, delta_every=2)
+    oracle = unshard_dlrm(res.model)
+    fresh = init_dlrm(jax.random.key(99), cfg, sparse_opt=opt)
+    resumed = restore_dlrm_delta(mgr, fresh)   # single-chip target
+    assert resumed.tables.data.shape == oracle.tables.data.shape
+    assert (np.asarray(resumed.tables.data)
+            == np.asarray(oracle.tables.data)).all()
+    assert (np.asarray(resumed.emb_state.accum)
+            == np.asarray(oracle.emb_state.accum)).all()
+
+
+def test_single_chip_save_restores_sharded(tmp_path):
+    """The reverse direction: a flat-saved chain restores into a mod-sharded
+    model (elastic scale-up from a single-chip checkpoint)."""
+    from embeddingtables_tpu.models import init_dlrm
+    from embeddingtables_tpu.models.train import (restore_dlrm_delta,
+                                                  train_dlrm)
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    from embeddingtables_tpu.parallel.dlrm import shard_dlrm, unshard_dlrm
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    cfg = _tiny_cfg()
+    opt = SparseRowWiseAdaGrad(lr=0.1)
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=2)
+    res = train_dlrm(cfg, _dlrm_batches(cfg.vocab_sizes), 5, sparse_opt=opt,
+                     dense_lr=0.1, log_every=0, verbose=False,
+                     delta_ckpt=mgr, delta_every=2)
+    mesh = default_mesh(("data",))
+    fresh = shard_dlrm(init_dlrm(jax.random.key(5), cfg, sparse_opt=opt),
+                       mesh, "data", sparse_opt=opt)
+    resumed = restore_dlrm_delta(mgr, fresh)   # mod-sharded target
+    back = unshard_dlrm(resumed)
+    # Saves stop at step 4 (cadence 2 over 5 steps): compare vs a 4-step
+    # control run on the same stream.
+    res4 = train_dlrm(cfg, _dlrm_batches(cfg.vocab_sizes), 4, sparse_opt=opt,
+                      dense_lr=0.1, log_every=0, verbose=False)
+    assert (np.asarray(back.tables.data)
+            == np.asarray(res4.model.tables.data)).all()
+    assert (np.asarray(back.emb_state.accum)
+            == np.asarray(res4.model.emb_state.accum)).all()
+
+
 def test_train_dcn_delta_ckpt(tmp_path):
     from embeddingtables_tpu.models import DCNConfig, init_dcn
     from embeddingtables_tpu.models.train import (restore_dlrm_delta,
