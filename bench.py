@@ -37,6 +37,22 @@ headline):
 of speed-of-light; target >= 0.80). The other configs ride along as extra
 keys in the SAME single JSON line.
 
+`vs_dma_sol` = the HONEST denominator (docs/DESIGN.md §1b-§1d): this
+workload moves whole 512-B rows at random vocab offsets, and on a
+TensorCore-only chip the binding constraint is the random-row DMA-issue
+rate, not HBM bandwidth — the HBM roofline is unreachable by ANY
+implementation of this access pattern on this hardware. The DMA
+speed-of-light is built from the round-2 measured component floors:
+
+    gather   = n_occ x 6.7 ns          (E1: consumer-fused random-row read)
+    scatter  = n_occ x 14.6 ns + SUM_V x 2.1 ns + 3 ms   (P2/P5 fit)
+    streams  = 4 x B*T*D*4 B at HBM roofline (activation + delta passes)
+
+`vs_dma_sol` = dma_sol_seconds / measured_step_seconds for the headline
+config. Both fractions are reported: `vs_baseline` tracks the original
+north star unamended; `vs_dma_sol` tracks the fraction of what the chip
+can physically do for this access pattern.
+
 Prints ONE JSON line on stdout; human-readable detail goes to stderr.
 """
 from __future__ import annotations
@@ -76,6 +92,20 @@ def chip_roofline_gbps() -> float:
     print(f"# unknown device kind {kind!r}; assuming v5e 819 GB/s",
           file=sys.stderr)
     return 819.0
+
+
+def dma_sol_seconds(t: int, vocab: int, dim: int, batch: int,
+                    roofline_gbps: float) -> float:
+    """DMA-issue speed-of-light for one train step (docs/DESIGN.md §1c-§1d
+    measured cost model; see module docstring). Component floors measured
+    standalone on v5e; other chips inherit the same structure scaled by
+    their roofline for the streaming term (the per-DMA constants are v5e
+    measurements — the fraction is only calibrated on v5e)."""
+    n_occ = batch * t
+    gather = n_occ * 6.7e-9
+    scatter = n_occ * 14.6e-9 + t * vocab * 2.1e-9 + 3e-3
+    streams = 4 * batch * t * dim * 4 / (roofline_gbps * 1e9)
+    return gather + scatter + streams
 
 
 def zipf_cat(t: int, vocab: int, batch: int, seed: int = 0) -> np.ndarray:
@@ -223,11 +253,18 @@ def main():
 
     sec = results["uniform_sgd"]
     gbps = bytes_per_step / sec / 1e9
+    sol = dma_sol_seconds(t, vocab, dim, batch, roofline)
+    print(f"# dma_sol {sol*1e3:.1f} ms -> vs_dma_sol {sol/sec:.3f} "
+          f"(vs_baseline {gbps/roofline:.3f} against the HBM roofline, "
+          f"unreachable for random 512-B rows on this chip — DESIGN.md §1b)",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "dlrm_train_step_embedding_bandwidth",
         "value": round(gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(gbps / roofline, 4),
+        "vs_dma_sol": round(sol / sec, 4),
+        "dma_sol_ms": round(sol * 1e3, 2),
         "uniform_sgd_ms": round(results["uniform_sgd"] * 1e3, 3),
         "zipf_sgd_ms": round(results["zipf_sgd"] * 1e3, 3),
         "uniform_adagrad_ms": round(results["uniform_adagrad"] * 1e3, 3),

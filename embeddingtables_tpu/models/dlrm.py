@@ -315,7 +315,13 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
             params, dense, cat, label, k, slice_grads)
         return loss, (dense_grads, delta_t)
 
-    def step(model: DLRM, dense, cat, label, lr=None):
+    use_sr = bool(getattr(sparse_opt, "stochastic_rounding", False))
+
+    def step(model: DLRM, dense, cat, label, lr=None, key=None):
+        if use_sr and key is None:
+            raise ValueError(
+                "sparse_opt.stochastic_rounding=True: pass a fresh PRNG "
+                "key per step (train_dlrm folds one in automatically)")
         if microbatch and microbatch > 1:
             loss, grads = _grads_micro(model, dense, cat, label, microbatch)
         else:
@@ -340,9 +346,11 @@ def make_train_step(cfg: DLRMConfig, sparse_opt=None, dense_lr: float = 0.01,
         upd = SparseEmbeddingUpdate(delta=flat_delta, indices=flat_idx,
                                     weights=w)
         # lr: optional traced scalar overriding sparse_opt.lr this step
-        # (train loops' lr_schedule=; zero recompiles).
-        new_data, new_state = sparse_opt.apply(model.tables.data, upd,
-                                               model.emb_state, lr=lr)
+        # (train loops' lr_schedule=; zero recompiles). key: per-step PRNG
+        # for stochastic rounding on bf16 tables (rounding.py).
+        new_data, new_state = sparse_opt.apply(
+            model.tables.data, upd, model.emb_state, lr=lr,
+            **({"key": key} if use_sr else {}))
         new_tables = dataclasses.replace(model.tables, data=new_data)
         new_model = DLRM(bottom=new_bottom, top=new_top, tables=new_tables,
                          emb_state=new_state, config=cfg,

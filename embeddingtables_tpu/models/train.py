@@ -302,6 +302,17 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
 
     delta_tracker = _delta_setup(delta_ckpt, delta_every, plan, mesh, model)
 
+    sr_key = None
+    if getattr(sparse_opt, "stochastic_rounding", False):
+        if mesh is not None or plan is not None:
+            raise NotImplementedError(
+                "stochastic_rounding is wired through the single-chip "
+                "step; the sharded exchanges apply updates inside "
+                "shard_map and do not thread per-step keys yet")
+        # Fresh key per step (folded by step index): SR's unbiasedness
+        # needs independent noise across steps.
+        sr_key = jax.random.key(seed + 1_000_003)
+
     losses, aucs = [], []
     examples = 0
     evicted_total = 0
@@ -327,12 +338,13 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
                     ids = ids[ids != cfg.pad_idx]
                 tr.observe(ids)
         with tel.phase("step"):
+            kw = {}
             if lr_schedule is not None:
                 # Traced scalar: a schedule costs ZERO recompiles.
-                model, out = step(model, dense, cat, label,
-                                  jnp.float32(lr_schedule(i)))
-            else:
-                model, out = step(model, dense, cat, label)
+                kw["lr"] = jnp.float32(lr_schedule(i))
+            if sr_key is not None:
+                kw["key"] = jax.random.fold_in(sr_key, i)
+            model, out = step(model, dense, cat, label, **kw)
         if trackers is not None and (i + 1) % evict_every == 0:
             # pop_cold: only rows seen-then-stale, marked so they are not
             # re-evicted every interval (never-seen rows sit at init).

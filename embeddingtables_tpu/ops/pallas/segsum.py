@@ -28,6 +28,20 @@ sparse updates it does NOT pay as a hot-head prefix: the cold residue still
 needs an XLA scatter whose cost does not shrink with masked-out operands
 (the measured reason the hot/cold hybrid was rejected, DESIGN.md §1d).
 
+Production consumer (round 3): `optim._dense_grad` — the dense-grad
+accumulation shared by every sparse optimizer's dedup pass and the plain
+small-vocab SGD apply — routes SMALL-VOCAB lane-aligned tables here
+(vocab padded to a multiple of 128, accumulator <= 4 MB VMEM). Real
+CTR vocabularies are a power-law mix where many features have tiny
+cardinality (Criteo has several < 2K-row tables); per-table placements
+(the planner, `ensemble_update`, `nn`/`compat` per-table optimizers) hit
+this path for exactly those tables. Candidates that were cost-modeled
+and REJECTED: owner-side post-routing dedup in the a2a butterfly
+(shard-local row ranges are V/n ~ 100K+ rows — the accumulator cannot
+sit in VMEM, and compacting the cold residue doesn't shrink the
+remaining scatter, §1d P4); DeepFM first-order aggregation (D=1 wastes
+127/128 MXU lanes for a stream that is ~3% of step cost).
+
 Precision: the matmul runs in bf16 with f32 accumulation by default
 (`compute_dtype=jnp.bfloat16`, ~3 decimal digits on the values; the one-hot
 side is exact). Pass `compute_dtype=jnp.float32` for exact-parity

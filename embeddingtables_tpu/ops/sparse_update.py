@@ -188,8 +188,10 @@ def sgd_update(table, upd: SparseEmbeddingUpdate, lr, *,
         # Measured on v5e (2026-08): the direct XLA scatter-add (131 GB/s
         # effective at B=1.7M, D=128) beats the sort-based dedup paths (87
         # GB/s) for SGD on uniform-random indices, so "auto" takes it; the
-        # Pallas scatter-FMA stays available by explicit request (it wins
-        # when an IndexerResult is already amortized or indices are skewed).
+        # Pallas scatter-FMA stays available by explicit request only — the
+        # round-2 probes found no v5e regime where it wins (run-scatter's
+        # VMEM accumulator serializes, 111 ms vs scatter's 33.6; skew does
+        # NOT help it, docs/DESIGN.md §1b/§1d); kept for other chips.
         if method == "pallas" and upd.weights is not None:
             method = "scatter"  # the legacy pallas entry has no weight path
         if method == "pallas":
@@ -215,6 +217,65 @@ def sgd_update(table, upd: SparseEmbeddingUpdate, lr, *,
     # per-occurrence delta through the table's scatter_apply.
     rows, vals = occurrence_values(upd)
     return table.scatter_apply(rows, -lr * vals)
+
+
+def _split_stateful_apply(opt, t: SplitEmbedding, u: SparseEmbeddingUpdate,
+                          state):
+    """Stateful optimizer on a SplitEmbedding WITHOUT materializing the
+    (V, D) table: route each occurrence to its owning shard (the
+    reference's divrem discipline, `src/split.jl:81-86`) and run
+    `opt.apply` shard-locally — the reference's disjoint-partition update
+    (`src/utils.jl:320-338`) realized as per-shard applies. Peak extra
+    memory is O(rows_per_shard * D), never O(V * D).
+
+    Non-owned occurrences can't simply be dropped (static shapes) or
+    zero-masked to row 0 (a zero-delta TOUCH still advances stateful
+    optimizers — lazy Adam decays a touched row's moments). They are
+    instead routed to one SENTINEL padding row appended to the shard
+    (fresh zero state), which absorbs every foreign occurrence and is
+    stripped after the apply — exact for ANY optimizer semantics.
+
+    State convention: `state` is the full-table pytree (leaves with
+    leading dim == vocab are row-wise and get shard-sliced; anything else
+    — Adam's scalar count — is passed whole to every shard and taken back
+    from the first shard's output, all shards computing the same value).
+    """
+    vocab, dim = t.spec.vocab, t.spec.dim
+    rps = t.rows_per_shard
+
+    def rowwise(leaf):
+        shape = getattr(leaf, "shape", ())
+        return len(shape) >= 1 and shape[0] == vocab and vocab > 1
+
+    new_shards, out_state_slices = [], []
+    first_out_state = None
+    for si, shard in enumerate(t.shards):
+        lo = si * rps
+        nrows = shard.shape[0]
+        sentinel = nrows  # one appended padding row absorbs foreign occs
+        mine = (u.indices >= lo) & (u.indices < lo + nrows)
+        lidx = jnp.where(mine, u.indices - lo, sentinel).astype(jnp.int32)
+        lupd = SparseEmbeddingUpdate(delta=u.delta, indices=lidx,
+                                     weights=u.weights)
+        pad_row = jnp.zeros((1, dim), shard.dtype)
+        sdata = jnp.concatenate([shard, pad_row], axis=0)
+        sstate = jax.tree_util.tree_map(
+            lambda l: jnp.concatenate(
+                [l[lo:lo + nrows],
+                 jnp.zeros((1,) + l.shape[1:], l.dtype)], axis=0)
+            if rowwise(l) else l, state)
+        new_data, ns = opt.apply(sdata, lupd, sstate)
+        new_shards.append(new_data[:nrows])
+        out_state_slices.append(jax.tree_util.tree_map(
+            lambda nl, ol: nl[:nrows] if rowwise(ol) else nl, ns, state))
+        if first_out_state is None:
+            first_out_state = out_state_slices[-1]
+    new_state = jax.tree_util.tree_map(
+        lambda ol, first, *slices: (jnp.concatenate(slices, axis=0)
+                                    if rowwise(ol) else first),
+        state, first_out_state, *out_state_slices)
+    nt = SplitEmbedding(shards=new_shards, rows_per_shard=rps, spec=t.spec)
+    return nt, new_state
 
 
 def ensemble_update(opt, tables: Sequence, upds: Sequence[SparseEmbeddingUpdate],
@@ -258,13 +319,7 @@ def ensemble_update(opt, tables: Sequence, upds: Sequence[SparseEmbeddingUpdate]
                 nt = t.scatter_apply(rows, -opt.lr * vals)
                 ns = s
             elif isinstance(t, SplitEmbedding):
-                # Correct stateful path: apply densely, re-split. O(V*D)
-                # materialization — for sharded production tables use
-                # `parallel.ShardedStackedTables`, whose update dedups and
-                # advances state per owned row without materializing.
-                new_data, ns = opt.apply(t.materialize(), u, s)
-                nt = SplitEmbedding(new_data, t.rows_per_shard,
-                                    name=t.spec.name)
+                nt, ns = _split_stateful_apply(opt, t, u, s)
             else:
                 raise TypeError(
                     f"{type(opt).__name__} is stateful or regularized; "

@@ -69,9 +69,43 @@ def _occurrence_grads(upd: SparseEmbeddingUpdate, row_offset: int = 0):
     return rows + row_offset, vals
 
 
+_SEGSUM_MAX_BYTES = 4 << 20  # (vpad, D) f32 VMEM accumulator budget
+
+
+def _segsum_vpad(data) -> Optional[int]:
+    """Padded segment count when the MXU one-hot segment-accumulate
+    (`ops.pallas.segsum`) can realize this table's dense-grad accumulation:
+    small-vocab tables (the accumulator must sit in VMEM) with lane-aligned
+    feature dims. Returns None when the XLA scatter is the right tool."""
+    v, d = data.shape
+    vpad = -(-v // 128) * 128
+    if d % 128 == 0 and vpad * d * 4 <= _SEGSUM_MAX_BYTES:
+        return vpad
+    return None
+
+
 def _dense_grad(data, rows, g):
     """Duplicate-accumulated (V, D) f32 dense gradient (the sort-free dedup
-    primitive, docs/DESIGN.md §1e)."""
+    primitive, docs/DESIGN.md §1e).
+
+    Realization dispatch: small-vocab lane-aligned tables use the MXU
+    one-hot segment-accumulate (5.6 ns/occ measured vs the scatter's
+    14.6 ns/occ + 3 ms fixed, docs/DESIGN.md §1d — the bounded-id regime
+    is exactly where that kernel wins); everything else uses the XLA
+    scatter-add. Both honor drop semantics for out-of-range row sentinels
+    (segment ids outside the padded range match no one-hot lane; ids in
+    the pad region land on rows the trim discards)."""
+    vpad = _segsum_vpad(data)
+    if vpad is not None and rows.size > 0:
+        from .ops.pallas.segsum import hot_accumulate
+        try:
+            return hot_accumulate(rows, g.astype(jnp.float32), vpad,
+                                  compute_dtype=jnp.float32)[:data.shape[0]]
+        except ValueError:
+            # Trace-time constraint, e.g. pallas_call inside shard_map
+            # requires a vma spec (the sharded exchanges run these bodies
+            # per shard) — the scatter realization below is always legal.
+            pass
     return jnp.zeros(data.shape, jnp.float32).at[rows].add(
         g.astype(jnp.float32), mode="drop")
 
@@ -109,10 +143,11 @@ def sgd_dense_body(data: jax.Array, rows: jax.Array, g: jax.Array,
     `rounding_key` + bf16 storage -> stochastic rounding on the ONE cast
     back to storage dtype (rounding.py); untouched rows must stay exact
     fixed points, so SR applies only where a gradient landed."""
-    grad = _clip_rows(jnp.zeros(data.shape, jnp.float32).at[rows].add(
-        g.astype(jnp.float32), mode="drop"), clipnorm)
-    touched = _touched(grad)
+    grad = _clip_rows(_dense_grad(data, rows, g), clipnorm)
     new = data.astype(jnp.float32) - lr * grad
+    if weight_decay == 0.0 and rounding_key is None:
+        return new.astype(data.dtype)  # untouched rows: grad = 0 -> exact
+    touched = _touched(grad)
     if weight_decay != 0.0:
         new = new * jnp.where(touched, 1.0 - lr * weight_decay, 1.0)[:, None]
     out = stochastic_cast(new, data.dtype, rounding_key)
@@ -129,13 +164,21 @@ def adagrad_dense_body(data: jax.Array, accum: jax.Array, rows: jax.Array,
     accum: (V,) f32. One state advance + one row write per touched row;
     untouched rows are exact fixed points (incl. the eps=0 case — the step
     is masked so 0 * rsqrt(0) never surfaces)."""
-    grad = _clip_rows(jnp.zeros(data.shape, jnp.float32).at[rows].add(
-        g.astype(jnp.float32), mode="drop"), clipnorm)
+    grad = _clip_rows(_dense_grad(data, rows, g), clipnorm)
     g2 = jnp.mean(jnp.square(grad), axis=-1)
     new_accum = accum + g2
-    touched = _touched(grad)
     denom = jax.lax.rsqrt(jnp.maximum(new_accum + eps, 1e-30))
     step = lr * grad * denom[:, None]
+    if weight_decay == 0.0 and rounding_key is None:
+        # Untouched rows are exact fixed points WITHOUT a mask: grad = 0
+        # gives step = 0 * denom = 0 exactly (the 1e-30 clamp keeps rsqrt
+        # finite even at eps = 0, accum = 0). The touched mask's extra
+        # table-wide passes cost +4.7 ms/step on the benched config and
+        # buy nothing here — the round-2 94.4->98.7 ms drift, bisected to
+        # the mask's introduction (docs/DESIGN.md §1g).
+        return (data.astype(jnp.float32) - step).astype(data.dtype), \
+            new_accum
+    touched = _touched(grad)
     new = (data.astype(jnp.float32)
            - jnp.where(touched[:, None], step, 0.0))
     if weight_decay != 0.0:
@@ -324,6 +367,13 @@ class SparseSGD:
         rkey = key if self.stochastic_rounding else None
         if (self.weight_decay == 0.0 and self.clipnorm is None
                 and rkey is None):
+            if _segsum_vpad(data) is not None:
+                # Small-vocab lane-aligned tables: the MXU one-hot
+                # segment-accumulate (5.6 ns/occ) beats the per-occurrence
+                # scatter (14.6 ns/occ + 3 ms fixed, docs/DESIGN.md §1d);
+                # the dense body also accumulates in f32 before the one
+                # cast back to storage (tighter than per-occurrence RMW).
+                return sgd_dense_body(data, rows, g, lr), state
             new = data.at[rows].add((-lr * g).astype(data.dtype))
             return new, state
         return sgd_dense_body(data, rows, g, lr, self.weight_decay,

@@ -64,6 +64,11 @@ def main():
                     default="float32",
                     help="embedding/MLP parameter dtype (bf16 halves table "
                          "HBM; ~neutral for speed on v5e, DESIGN.md §1e)")
+    ap.add_argument("--stochastic-rounding", action="store_true",
+                    help="with --param-dtype bfloat16: round optimizer "
+                         "steps stochastically so sub-ulp updates "
+                         "accumulate (rounding.py; sgd/adagrad/adam, "
+                         "single-chip)")
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--warmup-steps", type=int, default=0,
                     help="linear lr warmup for the sparse optimizer")
@@ -162,6 +167,12 @@ def main():
             print(plan.summary(), flush=True)
 
     reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
+    if args.stochastic_rounding:
+        if args.opt == "ftrl":
+            ap.error("--stochastic-rounding supports sgd/adagrad/adam")
+        if args.param_dtype != "bfloat16":
+            ap.error("--stochastic-rounding requires --param-dtype bfloat16")
+        reg["stochastic_rounding"] = True
     opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
            "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg),
            "adam": lambda: SparseLazyAdam(lr=args.lr, **reg),

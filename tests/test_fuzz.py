@@ -136,6 +136,43 @@ def test_sharded_lookup_fuzz(trial):
                                rtol=1e-5, atol=1e-5)
 
 
+# ---------------------------------------------------------------------------
+# Thorough tier: the same properties at reference-scale volume (the
+# reference runs 100-repetition loops, /root/reference/test/map.jl:14-102).
+# Fresh trial ranges = fresh seeds; excluded from the default run
+# (pytest.ini), run with `pytest -m thorough`.
+# ---------------------------------------------------------------------------
+
+@pytest.mark.thorough
+@pytest.mark.parametrize("trial", range(40, 240))
+def test_lookup_fuzz_thorough(trial):
+    test_lookup_fuzz(trial)
+
+
+@pytest.mark.thorough
+@pytest.mark.parametrize("trial", range(24, 224))
+def test_update_fuzz_thorough(trial):
+    test_update_fuzz_matches_uncompress(trial)
+
+
+@pytest.mark.thorough
+@pytest.mark.parametrize("trial", range(16, 116))
+def test_split_embedding_fuzz_thorough(trial):
+    test_split_embedding_fuzz(trial)
+
+
+@pytest.mark.thorough
+@pytest.mark.parametrize("trial", range(16, 116))
+def test_indexer_fuzz_thorough(trial):
+    test_indexer_fuzz_contract(trial)
+
+
+@pytest.mark.thorough
+@pytest.mark.parametrize("trial", range(10, 60))
+def test_sharded_lookup_fuzz_thorough(trial):
+    test_sharded_lookup_fuzz(trial)
+
+
 @pytest.mark.parametrize("trial", range(6))
 def test_sharded_sgd_update_fuzz(trial):
     """Sharded SGD update parity vs uncompress oracle under random shapes."""
@@ -164,3 +201,9 @@ def test_sharded_sgd_update_fuzz(trial):
         vocab))
     np.testing.assert_allclose(np.asarray(st2.unshard()), expect,
                                rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.thorough
+@pytest.mark.parametrize("trial", range(6, 56))
+def test_sharded_sgd_update_fuzz_thorough(trial):
+    test_sharded_sgd_update_fuzz(trial)

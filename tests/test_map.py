@@ -33,11 +33,24 @@ REPS = 5  # fresh random indices per repetition (reference runs 100-rep
 @pytest.mark.parametrize("dim", [16, 64, 512])
 @pytest.mark.parametrize("container", ["list_vec", "list_mat", "array2d", "array3d"])
 def test_strategies_match_oracle(dim, container):
+    _strategies_match_oracle(dim, container, REPS)
+
+
+@pytest.mark.thorough
+@pytest.mark.parametrize("dim", [16, 64, 512])
+@pytest.mark.parametrize("container", ["list_vec", "list_mat", "array2d", "array3d"])
+def test_strategies_match_oracle_thorough(dim, container):
+    """Reference-scale volume: the 100-repetition strategy x container
+    matrix of /root/reference/test/map.jl:14-102 (default tier runs 5)."""
+    _strategies_match_oracle(dim, container, 100)
+
+
+def _strategies_match_oracle(dim, container, reps):
     rng = np.random.default_rng(dim)
     ntables, batch, bag = 4, 24, 3
     tables = make_ensemble(rng, [dim] * ntables)
 
-    for _ in range(REPS):
+    for _ in range(reps):
         if container == "list_vec":
             indices = [jnp.asarray(rng.integers(0, 60, size=batch).astype(np.int32))
                        for _ in range(ntables)]

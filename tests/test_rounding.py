@@ -168,3 +168,39 @@ def test_sr_matches_f32_training_in_expectation():
     # bf16+SR lands within noise of the f32 result (quantization noise
     # floor ~ulp^2), far below the initial loss (~1.0).
     assert l16 < l32 + 0.01, (l32, l16)
+
+
+def test_train_dlrm_sr_wiring():
+    """SR threads end to end through the single-chip train loop: a fresh key
+    per step reaches the optimizer, tables stay bf16, training runs. The
+    sharded placements reject SR loudly (keys are not threaded through
+    shard_map yet)."""
+    import numpy as np
+    import pytest
+    from embeddingtables_tpu.models import DLRMConfig
+    from embeddingtables_tpu.models.train import train_dlrm
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+
+    cfg = DLRMConfig(vocab_sizes=(30, 20), num_dense=4, dim=8,
+                     bottom_mlp=(8, 8), top_mlp=(8, 1),
+                     compute_dtype=jnp.float32, param_dtype=jnp.bfloat16)
+    rng = np.random.default_rng(3)
+
+    def batches():
+        while True:
+            cat = np.stack([rng.integers(0, v, 16).astype(np.int32)
+                            for v in cfg.vocab_sizes])
+            yield dict(dense=rng.normal(size=(16, 4)).astype(np.float32),
+                       cat=cat, label=(cat[0] % 2).astype(np.float32))
+
+    opt = SparseRowWiseAdaGrad(lr=0.05, stochastic_rounding=True)
+    res = train_dlrm(cfg, batches(), 5, sparse_opt=opt, dense_lr=0.05,
+                     log_every=1, verbose=False)
+    assert res.model.tables.data.dtype == jnp.bfloat16
+    assert np.isfinite(res.losses[-1])
+
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    with pytest.raises(NotImplementedError, match="stochastic"):
+        train_dlrm(cfg, batches(), 2, sparse_opt=opt, dense_lr=0.05,
+                   log_every=0, verbose=False,
+                   mesh=default_mesh(("data",)))

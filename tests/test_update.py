@@ -209,6 +209,54 @@ def test_ensemble_update_stateful_protocol_table():
                                np.asarray(expect), rtol=1e-5, atol=1e-6)
 
 
+def test_split_stateful_no_materialize():
+    """VERDICT r2 item 5: the stateful SplitEmbedding path must be
+    per-shard (O(rows_per_shard * D) scratch), never an O(V*D)
+    materialize. Parity vs the SimpleEmbedding apply for the full
+    stateful zoo, incl. bags + weights and a second chained step (Adam's
+    decay-on-touch makes zero-masking wrong — the sentinel-row routing
+    must keep foreign occurrences out of real rows and real state)."""
+    from unittest import mock
+    from embeddingtables_tpu.optim import (SparseFTRL, SparseLazyAdam,
+                                           SparseRowWiseAdaGrad)
+    rng = np.random.default_rng(12)
+    data = rng.standard_normal((50, 8)).astype(np.float32)
+    for opt in (SparseRowWiseAdaGrad(lr=0.3), SparseLazyAdam(lr=0.1),
+                SparseFTRL(lr=0.2)):
+        for bag in (None, 3):
+            shape = (9,) if bag is None else (9, bag)
+            idx = rng.integers(0, 50, shape).astype(np.int32)
+            weights = (jnp.asarray(rng.uniform(0.5, 1.5, shape)
+                                   .astype(np.float32)) if bag else None)
+            upds = [et.SparseEmbeddingUpdate(
+                delta=jnp.asarray(
+                    rng.standard_normal((9, 8)).astype(np.float32)),
+                indices=jnp.asarray(idx), weights=weights) for _ in range(2)]
+
+            simple = et.SimpleEmbedding(jnp.asarray(data))
+            split = et.SplitEmbedding(data, 13)  # shards 13/13/13/11 ragged
+            s_state = p_state = None
+            with mock.patch.object(
+                    et.SplitEmbedding, "materialize",
+                    side_effect=AssertionError("O(V*D) materialize called")):
+                for upd in upds:  # two chained steps: state layout must
+                    [simple], s_states = et.ensemble_update(  # round-trip
+                        opt, [simple], [upd],
+                        states=s_state and [s_state])
+                    [split], p_states = et.ensemble_update(
+                        opt, [split], [upd],
+                        states=p_state and [p_state])
+                    s_state, p_state = s_states[0], p_states[0]
+            tag = f"{type(opt).__name__} bag={bag}"
+            np.testing.assert_allclose(
+                np.asarray(split.materialize()), np.asarray(simple.data),
+                rtol=1e-5, atol=1e-6, err_msg=tag)
+            for a, b in zip(jax.tree_util.tree_leaves(p_state),
+                            jax.tree_util.tree_leaves(s_state)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-6, err_msg=tag)
+
+
 @pytest.mark.parametrize("reducing", [False, True])
 def test_adagrad_dense_matches_indexer(reducing):
     # The sort-free dense-grad AdaGrad realization must match the indexer
