@@ -60,6 +60,12 @@ class DLRMConfig:
     pad_idx: Optional[int] = None
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.bfloat16  # MXU dtype for the dense towers
+    # Storage dtype for the EMBEDDING TABLES only (None = param_dtype).
+    # The production bf16 recipe: tables bf16 (the capacity lever — they
+    # ARE the model's memory) + towers f32 (tiny, and tower SGD has no
+    # stochastic-rounding path, so bf16 towers stall at small steps; the
+    # round-3 on-chip sweep measured exactly that, docs/DESIGN.md §7).
+    table_dtype: Optional[jnp.dtype] = None
 
     def __post_init__(self):
         if self.bottom_mlp[-1] != self.dim:
@@ -73,6 +79,12 @@ class DLRMConfig:
     @property
     def num_tables(self) -> int:
         return len(self.vocab_sizes)
+
+    @property
+    def tables_dtype(self):
+        """Embedding-table storage dtype (table_dtype or param_dtype)."""
+        return self.table_dtype if self.table_dtype is not None \
+            else self.param_dtype
 
     @property
     def interaction_features(self) -> int:
@@ -132,7 +144,7 @@ def init_dlrm(key: jax.Array, cfg: DLRMConfig,
     # scaled by 1/sqrt(dim) (standard DLRM embedding init).
     total_v = sum(cfg.vocab_sizes)
     data = (jax.random.uniform(ke, (total_v, cfg.dim), minval=-1.0, maxval=1.0)
-            / jnp.sqrt(float(cfg.dim))).astype(cfg.param_dtype)
+            / jnp.sqrt(float(cfg.dim))).astype(cfg.tables_dtype)
     offs, acc = [0], 0
     for v in cfg.vocab_sizes:
         acc += v

@@ -304,11 +304,12 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
 
     sr_key = None
     if getattr(sparse_opt, "stochastic_rounding", False):
-        if mesh is not None or plan is not None:
+        # Single-chip and the uniform gather exchange thread per-step keys
+        # (a per-shard fold inside the exchange); the other placements
+        # reject SR loudly at step-build time (_check_sharded_opt).
+        if plan is not None:
             raise NotImplementedError(
-                "stochastic_rounding is wired through the single-chip "
-                "step; the sharded exchanges apply updates inside "
-                "shard_map and do not thread per-step keys yet")
+                "stochastic_rounding is not wired into planner placements")
         # Fresh key per step (folded by step index): SR's unbiasedness
         # needs independent noise across steps.
         sr_key = jax.random.key(seed + 1_000_003)

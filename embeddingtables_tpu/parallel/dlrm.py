@@ -90,7 +90,8 @@ def init_sharded_dlrm(key: jax.Array, cfg: DLRMConfig, mesh: Mesh,
     sparse_opt = sparse_opt or SparseSGD()
     kd, ke = jax.random.split(key)
     st = ShardedStackedTables.init_sharded(
-        mesh, axis, cfg.vocab_sizes, cfg.dim, ke, dtype=cfg.param_dtype)
+        mesh, axis, cfg.vocab_sizes, cfg.dim, ke,
+        dtype=getattr(cfg, "tables_dtype", cfg.param_dtype))
     n, rows_local, _ = st.data.shape
     repl = NamedSharding(mesh, P())
     kb, kt = jax.random.split(kd)
@@ -125,7 +126,7 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
                           accum: jax.Array, shifted_idx: jax.Array,
                           delta_t: jax.Array, sparse_opt, *,
                           batch_sharded: bool = True, scale_t=None,
-                          lr=None):
+                          lr=None, key=None):
     """Apply per-table lazy updates `(delta_t[(T,B,D)], shifted_idx[(T,B[,bag])])`
     to the mod-sharded stack in ONE exchange.
 
@@ -150,6 +151,11 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
     FTRL route to their dedicated shard primitives (sharded.py), which
     share the same exchange and the same `optim.*_dense_body` math.
     Returns `(new_st, new_accum)` with `new_accum` in the same layout.
+
+    key: per-step PRNG key when `sparse_opt.stochastic_rounding` is on
+    (bf16 tables, rounding.py) — threaded as replicated raw key data and
+    folded with the shard index inside the exchange, so every device
+    rounds with independent noise.
     """
     from ..optim import SparseFTRL, SparseLazyAdam
     from .sharded import sharded_adam_apply, sharded_ftrl_apply
@@ -157,9 +163,11 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
         m, v, count = accum
         new_st, new_m, new_v, new_count = sharded_adam_apply(
             mesh, st, m, v, count, shifted_idx, delta_t, sparse_opt,
-            batch_sharded=batch_sharded, scale_t=scale_t, lr=lr)
+            batch_sharded=batch_sharded, scale_t=scale_t, lr=lr, key=key)
         return new_st, (new_m, new_v, new_count)
     if isinstance(sparse_opt, SparseFTRL):
+        if key is not None:
+            raise ValueError("SparseFTRL has no stochastic-rounding mode")
         if lr is not None:
             raise ValueError(
                 "SparseFTRL cannot change lr per step: alpha is baked "
@@ -178,12 +186,20 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
 
     has_scale = scale_t is not None
     has_lr = lr is not None
+    has_key = key is not None
 
     def body(shard, acc, lidx, ldelta, *extra):
-        lscale = extra[0] if has_scale else None
+        # extra layout: [scale?] [lr?] [key-data?] (flags are static).
+        pos = 0
+        lscale = None
+        if has_scale:
+            lscale, pos = extra[0], 1
         # Traced per-step lr (replicated scalar operand) or the Python
         # constant: lr_val is whatever multiplies the deduped gradient.
-        lr_val = extra[-1] if has_lr else sparse_opt.lr
+        lr_val = sparse_opt.lr
+        if has_lr:
+            lr_val, pos = extra[pos], pos + 1
+        kd = extra[pos] if has_key else None
         if batch_sharded:
             gidx = jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
             gdelta = jax.lax.all_gather(ldelta, baxis, axis=1, tiled=True)
@@ -210,25 +226,29 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
         mine = (rows % n) == me
         rows_local = shard.shape[1]
         lrow = jnp.where(mine, rows // n, rows_local)  # sentinel = OOB -> drop
+        # Independent rounding noise per shard: fold the device index in.
+        rkey = (jax.random.fold_in(jax.random.wrap_key_data(kd), me)
+                if has_key else None)
 
         # Shard bodies share the single-chip dense-grad math (optim.py
         # `sgd_dense_body`/`adagrad_dense_body`), so weight_decay/clipnorm
         # and numerical guards behave identically on and off the mesh.
         # Non-owned occurrences carry the OOB sentinel and drop.
         if not adagrad:
-            if sparse_opt.weight_decay == 0.0 and sparse_opt.clipnorm is None:
+            if sparse_opt.weight_decay == 0.0 and sparse_opt.clipnorm is None \
+                    and rkey is None:
                 new = shard[0].at[lrow].add(
                     (-lr_val * g).astype(shard.dtype), mode="drop")
                 return new[None], acc
             from ..optim import sgd_dense_body
             new = sgd_dense_body(shard[0], lrow, g, lr_val,
                                  sparse_opt.weight_decay,
-                                 sparse_opt.clipnorm)
+                                 sparse_opt.clipnorm, rounding_key=rkey)
             return new[None], acc
         from ..optim import adagrad_dense_body
         new_shard, new_acc = adagrad_dense_body(
             shard[0], acc[0], lrow, g, lr_val, sparse_opt.eps,
-            sparse_opt.weight_decay, sparse_opt.clipnorm)
+            sparse_opt.weight_decay, sparse_opt.clipnorm, rounding_key=rkey)
         return new_shard[None], new_acc[None]
 
     spec = P(None, baxis) if batch_sharded else P()
@@ -236,6 +256,10 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
     extra_spec = () if scale_t is None else (spec,)
     if has_lr:
         extra = extra + (jnp.asarray(lr, jnp.float32),)
+        extra_spec = extra_spec + (P(),)
+    if has_key:
+        # Raw (replicated) key data; re-wrapped + shard-folded in body.
+        extra = extra + (jax.random.key_data(key),)
         extra_spec = extra_spec + (P(),)
     if not adagrad:
         # Stateless: don't thread the (n, 0) placeholder through the
@@ -290,7 +314,8 @@ def _padded_stack_inputs(st: ShardedStackedTables, cat: jax.Array,
     return shifted, w
 
 
-def _check_sharded_opt(sparse_opt, exchange: str = "gather"):
+def _check_sharded_opt(sparse_opt, exchange: str = "gather",
+                       allow_sr: bool = False):
     """Reject optimizer/exchange combinations the sharded steps don't
     implement — loudly, never silently running the wrong math (cf. the
     round-1 ensemble_update bug). Shared by the DLRM/DCN/DeepFM builders.
@@ -298,8 +323,11 @@ def _check_sharded_opt(sparse_opt, exchange: str = "gather"):
     Both exchanges take SGD / row-wise AdaGrad / lazy Adam / FTRL: gather
     routes through `_sharded_sparse_apply`'s one exchange, a2a through the
     butterfly update primitives (alltoall.py) — all sharing the
-    `optim.*_dense_body` shard math. Stochastic rounding is single-chip
-    only for now — the shard bodies don't thread a per-device PRNG key."""
+    `optim.*_dense_body` shard math. Stochastic rounding (bf16 tables) is
+    wired on the DLRM gather exchange (`allow_sr=True` there): the step's
+    per-step key rides the exchange as replicated key data, folded with
+    the shard index so devices round independently. The a2a butterfly and
+    the DCN/DeepFM steps don't thread keys yet and reject SR loudly."""
     from ..optim import SparseFTRL, SparseLazyAdam
     allowed = (SparseSGD, SparseRowWiseAdaGrad, SparseLazyAdam, SparseFTRL)
     if not isinstance(sparse_opt, allowed):
@@ -307,11 +335,11 @@ def _check_sharded_opt(sparse_opt, exchange: str = "gather"):
             f"sharded train step (exchange={exchange!r}) supports "
             f"{' / '.join(c.__name__ for c in allowed)}, "
             f"got {type(sparse_opt).__name__}")
-    if getattr(sparse_opt, "stochastic_rounding", False):
+    if getattr(sparse_opt, "stochastic_rounding", False) and not allow_sr:
         raise NotImplementedError(
-            "stochastic rounding is not wired into the sharded updates "
-            "(the shard bodies cast back round-to-nearest; threading a "
-            "per-device rounding key is single-chip only for now)")
+            "stochastic rounding is wired on the single-chip step and the "
+            "DLRM gather exchange; this path does not thread a per-device "
+            "rounding key yet")
 
 
 def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
@@ -357,7 +385,8 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
             "(the gather exchange reduces on the wire via psum_scatter, "
             "where a cast would change the accumulation dtype); pass "
             "exchange='a2a' or drop wire_dtype")
-    _check_sharded_opt(sparse_opt, exchange=exchange)
+    _check_sharded_opt(sparse_opt, exchange=exchange,
+                       allow_sr=(exchange == "gather"))
     def step_a2a(model: ShardedDLRM, dense, cat, label, lr=None):
         from ..optim import SparseFTRL as _FT
         if lr is not None and isinstance(sparse_opt, _FT):
@@ -464,7 +493,7 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
     if exchange == "a2a":
         return jax.jit(step_a2a, donate_argnums=(0,)) if jit else step_a2a
 
-    def step(model: ShardedDLRM, dense, cat, label, lr=None):
+    def step(model: ShardedDLRM, dense, cat, label, lr=None, key=None):
         st = model.tables
 
         def lookup_fn(c):
@@ -524,7 +553,7 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
                                                 cfg.pad_idx)
         new_st, new_accum = _sharded_sparse_apply(
             mesh, st, model.emb_accum, shifted, delta_t, sparse_opt,
-            scale_t=scale_t, lr=lr)
+            scale_t=scale_t, lr=lr, key=key)
         new_model = ShardedDLRM(bottom=new_bottom, top=new_top,
                                 tables=new_st, emb_accum=new_accum,
                                 config=cfg, dense_opt_state=new_dstate)

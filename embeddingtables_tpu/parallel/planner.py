@@ -864,7 +864,8 @@ def init_planned_dlrm(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
     kd, ke = jax.random.split(key)
     # adagrad=False: planned_row_state builds ALL optimizer state below
     # (allocating accumulators in init just to replace them wastes HBM).
-    pt = PlannedTables.init(ke, plan, mesh, dtype=cfg.param_dtype)
+    pt = PlannedTables.init(ke, plan, mesh,
+                            dtype=getattr(cfg, "tables_dtype", cfg.param_dtype))
     ra, sa, ca = planned_row_state(mesh, pt, sparse_opt)
     pt = dataclasses.replace(pt, repl_accum=ra, shard_accum=sa,
                              col_accum=ca)
@@ -1137,7 +1138,8 @@ def init_planned_dcn(key: jax.Array, cfg, plan: ShardingPlan, mesh: Mesh,
     kd, ke = jax.random.split(key)
     # adagrad=False: planned_row_state builds ALL optimizer state below
     # (allocating accumulators in init just to replace them wastes HBM).
-    pt = PlannedTables.init(ke, plan, mesh, dtype=cfg.param_dtype)
+    pt = PlannedTables.init(ke, plan, mesh,
+                            dtype=getattr(cfg, "tables_dtype", cfg.param_dtype))
     ra, sa, ca = planned_row_state(mesh, pt, sparse_opt)
     pt = dataclasses.replace(pt, repl_accum=ra, shard_accum=sa,
                              col_accum=ca)

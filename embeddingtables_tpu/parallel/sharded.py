@@ -541,7 +541,8 @@ def shard_adam_state(mesh: Mesh, st: ShardedStackedTables, state):
 
 def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
                        shifted_idx: jax.Array, delta_t: jax.Array, opt, *,
-                       batch_sharded: bool = True, scale_t=None, lr=None):
+                       batch_sharded: bool = True, scale_t=None, lr=None,
+                       key=None):
     """Lazy Adam on the sharded stack: ONE exchange (all-gather of the
     occurrence stream), then each shard advances the moments and rows it
     owns through the shared `optim.adam_dense_body` — single-write-per-
@@ -563,10 +564,18 @@ def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
 
     has_scale = scale_t is not None
     has_lr = lr is not None
+    has_key = key is not None
 
     def body(shard, lm, lv, lidx, ldelta, *extra):
-        lscale = extra[0] if has_scale else None
-        lr_val = extra[-1] if has_lr else opt.lr
+        # extra layout: [scale?] [lr?] [key-data?] (flags are static).
+        pos = 0
+        lscale = None
+        if has_scale:
+            lscale, pos = extra[0], 1
+        lr_val = opt.lr
+        if has_lr:
+            lr_val, pos = extra[pos], pos + 1
+        kd = extra[pos] if has_key else None
         if batch_sharded:
             gidx = jax.lax.all_gather(lidx, baxis, axis=1, tiled=True)
             gdelta = jax.lax.all_gather(ldelta, baxis, axis=1, tiled=True)
@@ -589,9 +598,12 @@ def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
         mine = (rows % n) == me
         rows_local = shard.shape[1]
         lrow = jnp.where(mine, rows // n, rows_local)   # OOB -> drop
+        rkey = (jax.random.fold_in(jax.random.wrap_key_data(kd), me)
+                if has_key else None)
         new_data, new_m, new_v = adam_dense_body(
             shard[0], lm[0], lv[0], t_next, lrow, g, lr_val, opt.b1,
-            opt.b2, opt.eps, opt.weight_decay, opt.clipnorm)
+            opt.b2, opt.eps, opt.weight_decay, opt.clipnorm,
+            rounding_key=rkey)
         return new_data[None], new_m[None], new_v[None]
 
     spec = P(None, baxis) if batch_sharded else P()
@@ -599,6 +611,9 @@ def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
     extra_spec = () if scale_t is None else (spec,)
     if has_lr:
         extra = extra + (jnp.asarray(lr, jnp.float32),)
+        extra_spec = extra_spec + (P(),)
+    if has_key:
+        extra = extra + (jax.random.key_data(key),)
         extra_spec = extra_spec + (P(),)
     new_data, new_m, new_v = jax.shard_map(
         body, mesh=mesh,

@@ -64,11 +64,18 @@ def main():
                     default="float32",
                     help="embedding/MLP parameter dtype (bf16 halves table "
                          "HBM; ~neutral for speed on v5e, DESIGN.md §1e)")
+    ap.add_argument("--table-dtype", choices=["float32", "bfloat16"],
+                    default=None,
+                    help="embedding-TABLE storage dtype (default: "
+                         "--param-dtype). The production bf16 recipe is "
+                         "bf16 tables + f32 towers: tables are the "
+                         "capacity, towers are tiny and have no SR path "
+                         "(DESIGN.md §7)")
     ap.add_argument("--stochastic-rounding", action="store_true",
-                    help="with --param-dtype bfloat16: round optimizer "
-                         "steps stochastically so sub-ulp updates "
-                         "accumulate (rounding.py; sgd/adagrad/adam, "
-                         "single-chip)")
+                    help="with bf16 tables: round optimizer steps "
+                         "stochastically so sub-ulp updates accumulate "
+                         "(rounding.py; sgd/adagrad/adam, single-chip or "
+                         "--mesh gather)")
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--warmup-steps", type=int, default=0,
                     help="linear lr warmup for the sparse optimizer")
@@ -112,7 +119,9 @@ def main():
                      top_mlp=(1024, 512, 256, 1),
                      bag=args.bag, combiner=args.combiner,
                      pad_idx=-1 if args.var_len_bags else None,
-                     param_dtype=getattr(jnp, args.param_dtype))
+                     param_dtype=getattr(jnp, args.param_dtype),
+                     table_dtype=(getattr(jnp, args.table_dtype)
+                                  if args.table_dtype else None))
     if args.criteo:
         assert args.tables == 26, "Criteo has 26 categorical features"
         # Eval takes the FIRST eval_batches of the file; the training stream
@@ -170,8 +179,9 @@ def main():
     if args.stochastic_rounding:
         if args.opt == "ftrl":
             ap.error("--stochastic-rounding supports sgd/adagrad/adam")
-        if args.param_dtype != "bfloat16":
-            ap.error("--stochastic-rounding requires --param-dtype bfloat16")
+        if (args.table_dtype or args.param_dtype) != "bfloat16":
+            ap.error("--stochastic-rounding requires bf16 tables "
+                     "(--table-dtype bfloat16 or --param-dtype bfloat16)")
         reg["stochastic_rounding"] = True
     opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
            "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg),

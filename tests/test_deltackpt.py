@@ -377,6 +377,38 @@ def test_single_chip_save_restores_sharded(tmp_path):
             == np.asarray(res4.model.emb_state.accum)).all()
 
 
+def test_sharded_save_restores_different_mesh_size(tmp_path):
+    """Elastic resharding: a chain saved from an 8-device mod-sharded run
+    restores into a 4-device mod layout (mod(n1) -> flat -> mod(n2) base
+    conversion; deltas are global-row-keyed either way)."""
+    from embeddingtables_tpu.models import init_dlrm
+    from embeddingtables_tpu.models.train import (restore_dlrm_delta,
+                                                  train_dlrm)
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    from embeddingtables_tpu.parallel.dlrm import shard_dlrm, unshard_dlrm
+    from jax.sharding import Mesh
+
+    cfg = _tiny_cfg()
+    opt = SparseRowWiseAdaGrad(lr=0.1)
+    mesh8 = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=2)
+    res = train_dlrm(cfg, _dlrm_batches(cfg.vocab_sizes), 6, sparse_opt=opt,
+                     dense_lr=0.1, log_every=0, verbose=False, mesh=mesh8,
+                     delta_ckpt=mgr, delta_every=2)
+    oracle = unshard_dlrm(res.model)
+
+    mesh4 = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    fresh4 = shard_dlrm(init_dlrm(jax.random.key(42), cfg, sparse_opt=opt),
+                        mesh4, "data", sparse_opt=opt)
+    resumed = restore_dlrm_delta(mgr, fresh4)
+    assert resumed.tables.data.shape[0] == 4  # still the 4-shard layout
+    back = unshard_dlrm(resumed)
+    assert (np.asarray(back.tables.data)
+            == np.asarray(oracle.tables.data)).all()
+    assert (np.asarray(back.emb_state.accum)
+            == np.asarray(oracle.emb_state.accum)).all()
+
+
 def test_train_dcn_delta_ckpt(tmp_path):
     from embeddingtables_tpu.models import DCNConfig, init_dcn
     from embeddingtables_tpu.models.train import (restore_dlrm_delta,
