@@ -54,6 +54,14 @@ class DCNConfig:
     pad_idx: Optional[int] = None
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # Embedding-table storage dtype (None = param_dtype); the production
+    # bf16 recipe keeps towers f32 (docs/DESIGN.md §7).
+    table_dtype: Optional[jnp.dtype] = None
+
+    @property
+    def tables_dtype(self):
+        return self.table_dtype if self.table_dtype is not None \
+            else self.param_dtype
 
     def __post_init__(self):
         if self.structure not in ("stacked", "parallel"):
@@ -134,7 +142,7 @@ def init_dcn(key: jax.Array, cfg: DCNConfig,
     total_v = sum(cfg.vocab_sizes)
     data = (jax.random.uniform(ke, (total_v, cfg.dim), minval=-1.0,
                                maxval=1.0)
-            / jnp.sqrt(float(cfg.dim))).astype(cfg.param_dtype)
+            / jnp.sqrt(float(cfg.dim))).astype(cfg.tables_dtype)
     offs, acc = [0], 0
     for v in cfg.vocab_sizes:
         acc += v
@@ -236,7 +244,13 @@ def make_train_step(cfg: DCNConfig, sparse_opt=None, dense_lr: float = 0.01,
             params, dense, cat, label, k, slice_grads)
         return loss, (dense_grads, delta_t)
 
-    def step(model: DCN, dense, cat, label, lr=None):
+    use_sr = bool(getattr(sparse_opt, "stochastic_rounding", False))
+
+    def step(model: DCN, dense, cat, label, lr=None, key=None):
+        if use_sr and key is None:
+            raise ValueError(
+                "sparse_opt.stochastic_rounding=True: pass a fresh PRNG "
+                "key per step (train_dcn folds one in automatically)")
         if microbatch and microbatch > 1:
             loss, grads = _grads_micro(model, dense, cat, label, microbatch)
         else:
@@ -253,8 +267,9 @@ def make_train_step(cfg: DCNConfig, sparse_opt=None, dense_lr: float = 0.01,
         w = stacked_update_weights(valid, cfg.combiner, flat_idx.shape)
         upd = SparseEmbeddingUpdate(delta=flat_delta, indices=flat_idx,
                                     weights=w)
-        new_data, new_state = sparse_opt.apply(model.tables.data, upd,
-                                               model.emb_state, lr=lr)
+        new_data, new_state = sparse_opt.apply(
+            model.tables.data, upd, model.emb_state, lr=lr,
+            **({"key": key} if use_sr else {}))
         new_tables = dataclasses.replace(model.tables, data=new_data)
         new_model = DCN(cross=new_cross, deep=new_deep, head=new_head,
                         tables=new_tables, emb_state=new_state, config=cfg,

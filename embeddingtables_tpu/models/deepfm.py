@@ -55,6 +55,14 @@ class DeepFMConfig:
     pad_idx: Optional[int] = None
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.bfloat16
+    # Embedding-table storage dtype (None = param_dtype); the production
+    # bf16 recipe keeps towers f32 (docs/DESIGN.md §7).
+    table_dtype: Optional[jnp.dtype] = None
+
+    @property
+    def tables_dtype(self):
+        return self.table_dtype if self.table_dtype is not None \
+            else self.param_dtype
 
     def __post_init__(self):
         if self.combiner not in ("sum", "mean"):
@@ -123,11 +131,11 @@ def init_deepfm(key: jax.Array, cfg: DeepFMConfig,
     offs, total_v = _stack_offsets(cfg.vocab_sizes)
     data = (jax.random.uniform(ke, (total_v, cfg.dim), minval=-1.0,
                                maxval=1.0)
-            / jnp.sqrt(float(cfg.dim))).astype(cfg.param_dtype)
+            / jnp.sqrt(float(cfg.dim))).astype(cfg.tables_dtype)
     tables = StackedTables(data=data, offsets=offs, dim=cfg.dim)
     # First-order weights start at zero (the standard FM linear-term init;
     # the global bias learns the base rate).
-    fm_w = StackedTables(data=jnp.zeros((total_v, 1), cfg.param_dtype),
+    fm_w = StackedTables(data=jnp.zeros((total_v, 1), cfg.tables_dtype),
                          offsets=offs, dim=1)
     sparse_opt = sparse_opt or SparseSGD()
     dense_params = (deep, head, jnp.zeros((cfg.num_dense,), cfg.param_dtype),
@@ -273,7 +281,13 @@ def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
             return loss, dense_grads, deltas[0], deltas[1]
         return loss, dense_grads, deltas[0], None
 
-    def step(model: DeepFM, dense, cat, label, lr=None):
+    use_sr = bool(getattr(sparse_opt, "stochastic_rounding", False))
+
+    def step(model: DeepFM, dense, cat, label, lr=None, key=None):
+        if use_sr and key is None:
+            raise ValueError(
+                "sparse_opt.stochastic_rounding=True: pass a fresh PRNG "
+                "key per step (train_deepfm folds one in automatically)")
         if microbatch and microbatch > 1:
             loss, dense_grads, delta_emb, delta_w = _grads_micro(
                 model, dense, cat, label, microbatch)
@@ -288,13 +302,16 @@ def make_train_step(cfg: DeepFMConfig, sparse_opt=None,
 
         upd_e = _lazy_update(model.tables, cat, delta_emb, cfg.dim,
                              cfg.combiner, cfg.pad_idx)
-        new_data, new_estate = sparse_opt.apply(model.tables.data, upd_e,
-                                                model.emb_state, lr=lr)
+        new_data, new_estate = sparse_opt.apply(
+            model.tables.data, upd_e, model.emb_state, lr=lr,
+            **({"key": key} if use_sr else {}))
         if cfg.use_fm:
             upd_w = _lazy_update(model.fm_w, cat, delta_w, 1, cfg.combiner,
                                  cfg.pad_idx)
-            new_wdata, new_wstate = sparse_opt.apply(model.fm_w.data, upd_w,
-                                                     model.fm_state, lr=lr)
+            # Independent rounding noise for the second stack.
+            new_wdata, new_wstate = sparse_opt.apply(
+                model.fm_w.data, upd_w, model.fm_state, lr=lr,
+                **({"key": jax.random.fold_in(key, 1)} if use_sr else {}))
             new_fm_w = dataclasses.replace(model.fm_w, data=new_wdata)
         else:
             new_fm_w, new_wstate = model.fm_w, model.fm_state

@@ -552,6 +552,12 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         trackers = [FrequencyTracker(v, decay=freq_decay)
                     for v in cfg.vocab_sizes]
     delta_tracker = _delta_setup(delta_ckpt, delta_every, plan, mesh, model)
+    sr_key = None
+    if getattr(sparse_opt, "stochastic_rounding", False) \
+            and mesh is None and plan is None:
+        # Single-chip SR wiring (the sharded/planner step builders reject
+        # SR loudly themselves); fresh key per step, folded by index.
+        sr_key = jax.random.key(seed + 1_000_003)
     losses, aucs = [], []
     examples = 0
     evicted_total = 0
@@ -577,11 +583,12 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                     ids = ids[ids != cfg.pad_idx]
                 tr.observe(ids)
         with tel.phase("step"):
+            kw = {}
             if lr_schedule is not None:
-                model, loss = step(model, dense, cat, label,
-                                   jnp.float32(lr_schedule(i)))
-            else:
-                model, loss = step(model, dense, cat, label)
+                kw["lr"] = jnp.float32(lr_schedule(i))
+            if sr_key is not None:
+                kw["key"] = jax.random.fold_in(sr_key, i)
+            model, loss = step(model, dense, cat, label, **kw)
         if trackers is not None and (i + 1) % evict_every == 0:
             # pop_cold: only rows seen-then-stale, marked so they are not
             # re-evicted every interval (never-seen rows sit at init).
@@ -696,6 +703,12 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         from ..utils.rowstats import FrequencyTracker
         trackers = [FrequencyTracker(v, decay=freq_decay)
                     for v in cfg.vocab_sizes]
+    sr_key = None
+    if getattr(sparse_opt, "stochastic_rounding", False) \
+            and mesh is None:
+        # Single-chip SR wiring (the sharded/planner step builders reject
+        # SR loudly themselves); fresh key per step, folded by index.
+        sr_key = jax.random.key(seed + 1_000_003)
     losses, aucs = [], []
     examples = 0
     evicted_total = 0
@@ -721,11 +734,12 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                     ids = ids[ids != cfg.pad_idx]
                 tr.observe(ids)
         with tel.phase("step"):
+            kw = {}
             if lr_schedule is not None:
-                model, loss = step(model, dense, cat, label,
-                                   jnp.float32(lr_schedule(i)))
-            else:
-                model, loss = step(model, dense, cat, label)
+                kw["lr"] = jnp.float32(lr_schedule(i))
+            if sr_key is not None:
+                kw["key"] = jax.random.fold_in(sr_key, i)
+            model, loss = step(model, dense, cat, label, **kw)
         if trackers is not None and (i + 1) % evict_every == 0:
             model, n = _maybe_evict(
                 model, trackers, None, mesh, evict_threshold,
@@ -846,6 +860,10 @@ def train_two_tower(cfg, train_iter, num_steps: int, *, sparse_opt=None,
             total += n
         return hits / max(total, 1)
 
+    sr_key = None
+    if getattr(sparse_opt, "stochastic_rounding", False) and mesh is None:
+        # Single-chip SR wiring; fresh key per step, folded by index.
+        sr_key = jax.random.key(seed + 1_000_003)
     losses, accs, recalls = [], [], []
     examples = 0
     prefetcher = None
@@ -862,7 +880,10 @@ def train_two_tower(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                 batch = next(train_iter)
                 args = put(batch)
         with tel.phase("step"):
-            model, (loss, acc) = step(model, *args)
+            model, (loss, acc) = step(
+                model, *args,
+                **({"key": jax.random.fold_in(sr_key, i)}
+                   if sr_key is not None else {}))
         examples += batch["item_ids"].shape[0]
         if log_every and (i % log_every == 0 or i == num_steps - 1):
             lv, av = float(loss), float(acc)

@@ -39,6 +39,14 @@ class TwoTowerConfig:
     temperature: float = 0.05
     param_dtype: jnp.dtype = jnp.float32
     compute_dtype: jnp.dtype = jnp.float32
+    # Embedding-table storage dtype (None = param_dtype); the production
+    # bf16 recipe keeps the MLPs f32 (docs/DESIGN.md §7).
+    table_dtype: Optional[jnp.dtype] = None
+
+    @property
+    def tables_dtype(self):
+        return self.table_dtype if self.table_dtype is not None \
+            else self.param_dtype
 
     def __post_init__(self):
         if self.query_mlp[-1] != self.embed_dim:
@@ -72,7 +80,7 @@ def init_two_tower(key: jax.Array, cfg: TwoTowerConfig,
     total_v = sum(cfg.query_vocab_sizes)
     qdata = (jax.random.uniform(kq, (total_v, cfg.dim), minval=-1.0,
                                 maxval=1.0) / jnp.sqrt(float(cfg.dim))
-             ).astype(cfg.param_dtype)
+             ).astype(cfg.tables_dtype)
     offs, acc = [0], 0
     for v in cfg.query_vocab_sizes:
         acc += v
@@ -80,7 +88,7 @@ def init_two_tower(key: jax.Array, cfg: TwoTowerConfig,
     qtables = StackedTables(data=qdata, offsets=tuple(offs), dim=cfg.dim)
     idata = (jax.random.uniform(ki, (cfg.item_vocab, cfg.dim), minval=-1.0,
                                 maxval=1.0) / jnp.sqrt(float(cfg.dim))
-             ).astype(cfg.param_dtype)
+             ).astype(cfg.tables_dtype)
     q_in = cfg.num_dense + cfg.num_query_tables * cfg.dim
     return TwoTower(
         query_tables=qtables,
@@ -151,8 +159,13 @@ def make_train_step(cfg: TwoTowerConfig, sparse_opt=None,
     tables: differentiate w.r.t. the looked-up rows, then fused sparse
     updates (the DLRM discipline, models/dlrm.py)."""
     sparse_opt = sparse_opt or SparseSGD(0.05)
+    use_sr = bool(getattr(sparse_opt, "stochastic_rounding", False))
 
-    def step(model: TwoTower, dense, q_cat, item_ids):
+    def step(model: TwoTower, dense, q_cat, item_ids, key=None):
+        if use_sr and key is None:
+            raise ValueError(
+                "sparse_opt.stochastic_rounding=True: pass a fresh PRNG "
+                "key per step (train_two_tower folds one in automatically)")
         q_rows = _query_rows(model, q_cat)               # (B, T, dim)
         i_rows = model.item_table.rows(item_ids)         # (B, dim)
 
@@ -179,13 +192,15 @@ def make_train_step(cfg: TwoTowerConfig, sparse_opt=None,
             delta=q_delta.transpose(1, 0, 2).reshape(-1, cfg.dim)
             .astype(jnp.float32),
             indices=g.reshape(-1))
-        new_qdata, new_qstate = sparse_opt.apply(model.query_tables.data,
-                                                 q_upd, model.q_state)
+        new_qdata, new_qstate = sparse_opt.apply(
+            model.query_tables.data, q_upd, model.q_state,
+            **({"key": key} if use_sr else {}))
         # Item table.
         i_upd = SparseEmbeddingUpdate(delta=i_delta.astype(jnp.float32),
                                       indices=item_ids)
-        new_idata, new_istate = sparse_opt.apply(model.item_table.data,
-                                                 i_upd, model.i_state)
+        new_idata, new_istate = sparse_opt.apply(
+            model.item_table.data, i_upd, model.i_state,
+            **({"key": jax.random.fold_in(key, 1)} if use_sr else {}))
 
         new_model = TwoTower(
             query_tables=dataclasses.replace(model.query_tables,

@@ -69,6 +69,14 @@ def main():
     ap.add_argument("--ckpt", type=str, default=None)
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--table-dtype", choices=["float32", "bfloat16"],
+                    default=None,
+                    help="embedding-TABLE storage dtype (bf16 halves table "
+                         "HBM; towers stay f32 — DESIGN.md §7)")
+    ap.add_argument("--stochastic-rounding", action="store_true",
+                    help="with bf16 tables: stochastic rounding so sub-ulp "
+                         "steps accumulate (rounding.py; sgd/adagrad/adam, "
+                         "single-chip)")
     ap.add_argument("--prefetch", type=int, default=2)
     ap.add_argument("--device-prefetch", type=int, default=0,
                     help="stage N batches ON DEVICE ahead of the step (hides\nthe host->device upload; 2 is a good start)")
@@ -94,7 +102,9 @@ def main():
                     cross_rank=args.cross_rank or None,
                     deep_mlp=deep, structure=args.structure,
                     bag=args.bag, combiner=args.combiner,
-                    pad_idx=-1 if args.var_len_bags else None)
+                    pad_idx=-1 if args.var_len_bags else None,
+                    table_dtype=(getattr(jnp, args.table_dtype)
+                                 if args.table_dtype else None))
     if args.criteo:
         assert args.tables == 26, "Criteo has 26 categorical features"
         # Eval takes the FIRST eval_batches of the file; the training stream
@@ -131,6 +141,12 @@ def main():
             print(plan.summary(), flush=True)
 
     reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
+    if args.stochastic_rounding:
+        if args.opt == "ftrl":
+            ap.error("--stochastic-rounding supports sgd/adagrad/adam")
+        if args.table_dtype != "bfloat16":
+            ap.error("--stochastic-rounding requires --table-dtype bfloat16")
+        reg["stochastic_rounding"] = True
     opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
            "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg),
            "adam": lambda: SparseLazyAdam(lr=args.lr, **reg),

@@ -65,6 +65,14 @@ def main():
     ap.add_argument("--ckpt", type=str, default=None)
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--table-dtype", choices=["float32", "bfloat16"],
+                    default=None,
+                    help="embedding-TABLE storage dtype (bf16 halves table "
+                         "HBM; towers stay f32 — DESIGN.md §7)")
+    ap.add_argument("--stochastic-rounding", action="store_true",
+                    help="with bf16 tables: stochastic rounding so sub-ulp "
+                         "steps accumulate (rounding.py; sgd/adagrad/adam, "
+                         "single-chip)")
     ap.add_argument("--prefetch", type=int, default=2)
     ap.add_argument("--device-prefetch", type=int, default=0,
                     help="stage N batches ON DEVICE ahead of the step")
@@ -73,6 +81,7 @@ def main():
     args = ap.parse_args()
 
     import jax
+    import jax.numpy as jnp
     from embeddingtables_tpu.data import SyntheticCriteo
     from embeddingtables_tpu.io import CriteoFileLoader, PrefetchLoader
     from embeddingtables_tpu.models import DeepFMConfig
@@ -87,7 +96,9 @@ def main():
     cfg = DeepFMConfig(vocab_sizes=vocabs, dim=args.dim, deep_mlp=deep,
                        use_fm=not args.no_fm, use_deep=not args.no_deep,
                        bag=args.bag, combiner=args.combiner,
-                    pad_idx=-1 if args.var_len_bags else None)
+                    pad_idx=-1 if args.var_len_bags else None,
+                    table_dtype=(getattr(jnp, args.table_dtype)
+                                 if args.table_dtype else None))
     if args.criteo:
         assert args.tables == 26, "Criteo has 26 categorical features"
         skip = args.eval_batches if args.eval_every else 0
@@ -110,6 +121,12 @@ def main():
         print(f"mesh: {mesh}", flush=True)
 
     reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
+    if args.stochastic_rounding:
+        if args.opt == "ftrl":
+            ap.error("--stochastic-rounding supports sgd/adagrad/adam")
+        if args.table_dtype != "bfloat16":
+            ap.error("--stochastic-rounding requires --table-dtype bfloat16")
+        reg["stochastic_rounding"] = True
     opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
            "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg),
            "adam": lambda: SparseLazyAdam(lr=args.lr, **reg),
