@@ -654,6 +654,7 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                  evict_every: int = 0, evict_threshold: float = 1e-3,
                  freq_decay: float = 0.99, eval_metrics: bool = False,
                  microbatch=None, lr_schedule=None,
+                 delta_ckpt=None, delta_every: int = 0,
                  verbose: bool = True) -> TrainResult:
     """Train a DeepFM (`models/deepfm.py`) on the same batch layout as
     `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
@@ -703,6 +704,8 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         from ..utils.rowstats import FrequencyTracker
         trackers = [FrequencyTracker(v, decay=freq_decay)
                     for v in cfg.vocab_sizes]
+    delta_tracker = _delta_setup(delta_ckpt, delta_every, None, mesh,
+                                 model)
     sr_key = None
     if getattr(sparse_opt, "stochastic_rounding", False) \
             and mesh is None:
@@ -744,7 +747,8 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
             model, n = _maybe_evict(
                 model, trackers, None, mesh, evict_threshold,
                 stacks=(("tables", "emb_state", "emb_accum"),
-                        ("fm_w", "fm_state", "fm_accum")))
+                        ("fm_w", "fm_state", "fm_accum")),
+                delta_tracker=delta_tracker)
             evicted_total += n
         examples += batch["label"].shape[0]
         if log_every and (i % log_every == 0 or i == num_steps - 1):
@@ -752,9 +756,12 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
             losses.append(lv)
             if guard is not None:
                 model, rolled = guard.observe(lv, model)
-                if rolled and verbose:
-                    print(f"step {i:6d}  DIVERGED (loss {lv:.3g}) — rolled "
-                          f"back to checkpoint", flush=True)
+                if rolled:
+                    if delta_ckpt is not None:
+                        delta_ckpt.force_base()  # see the DLRM loop
+                    if verbose:
+                        print(f"step {i:6d}  DIVERGED (loss {lv:.3g}) — "
+                              f"rolled back to checkpoint", flush=True)
             if verbose:
                 print(f"step {i:6d}  loss {lv:.5f}", flush=True)
         if eval_every and eval_batches and (i + 1) % eval_every == 0:
@@ -773,6 +780,15 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                           f"{m['calibration']:.3f}", flush=True)
                 else:
                     print(f"step {i+1:6d}  eval AUC {a:.4f}", flush=True)
+        if delta_tracker is not None:
+            delta_tracker.observe_batch(batch["cat"], model.tables.offsets,
+                                        pad_idx=getattr(cfg, "pad_idx",
+                                                        None))
+            if (i + 1) % delta_every == 0:
+                with tel.phase("delta_ckpt"):
+                    delta_ckpt.save(i + 1, model.tables.data,
+                                    _deepfm_delta_state(model),
+                                    delta_tracker)
         if ckpt_manager is not None and ckpt_every and \
                 (i + 1) % ckpt_every == 0:
             with tel.phase("checkpoint"):
@@ -784,6 +800,41 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
     return TrainResult(model=model, losses=losses, aucs=aucs,
                        examples_per_sec=examples / dt,
                        evicted_rows=evicted_total)
+
+
+def _deepfm_delta_state(model):
+    """DeepFM's delta-checkpoint 'state' pytree: BOTH stacks ride one
+    manager — the dim-1 first-order stack's rows and its optimizer state
+    are row-wise leaves keyed by the same global row ids as the FM stack
+    (shared offsets), so one tracker covers everything."""
+    if hasattr(model, "emb_accum"):     # sharded
+        return (model.emb_accum, model.fm_w.data, model.fm_accum)
+    return (model.emb_state, model.fm_w.data, model.fm_state)
+
+
+def restore_deepfm_delta(delta_ckpt, model):
+    """Resume a DeepFM's two stacks + sparse row state from a
+    `DeltaCheckpointManager` chain (counterpart of `train_deepfm`'s
+    `delta_ckpt=`). Works single-chip and uniform-sharded, in either
+    direction (the manager's layout conversion); dense parts are untouched
+    (pair with ckpt_manager). Returns `model` unchanged if the directory
+    holds no committed base."""
+    from ..utils.deltackpt import ModRowLayout
+    sharded = hasattr(model, "emb_accum")
+    state = _deepfm_delta_state(model)
+    delta_ckpt.layout = (ModRowLayout.for_tables(model.tables)
+                         if sharded else None)
+    restored = delta_ckpt.restore_latest(model.tables.data, state)
+    if restored is None:
+        return model
+    data, (est, fmdata, fst) = restored
+    tables = dataclasses.replace(model.tables, data=data)
+    fm_w = dataclasses.replace(model.fm_w, data=fmdata)
+    if sharded:
+        return dataclasses.replace(model, tables=tables, fm_w=fm_w,
+                                   emb_accum=est, fm_accum=fst)
+    return dataclasses.replace(model, tables=tables, fm_w=fm_w,
+                               emb_state=est, fm_state=fst)
 
 
 # ---------------------------------------------------------------------------

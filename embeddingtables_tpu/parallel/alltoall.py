@@ -33,7 +33,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.sparse_update import SparseEmbeddingUpdate
 from ..types import cdiv
-from .sharded import ShardedStackedTables, _axes_tuple, _fold_combiner
+from .sharded import (ShardedStackedTables, _axes_tuple, _fold_combiner,
+                      _flat_axis_index)
 
 
 def suggest_capacity_factor(current: float, overflow_fraction: float,
@@ -304,7 +305,7 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
                                accum: jax.Array, upd: SparseEmbeddingUpdate,
                                opt, *, capacity_factor: float = 2.0,
                                pad_idx: int | None = None, wire_dtype=None,
-                               lr=None):
+                               lr=None, key=None):
     """Butterfly row-wise-AdaGrad update: route occurrences to their owners,
     then each owner dedups its received stream into a shard-sized dense
     gradient (sort-free; docs/DESIGN.md §1e) and advances every owned row
@@ -326,7 +327,7 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
     w = (upd.weights if upd.weights is not None
          else jnp.ones(upd.indices.shape, jnp.float32))
 
-    def body(shard, acc, lidx, ldelta, lw):
+    def body(shard, acc, lidx, ldelta, lw, *kd):
         lrow, recv_vals, overflow = _route_update_stream(
             lidx, ldelta, lw, n=n, axes=axes, n_model=n_model, dim=dim,
             reducing=reducing, capacity_factor=capacity_factor,
@@ -336,17 +337,22 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         # (optim.adagrad_dense_body, docs/DESIGN.md §1e) so clip/decay and
         # numerical guards stay in one place.
         from ..optim import adagrad_dense_body
+        rkey = (jax.random.fold_in(jax.random.wrap_key_data(kd[0]),
+                                   _flat_axis_index(axes)) if kd else None)
         new_shard, new_acc = adagrad_dense_body(
             shard[0], acc[0], lrow, recv_vals,
             opt.lr if lr is None else lr, opt.eps,
-            opt.weight_decay, opt.clipnorm)
+            opt.weight_decay, opt.clipnorm, rounding_key=rkey)
         return new_shard[None], new_acc[None], overflow.reshape(1)
 
     spec = P(axis0)
+    extra = () if key is None else (jax.random.key_data(key),)
+    extra_spec = () if key is None else (P(),)
     new_data, new_accum, ovf = jax.shard_map(
-        body, mesh=mesh, in_specs=(P(axes), P(axes), spec, spec, spec),
+        body, mesh=mesh,
+        in_specs=(P(axes), P(axes), spec, spec, spec) + extra_spec,
         out_specs=(P(axes), P(axes), spec), check_vma=False,
-    )(st.data, accum, upd.indices, upd.delta, w)
+    )(st.data, accum, upd.indices, upd.delta, w, *extra)
     return dataclasses.replace(st, data=new_data), new_accum, jnp.sum(ovf)
 
 
@@ -370,7 +376,7 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
                            capacity_factor: float = 2.0,
                            weight_decay: float = 0.0,
                            clipnorm=None, pad_idx: int | None = None,
-                           wire_dtype=None
+                           wire_dtype=None, key=None
                            ) -> Tuple[ShardedStackedTables, jax.Array]:
     """Butterfly sparse-SGD update: route (row, delta) occurrences to their
     owner shards via all_to_all; owners scatter-add locally. ICI volume
@@ -392,13 +398,15 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
     w = (upd.weights if upd.weights is not None
          else jnp.ones(upd.indices.shape, jnp.float32))
 
-    def body(shard, lidx, ldelta, lw):
+    def body(shard, lidx, ldelta, lw, *kd):
         target, recv_vals, overflow = _route_update_stream(
             lidx, ldelta, lw, n=n, axes=axes, n_model=n_model, dim=dim,
             reducing=reducing, capacity_factor=capacity_factor,
             pad_idx=pad_idx, wire_dtype=wire_dtype,
             rows_local=shard.shape[1])
-        if weight_decay == 0.0 and clipnorm is None:
+        rkey = (jax.random.fold_in(jax.random.wrap_key_data(kd[0]),
+                                   _flat_axis_index(axes)) if kd else None)
+        if weight_decay == 0.0 and clipnorm is None and rkey is None:
             new = shard[0].at[target].add(
                 (-lr * recv_vals).astype(shard.dtype), mode="drop")
         else:
@@ -407,14 +415,16 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
             # and touched-row decay are exact after routing.
             from ..optim import sgd_dense_body
             new = sgd_dense_body(shard[0], target, recv_vals, lr,
-                                 weight_decay, clipnorm)
+                                 weight_decay, clipnorm, rounding_key=rkey)
         return new[None], overflow.reshape(1)
 
     spec = P(axis0)
+    extra = () if key is None else (jax.random.key_data(key),)
+    extra_spec = () if key is None else (P(),)
     new_data, ovf = jax.shard_map(
-        body, mesh=mesh, in_specs=(P(axes), spec, spec, spec),
+        body, mesh=mesh, in_specs=(P(axes), spec, spec, spec) + extra_spec,
         out_specs=(P(axes), spec), check_vma=False,
-    )(st.data, upd.indices, upd.delta, w)
+    )(st.data, upd.indices, upd.delta, w, *extra)
     return dataclasses.replace(st, data=new_data), jnp.sum(ovf)
 
 
@@ -422,7 +432,7 @@ def sharded_adam_update_a2a(mesh: Mesh, st: ShardedStackedTables, m, v,
                             count, upd: SparseEmbeddingUpdate, opt, *,
                             capacity_factor: float = 2.0,
                             pad_idx: int | None = None, wire_dtype=None,
-                            lr=None):
+                            lr=None, key=None):
     """Butterfly lazy-Adam update: route occurrences to their owners
     (shared `_route_update_stream`), then each owner advances the moments
     and rows it owns through `optim.adam_dense_body` — the same shard math
@@ -445,25 +455,30 @@ def sharded_adam_update_a2a(mesh: Mesh, st: ShardedStackedTables, m, v,
     w = (upd.weights if upd.weights is not None
          else jnp.ones(upd.indices.shape, jnp.float32))
 
-    def body(shard, lm, lv, lidx, ldelta, lw):
+    def body(shard, lm, lv, lidx, ldelta, lw, *kd):
         lrow, recv_vals, overflow = _route_update_stream(
             lidx, ldelta, lw, n=n, axes=axes, n_model=n_model, dim=dim,
             reducing=reducing, capacity_factor=capacity_factor,
             pad_idx=pad_idx, wire_dtype=wire_dtype,
             rows_local=shard.shape[1])
+        rkey = (jax.random.fold_in(jax.random.wrap_key_data(kd[0]),
+                                   _flat_axis_index(axes)) if kd else None)
         new_shard, new_m, new_v = adam_dense_body(
             shard[0], lm[0], lv[0], t_next, lrow, recv_vals,
             opt.lr if lr is None else lr,
-            opt.b1, opt.b2, opt.eps, opt.weight_decay, opt.clipnorm)
+            opt.b1, opt.b2, opt.eps, opt.weight_decay, opt.clipnorm,
+            rounding_key=rkey)
         return new_shard[None], new_m[None], new_v[None], \
             overflow.reshape(1)
 
     spec = P(axis0)
+    extra = () if key is None else (jax.random.key_data(key),)
+    extra_spec = () if key is None else (P(),)
     new_data, new_m, new_v, ovf = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(axes), P(axes), P(axes), spec, spec, spec),
+        in_specs=(P(axes), P(axes), P(axes), spec, spec, spec) + extra_spec,
         out_specs=(P(axes), P(axes), P(axes), spec), check_vma=False,
-    )(st.data, m, v, upd.indices, upd.delta, w)
+    )(st.data, m, v, upd.indices, upd.delta, w, *extra)
     return (dataclasses.replace(st, data=new_data), new_m, new_v, t_next,
             jnp.sum(ovf))
 

@@ -385,9 +385,8 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
             "(the gather exchange reduces on the wire via psum_scatter, "
             "where a cast would change the accumulation dtype); pass "
             "exchange='a2a' or drop wire_dtype")
-    _check_sharded_opt(sparse_opt, exchange=exchange,
-                       allow_sr=(exchange == "gather"))
-    def step_a2a(model: ShardedDLRM, dense, cat, label, lr=None):
+    _check_sharded_opt(sparse_opt, exchange=exchange, allow_sr=True)
+    def step_a2a(model: ShardedDLRM, dense, cat, label, lr=None, key=None):
         from ..optim import SparseFTRL as _FT
         if lr is not None and isinstance(sparse_opt, _FT):
             raise ValueError(
@@ -461,6 +460,11 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
         from ..optim import SparseFTRL, SparseLazyAdam
         kw = dict(capacity_factor=capacity_factor, pad_idx=a2a_pad,
                   wire_dtype=wire_dtype)
+        if getattr(sparse_opt, "stochastic_rounding", False):
+            # Per-step SR key rides the routed update as replicated key
+            # data (per-shard fold inside) — same contract as the gather
+            # exchange's step.
+            kw["key"] = key
         if isinstance(sparse_opt, SparseRowWiseAdaGrad):
             new_st, new_accum, ovf_bwd = sharded_adagrad_update_a2a(
                 mesh, st, model.emb_accum, upd, sparse_opt, lr=lr, **kw)

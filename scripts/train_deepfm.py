@@ -63,6 +63,13 @@ def main():
     ap.add_argument("--eval-metrics", action="store_true",
                     help="full CTR sweep at eval (log loss, NE, calibration)")
     ap.add_argument("--ckpt", type=str, default=None)
+    ap.add_argument("--delta-ckpt", type=str, default=None,
+                    help="incremental table checkpoints (base + touched-row "
+                         "deltas, utils.deltackpt) into this dir; resumes "
+                         "the tables/row state from the latest chain")
+    ap.add_argument("--delta-every", type=int, default=500)
+    ap.add_argument("--delta-base-every", type=int, default=8,
+                    help="every Nth delta save rolls a full base")
     ap.add_argument("--ckpt-every", type=int, default=1000)
     ap.add_argument("--log-every", type=int, default=100)
     ap.add_argument("--table-dtype", choices=["float32", "bfloat16"],
@@ -135,6 +142,19 @@ def main():
                                       clipnorm=args.clipnorm),
            }[args.opt]()
     mgr = CheckpointManager(args.ckpt) if args.ckpt else None
+    delta_mgr = None
+    resume_model = None
+    if args.delta_ckpt:
+        from embeddingtables_tpu.utils import DeltaCheckpointManager
+        from embeddingtables_tpu.models import init_deepfm
+        from embeddingtables_tpu.models.train import restore_deepfm_delta
+        delta_mgr = DeltaCheckpointManager(args.delta_ckpt,
+                                           base_every=args.delta_base_every)
+        if delta_mgr.latest_step() is not None:
+            resume_model = restore_deepfm_delta(
+                delta_mgr, init_deepfm(jax.random.key(0), cfg, sparse_opt=opt))
+            print(f"resumed tables from delta chain @ step "
+                  f"{delta_mgr.latest_step()}", flush=True)
 
     print(f"backend={jax.default_backend()} devices={jax.device_count()} "
           f"T={args.tables} V={args.vocab} D={args.dim} B={args.batch} "
@@ -153,7 +173,8 @@ def main():
                        if args.lr_decay == "cosine"
                        else warmup_constant_lr(args.lr, args.warmup_steps))
 
-    res = train_deepfm(cfg, train_it, args.steps, sparse_opt=opt, lr_schedule=lr_schedule,
+    res = train_deepfm(cfg, train_it, args.steps, sparse_opt=opt, lr_schedule=lr_schedule, model=resume_model,
+                    delta_ckpt=delta_mgr, delta_every=args.delta_every,
                        dense_lr=args.lr, dense_tx=dense_tx,
                        eval_batches=eval_batches,
                        eval_every=args.eval_every,

@@ -428,3 +428,66 @@ def test_train_dcn_delta_ckpt(tmp_path):
             == np.asarray(res.model.tables.data)).all()
     assert (np.asarray(resumed.emb_state.accum)
             == np.asarray(res.model.emb_state.accum)).all()
+
+
+def _deepfm_cfg():
+    from embeddingtables_tpu.models import DeepFMConfig
+    return DeepFMConfig(vocab_sizes=(40, 24), num_dense=4, dim=8,
+                        deep_mlp=(8,), compute_dtype=jnp.float32)
+
+
+def test_train_deepfm_delta_ckpt_both_stacks(tmp_path):
+    """DeepFM's two stacks (FM vectors + dim-1 first-order weights) ride
+    ONE manager: bitwise restore of tables, fm_w, and both row states."""
+    from embeddingtables_tpu.models import init_deepfm
+    from embeddingtables_tpu.models.train import (restore_deepfm_delta,
+                                                  train_deepfm)
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    cfg = _deepfm_cfg()
+    opt = SparseRowWiseAdaGrad(lr=0.1)
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=2)
+    res = train_deepfm(cfg, _dlrm_batches(cfg.vocab_sizes), 7,
+                       sparse_opt=opt, dense_lr=0.1, log_every=0,
+                       verbose=False, delta_ckpt=mgr, delta_every=2)
+    fresh = init_deepfm(jax.random.key(77), cfg, sparse_opt=opt)
+    resumed = restore_deepfm_delta(mgr, fresh)
+    # Saves stop at step 6; 6-step control on the same stream.
+    res6 = train_deepfm(cfg, _dlrm_batches(cfg.vocab_sizes), 6,
+                        sparse_opt=opt, dense_lr=0.1, log_every=0,
+                        verbose=False)
+    for attr in ("tables", "fm_w"):
+        assert (np.asarray(getattr(resumed, attr).data)
+                == np.asarray(getattr(res6.model, attr).data)).all(), attr
+    assert (np.asarray(resumed.emb_state.accum)
+            == np.asarray(res6.model.emb_state.accum)).all()
+    assert (np.asarray(resumed.fm_state.accum)
+            == np.asarray(res6.model.fm_state.accum)).all()
+
+
+def test_train_deepfm_delta_ckpt_sharded_to_single(tmp_path):
+    """Sharded DeepFM delta chain restores into a single-chip model (both
+    stacks layout-converted by global row id)."""
+    from embeddingtables_tpu.models import init_deepfm
+    from embeddingtables_tpu.models.train import (restore_deepfm_delta,
+                                                  train_deepfm)
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    from embeddingtables_tpu.parallel.deepfm import unshard_deepfm
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    cfg = _deepfm_cfg()
+    opt = SparseRowWiseAdaGrad(lr=0.1)
+    mesh = default_mesh(("data",))
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=2)
+    res = train_deepfm(cfg, _dlrm_batches(cfg.vocab_sizes), 6,
+                       sparse_opt=opt, dense_lr=0.1, log_every=0,
+                       verbose=False, mesh=mesh, delta_ckpt=mgr,
+                       delta_every=2)
+    oracle = unshard_deepfm(res.model)
+    fresh = init_deepfm(jax.random.key(88), cfg, sparse_opt=opt)
+    resumed = restore_deepfm_delta(mgr, fresh)
+    for attr in ("tables", "fm_w"):
+        assert (np.asarray(getattr(resumed, attr).data)
+                == np.asarray(getattr(oracle, attr).data)).all(), attr
+    assert (np.asarray(resumed.emb_state.accum)
+            == np.asarray(oracle.emb_state.accum)).all()
+    assert (np.asarray(resumed.fm_state.accum)
+            == np.asarray(oracle.fm_state.accum)).all()

@@ -199,22 +199,19 @@ def test_train_dlrm_sr_wiring():
     assert res.model.tables.data.dtype == jnp.bfloat16
     assert np.isfinite(res.losses[-1])
 
-    # Uniform gather exchange: SR rides the exchange (replicated key data,
+    # Both mesh exchanges: SR rides the exchange (replicated key data,
     # per-shard fold) — bf16 tables keep training on the mesh.
     from embeddingtables_tpu.parallel.mesh import default_mesh
     from embeddingtables_tpu.optim import SparseLazyAdam
     mesh = default_mesh(("data",))
-    for mesh_opt in (opt, SparseLazyAdam(lr=0.05, stochastic_rounding=True)):
-        res_m = train_dlrm(cfg, batches(), 4, sparse_opt=mesh_opt,
-                           dense_lr=0.05, log_every=1, verbose=False,
-                           mesh=mesh)
-        assert res_m.model.tables.data.dtype == jnp.bfloat16
-        assert np.isfinite(res_m.losses[-1])
-
-    # The a2a butterfly doesn't thread keys yet: loud rejection.
-    with pytest.raises(NotImplementedError, match="stochastic"):
-        train_dlrm(cfg, batches(), 2, sparse_opt=opt, dense_lr=0.05,
-                   log_every=0, verbose=False, mesh=mesh, exchange="a2a")
+    for exchange in ("gather", "a2a"):
+        for mesh_opt in (opt,
+                         SparseLazyAdam(lr=0.05, stochastic_rounding=True)):
+            res_m = train_dlrm(cfg, batches(), 4, sparse_opt=mesh_opt,
+                               dense_lr=0.05, log_every=1, verbose=False,
+                               mesh=mesh, exchange=exchange)
+            assert res_m.model.tables.data.dtype == jnp.bfloat16
+            assert np.isfinite(res_m.losses[-1])
 
 
 def test_sr_wiring_other_families():
