@@ -272,3 +272,46 @@ def test_sr_wiring_other_families():
     assert res.model.query_tables.data.dtype == jnp.bfloat16
     assert res.model.item_table.data.dtype == jnp.bfloat16
     assert np.isfinite(res.losses[-1])
+
+
+def test_sharded_sr_untouched_rows_fixed():
+    """On the mesh, SR must round ONLY rows that received gradient: after a
+    sharded SR step touching a handful of rows, every other row is bitwise
+    the original (per-shard keys must not perturb foreign/untouched rows)."""
+    import numpy as np
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.models.dlrm import make_train_step
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    from embeddingtables_tpu.parallel.dlrm import (batch_shardings,
+                                                   make_sharded_train_step,
+                                                   shard_dlrm, unshard_dlrm)
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+
+    cfg = DLRMConfig(vocab_sizes=(64, 40), num_dense=4, dim=8,
+                     bottom_mlp=(8, 8), top_mlp=(8, 1),
+                     compute_dtype=jnp.float32, table_dtype=jnp.bfloat16)
+    opt = SparseRowWiseAdaGrad(lr=0.1, stochastic_rounding=True)
+    rng = np.random.default_rng(11)
+    mesh = default_mesh(("data",))
+    model0 = init_dlrm(jax.random.key(0), cfg, sparse_opt=opt)
+    data0 = np.asarray(model0.tables.data.astype(jnp.float32))
+    sharded = shard_dlrm(model0, mesh, "data", sparse_opt=opt)
+    step = make_sharded_train_step(cfg, mesh, sparse_opt=opt, dense_lr=0.1)
+    sd, sc, sl = batch_shardings(mesh)
+    # 8 examples touching at most 16 global rows.
+    cat = np.stack([rng.integers(0, v, 8).astype(np.int32)
+                    for v in cfg.vocab_sizes])
+    dense = rng.normal(size=(8, 4)).astype(np.float32)
+    label = (cat[0] % 2).astype(np.float32)
+    new_model, _ = step(sharded,
+                        jax.device_put(jnp.asarray(dense), sd),
+                        jax.device_put(jnp.asarray(cat), sc),
+                        jax.device_put(jnp.asarray(label), sl),
+                        key=jax.random.key(3))
+    new_data = np.asarray(unshard_dlrm(new_model).tables.data
+                          .astype(jnp.float32))
+    touched = np.unique(np.concatenate(
+        [cat[t] + model0.tables.offsets[t] for t in range(2)]))
+    keep = np.setdiff1d(np.arange(data0.shape[0]), touched)
+    np.testing.assert_array_equal(new_data[keep], data0[keep])
+    assert not np.array_equal(new_data[touched], data0[touched])
