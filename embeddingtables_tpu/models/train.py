@@ -856,6 +856,7 @@ def train_two_tower(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                     ckpt_manager=None, ckpt_every: int = 0,
                     log_every: int = 100, mesh=None, axis: str = "data",
                     device_prefetch: int = 0,
+                    delta_ckpt=None, delta_every: int = 0,
                     verbose: bool = True) -> RetrievalTrainResult:
     """Train a two-tower retriever for `num_steps` batches from `train_iter`
     (dicts with dense/q_cat/item_ids — `data.SyntheticRetrieval`'s layout).
@@ -915,6 +916,21 @@ def train_two_tower(cfg, train_iter, num_steps: int, *, sparse_opt=None,
     if getattr(sparse_opt, "stochastic_rounding", False) and mesh is None:
         # Single-chip SR wiring; fresh key per step, folded by index.
         sr_key = jax.random.key(seed + 1_000_003)
+    q_tracker = i_tracker = None
+    if delta_ckpt is not None:
+        # TWO managers — the towers have independent row spaces (query
+        # stack vs item corpus), each with its own touched set.
+        if not delta_every:
+            raise ValueError("delta_ckpt requires delta_every > 0")
+        from ..utils.deltackpt import ModRowLayout, TouchedRowTracker
+        q_mgr, i_mgr = delta_ckpt
+        if sharded:
+            q_mgr.layout = ModRowLayout.for_tables(model.query_tables)
+            i_mgr.layout = ModRowLayout.for_tables(model.item_table)
+        else:
+            q_mgr.layout = i_mgr.layout = None
+        q_tracker = TouchedRowTracker(model.query_tables.offsets[-1])
+        i_tracker = TouchedRowTracker(cfg.item_vocab)
     losses, accs, recalls = [], [], []
     examples = 0
     prefetcher = None
@@ -935,6 +951,18 @@ def train_two_tower(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                 model, *args,
                 **({"key": jax.random.fold_in(sr_key, i)}
                    if sr_key is not None else {}))
+        if q_tracker is not None:
+            q_tracker.observe_batch(batch["q_cat"],
+                                    model.query_tables.offsets)
+            i_tracker.observe(batch["item_ids"])
+            if (i + 1) % delta_every == 0:
+                with tel.phase("delta_ckpt"):
+                    q_mgr.save(i + 1, model.query_tables.data,
+                               model.q_accum if sharded else model.q_state,
+                               q_tracker)
+                    i_mgr.save(i + 1, model.item_table.data,
+                               model.i_accum if sharded else model.i_state,
+                               i_tracker)
         examples += batch["item_ids"].shape[0]
         if log_every and (i % log_every == 0 or i == num_steps - 1):
             lv, av = float(loss), float(acc)
@@ -960,3 +988,42 @@ def train_two_tower(cfg, train_iter, num_steps: int, *, sparse_opt=None,
     return RetrievalTrainResult(model=to_dense(model), losses=losses,
                                 accs=accs, recalls=recalls,
                                 examples_per_sec=examples / dt)
+
+
+def restore_two_tower_delta(delta_ckpt, model):
+    """Resume a two-tower model's tables + sparse row state from the PAIR
+    of `DeltaCheckpointManager`s `train_two_tower`'s `delta_ckpt=` wrote
+    (query chain, item chain). Works on single-chip `TwoTower` and
+    `ShardedTwoTower` targets in either direction (the managers' layout
+    conversion). MLPs are untouched (pair with ckpt_manager)."""
+    from ..utils.deltackpt import ModRowLayout
+    q_mgr, i_mgr = delta_ckpt
+    sharded = hasattr(model, "q_accum")
+    q_state = model.q_accum if sharded else model.q_state
+    i_state = model.i_accum if sharded else model.i_state
+    q_mgr.layout = (ModRowLayout.for_tables(model.query_tables)
+                    if sharded else None)
+    i_mgr.layout = (ModRowLayout.for_tables(model.item_table)
+                    if sharded else None)
+    rq = q_mgr.restore_latest(model.query_tables.data, q_state)
+    ri = i_mgr.restore_latest(model.item_table.data, i_state)
+    if rq is not None:
+        qdata, q_state = rq
+        model = dataclasses.replace(
+            model,
+            query_tables=dataclasses.replace(model.query_tables,
+                                             data=qdata),
+            **({"q_accum": q_state} if sharded else {"q_state": q_state}))
+    if ri is not None:
+        idata, i_state = ri
+        if sharded:
+            model = dataclasses.replace(
+                model,
+                item_table=dataclasses.replace(model.item_table,
+                                               data=idata),
+                i_accum=i_state)
+        else:
+            model = dataclasses.replace(
+                model, item_table=model.item_table.replace_data(idata),
+                i_state=i_state)
+    return model

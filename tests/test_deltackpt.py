@@ -491,3 +491,62 @@ def test_train_deepfm_delta_ckpt_sharded_to_single(tmp_path):
             == np.asarray(oracle.emb_state.accum)).all()
     assert (np.asarray(resumed.fm_state.accum)
             == np.asarray(oracle.fm_state.accum)).all()
+
+
+def test_train_two_tower_delta_ckpt(tmp_path):
+    """Two-tower delta chains: a PAIR of managers (query stack and item
+    corpus are independent row spaces); bitwise restore of both tables +
+    row states, incl. a sharded-save -> single-chip restore."""
+    from embeddingtables_tpu.models.two_tower import (TwoTowerConfig,
+                                                      init_two_tower)
+    from embeddingtables_tpu.models.train import (restore_two_tower_delta,
+                                                  train_two_tower)
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    rng = np.random.default_rng(19)
+    cfg = TwoTowerConfig(query_vocab_sizes=(40, 24), item_vocab=48,
+                         num_dense=2, dim=8, embed_dim=8,
+                         query_mlp=(8,), item_mlp=(8,))
+
+    def batches(seed):
+        r = np.random.default_rng(seed)
+        while True:
+            yield dict(dense=r.normal(size=(8, 2)).astype(np.float32),
+                       q_cat=np.stack(
+                           [r.integers(0, v, 8).astype(np.int32)
+                            for v in cfg.query_vocab_sizes]),
+                       item_ids=r.integers(0, 48, 8).astype(np.int32))
+
+    opt = SparseRowWiseAdaGrad(lr=0.1)
+    mgrs = (DeltaCheckpointManager(str(tmp_path / "q"), base_every=2),
+            DeltaCheckpointManager(str(tmp_path / "i"), base_every=2))
+    res = train_two_tower(cfg, batches(1), 6, sparse_opt=opt,
+                          dense_lr=0.1, log_every=0, verbose=False,
+                          delta_ckpt=mgrs, delta_every=2)
+    fresh = init_two_tower(jax.random.key(5), cfg, sparse_opt=opt)
+    resumed = restore_two_tower_delta(mgrs, fresh)
+    assert (np.asarray(resumed.query_tables.data)
+            == np.asarray(res.model.query_tables.data)).all()
+    assert (np.asarray(resumed.item_table.data)
+            == np.asarray(res.model.item_table.data)).all()
+    assert (np.asarray(resumed.q_state.accum)
+            == np.asarray(res.model.q_state.accum)).all()
+    assert (np.asarray(resumed.i_state.accum)
+            == np.asarray(res.model.i_state.accum)).all()
+
+    # Sharded save -> single-chip restore (layout-converted bases).
+    # train_two_tower(mesh=) returns the UNSHARDED view, which is the
+    # oracle directly; the saves happened from the mod-sharded arrays.
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    mgrs2 = (DeltaCheckpointManager(str(tmp_path / "q2"), base_every=2),
+             DeltaCheckpointManager(str(tmp_path / "i2"), base_every=2))
+    res_m = train_two_tower(cfg, batches(2), 4, sparse_opt=opt,
+                            dense_lr=0.1, log_every=0, verbose=False,
+                            mesh=default_mesh(("data",)),
+                            delta_ckpt=mgrs2, delta_every=2)
+    oracle = res_m.model
+    fresh2 = init_two_tower(jax.random.key(6), cfg, sparse_opt=opt)
+    resumed2 = restore_two_tower_delta(mgrs2, fresh2)
+    assert (np.asarray(resumed2.query_tables.data)
+            == np.asarray(oracle.query_tables.data)).all()
+    assert (np.asarray(resumed2.item_table.data)
+            == np.asarray(oracle.item_table.data)).all()
