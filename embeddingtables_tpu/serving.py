@@ -446,3 +446,55 @@ def serve_http(batcher: MicroBatcher, host: str = "127.0.0.1",
     threading.Thread(target=server.serve_forever, daemon=True,
                      name="serving-http").start()
     return server
+
+
+def make_refreshable_dlrm_service(model, *, max_batch: int = 1024,
+                                  max_latency_ms: float = 5.0):
+    """Online-refresh DLRM scoring: returns `(batcher, swap)` where
+    `swap(new_model)` replaces the served model with ZERO downtime and
+    ZERO recompiles — the jitted eval step is built once and the model
+    enters per call through a mutable holder (same shapes -> jit cache
+    hit; a Python attribute store is atomic, so in-flight requests read
+    either the old or the new model, never a mix).
+
+    The intended pairing is `utils.DeltaFollower` over a trainer's
+    delta-checkpoint directory — the parameter-server pattern without a
+    parameter server: the trainer writes touched-rows-only deltas, each
+    serving replica polls and applies them in O(touched rows), then swaps:
+
+        batcher, swap = make_refreshable_dlrm_service(model)
+        follower = DeltaFollower(ckpt_dir, model.tables.data)
+        ... every refresh interval:
+        if follower.poll():
+            swap(dataclasses.replace(
+                model, tables=dataclasses.replace(model.tables,
+                                                  data=follower.data)))
+    """
+    import dataclasses as _dc
+
+    import jax
+
+    from .models.dlrm import make_eval_step
+
+    step = make_eval_step(model.config)          # ONE compiled step
+    holder = {"model": model}
+
+    def fn(dense, cat):
+        return np.asarray(jax.device_get(step(holder["model"], dense, cat)))
+
+    batcher = MicroBatcher(fn, max_batch=max_batch,
+                           max_latency_ms=max_latency_ms)
+
+    def swap(new_model):
+        holder["model"] = new_model
+
+    def swap_tables(data):
+        """Convenience: swap just the table array (a DeltaFollower's
+        output), keeping towers as served."""
+        m = holder["model"]
+        holder["model"] = _dc.replace(
+            m, tables=_dc.replace(m.tables, data=data))
+
+    batcher.swap = swap
+    batcher.swap_tables = swap_tables
+    return batcher, swap

@@ -5,8 +5,9 @@ no metrics — only the `telemetry_cb` hook slot); they are new obligations for
 a production TPU framework.
 """
 from .checkpoint import CheckpointManager, restore_checkpoint, save_checkpoint
-from .deltackpt import (DeltaCheckpointManager, FlatRowLayout, ModRowLayout,
-                        TouchedRowTracker, apply_delta, snapshot_delta)
+from .deltackpt import (DeltaCheckpointManager, DeltaFollower, FlatRowLayout,
+                        ModRowLayout, TouchedRowTracker, apply_delta,
+                        load_base_data, snapshot_delta)
 from .rowstats import (FrequencyTracker, evict_rows, evict_rows_sharded,
                        inverse_permutation, relayout, remap_batch,
                        reset_rows_state)

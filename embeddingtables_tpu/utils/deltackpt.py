@@ -423,3 +423,104 @@ class DeltaCheckpointManager:
         data = convert(raw_data, data_like)
         state = jax.tree_util.tree_map(convert, raw_state, state_like)
         return data, state
+
+
+def load_base_data(directory: str, base: int, like) -> jax.Array:
+    """Read ONLY the table array from a base checkpoint (leaf 0 of the
+    `(data, state)` pytree — orbax fetches just the requested param), and
+    re-lay it into `like`'s flat row layout when the base was saved under
+    a different one (rowlayout sidecar). Serving-side primitive: no
+    optimizer-state template needed."""
+    from .checkpoint import ocp  # same orbax import the saver used
+    meta_p = os.path.join(directory, f"rowlayout_{base}.json")
+    meta = None
+    if os.path.exists(meta_p):
+        with open(meta_p) as f:
+            meta = json.load(f)
+    rest = tuple(like.shape[1:])
+    if meta is not None and meta["kind"] == "mod":
+        sshape = (meta["n"], meta["rps"]) + rest
+    elif meta is not None:
+        sshape = (meta["vocab"],) + rest
+    else:
+        sshape = tuple(like.shape)
+    tmpl = {"leaf_0": jax.ShapeDtypeStruct(sshape, like.dtype)}
+    restore_args = ocp.checkpoint_utils.construct_restore_args(tmpl)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        raw = ckptr.restore(
+            os.path.join(directory, f"base_{base}"),
+            args=ocp.args.PyTreeRestore(
+                item=tmpl, restore_args=restore_args,
+                partial_restore=True))["leaf_0"]
+    if meta is not None and meta["kind"] == "mod":
+        flat = _rows_to_flat(np.asarray(raw), meta)
+        return jnp.asarray(flat[:like.shape[0]])
+    return jnp.asarray(np.asarray(raw)[:like.shape[0]])
+
+
+class DeltaFollower:
+    """Online model refresh: follow a trainer's delta-checkpoint chain and
+    keep a LIVE serving table in sync — the parameter-server "pull"
+    realized as incremental file sync. Each `poll()`:
+
+      - a new base -> one partial read of the table leaf (layout-converted
+        if the trainer runs sharded and serving is single-chip);
+      - new deltas -> `data.at[rows].set(vals)` per file, O(touched rows)
+        on device — the whole point: a refresh interval costs the rows it
+        changed, not the table.
+
+    Optimizer-state payloads in the chain are ignored (serving doesn't
+    carry state). Dense towers are NOT in the chain — pair with a full
+    `CheckpointManager` at base cadence if towers must refresh too.
+    Robust to the trainer pruning mid-poll (a committing base deletes
+    deltas): missing files are skipped and the next poll resyncs.
+    """
+
+    def __init__(self, directory: str, data: jax.Array):
+        self.directory = os.path.abspath(directory)
+        self.data = data
+        self._base: Optional[int] = None
+        self._last: int = -1
+
+    def _scan(self):
+        bases, deltas = [], []
+        try:
+            for name in os.listdir(self.directory):
+                if name.startswith("base_") and name[5:].isdigit():
+                    bases.append(int(name[5:]))
+                elif name.startswith("delta_") and name.endswith(".npz") \
+                        and name[6:-4].isdigit():
+                    deltas.append(int(name[6:-4]))
+        except FileNotFoundError:
+            pass
+        return sorted(bases), sorted(deltas)
+
+    def poll(self) -> int:
+        """Apply anything new; returns the number of snapshots applied."""
+        bases, deltas = self._scan()
+        applied = 0
+        if bases and bases[-1] != self._base:
+            try:
+                self.data = load_base_data(self.directory, bases[-1],
+                                           self.data)
+            except FileNotFoundError:
+                return applied          # pruned mid-poll; next poll resyncs
+            self._base = bases[-1]
+            self._last = bases[-1]
+            applied += 1
+        if self._base is None:
+            return applied
+        for d in deltas:
+            if d <= self._last:
+                continue
+            try:
+                with np.load(os.path.join(self.directory,
+                                          f"delta_{d}.npz")) as z:
+                    rows = jnp.asarray(z["rows"])
+                    vals = jnp.asarray(z["vals"], dtype=self.data.dtype)
+            except FileNotFoundError:
+                continue                # pruned by a concurrent base commit
+            self.data = self.data.at[rows].set(vals)
+            self._last = d
+            applied += 1
+        return applied
