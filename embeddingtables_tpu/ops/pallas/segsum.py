@@ -30,17 +30,20 @@ needs an XLA scatter whose cost does not shrink with masked-out operands
 
 Production consumer (round 3): `optim._dense_grad` — the dense-grad
 accumulation shared by every sparse optimizer's dedup pass and the plain
-small-vocab SGD apply — routes SMALL-VOCAB lane-aligned tables here
-(vocab padded to a multiple of 128, accumulator <= 4 MB VMEM). Real
-CTR vocabularies are a power-law mix where many features have tiny
-cardinality (Criteo has several < 2K-row tables); per-table placements
-(the planner, `ensemble_update`, `nn`/`compat` per-table optimizers) hit
-this path for exactly those tables. Candidates that were cost-modeled
-and REJECTED: owner-side post-routing dedup in the a2a butterfly
-(shard-local row ranges are V/n ~ 100K+ rows — the accumulator cannot
-sit in VMEM, and compacting the cold residue doesn't shrink the
-remaining scatter, §1d P4); DeepFM first-order aggregation (D=1 wastes
-127/128 MXU lanes for a stream that is ~3% of step cost).
+small-vocab SGD apply — routes TINY-VOCAB lane-aligned tables here
+(padded vocab <= 512; the measured v5e crossover,
+`scratch/probe_segsum_apply.py` at n=1.7M/D=128/f32-exact: segsum 11.0
+vs scatter 16.0 ms at vpad=256, ~parity at 512, loses from 1024 — the
+one-hot FLOPs grow linearly in vpad while the small-table scatter is
+flat at ~9.4 ns/occ). Real CTR vocabularies are a power-law mix where
+many features have exactly that cardinality; per-table placements (the
+planner, `ensemble_update`, `nn`/`compat` per-table optimizers) hit this
+path for those tables. Candidates that were cost-modeled and REJECTED:
+owner-side post-routing dedup in the a2a butterfly (shard-local row
+ranges are V/n ~ 100K+ rows — far past the crossover, and compacting the
+cold residue doesn't shrink the remaining scatter, §1d P4); DeepFM
+first-order aggregation (D=1 wastes 127/128 MXU lanes for a stream that
+is ~3% of step cost).
 
 Precision: the matmul runs in bf16 with f32 accumulation by default
 (`compute_dtype=jnp.bfloat16`, ~3 decimal digits on the values; the one-hot

@@ -69,17 +69,23 @@ def _occurrence_grads(upd: SparseEmbeddingUpdate, row_offset: int = 0):
     return rows + row_offset, vals
 
 
-_SEGSUM_MAX_BYTES = 4 << 20  # (vpad, D) f32 VMEM accumulator budget
+# Measured crossover on v5e (scratch/probe_segsum_apply.py, n=1.7M, D=128,
+# f32-exact accumulation): segsum 11.0 ms vs scatter 16.0 at vpad=256,
+# ~parity at 512, LOSES from 1024 up (21.6 vs 16.0 — the one-hot FLOPs
+# grow linearly in vpad while the scatter stays flat at ~9.4 ns/occ for
+# small tables). The VMEM budget is never the binding constraint.
+_SEGSUM_MAX_VPAD = 512
 
 
 def _segsum_vpad(data) -> Optional[int]:
     """Padded segment count when the MXU one-hot segment-accumulate
-    (`ops.pallas.segsum`) can realize this table's dense-grad accumulation:
-    small-vocab tables (the accumulator must sit in VMEM) with lane-aligned
-    feature dims. Returns None when the XLA scatter is the right tool."""
+    (`ops.pallas.segsum`) beats the XLA scatter for this table's
+    dense-grad accumulation: tiny-vocab tables (measured crossover
+    ~512 padded rows on v5e) with lane-aligned feature dims. Returns
+    None when the scatter is the right tool."""
     v, d = data.shape
     vpad = -(-v // 128) * 128
-    if d % 128 == 0 and vpad * d * 4 <= _SEGSUM_MAX_BYTES:
+    if d % 128 == 0 and vpad <= _SEGSUM_MAX_VPAD:
         return vpad
     return None
 
@@ -88,13 +94,12 @@ def _dense_grad(data, rows, g):
     """Duplicate-accumulated (V, D) f32 dense gradient (the sort-free dedup
     primitive, docs/DESIGN.md §1e).
 
-    Realization dispatch: small-vocab lane-aligned tables use the MXU
-    one-hot segment-accumulate (5.6 ns/occ measured vs the scatter's
-    14.6 ns/occ + 3 ms fixed, docs/DESIGN.md §1d — the bounded-id regime
-    is exactly where that kernel wins); everything else uses the XLA
-    scatter-add. Both honor drop semantics for out-of-range row sentinels
-    (segment ids outside the padded range match no one-hot lane; ids in
-    the pad region land on rows the trim discards)."""
+    Realization dispatch: tiny-vocab lane-aligned tables (padded vocab
+    <= 512, the measured v5e crossover — see _SEGSUM_MAX_VPAD above) use
+    the MXU one-hot segment-accumulate in f32-exact mode; everything else
+    uses the XLA scatter-add. Both honor drop semantics for out-of-range
+    row sentinels (segment ids outside the padded range match no one-hot
+    lane; ids in the pad region land on rows the trim discards)."""
     vpad = _segsum_vpad(data)
     if vpad is not None and rows.size > 0:
         from .ops.pallas.segsum import hot_accumulate
@@ -368,11 +373,11 @@ class SparseSGD:
         if (self.weight_decay == 0.0 and self.clipnorm is None
                 and rkey is None):
             if _segsum_vpad(data) is not None:
-                # Small-vocab lane-aligned tables: the MXU one-hot
-                # segment-accumulate (5.6 ns/occ) beats the per-occurrence
-                # scatter (14.6 ns/occ + 3 ms fixed, docs/DESIGN.md §1d);
-                # the dense body also accumulates in f32 before the one
-                # cast back to storage (tighter than per-occurrence RMW).
+                # Tiny-vocab lane-aligned tables: the MXU one-hot
+                # segment-accumulate beats the scatter below the measured
+                # vpad<=512 crossover (probe_segsum_apply.py); the dense
+                # body also accumulates in f32 before the one cast back
+                # to storage (tighter than per-occurrence RMW).
                 return sgd_dense_body(data, rows, g, lr), state
             new = data.at[rows].add((-lr * g).astype(data.dtype))
             return new, state
