@@ -28,13 +28,25 @@ import jax
 import jax.numpy as jnp
 
 
+def _noise_u16(key: jax.Array, shape) -> jax.Array:
+    """Uniform 16-bit noise as uint32, via the HARDWARE bit generator:
+    the SR cast needs table-sized noise every step (O(V*D) values), and
+    jax's default threefry costs ~8 ms/step at the bench's (6.5M, 128)
+    table on v5e; XLA's RngBitGenerator (jax's "rbg" impl) is VPU-cheap.
+    The caller's (threefry) key seeds an rbg key — the key itself was
+    already uniquified upstream (per-step fold_in + per-shard fold), and
+    rounding noise needs uniformity, not cryptographic independence."""
+    kd = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    rbg = jax.random.wrap_key_data(jnp.tile(kd, 4)[:4], impl="rbg")
+    return jax.random.bits(rbg, shape, dtype=jnp.uint16).astype(jnp.uint32)
+
+
 def stochastic_round_to_bf16(x: jax.Array, key: jax.Array) -> jax.Array:
     """SR-cast f32 -> bf16: unbiased, output is always one of the two
     bf16 neighbors of `x` (or `x` itself when exactly representable)."""
     x = jnp.asarray(x, jnp.float32)
     bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
-    noise = jax.random.randint(key, x.shape, 0, 1 << 16,
-                               dtype=jnp.uint32)
+    noise = _noise_u16(key, x.shape)
     rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
     out = jax.lax.bitcast_convert_type(rounded, jnp.float32)
     # NaN/Inf (exponent all-ones): the add could carry out of the exponent;
