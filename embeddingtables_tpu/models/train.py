@@ -553,10 +553,9 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                     for v in cfg.vocab_sizes]
     delta_tracker = _delta_setup(delta_ckpt, delta_every, plan, mesh, model)
     sr_key = None
-    if getattr(sparse_opt, "stochastic_rounding", False) \
-            and mesh is None and plan is None:
-        # Single-chip SR wiring (the sharded/planner step builders reject
-        # SR loudly themselves); fresh key per step, folded by index.
+    if getattr(sparse_opt, "stochastic_rounding", False) and plan is None:
+        # Single-chip AND uniform-sharded steps thread per-step keys; the
+        # planner step builders reject SR loudly themselves.
         sr_key = jax.random.key(seed + 1_000_003)
     losses, aucs = [], []
     examples = 0
@@ -707,10 +706,8 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
     delta_tracker = _delta_setup(delta_ckpt, delta_every, None, mesh,
                                  model)
     sr_key = None
-    if getattr(sparse_opt, "stochastic_rounding", False) \
-            and mesh is None:
-        # Single-chip SR wiring (the sharded/planner step builders reject
-        # SR loudly themselves); fresh key per step, folded by index.
+    if getattr(sparse_opt, "stochastic_rounding", False):
+        # Single-chip AND sharded steps thread per-step keys.
         sr_key = jax.random.key(seed + 1_000_003)
     losses, aucs = [], []
     examples = 0
@@ -913,8 +910,8 @@ def train_two_tower(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         return hits / max(total, 1)
 
     sr_key = None
-    if getattr(sparse_opt, "stochastic_rounding", False) and mesh is None:
-        # Single-chip SR wiring; fresh key per step, folded by index.
+    if getattr(sparse_opt, "stochastic_rounding", False):
+        # Single-chip AND sharded steps thread per-step keys.
         sr_key = jax.random.key(seed + 1_000_003)
     q_tracker = i_tracker = None
     if delta_ckpt is not None:

@@ -77,9 +77,9 @@ def make_sharded_dcn_train_step(cfg: DCNConfig, mesh: Mesh,
     math, one full-batch sparse update)."""
     sparse_opt = sparse_opt or SparseSGD()
     from .dlrm import _check_sharded_opt
-    _check_sharded_opt(sparse_opt)
+    _check_sharded_opt(sparse_opt, allow_sr=True)
 
-    def step(model: ShardedDCN, dense, cat, label, lr=None):
+    def step(model: ShardedDCN, dense, cat, label, lr=None, key=None):
         st = model.tables
 
         def lookup_fn(c):
@@ -131,7 +131,7 @@ def make_sharded_dcn_train_step(cfg: DCNConfig, mesh: Mesh,
                                                 cfg.pad_idx)
         new_st, new_accum = _sharded_sparse_apply(
             mesh, st, model.emb_accum, shifted, delta_t, sparse_opt,
-            scale_t=scale_t, lr=lr)
+            scale_t=scale_t, lr=lr, key=key)
         return ShardedDCN(cross=new_cross, deep=new_deep, head=new_head,
                           tables=new_st, emb_accum=new_accum,
                           config=cfg, dense_opt_state=new_dstate), loss

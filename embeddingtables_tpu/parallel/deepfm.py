@@ -87,7 +87,7 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
     update each)."""
     sparse_opt = sparse_opt or SparseSGD()
     from .dlrm import _check_sharded_opt
-    _check_sharded_opt(sparse_opt)
+    _check_sharded_opt(sparse_opt, allow_sr=True)
 
     def _lookups(model, cat):
         # use_fm=False: the fm_w stack's exchange is skipped entirely — the
@@ -108,7 +108,8 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
                 w_t = w_t / cat.shape[2]
         return emb_t, w_t
 
-    def step(model: ShardedDeepFM, dense, cat, label, lr=None):
+    def step(model: ShardedDeepFM, dense, cat, label, lr=None,
+             key=None):
         params = (model.deep, model.head, model.dense_w, model.bias)
         if microbatch and microbatch > 1:
             from ..models.microbatch import microbatch_grads
@@ -161,11 +162,14 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
                                                 cfg.combiner, cfg.pad_idx)
         new_st, new_acc = _sharded_sparse_apply(
             mesh, model.tables, model.emb_accum, shifted, delta_emb,
-            sparse_opt, scale_t=scale_t, lr=lr)
+            sparse_opt, scale_t=scale_t, lr=lr, key=key)
         if cfg.use_fm:
+            # Independent rounding noise for the second stack.
+            key_w = (jax.random.fold_in(key, 1) if key is not None
+                     else None)
             new_sw, new_wacc = _sharded_sparse_apply(
                 mesh, model.fm_w, model.fm_accum, shifted, delta_w,
-                sparse_opt, scale_t=scale_t, lr=lr)
+                sparse_opt, scale_t=scale_t, lr=lr, key=key_w)
         else:
             new_sw, new_wacc = model.fm_w, model.fm_accum
         return ShardedDeepFM(deep=new_deep, head=new_head, dense_w=new_dw,

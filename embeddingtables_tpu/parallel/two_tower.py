@@ -238,10 +238,10 @@ def make_sharded_tt_train_step(cfg, mesh: Mesh, axis="data", sparse_opt=None,
     from ..optim import SparseSGD
     from .dlrm import _check_sharded_opt, _sharded_sparse_apply
     sparse_opt = sparse_opt or SparseSGD(0.05)
-    _check_sharded_opt(sparse_opt)
+    _check_sharded_opt(sparse_opt, allow_sr=True)
     t = cfg.num_query_tables
 
-    def step(model: ShardedTwoTower, dense, q_cat, item_ids):
+    def step(model: ShardedTwoTower, dense, q_cat, item_ids, key=None):
         st_q, st_i = model.query_tables, model.item_table
         q_rows = sharded_ensemble_lookup(
             mesh, st_q, q_cat, stacked=True).transpose(1, 0, 2)  # (B, T, dim)
@@ -263,12 +263,14 @@ def make_sharded_tt_train_step(cfg, mesh: Mesh, axis="data", sparse_opt=None,
             (model.query_mlp, model.item_mlp), mlp_grads)
 
         shifted_q = jnp.stack([q_cat[i] + st_q.offsets[i] for i in range(t)])
+        key_i = jax.random.fold_in(key, 1) if key is not None else None
         new_st_q, new_qacc = _sharded_sparse_apply(
             mesh, st_q, model.q_accum, shifted_q,
-            q_delta.transpose(1, 0, 2).astype(jnp.float32), sparse_opt)
+            q_delta.transpose(1, 0, 2).astype(jnp.float32), sparse_opt,
+            key=key)
         new_st_i, new_iacc = _sharded_sparse_apply(
             mesh, st_i, model.i_accum, item_ids[None],
-            i_delta[None].astype(jnp.float32), sparse_opt)
+            i_delta[None].astype(jnp.float32), sparse_opt, key=key_i)
         return ShardedTwoTower(
             query_tables=new_st_q, item_table=new_st_i,
             query_mlp=new_qmlp, item_mlp=new_imlp,

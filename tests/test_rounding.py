@@ -318,3 +318,64 @@ def test_sharded_sr_untouched_rows_fixed():
     keep = np.setdiff1d(np.arange(data0.shape[0]), touched)
     np.testing.assert_array_equal(new_data[keep], data0[keep])
     assert not np.array_equal(new_data[touched], data0[touched])
+
+
+def test_sr_wiring_sharded_families():
+    """SR rides the DCN / DeepFM / two-tower SHARDED steps too (all via
+    _sharded_sparse_apply's key threading)."""
+    import numpy as np
+    from embeddingtables_tpu.models import DCNConfig, DeepFMConfig
+    from embeddingtables_tpu.models.two_tower import TwoTowerConfig
+    from embeddingtables_tpu.models.train import (train_dcn, train_deepfm,
+                                                  train_two_tower)
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+
+    opt = SparseRowWiseAdaGrad(lr=0.05, stochastic_rounding=True)
+    rng = np.random.default_rng(6)
+    mesh = default_mesh(("data",))
+
+    def ctr_batches(vocabs):
+        while True:
+            cat = np.stack([rng.integers(0, v, 16).astype(np.int32)
+                            for v in vocabs])
+            yield dict(dense=rng.normal(size=(16, 4)).astype(np.float32),
+                       cat=cat, label=(cat[0] % 2).astype(np.float32))
+
+    cfg_dcn = DCNConfig(vocab_sizes=(32, 24), num_dense=4, dim=8,
+                        num_cross=1, cross_rank=None, deep_mlp=(8,),
+                        compute_dtype=jnp.float32,
+                        table_dtype=jnp.bfloat16)
+    res = train_dcn(cfg_dcn, ctr_batches(cfg_dcn.vocab_sizes), 3,
+                    sparse_opt=opt, dense_lr=0.05, log_every=1,
+                    verbose=False, mesh=mesh)
+    assert res.model.tables.data.dtype == jnp.bfloat16
+    assert np.isfinite(res.losses[-1])
+
+    cfg_fm = DeepFMConfig(vocab_sizes=(32, 24), num_dense=4, dim=8,
+                          deep_mlp=(8,), compute_dtype=jnp.float32,
+                          table_dtype=jnp.bfloat16)
+    res = train_deepfm(cfg_fm, ctr_batches(cfg_fm.vocab_sizes), 3,
+                       sparse_opt=opt, dense_lr=0.05, log_every=1,
+                       verbose=False, mesh=mesh)
+    assert res.model.tables.data.dtype == jnp.bfloat16
+    assert np.isfinite(res.losses[-1])
+
+    cfg_tt = TwoTowerConfig(query_vocab_sizes=(32, 24), item_vocab=40,
+                            num_dense=2, dim=8, embed_dim=8,
+                            query_mlp=(8,), item_mlp=(8,),
+                            table_dtype=jnp.bfloat16)
+
+    def tt_batches():
+        while True:
+            yield dict(dense=rng.normal(size=(8, 2)).astype(np.float32),
+                       q_cat=np.stack(
+                           [rng.integers(0, v, 8).astype(np.int32)
+                            for v in cfg_tt.query_vocab_sizes]),
+                       item_ids=rng.integers(0, 40, 8).astype(np.int32))
+
+    res = train_two_tower(cfg_tt, tt_batches(), 3, sparse_opt=opt,
+                          dense_lr=0.05, log_every=1, verbose=False,
+                          mesh=mesh)
+    assert res.model.query_tables.data.dtype == jnp.bfloat16
+    assert np.isfinite(res.losses[-1])
