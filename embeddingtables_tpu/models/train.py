@@ -304,14 +304,10 @@ def train_dlrm(cfg: DLRMConfig, train_iter: Iterator[dict], num_steps: int, *,
 
     sr_key = None
     if getattr(sparse_opt, "stochastic_rounding", False):
-        # Single-chip and the uniform gather exchange thread per-step keys
-        # (a per-shard fold inside the exchange); the other placements
-        # reject SR loudly at step-build time (_check_sharded_opt).
-        if plan is not None:
-            raise NotImplementedError(
-                "stochastic_rounding is not wired into planner placements")
-        # Fresh key per step (folded by step index): SR's unbiasedness
-        # needs independent noise across steps.
+        # Every placement threads per-step keys now (planner: replicated +
+        # row-sharded groups; a col_shard group rejects loudly inside
+        # planned_apply). Fresh key per step (folded by index): SR's
+        # unbiasedness needs independent noise across steps.
         sr_key = jax.random.key(seed + 1_000_003)
 
     losses, aucs = [], []
@@ -553,9 +549,9 @@ def train_dcn(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                     for v in cfg.vocab_sizes]
     delta_tracker = _delta_setup(delta_ckpt, delta_every, plan, mesh, model)
     sr_key = None
-    if getattr(sparse_opt, "stochastic_rounding", False) and plan is None:
-        # Single-chip AND uniform-sharded steps thread per-step keys; the
-        # planner step builders reject SR loudly themselves.
+    if getattr(sparse_opt, "stochastic_rounding", False):
+        # Every placement threads per-step keys (planner col_shard groups
+        # reject loudly inside planned_apply).
         sr_key = jax.random.key(seed + 1_000_003)
     losses, aucs = [], []
     examples = 0

@@ -323,11 +323,11 @@ def _check_sharded_opt(sparse_opt, exchange: str = "gather",
     Both exchanges take SGD / row-wise AdaGrad / lazy Adam / FTRL: gather
     routes through `_sharded_sparse_apply`'s one exchange, a2a through the
     butterfly update primitives (alltoall.py) — all sharing the
-    `optim.*_dense_body` shard math. Stochastic rounding (bf16 tables) is
-    wired on the DLRM gather exchange (`allow_sr=True` there): the step's
-    per-step key rides the exchange as replicated key data, folded with
-    the shard index so devices round independently. The a2a butterfly and
-    the DCN/DeepFM steps don't thread keys yet and reject SR loudly."""
+    `optim.*_dense_body` shard math. Stochastic rounding (bf16 tables)
+    rides every family's exchanges and the planner's replicated/row-shard
+    groups (per-step key as replicated key data, folded with the shard
+    index so devices round independently); only the column-sharded update
+    rejects it (mid-collective bodies cast round-to-nearest)."""
     from ..optim import SparseFTRL, SparseLazyAdam
     allowed = (SparseSGD, SparseRowWiseAdaGrad, SparseLazyAdam, SparseFTRL)
     if not isinstance(sparse_opt, allowed):
@@ -337,9 +337,7 @@ def _check_sharded_opt(sparse_opt, exchange: str = "gather",
             f"got {type(sparse_opt).__name__}")
     if getattr(sparse_opt, "stochastic_rounding", False) and not allow_sr:
         raise NotImplementedError(
-            "stochastic rounding is wired on the single-chip step and the "
-            "DLRM gather exchange; this path does not thread a per-device "
-            "rounding key yet")
+            "this path does not thread a per-device rounding key")
 
 
 def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",

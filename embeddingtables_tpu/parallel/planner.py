@@ -700,7 +700,8 @@ def planned_row_state(mesh: Mesh, pt: PlannedTables, sparse_opt, *,
 def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
                   delta_t: jax.Array, sparse_opt, *,
                   combiner: str = "sum",
-                  pad_idx: int | None = None, lr=None) -> PlannedTables:
+                  pad_idx: int | None = None, lr=None,
+                  key=None) -> PlannedTables:
     """Apply the lazy ensemble update `(delta_t (T, B, dim), indices)` per
     the plan, advancing optimizer state (AdaGrad accumulators, Adam
     moments, FTRL z/n — `planned_row_state`'s layouts) where present.
@@ -723,9 +724,19 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
             f"planned_apply supports SparseSGD / SparseRowWiseAdaGrad / "
             f"SparseLazyAdam / SparseFTRL, got "
             f"{type(sparse_opt).__name__}")
-    if getattr(sparse_opt, "stochastic_rounding", False):
+    use_sr = bool(getattr(sparse_opt, "stochastic_rounding", False))
+    if use_sr and pt.col_tables:
         raise NotImplementedError(
-            "stochastic rounding is not wired into the planned update")
+            "stochastic rounding covers the planner's replicated and "
+            "row-sharded groups; the column-sharded update's mid-collective "
+            "bodies cast round-to-nearest (plan without col_shard for bf16 "
+            "SR training)")
+    if use_sr and key is None:
+        raise ValueError(
+            "sparse_opt.stochastic_rounding=True: pass a fresh PRNG key "
+            "per step (the train loops fold one in automatically)")
+    rk_repl = jax.random.fold_in(key, 0) if use_sr else None
+    rk_shard = jax.random.fold_in(key, 1) if use_sr else None
     if lr is not None and isinstance(sparse_opt, SparseFTRL):
         raise ValueError(
             "SparseFTRL cannot change lr per step: alpha is baked into "
@@ -775,7 +786,8 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
             from ..optim import adagrad_dense_body
             new_repl, new_repl_acc = adagrad_dense_body(
                 pt.repl, pt.repl_accum, rows, g, lr_val,
-                sparse_opt.eps, sparse_opt.weight_decay, sparse_opt.clipnorm)
+                sparse_opt.eps, sparse_opt.weight_decay,
+                sparse_opt.clipnorm, rounding_key=rk_repl)
         elif adam:
             from ..optim import adam_dense_body
             m_r, v_r, count = pt.repl_accum
@@ -783,7 +795,8 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
             new_repl, new_m, new_v = adam_dense_body(
                 pt.repl, m_r, v_r, t_next, rows, g, lr_val,
                 sparse_opt.b1, sparse_opt.b2, sparse_opt.eps,
-                sparse_opt.weight_decay, sparse_opt.clipnorm)
+                sparse_opt.weight_decay, sparse_opt.clipnorm,
+                rounding_key=rk_repl)
             new_repl_acc = (new_m, new_v, t_next)
         elif ftrl:
             from ..optim import ftrl_dense_body
@@ -796,7 +809,8 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
             from ..optim import sgd_dense_body
             new_repl = sgd_dense_body(pt.repl, rows, g, lr_val,
                                       sparse_opt.weight_decay,
-                                      sparse_opt.clipnorm)
+                                      sparse_opt.clipnorm,
+                                      rounding_key=rk_repl)
 
     if pt.shard_tables:
         shifted = jnp.stack(
@@ -805,7 +819,7 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
         dsub = jnp.stack([delta_t[t] for t in pt.shard_tables])
         new_shard, new_shard_acc = _sharded_sparse_apply(
             mesh, pt.shard, pt.shard_accum, shifted, dsub, sparse_opt,
-            scale_t=eff_scale(pt.shard_tables), lr=lr)
+            scale_t=eff_scale(pt.shard_tables), lr=lr, key=rk_shard)
 
     new_col, new_col_acc = pt.col, pt.col_accum
     if pt.col_tables:
@@ -897,11 +911,11 @@ def make_planned_train_step(cfg, mesh: Mesh, sparse_opt=None,
     from ..models.dlrm import bce_loss, forward_from_embeddings
     sparse_opt = sparse_opt or SparseSGD()
     from .dlrm import _check_sharded_opt
-    _check_sharded_opt(sparse_opt)
+    _check_sharded_opt(sparse_opt, allow_sr=True)
 
     pad = getattr(cfg, "pad_idx", None)
 
-    def step(model: PlannedDLRM, dense, cat, label, lr=None):
+    def step(model: PlannedDLRM, dense, cat, label, lr=None, key=None):
         params = (model.bottom, model.top)
 
         def lookup_fn(c):
@@ -946,7 +960,8 @@ def make_planned_train_step(cfg, mesh: Mesh, sparse_opt=None,
         (new_bottom, new_top), new_dstate = apply_dense_tx(
             params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
         new_pt = planned_apply(mesh, model.tables, cat, delta_t, sparse_opt,
-                               combiner=cfg.combiner, pad_idx=pad, lr=lr)
+                               combiner=cfg.combiner, pad_idx=pad, lr=lr,
+                               key=key)
         return PlannedDLRM(bottom=new_bottom, top=new_top, tables=new_pt,
                            config=cfg, dense_opt_state=new_dstate), loss
 
@@ -1100,17 +1115,18 @@ def mixed_planned_lookup(mesh: Mesh, mt: MixedDimPlannedTables,
 
 def mixed_planned_apply(mesh: Mesh, mt: MixedDimPlannedTables, indices,
                         deltas: Sequence, sparse_opt, *,
-                        combiner: str = "sum", pad_idx: int | None = None
-                        ) -> MixedDimPlannedTables:
+                        combiner: str = "sum", pad_idx: int | None = None,
+                        key=None) -> MixedDimPlannedTables:
     """Apply per-table lazy deltas (list of (B, D_t)) per the mixed plan."""
     idx_list = normalize_indices(indices, mt.ntables)
     new_groups = list(mt.groups)
     for g, pt in enumerate(mt.groups):
         idxs = [t for t, (gg, _) in enumerate(mt.table_map) if gg == g]
         delta_t = jnp.stack([deltas[t] for t in idxs])
-        new_groups[g] = planned_apply(mesh, pt, [idx_list[t] for t in idxs],
-                                      delta_t, sparse_opt,
-                                      combiner=combiner, pad_idx=pad_idx)
+        new_groups[g] = planned_apply(
+            mesh, pt, [idx_list[t] for t in idxs], delta_t, sparse_opt,
+            combiner=combiner, pad_idx=pad_idx,
+            key=(jax.random.fold_in(key, g) if key is not None else None))
     return dataclasses.replace(mt, groups=tuple(new_groups))
 
 
@@ -1164,11 +1180,11 @@ def make_planned_dcn_train_step(cfg, mesh: Mesh, sparse_opt=None,
     from ..models.dlrm import bce_loss
     sparse_opt = sparse_opt or SparseSGD()
     from .dlrm import _check_sharded_opt
-    _check_sharded_opt(sparse_opt)
+    _check_sharded_opt(sparse_opt, allow_sr=True)
 
     pad = getattr(cfg, "pad_idx", None)
 
-    def step(model: PlannedDCN, dense, cat, label, lr=None):
+    def step(model: PlannedDCN, dense, cat, label, lr=None, key=None):
         params = (model.cross, model.deep, model.head)
 
         def lookup_fn(c):
@@ -1213,7 +1229,8 @@ def make_planned_dcn_train_step(cfg, mesh: Mesh, sparse_opt=None,
         (new_cross, new_deep, new_head), new_dstate = apply_dense_tx(
             params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
         new_pt = planned_apply(mesh, model.tables, cat, delta_t, sparse_opt,
-                               combiner=cfg.combiner, pad_idx=pad, lr=lr)
+                               combiner=cfg.combiner, pad_idx=pad, lr=lr,
+                               key=key)
         return PlannedDCN(cross=new_cross, deep=new_deep, head=new_head,
                           tables=new_pt, config=cfg,
                           dense_opt_state=new_dstate), loss

@@ -379,3 +379,44 @@ def test_sr_wiring_sharded_families():
                           mesh=mesh)
     assert res.model.query_tables.data.dtype == jnp.bfloat16
     assert np.isfinite(res.losses[-1])
+
+
+def test_sr_wiring_planner():
+    """SR rides the planner's replicated + row-sharded groups; a plan with
+    col_shard tables rejects loudly."""
+    import numpy as np
+    from embeddingtables_tpu.models import DLRMConfig
+    from embeddingtables_tpu.models.train import train_dlrm
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    from embeddingtables_tpu.parallel.mesh import default_mesh
+    from embeddingtables_tpu.parallel.planner import plan_sharding
+
+    opt = SparseRowWiseAdaGrad(lr=0.05, stochastic_rounding=True)
+    rng = np.random.default_rng(13)
+    mesh = default_mesh(("data",))
+    vocabs = (24, 4000)  # small -> replicate, big -> row-shard
+
+    def batches():
+        while True:
+            cat = np.stack([rng.integers(0, v, 16).astype(np.int32)
+                            for v in vocabs])
+            yield dict(dense=rng.normal(size=(16, 4)).astype(np.float32),
+                       cat=cat, label=(cat[0] % 2).astype(np.float32))
+
+    cfg = DLRMConfig(vocab_sizes=vocabs, num_dense=4, dim=8,
+                     bottom_mlp=(8, 8), top_mlp=(8, 1),
+                     compute_dtype=jnp.float32, table_dtype=jnp.bfloat16)
+    plan = plan_sharding(vocabs, cfg.dim, mesh,
+                         replicate_max_bytes=1024)  # force table 1 sharded
+    assert plan.replicated and plan.sharded  # mixed placement premise
+    res = train_dlrm(cfg, batches(), 3, sparse_opt=opt, dense_lr=0.05,
+                     log_every=1, verbose=False, mesh=mesh, plan=plan)
+    assert np.isfinite(res.losses[-1])
+
+    plan_col = plan_sharding(vocabs, cfg.dim, mesh,
+                             replicate_max_bytes=1024, col_shard=[1])
+    if plan_col.col_sharded:
+        with pytest.raises(NotImplementedError, match="col"):
+            train_dlrm(cfg, batches(), 2, sparse_opt=opt, dense_lr=0.05,
+                       log_every=0, verbose=False, mesh=mesh,
+                       plan=plan_col)
