@@ -297,13 +297,28 @@ def test_evict_rows_sharded_resets_adam_and_ftrl_state():
         assert float(new_acc[r % n, r // n]) == 0.0
 
 
-def test_mesh_rejects_stochastic_rounding():
+def test_mesh_accepts_stochastic_rounding_colshard_rejects():
+    """Round 3 flipped the round-2 contract: the mesh steps THREAD SR keys
+    now (tests/test_rounding.py covers the training behavior); the one
+    placement that still rejects is the column-sharded update."""
     cfg = tiny_cfg()
     mesh = default_mesh(("data",))
+    step = make_sharded_train_step(
+        cfg, mesh, "data",
+        sparse_opt=SparseSGD(0.1, stochastic_rounding=True))
+    assert callable(step)
+
+    from embeddingtables_tpu.parallel.colshard import (
+        ColShardedStackedTables, col_sharded_update)
+    import embeddingtables_tpu as et
+    data = jnp.zeros((64, 16), jnp.bfloat16)
+    ct = ColShardedStackedTables.shard(mesh, "data", data)
+    upd = et.SparseEmbeddingUpdate(
+        delta=jnp.ones((8, 16), jnp.float32),
+        indices=jnp.arange(8, dtype=jnp.int32))
     with pytest.raises(NotImplementedError, match="[Ss]tochastic"):
-        make_sharded_train_step(
-            cfg, mesh, "data",
-            sparse_opt=SparseSGD(0.1, stochastic_rounding=True))
+        col_sharded_update(mesh, ct, upd,
+                           SparseSGD(0.1, stochastic_rounding=True))
 
 
 @pytest.mark.parametrize("opt_name,bag,pad", [("adam", None, None),
