@@ -150,11 +150,14 @@ def sgd_dense_body(data: jax.Array, rows: jax.Array, g: jax.Array,
     fixed points, so SR applies only where a gradient landed."""
     grad = _clip_rows(_dense_grad(data, rows, g), clipnorm)
     new = data.astype(jnp.float32) - lr * grad
-    if weight_decay == 0.0 and rounding_key is None:
-        return new.astype(data.dtype)  # untouched rows: grad = 0 -> exact
+    if weight_decay == 0.0:
+        # Mask-free, SR included: untouched rows give new == data exactly
+        # (grad = 0), and the SR cast is EXACT on already-representable
+        # values (low mantissa bits are zero; sub-ulp noise truncates
+        # back) — so no touched select is needed.
+        return stochastic_cast(new, data.dtype, rounding_key)
     touched = _touched(grad)
-    if weight_decay != 0.0:
-        new = new * jnp.where(touched, 1.0 - lr * weight_decay, 1.0)[:, None]
+    new = new * jnp.where(touched, 1.0 - lr * weight_decay, 1.0)[:, None]
     out = stochastic_cast(new, data.dtype, rounding_key)
     if rounding_key is not None:
         out = jnp.where(touched[:, None], out, data)
@@ -174,20 +177,21 @@ def adagrad_dense_body(data: jax.Array, accum: jax.Array, rows: jax.Array,
     new_accum = accum + g2
     denom = jax.lax.rsqrt(jnp.maximum(new_accum + eps, 1e-30))
     step = lr * grad * denom[:, None]
-    if weight_decay == 0.0 and rounding_key is None:
-        # Untouched rows are exact fixed points WITHOUT a mask: grad = 0
-        # gives step = 0 * denom = 0 exactly (the 1e-30 clamp keeps rsqrt
-        # finite even at eps = 0, accum = 0). The touched mask's extra
-        # table-wide passes cost +4.7 ms/step on the benched config and
-        # buy nothing here — the round-2 94.4->98.7 ms drift, bisected to
-        # the mask's introduction (docs/DESIGN.md §1g).
-        return (data.astype(jnp.float32) - step).astype(data.dtype), \
-            new_accum
+    if weight_decay == 0.0:
+        # Untouched rows are exact fixed points WITHOUT a mask, SR
+        # included: grad = 0 gives step = 0 * denom = 0 exactly (the
+        # 1e-30 clamp keeps rsqrt finite even at eps = 0, accum = 0), and
+        # the SR cast is EXACT on already-representable values (low
+        # mantissa bits zero; sub-ulp noise truncates back). The touched
+        # mask's extra table-wide passes cost +4.7 ms/step on the benched
+        # config and buy nothing here — the round-2 94.4->98.7 ms drift
+        # was bisected to exactly that mask (docs/DESIGN.md §1g).
+        return stochastic_cast(data.astype(jnp.float32) - step,
+                               data.dtype, rounding_key), new_accum
     touched = _touched(grad)
     new = (data.astype(jnp.float32)
            - jnp.where(touched[:, None], step, 0.0))
-    if weight_decay != 0.0:
-        new = new * jnp.where(touched, 1.0 - lr * weight_decay, 1.0)[:, None]
+    new = new * jnp.where(touched, 1.0 - lr * weight_decay, 1.0)[:, None]
     out = stochastic_cast(new, data.dtype, rounding_key)
     if rounding_key is not None:
         out = jnp.where(touched[:, None], out, data)

@@ -215,7 +215,8 @@ def init_col_row_state(mesh: Mesh, ct: ColShardedStackedTables, opt):
 
 def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
                        upd: SparseEmbeddingUpdate, opt,
-                       accum=None, *, batch_sharded: bool = True, lr=None):
+                       accum=None, *, batch_sharded: bool = True, lr=None,
+                       key=None):
     """Sparse update on a column-sharded table: SGD, row-wise AdaGrad,
     lazy Adam, or FTRL-Proximal.
 
@@ -246,11 +247,11 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
             "sgd" if isinstance(opt, SparseSGD) else None)
     if kind is None:
         raise NotImplementedError(type(opt).__name__)
-    if getattr(opt, "stochastic_rounding", False):
-        raise NotImplementedError(
-            "stochastic rounding is not wired into the column-sharded "
-            "update (the cast back to storage here is round-to-nearest); "
-            "use row sharding for bf16 SR training")
+    use_sr = bool(getattr(opt, "stochastic_rounding", False))
+    if use_sr and key is None:
+        raise ValueError(
+            "opt.stochastic_rounding=True: pass a fresh PRNG key per step "
+            "(col_sharded_update(key=); the train loops fold one in)")
     if kind == "sgd" and accum is not None:
         raise ValueError("accum is optimizer state; SparseSGD takes none "
                          "(and returns only the table)")
@@ -328,17 +329,24 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
             new = new * jnp.where(touched, 1.0 - lr_val * wd, 1.0)[:, None]
         return new
 
-    def body(shard, acc, lidx, ldelta, lw):
+    def body(shard, acc, lidx, ldelta, lw, *kd):
+        # SR: per-device noise (fold the column index in); the cast is
+        # EXACT on untouched rows (they recompute to their representable
+        # value, and sub-ulp noise truncates back), so no select needed.
+        from ..rounding import stochastic_cast
+        rkey = (jax.random.fold_in(jax.random.wrap_key_data(kd[0]),
+                                   jax.lax.axis_index(axis))
+                if kd else None)
         grad = local_grad(shard, lidx, ldelta, lw)
         if kind == "sgd" and wd == 0.0 and clip is None:
-            new = (shard[0].astype(jnp.float32)
-                   - lr_val * grad).astype(shard.dtype)
+            new = stochastic_cast(shard[0].astype(jnp.float32)
+                                  - lr_val * grad, shard.dtype, rkey)
             return (new[None],)
         touched, grad, sumsq = row_stats(grad)
         wloc = shard[0].astype(jnp.float32)
         if kind == "sgd":
             new = decay(wloc - lr_val * grad, touched)
-            return (new[None].astype(shard.dtype),)
+            return (stochastic_cast(new, shard.dtype, rkey)[None],)
         if kind == "adagrad":
             g2 = sumsq / ct.dim                             # (V,)
             new_acc = acc + g2
@@ -347,7 +355,7 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
             new = decay(wloc - jnp.where(touched[:, None], step, 0.0),
                         touched)
             new_acc = jnp.where(touched, new_acc, acc)
-            return new[None].astype(shard.dtype), new_acc
+            return stochastic_cast(new, shard.dtype, rkey)[None], new_acc
         if kind == "adam":
             lm, lv, t_next = acc
             tmask = touched[:, None]
@@ -361,8 +369,8 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
             vhat = new_v / (1 - opt.b2 ** tf)
             step = lr_val * mhat / (jnp.sqrt(vhat) + opt.eps)
             new = decay(wloc - jnp.where(tmask, step, 0.0), touched)
-            return (new[None].astype(shard.dtype), new_m[None],
-                    new_v[None])
+            return (stochastic_cast(new, shard.dtype, rkey)[None],
+                    new_m[None], new_v[None])
         # FTRL-Proximal: per-coordinate closed form with the global
         # touched mask (zero-grad coordinates of a touched row recompute
         # to their current value exactly in f32, as on a single chip).
@@ -379,22 +387,26 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
         return (new[None].astype(shard.dtype), new_z[None], new_n[None])
 
     spec = P(axis) if batch_sharded else P()
+    extra = () if not use_sr else (jax.random.key_data(key),)
+    extra_spec = () if not use_sr else (P(),)
     if kind == "adagrad":
         new_data, new_acc = jax.shard_map(
-            body, mesh=mesh, in_specs=(P(axis), P(), spec, spec, spec),
+            body, mesh=mesh,
+            in_specs=(P(axis), P(), spec, spec, spec) + extra_spec,
             out_specs=(P(axis), P()))(ct.data, accum, upd.indices,
-                                      upd.delta, w)
+                                      upd.delta, w, *extra)
         return dataclasses.replace(ct, data=new_data), new_acc
     if kind == "adam":
         m, v, count = accum
         t_next = count + 1
         new_data, new_m, new_v = jax.shard_map(
-            lambda shard, lm, lv, lidx, ldelta, lw: body(
-                shard, (lm, lv, t_next), lidx, ldelta, lw),
+            lambda shard, lm, lv, lidx, ldelta, lw, *kd: body(
+                shard, (lm, lv, t_next), lidx, ldelta, lw, *kd),
             mesh=mesh,
-            in_specs=(P(axis), P(axis), P(axis), spec, spec, spec),
+            in_specs=(P(axis), P(axis), P(axis), spec, spec, spec)
+            + extra_spec,
             out_specs=(P(axis), P(axis), P(axis)))(
-                ct.data, m, v, upd.indices, upd.delta, w)
+                ct.data, m, v, upd.indices, upd.delta, w, *extra)
         return (dataclasses.replace(ct, data=new_data),
                 (new_m, new_v, t_next))
     if kind == "ftrl":
@@ -408,8 +420,8 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
                 ct.data, z, n_state, upd.indices, upd.delta, w)
         return (dataclasses.replace(ct, data=new_data), (new_z, new_n))
     new_data = jax.shard_map(
-        lambda shard, lidx, ldelta, lw: body(shard, None, lidx, ldelta,
-                                             lw)[0],
-        mesh=mesh, in_specs=(P(axis), spec, spec, spec),
-        out_specs=P(axis))(ct.data, upd.indices, upd.delta, w)
+        lambda shard, lidx, ldelta, lw, *kd: body(shard, None, lidx,
+                                                  ldelta, lw, *kd)[0],
+        mesh=mesh, in_specs=(P(axis), spec, spec, spec) + extra_spec,
+        out_specs=P(axis))(ct.data, upd.indices, upd.delta, w, *extra)
     return dataclasses.replace(ct, data=new_data)

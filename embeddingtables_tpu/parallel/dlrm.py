@@ -324,10 +324,9 @@ def _check_sharded_opt(sparse_opt, exchange: str = "gather",
     routes through `_sharded_sparse_apply`'s one exchange, a2a through the
     butterfly update primitives (alltoall.py) — all sharing the
     `optim.*_dense_body` shard math. Stochastic rounding (bf16 tables)
-    rides every family's exchanges and the planner's replicated/row-shard
-    groups (per-step key as replicated key data, folded with the shard
-    index so devices round independently); only the column-sharded update
-    rejects it (mid-collective bodies cast round-to-nearest)."""
+    rides EVERY placement — all family exchanges, column sharding, and
+    the planner's three groups (per-step key as replicated key data,
+    folded with the shard index so devices round independently)."""
     from ..optim import SparseFTRL, SparseLazyAdam
     allowed = (SparseSGD, SparseRowWiseAdaGrad, SparseLazyAdam, SparseFTRL)
     if not isinstance(sparse_opt, allowed):

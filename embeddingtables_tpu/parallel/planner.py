@@ -725,18 +725,13 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
             f"SparseLazyAdam / SparseFTRL, got "
             f"{type(sparse_opt).__name__}")
     use_sr = bool(getattr(sparse_opt, "stochastic_rounding", False))
-    if use_sr and pt.col_tables:
-        raise NotImplementedError(
-            "stochastic rounding covers the planner's replicated and "
-            "row-sharded groups; the column-sharded update's mid-collective "
-            "bodies cast round-to-nearest (plan without col_shard for bf16 "
-            "SR training)")
     if use_sr and key is None:
         raise ValueError(
             "sparse_opt.stochastic_rounding=True: pass a fresh PRNG key "
             "per step (the train loops fold one in automatically)")
     rk_repl = jax.random.fold_in(key, 0) if use_sr else None
     rk_shard = jax.random.fold_in(key, 1) if use_sr else None
+    rk_col = jax.random.fold_in(key, 2) if use_sr else None
     if lr is not None and isinstance(sparse_opt, SparseFTRL):
         raise ValueError(
             "SparseFTRL cannot change lr per step: alpha is baked into "
@@ -841,10 +836,11 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
                                     weights=wflat)
         if isinstance(sparse_opt, SparseSGD):
             new_col = col_sharded_update(mesh, pt.col, upd, sparse_opt,
-                                         lr=lr)
+                                         lr=lr, key=rk_col)
         else:
             new_col, new_col_acc = col_sharded_update(
-                mesh, pt.col, upd, sparse_opt, pt.col_accum, lr=lr)
+                mesh, pt.col, upd, sparse_opt, pt.col_accum, lr=lr,
+                key=rk_col)
 
     return dataclasses.replace(pt, repl=new_repl, repl_accum=new_repl_acc,
                                shard=new_shard, shard_accum=new_shard_acc,

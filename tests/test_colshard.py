@@ -188,7 +188,9 @@ def test_col_sharded_guard_matrix():
     with pytest.raises(ValueError, match="accum is optimizer state"):
         col_sharded_update(mesh, ct, upd, SparseSGD(0.1),
                            jnp.zeros((V,), jnp.float32))
-    with pytest.raises(NotImplementedError, match="stochastic"):
+    # Round 3: SR is WIRED (per-device column noise); a missing key still
+    # raises loudly instead of silently rounding to nearest.
+    with pytest.raises(ValueError, match="key"):
         col_sharded_update(mesh, ct, upd,
                            SparseSGD(0.1, stochastic_rounding=True))
 

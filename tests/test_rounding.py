@@ -413,10 +413,11 @@ def test_sr_wiring_planner():
                      log_every=1, verbose=False, mesh=mesh, plan=plan)
     assert np.isfinite(res.losses[-1])
 
+    # Column-sharded group: SR rides it too (per-device column noise).
     plan_col = plan_sharding(vocabs, cfg.dim, mesh,
                              replicate_max_bytes=1024, col_shard=[1])
     if plan_col.col_sharded:
-        with pytest.raises(NotImplementedError, match="col"):
-            train_dlrm(cfg, batches(), 2, sparse_opt=opt, dense_lr=0.05,
-                       log_every=0, verbose=False, mesh=mesh,
-                       plan=plan_col)
+        res_c = train_dlrm(cfg, batches(), 3, sparse_opt=opt,
+                           dense_lr=0.05, log_every=1, verbose=False,
+                           mesh=mesh, plan=plan_col)
+        assert np.isfinite(res_c.losses[-1])

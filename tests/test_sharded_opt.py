@@ -297,10 +297,10 @@ def test_evict_rows_sharded_resets_adam_and_ftrl_state():
         assert float(new_acc[r % n, r // n]) == 0.0
 
 
-def test_mesh_accepts_stochastic_rounding_colshard_rejects():
-    """Round 3 flipped the round-2 contract: the mesh steps THREAD SR keys
-    now (tests/test_rounding.py covers the training behavior); the one
-    placement that still rejects is the column-sharded update."""
+def test_every_placement_accepts_stochastic_rounding():
+    """Round 3 flipped the round-2 contract: every placement threads SR
+    keys now — the mesh steps, and the column-sharded update (per-device
+    column noise; missing key still raises loudly)."""
     cfg = tiny_cfg()
     mesh = default_mesh(("data",))
     step = make_sharded_train_step(
@@ -311,14 +311,21 @@ def test_mesh_accepts_stochastic_rounding_colshard_rejects():
     from embeddingtables_tpu.parallel.colshard import (
         ColShardedStackedTables, col_sharded_update)
     import embeddingtables_tpu as et
-    data = jnp.zeros((64, 16), jnp.bfloat16)
+    import numpy as np
+    data = jnp.ones((64, 16), jnp.bfloat16)
     ct = ColShardedStackedTables.shard(mesh, "data", data)
     upd = et.SparseEmbeddingUpdate(
-        delta=jnp.ones((8, 16), jnp.float32),
+        delta=jnp.ones((8, 16), jnp.float32) * 0.02,
         indices=jnp.arange(8, dtype=jnp.int32))
-    with pytest.raises(NotImplementedError, match="[Ss]tochastic"):
-        col_sharded_update(mesh, ct, upd,
-                           SparseSGD(0.1, stochastic_rounding=True))
+    sr = SparseSGD(0.5, stochastic_rounding=True)
+    with pytest.raises(ValueError, match="key"):
+        col_sharded_update(mesh, ct, upd, sr, batch_sharded=False)
+    new_ct = col_sharded_update(mesh, ct, upd, sr, batch_sharded=False,
+                                key=jax.random.key(0))
+    new = np.asarray(new_ct.unshard().astype(jnp.float32))
+    old = np.asarray(data.astype(jnp.float32))
+    assert not np.array_equal(new[:8], old[:8])      # touched rows moved
+    np.testing.assert_array_equal(new[8:], old[8:])  # untouched exact
 
 
 @pytest.mark.parametrize("opt_name,bag,pad", [("adam", None, None),
