@@ -16,17 +16,18 @@ writes the donated table. That is what this bench runs (dense towers kept
 small so the embedding engine dominates), chained `CHUNK` steps inside one
 jit (remote-tunnel dispatch costs ~24 ms/call), fenced by a loss fetch.
 
-Three configurations (round-2: the dedup-update work needs a regression
-line for skewed traffic and stateful optimizers, not just the uniform-SGD
-headline):
+Five configurations (rounds 2-3: regression lines for skewed traffic,
+stateful optimizers, and the bf16 capacity recipe — not just the
+uniform-SGD headline):
 
   uniform+SGD   — the headline (uniform-random indices, worst case for
                   dedup: ~77% of occurrences are unique rows)
   zipf+SGD      — Zipf(1.1) indices (realistic CTR skew, ~4.5x duplication;
-                  a dedup-exploiting update must make this FASTER than
-                  uniform, round-1 measured it slower)
-  uniform+AdaGrad — row-wise AdaGrad (the stateful path: indexer +
-                  segment-sum + one state advance per unique row)
+                  measured irreducibly ~4% slower on v5e, DESIGN.md §1d)
+  uniform+AdaGrad / zipf+AdaGrad — row-wise AdaGrad (the stateful
+                  dense-grad dedup path)
+  bf16+SR AdaGrad — bf16 tables + stochastic rounding (the production
+                  capacity recipe, DESIGN.md §7)
 
     bytes/step = fwd:  B*T*D reads + B*T*D writes (emb activations)
                + bwd:  B*T*D delta writes
@@ -236,6 +237,32 @@ def main():
     print(f"# zipf_adagrad {results['zipf_adagrad']*1e3:.2f} ms",
           file=sys.stderr, flush=True)
 
+    # --- bf16 tables + stochastic rounding (the capacity recipe,
+    # docs/DESIGN.md §7) — regression line for the SR path, ONE compile ---
+    cfg16 = DLRMConfig(vocab_sizes=tuple([vocab] * t), num_dense=13,
+                       dim=dim, bottom_mlp=(64, dim), top_mlp=(64, 1),
+                       table_dtype=jnp.bfloat16)
+    sr = SparseRowWiseAdaGrad(lr=1e-3, stochastic_rounding=True)
+    sr_step = make_train_step(cfg16, sparse_opt=sr, dense_lr=1e-4,
+                              jit=False)
+    sr_base_key = jax.random.key(7)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def sr_run(model, dense, cat, label):
+        def body(k, carry):
+            m, _ = carry
+            m, loss = sr_step(m, dense, (cat + k) % vocab, label,
+                              key=jax.random.fold_in(sr_base_key, k))
+            return m, loss
+        return jax.lax.fori_loop(0, chunk, body,
+                                 (model, jnp.zeros((), jnp.float32)))
+
+    model = init_dlrm(jax.random.key(0), cfg16, sparse_opt=sr)
+    results["bf16_sr_adagrad"] = measure(sr_run, model, dense, cat_uni,
+                                         label, chunk, reps)
+    print(f"# bf16_sr_adagrad {results['bf16_sr_adagrad']*1e3:.2f} ms",
+          file=sys.stderr, flush=True)
+
     itemsize = 4
     bytes_per_step = 6 * batch * t * dim * itemsize
     roofline = chip_roofline_gbps() if on_tpu else 100.0
@@ -269,6 +296,7 @@ def main():
         "zipf_sgd_ms": round(results["zipf_sgd"] * 1e3, 3),
         "uniform_adagrad_ms": round(results["uniform_adagrad"] * 1e3, 3),
         "zipf_adagrad_ms": round(results["zipf_adagrad"] * 1e3, 3),
+        "bf16_sr_adagrad_ms": round(results["bf16_sr_adagrad"] * 1e3, 3),
         "zipf_speedup_vs_uniform": round(
             results["uniform_sgd"] / results["zipf_sgd"], 4),
     }))
