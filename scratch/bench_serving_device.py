@@ -82,6 +82,36 @@ def main():
     sec_f32 = timeit(run_f32, model, dense, cat)
     sec_q = timeit(run_q, qt, model.bottom, model.top, dense, cat)
 
+    # --- the other CTR families, f32 path (one compile each) --------------
+    from embeddingtables_tpu.models.dcn import (DCNConfig, dcn_forward,
+                                                init_dcn)
+    from embeddingtables_tpu.models.deepfm import (DeepFMConfig,
+                                                   deepfm_forward,
+                                                   init_deepfm)
+    cfg_dcn = DCNConfig(vocab_sizes=tuple([V] * T), num_dense=13, dim=D,
+                        num_cross=2, cross_rank=64, deep_mlp=(256, D))
+    dcn = init_dcn(jax.random.key(1), cfg_dcn)
+
+    @jax.jit
+    def run_dcn(m, dense, cat):
+        def body(k, acc):
+            return acc + dcn_forward(m, dense, (cat + k) % V).sum()
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((), jnp.float32))
+
+    sec_dcn = timeit(run_dcn, dcn, dense, cat)
+
+    cfg_fm = DeepFMConfig(vocab_sizes=tuple([V] * T), num_dense=13, dim=D,
+                          deep_mlp=(256, D))
+    fm = init_deepfm(jax.random.key(2), cfg_fm)
+
+    @jax.jit
+    def run_fm(m, dense, cat):
+        def body(k, acc):
+            return acc + deepfm_forward(m, dense, (cat + k) % V).sum()
+        return jax.lax.fori_loop(0, K, body, jnp.zeros((), jnp.float32))
+
+    sec_fm = timeit(run_fm, fm, dense, cat)
+
     out = {
         "metric": "dlrm_serving_device_rate",
         "batch": B, "tables": T, "vocab": V, "dim": D,
@@ -89,6 +119,8 @@ def main():
         "f32_examples_per_s": round(B / sec_f32),
         "int8_batch_ms": round(sec_q * 1e3, 3),
         "int8_examples_per_s": round(B / sec_q),
+        "dcn_f32_examples_per_s": round(B / sec_dcn),
+        "deepfm_f32_examples_per_s": round(B / sec_fm),
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))

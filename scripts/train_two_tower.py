@@ -41,6 +41,13 @@ def main():
     ap.add_argument("--ckpt", type=str, default=None)
     ap.add_argument("--ckpt-every", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument("--table-dtype", choices=["float32", "bfloat16"],
+                    default=None,
+                    help="embedding-TABLE storage dtype (bf16 halves table "
+                         "HBM; MLPs stay f32 — DESIGN.md §7)")
+    ap.add_argument("--stochastic-rounding", action="store_true",
+                    help="with bf16 tables: stochastic rounding so sub-ulp "
+                         "steps accumulate (rounding.py; sgd/adagrad/adam)")
     ap.add_argument("--device-prefetch", type=int, default=0,
                     help="stage N batches ON DEVICE ahead of the step")
     ap.add_argument("--seed", type=int, default=0)
@@ -56,12 +63,15 @@ def main():
     from embeddingtables_tpu.utils import CheckpointManager
     from embeddingtables_tpu.utils.telemetry import get_telemetry
 
+    import jax.numpy as jnp
     cfg = TwoTowerConfig(query_vocab_sizes=tuple(args.query_vocabs),
                          item_vocab=args.item_vocab,
                          num_dense=args.num_dense, dim=args.dim,
                          embed_dim=args.embed_dim,
                          query_mlp=(256, args.embed_dim),
-                         item_mlp=(256, args.embed_dim))
+                         item_mlp=(256, args.embed_dim),
+                         table_dtype=(getattr(jnp, args.table_dtype)
+                                      if args.table_dtype else None))
     gen = SyntheticRetrieval(query_vocab_sizes=cfg.query_vocab_sizes,
                              item_vocab=cfg.item_vocab,
                              num_dense=cfg.num_dense,
@@ -76,9 +86,16 @@ def main():
         from embeddingtables_tpu.parallel.mesh import default_mesh
         mesh = default_mesh(("data",))
         print(f"mesh: {mesh}", flush=True)
-    opt = {"sgd": lambda: SparseSGD(args.lr),
-           "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr),
-           "adam": lambda: SparseLazyAdam(lr=args.lr),
+    reg = {}
+    if args.stochastic_rounding:
+        if args.opt == "ftrl":
+            ap.error("--stochastic-rounding supports sgd/adagrad/adam")
+        if args.table_dtype != "bfloat16":
+            ap.error("--stochastic-rounding requires --table-dtype bfloat16")
+        reg["stochastic_rounding"] = True
+    opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
+           "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg),
+           "adam": lambda: SparseLazyAdam(lr=args.lr, **reg),
            "ftrl": lambda: SparseFTRL(lr=args.lr, l1=args.l1)
            }[args.opt]()
     mgr = CheckpointManager(args.ckpt) if args.ckpt else None
