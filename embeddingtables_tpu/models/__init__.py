@@ -10,7 +10,8 @@ from .dlrm import (DLRM, DLRMConfig, dlrm_small_config, init_dlrm,
 from .dcn import (DCN, DCNConfig, dcn_small_config, init_dcn)
 from .dcn import make_train_step as make_dcn_train_step
 from .dcn import make_eval_step as make_dcn_eval_step
-from .deepfm import (DeepFM, DeepFMConfig, deepfm_small_config, init_deepfm)
+from .deepfm import (DeepFM, DeepFMConfig, deepfm_small_config, fuse_deepfm,
+                     init_deepfm, unfuse_deepfm)
 from .deepfm import make_train_step as make_deepfm_train_step
 from .deepfm import make_eval_step as make_deepfm_eval_step
 from .two_tower import (TwoTower, TwoTowerConfig, build_item_index,
@@ -21,6 +22,7 @@ __all__ = ["DLRM", "DLRMConfig", "dlrm_small_config", "init_dlrm",
            "DCN", "DCNConfig", "dcn_small_config", "init_dcn",
            "make_dcn_train_step", "make_dcn_eval_step",
            "DeepFM", "DeepFMConfig", "deepfm_small_config", "init_deepfm",
+           "fuse_deepfm", "unfuse_deepfm",
            "make_deepfm_train_step", "make_deepfm_eval_step",
            "TwoTower", "TwoTowerConfig", "init_two_tower",
            "build_item_index", "retrieve"]

@@ -657,8 +657,10 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
     stacks mod-row-sharded). Same telemetry/eval/checkpoint/guard cadence
     as the DLRM/DCN loops.
 
-    Row eviction covers BOTH stacked ensembles: a stale row loses its FM
-    vector, its first-order weight, and both optimizer states.
+    Row eviction covers every stacked ensemble: a stale row loses its FM
+    vector, its first-order weight, and the optimizer state — one fused
+    row with the folded layout (`cfg.folded`), both stacks with the
+    legacy one.
     """
     from .deepfm import (DeepFM, init_deepfm,
                          make_eval_step as make_fm_eval,
@@ -737,10 +739,14 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                 kw["key"] = jax.random.fold_in(sr_key, i)
             model, loss = step(model, dense, cat, label, **kw)
         if trackers is not None and (i + 1) % evict_every == 0:
+            # Folded layout: ONE stack carries both representations (a
+            # stale row loses its FM vector, first-order weight, and the
+            # fused optimizer state in one eviction).
+            fm_stacks = (() if model.fm_w is None
+                         else (("fm_w", "fm_state", "fm_accum"),))
             model, n = _maybe_evict(
                 model, trackers, None, mesh, evict_threshold,
-                stacks=(("tables", "emb_state", "emb_accum"),
-                        ("fm_w", "fm_state", "fm_accum")),
+                stacks=(("tables", "emb_state", "emb_accum"),) + fm_stacks,
                 delta_tracker=delta_tracker)
             evicted_total += n
         examples += batch["label"].shape[0]
@@ -796,13 +802,17 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
 
 
 def _deepfm_delta_state(model):
-    """DeepFM's delta-checkpoint 'state' pytree: BOTH stacks ride one
-    manager — the dim-1 first-order stack's rows and its optimizer state
-    are row-wise leaves keyed by the same global row ids as the FM stack
-    (shared offsets), so one tracker covers everything."""
-    if hasattr(model, "emb_accum"):     # sharded
-        return (model.emb_accum, model.fm_w.data, model.fm_accum)
-    return (model.emb_state, model.fm_w.data, model.fm_state)
+    """DeepFM's delta-checkpoint 'state' pytree. Folded layout (fm_w is
+    None): the fused stack's state alone. Legacy layout: BOTH stacks ride
+    one manager — the dim-1 first-order stack's rows and its optimizer
+    state are row-wise leaves keyed by the same global row ids as the FM
+    stack (shared offsets), so one tracker covers everything."""
+    sharded = hasattr(model, "emb_accum")
+    st = model.emb_accum if sharded else model.emb_state
+    if model.fm_w is None:
+        return (st,)
+    return (st, model.fm_w.data,
+            model.fm_accum if sharded else model.fm_state)
 
 
 def restore_deepfm_delta(delta_ckpt, model):
@@ -820,6 +830,12 @@ def restore_deepfm_delta(delta_ckpt, model):
     restored = delta_ckpt.restore_latest(model.tables.data, state)
     if restored is None:
         return model
+    if model.fm_w is None:              # folded layout: one stack
+        data, (est,) = restored
+        tables = dataclasses.replace(model.tables, data=data)
+        if sharded:
+            return dataclasses.replace(model, tables=tables, emb_accum=est)
+        return dataclasses.replace(model, tables=tables, emb_state=est)
     data, (est, fmdata, fst) = restored
     tables = dataclasses.replace(model.tables, data=data)
     fm_w = dataclasses.replace(model.fm_w, data=fmdata)

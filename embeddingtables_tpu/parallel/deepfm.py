@@ -1,13 +1,16 @@
 """Multi-chip DeepFM: the same hybrid decomposition as the sharded DLRM/DCN.
 
-Deep tower / head / dense-linear parameters replicate; BOTH stacked
-ensembles — the dim-D FM vectors and the dim-1 first-order weights —
-mod-row-shard over the mesh axis and ride the all_gather + psum_scatter
-exchange (parallel/sharded.py). Each stack keeps its own row-sharded
-optimizer state and applies its lazy update through the shared
-`_sharded_sparse_apply` (parallel/dlrm.py — one source of truth for the
-shard-body math, so optimizer fixes land on every model family at once).
-Batch shardings are `batch_shardings(mesh, axis)`, identical to DLRM's.
+Deep tower / head / dense-linear parameters replicate; the stacked
+ensemble(s) mod-row-shard over the mesh axis and ride the all_gather +
+psum_scatter exchange (parallel/sharded.py). With the folded layout
+(`cfg.folded`, the default — models/deepfm.py module docstring) there is
+ONE fused (ΣV, D+1) stack and therefore ONE gather exchange and ONE
+update exchange per step; the legacy layout keeps two stacks, each with
+its own row-sharded optimizer state. Every lazy update applies through
+the shared `_sharded_sparse_apply` (parallel/dlrm.py — one source of
+truth for the shard-body math, so optimizer fixes land on every model
+family at once). Batch shardings are `batch_shardings(mesh, axis)`,
+identical to DLRM's.
 """
 from __future__ import annotations
 
@@ -17,7 +20,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.deepfm import DeepFM, DeepFMConfig, forward_from_embeddings
+from ..models.deepfm import (DeepFM, DeepFMConfig, forward_from_embeddings,
+                             fuse_delta, split_fused)
 from ..models.dlrm import bce_loss
 from ..optim import SparseSGD, apply_dense_tx
 from .dlrm import (_padded_stack_inputs, _sharded_sparse_apply,  # noqa: F401
@@ -36,8 +40,8 @@ class ShardedDeepFM:
     head: tuple
     dense_w: jax.Array
     bias: jax.Array
-    tables: ShardedStackedTables    # FM vectors (dim D)
-    fm_w: ShardedStackedTables      # first-order weights (dim 1)
+    tables: ShardedStackedTables    # FM vectors (dim D, fused dim D+1)
+    fm_w: object                    # dim-1 stack (None when cfg.folded)
     # Sharded sparse-optimizer state per stack (shard_row_accum's layout;
     # see parallel.dlrm.ShardedDLRM.emb_accum).
     emb_accum: object
@@ -54,7 +58,8 @@ def shard_deepfm(model: DeepFM, mesh: Mesh, axis="data",
     initializes a replicated tower state when the model has none)."""
     sparse_opt = sparse_opt or SparseSGD()
     st = ShardedStackedTables.shard(mesh, axis, model.tables)
-    sw = ShardedStackedTables.shard(mesh, axis, model.fm_w)
+    sw = (ShardedStackedTables.shard(mesh, axis, model.fm_w)
+          if model.fm_w is not None else None)
     repl = NamedSharding(mesh, P())
     deep = jax.device_put(model.deep, repl)
     head = jax.device_put(model.head, repl)
@@ -70,7 +75,8 @@ def shard_deepfm(model: DeepFM, mesh: Mesh, axis="data",
         tables=st, fm_w=sw,
         emb_accum=shard_row_accum(mesh, axis, st, model.emb_state,
                                   sparse_opt),
-        fm_accum=shard_row_accum(mesh, axis, sw, model.fm_state, sparse_opt),
+        fm_accum=(shard_row_accum(mesh, axis, sw, model.fm_state,
+                                  sparse_opt) if sw is not None else None),
         config=model.config, dense_opt_state=dstate)
 
 
@@ -79,8 +85,9 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
                                    dense_lr: float = 0.01, jit: bool = True,
                                    dense_tx=None, microbatch=None):
     """`step(model: ShardedDeepFM, dense, cat, label) -> (model, loss)` with
-    `batch_shardings(mesh, axis)` on the batch arrays. Two gather exchanges
-    per step (one per stack), two independent lazy updates.
+    `batch_shardings(mesh, axis)` on the batch arrays. Folded layout: ONE
+    gather exchange and ONE fused lazy update per step; legacy layout: two
+    of each (one per stack).
     microbatch=k: gradient accumulation over k `lax.scan` slices of the
     lookups + dense fwd/bwd (see `parallel.dlrm.make_sharded_train_step` —
     same grouping-independent math; BOTH stacks still take ONE full-batch
@@ -91,15 +98,25 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
 
     def _lookups(model, cat):
         # use_fm=False: the fm_w stack's exchange is skipped entirely — the
-        # deep-only ablation pays ONE exchange per step, not two.
+        # deep-only ablation pays ONE exchange per step, not two. Folded:
+        # ONE exchange serves both activation sets (split_fused).
         if cfg.pad_idx is not None:
             kw = dict(stacked=True, combiner=cfg.combiner,
                       pad_idx=cfg.pad_idx)
-            emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, **kw)
+            g_t = sharded_ensemble_lookup(mesh, model.tables, cat, **kw)
+            if cfg.folded:
+                w_t, emb_t = split_fused(g_t)
+                return emb_t, w_t
             w_t = (sharded_ensemble_lookup(mesh, model.fm_w, cat, **kw)
                    if cfg.use_fm else None)
+            return g_t, w_t
+        g_t = sharded_ensemble_lookup(mesh, model.tables, cat, stacked=True)
+        if cfg.folded:
+            if cfg.combiner == "mean" and cat.ndim == 3:
+                g_t = g_t / cat.shape[2]
+            w_t, emb_t = split_fused(g_t)
             return emb_t, w_t
-        emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, stacked=True)
+        emb_t = g_t
         w_t = (sharded_ensemble_lookup(mesh, model.fm_w, cat, stacked=True)
                if cfg.use_fm else None)
         if cfg.combiner == "mean" and cat.ndim == 3:
@@ -158,12 +175,16 @@ def make_sharded_deepfm_train_step(cfg: DeepFMConfig, mesh: Mesh,
         (new_deep, new_head, new_dw, new_bias), new_dstate = apply_dense_tx(
             params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
 
+        if cfg.folded:
+            # One fused update exchange (fuse_delta == adjoint of the
+            # forward's split_fused) — the second exchange disappears.
+            delta_emb = fuse_delta(delta_w, delta_emb)
         shifted, scale_t = _padded_stack_inputs(model.tables, cat,
                                                 cfg.combiner, cfg.pad_idx)
         new_st, new_acc = _sharded_sparse_apply(
             mesh, model.tables, model.emb_accum, shifted, delta_emb,
             sparse_opt, scale_t=scale_t, lr=lr, key=key)
-        if cfg.use_fm:
+        if cfg.use_fm and not cfg.folded:
             # Independent rounding noise for the second stack.
             key_w = (jax.random.fold_in(key, 1) if key is not None
                      else None)
@@ -188,18 +209,27 @@ def make_sharded_deepfm_eval_step(cfg: DeepFMConfig, mesh: Mesh,
         if cfg.pad_idx is not None:
             kw = dict(stacked=True, combiner=cfg.combiner,
                       pad_idx=cfg.pad_idx)
-            emb_t = sharded_ensemble_lookup(mesh, model.tables, cat, **kw)
-            w_t = (sharded_ensemble_lookup(mesh, model.fm_w, cat, **kw)
-                   if cfg.use_fm else None)
+            g_t = sharded_ensemble_lookup(mesh, model.tables, cat, **kw)
+            if cfg.folded:
+                w_t, emb_t = split_fused(g_t)
+            else:
+                emb_t = g_t
+                w_t = (sharded_ensemble_lookup(mesh, model.fm_w, cat, **kw)
+                       if cfg.use_fm else None)
         else:
-            emb_t = sharded_ensemble_lookup(mesh, model.tables, cat,
-                                            stacked=True)
-            w_t = (sharded_ensemble_lookup(mesh, model.fm_w, cat,
-                                           stacked=True)
-                   if cfg.use_fm else None)
+            g_t = sharded_ensemble_lookup(mesh, model.tables, cat,
+                                          stacked=True)
             if cfg.combiner == "mean" and cat.ndim == 3:
-                emb_t = emb_t / cat.shape[2]
-                if w_t is not None:
+                g_t = g_t / cat.shape[2]
+            if cfg.folded:
+                w_t, emb_t = split_fused(g_t)
+            else:
+                emb_t = g_t
+                w_t = (sharded_ensemble_lookup(mesh, model.fm_w, cat,
+                                               stacked=True)
+                       if cfg.use_fm else None)
+                if (cfg.combiner == "mean" and cat.ndim == 3
+                        and w_t is not None):
                     w_t = w_t / cat.shape[2]
         return forward_from_embeddings(
             (model.deep, model.head, model.dense_w, model.bias), cfg,
@@ -221,7 +251,9 @@ def unshard_deepfm(model: ShardedDeepFM) -> DeepFM:
         bias=model.bias,
         tables=StackedTables(data=st.unshard(), offsets=st.offsets,
                              dim=st.dim),
-        fm_w=StackedTables(data=sw.unshard(), offsets=sw.offsets, dim=1),
+        fm_w=(StackedTables(data=sw.unshard(), offsets=sw.offsets, dim=1)
+              if sw is not None else None),
         emb_state=unshard_row_state(st, model.emb_accum),
-        fm_state=unshard_row_state(sw, model.fm_accum),
+        fm_state=(unshard_row_state(sw, model.fm_accum)
+                  if sw is not None else None),
         config=model.config, dense_opt_state=model.dense_opt_state)

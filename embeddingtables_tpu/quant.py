@@ -248,12 +248,15 @@ def quantize_dcn(model, bits: int = 8):
 
 def quantize_deepfm(model, bits: int = 8):
     """Serving conversion for DeepFM (`models/deepfm.py`): int8/int4 rows on
-    the FM-vector stacked ensemble (the HBM bulk). The dim-1 first-order
-    weight stack stays in storage dtype — per-row quantization of scalar
-    rows would spend a scale per value, saving nothing. Returns
-    (quantized_tables, eval_fn)."""
+    the stacked ensemble (the HBM bulk). Folded layout (`cfg.folded`): the
+    fused (ΣV, D+1) row quantizes as ONE row — the first-order weight
+    shares the per-row scale (its error stays inside the same
+    scale/2-per-element bound, and serving keeps the one-gather shape).
+    Legacy layout: the dim-1 first-order weight stack stays in storage
+    dtype — per-row quantization of scalar rows would spend a scale per
+    value, saving nothing. Returns (quantized_tables, eval_fn)."""
     import jax
-    from .models.deepfm import forward_from_embeddings
+    from .models.deepfm import forward_from_embeddings, split_fused
 
     cfg = model.config
     if bits not in (8, 4):
@@ -263,6 +266,8 @@ def quantize_deepfm(model, bits: int = 8):
                        out_dtype=jnp.float32)
     offsets = model.tables.offsets
     dense_params = (model.deep, model.head, model.dense_w, model.bias)
+    fm_w_data = (model.fm_w.data
+                 if cfg.use_fm and not cfg.folded else None)
 
     # Table/params as jit ARGUMENTS, not closure constants (see
     # quantize_dlrm — the CLAUDE.md big-array-closure rule).
@@ -273,7 +278,7 @@ def quantize_deepfm(model, bits: int = 8):
         flat = shifted.reshape((-1,) + shifted.shape[2:])
         rows = qt.rows(flat)
         wrows = (jnp.take(fm_w, flat.reshape(-1), axis=0).reshape(
-            flat.shape + (1,)) if cfg.use_fm else None)
+            flat.shape + (1,)) if fm_w is not None else None)
         if flat.ndim == 2:  # bag reduce
             rows = rows.sum(axis=1)
             if cfg.combiner == "mean":
@@ -282,12 +287,16 @@ def quantize_deepfm(model, bits: int = 8):
                 wrows = wrows.sum(axis=1)
                 if cfg.combiner == "mean":
                     wrows = wrows / flat.shape[1]
-        emb = rows.reshape(t, shifted.shape[1], cfg.dim)
-        w_t = (wrows.reshape(t, shifted.shape[1], 1)
-               if wrows is not None else None)
+        g = rows.reshape(t, shifted.shape[1], cfg.stack_dim)
+        if cfg.folded:
+            w_t, emb = split_fused(g)
+        else:
+            emb = g
+            w_t = (wrows.reshape(t, shifted.shape[1], 1)
+                   if wrows is not None else None)
         return forward_from_embeddings(dense_params, cfg, dense, emb, w_t)
 
-    eval_fn = lambda dense, cat: _eval(qt, model.fm_w.data,   # noqa: E731
+    eval_fn = lambda dense, cat: _eval(qt, fm_w_data,         # noqa: E731
                                        dense_params, dense, cat)
     return qt, eval_fn
 

@@ -331,9 +331,10 @@ def make_deepfm_service(model, *, quantized: bool = False,
     """Batched DeepFM scoring service (same contract as
     `make_dlrm_service`): model is a trained `models.deepfm.DeepFM` (or a
     `parallel.deepfm.ShardedDeepFM` with `mesh=` — serve straight off the
-    training placement); quantized=True serves int8/int4 FM-vector tables
-    via `quant.quantize_deepfm` (the dim-1 first-order stack stays full
-    precision — see that docstring; single-chip only)."""
+    training placement); quantized=True serves int8/int4 tables via
+    `quant.quantize_deepfm` (folded layout: the fused row quantizes as
+    one; legacy layout: the dim-1 first-order stack stays full precision
+    — see that docstring; single-chip only)."""
     import jax
 
     if mesh is not None:

@@ -100,6 +100,9 @@ def main():
 
     sec_dcn = timeit(run_dcn, dcn, dense, cat)
 
+    # DeepFM both layouts: folded (default — first-order weights ride
+    # column 0 of the fused stack, ONE gather) vs legacy (second dim-1
+    # gather). The fold is the round-4 perf item (probe_fmfold.py).
     cfg_fm = DeepFMConfig(vocab_sizes=tuple([V] * T), num_dense=13, dim=D,
                           deep_mlp=(256, D))
     fm = init_deepfm(jax.random.key(2), cfg_fm)
@@ -112,6 +115,11 @@ def main():
 
     sec_fm = timeit(run_fm, fm, dense, cat)
 
+    import dataclasses
+    cfg_fm_legacy = dataclasses.replace(cfg_fm, fold_fm_w=False)
+    fm_legacy = init_deepfm(jax.random.key(2), cfg_fm_legacy)
+    sec_fm_legacy = timeit(run_fm, fm_legacy, dense, cat)
+
     out = {
         "metric": "dlrm_serving_device_rate",
         "batch": B, "tables": T, "vocab": V, "dim": D,
@@ -121,6 +129,7 @@ def main():
         "int8_examples_per_s": round(B / sec_q),
         "dcn_f32_examples_per_s": round(B / sec_dcn),
         "deepfm_f32_examples_per_s": round(B / sec_fm),
+        "deepfm_legacy_unfolded_examples_per_s": round(B / sec_fm_legacy),
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))

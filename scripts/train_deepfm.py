@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--tables", type=int, default=26)
     ap.add_argument("--deep-mlp", type=str, default="400,400",
                     help="comma-separated deep-tower widths")
+    ap.add_argument("--no-fold-fm-w", action="store_true",
+                    help="legacy two-stack layout: keep the first-order "
+                         "weights in a separate dim-1 stack instead of "
+                         "column 0 of the fused (SumV, D+1) stack")
     ap.add_argument("--no-fm", action="store_true",
                     help="ablation: drop the FM second-order term")
     ap.add_argument("--no-deep", action="store_true",
@@ -104,6 +108,7 @@ def main():
                        use_fm=not args.no_fm, use_deep=not args.no_deep,
                        bag=args.bag, combiner=args.combiner,
                     pad_idx=-1 if args.var_len_bags else None,
+                    fold_fm_w=not args.no_fold_fm_w,
                     table_dtype=(getattr(jnp, args.table_dtype)
                                  if args.table_dtype else None))
     if args.criteo:

@@ -20,8 +20,13 @@ from embeddingtables_tpu.models.deepfm import (DeepFM, DeepFMConfig,
 from embeddingtables_tpu.models.dlrm import bce_loss
 from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
 
+# This module pins the LEGACY two-stack layout (fold_fm_w=False) — it
+# asserts directly on the fm_w stack. The folded (default) layout is
+# covered by tests/test_deepfm_fold.py, including exact fold-vs-legacy
+# parity.
 CFG = DeepFMConfig(vocab_sizes=(50, 70, 30), num_dense=5, dim=8,
-                   deep_mlp=(16, 8), compute_dtype=jnp.float32)
+                   deep_mlp=(16, 8), compute_dtype=jnp.float32,
+                   fold_fm_w=False)
 
 
 def make_batch(rng, cfg, b=16, bag=None):
@@ -187,7 +192,8 @@ def test_train_deepfm_loop_learns_and_checkpoints(tmp_path):
 
     vocab = (80, 80, 80)
     cfg = DeepFMConfig(vocab_sizes=vocab, num_dense=4, dim=16,
-                       deep_mlp=(32, 16), compute_dtype=jnp.float32)
+                       deep_mlp=(32, 16), compute_dtype=jnp.float32,
+                       fold_fm_w=False)
     gen = SyntheticCriteo(vocab_sizes=vocab, num_dense=4, batch_size=256,
                           seed=11)
     eval_batches = list(gen.batches(2))

@@ -433,7 +433,8 @@ def test_train_dcn_delta_ckpt(tmp_path):
 def _deepfm_cfg():
     from embeddingtables_tpu.models import DeepFMConfig
     return DeepFMConfig(vocab_sizes=(40, 24), num_dense=4, dim=8,
-                        deep_mlp=(8,), compute_dtype=jnp.float32)
+                        deep_mlp=(8,), compute_dtype=jnp.float32,
+                        fold_fm_w=False)
 
 
 def test_train_deepfm_delta_ckpt_both_stacks(tmp_path):

@@ -166,7 +166,8 @@ def test_dcn_and_deepfm_padded_sharded_parity():
 
     fm_cfg = DeepFMConfig(vocab_sizes=vocab, num_dense=4, dim=8,
                           deep_mlp=(16, 8), bag=bag, combiner="mean",
-                          pad_idx=PAD, compute_dtype=jnp.float32)
+                          pad_idx=PAD, compute_dtype=jnp.float32,
+                          fold_fm_w=False)
     f1 = init_deepfm(jax.random.key(4), fm_cfg, sparse_opt=SparseSGD(0.2))
     f1, l1 = mk_fm(fm_cfg, sparse_opt=SparseSGD(0.2), dense_lr=0.2,
                    jit=False)(f1, jnp.asarray(dense), jnp.asarray(cat),

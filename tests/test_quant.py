@@ -173,7 +173,8 @@ def test_quantize_deepfm_serving_parity():
     from embeddingtables_tpu.models.deepfm import make_eval_step
     from embeddingtables_tpu.quant import quantize_deepfm
     cfg = DeepFMConfig(vocab_sizes=(40, 60, 30), num_dense=4, dim=16,
-                       deep_mlp=(16, 8), compute_dtype=jnp.float32)
+                       deep_mlp=(16, 8), compute_dtype=jnp.float32,
+                       fold_fm_w=False)
     model = init_deepfm(jax.random.key(3), cfg)
     # Give the (zero-init) first-order weights real values so the parity
     # check exercises the full-precision w path alongside the int8 vectors.

@@ -254,7 +254,9 @@ def test_sr_wiring_other_families():
                        sparse_opt=opt, dense_lr=0.05, log_every=1,
                        verbose=False)
     assert res.model.tables.data.dtype == jnp.bfloat16
-    assert res.model.fm_w.data.dtype == jnp.bfloat16
+    # Folded (default) layout: first-order weights ride the fused stack.
+    assert res.model.fm_w is None
+    assert res.model.tables.dim == cfg_fm.dim + 1
     assert np.isfinite(res.losses[-1])
 
     cfg_tt = TwoTowerConfig(query_vocab_sizes=(30, 20), item_vocab=40,

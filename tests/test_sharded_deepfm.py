@@ -15,11 +15,14 @@ from embeddingtables_tpu.parallel.mesh import default_mesh
 
 
 def tiny_cfg(**kw):
+    # Legacy two-stack layout: this module asserts on the fm_w stack.
+    # Folded-layout sharded parity lives in tests/test_deepfm_fold.py.
     kw.setdefault("vocab_sizes", (64, 96, 33))
     kw.setdefault("num_dense", 4)
     kw.setdefault("dim", 8)
     kw.setdefault("deep_mlp", (16, 8))
     kw.setdefault("compute_dtype", jnp.float32)
+    kw.setdefault("fold_fm_w", False)
     return DeepFMConfig(**kw)
 
 
@@ -202,7 +205,8 @@ def test_sharded_deepfm_microbatch_matches_monolithic():
     dense fwd/bwd over k slices matches the monolithic sharded step."""
     from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
     cfg = DeepFMConfig(vocab_sizes=(48, 80), num_dense=4, dim=8,
-                       deep_mlp=(16,), compute_dtype=jnp.float32)
+                       deep_mlp=(16,), compute_dtype=jnp.float32,
+                       fold_fm_w=False)
     mesh = default_mesh(("data",))
     opt = lambda: SparseRowWiseAdaGrad(lr=0.2)  # noqa: E731
 

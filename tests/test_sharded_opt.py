@@ -184,7 +184,8 @@ def test_sharded_deepfm_adam_matches_single_chip():
     from embeddingtables_tpu.parallel.deepfm import (
         make_sharded_deepfm_train_step, shard_deepfm, unshard_deepfm)
     cfg = DeepFMConfig(vocab_sizes=(48, 80), num_dense=4, dim=8,
-                       deep_mlp=(16,), compute_dtype=jnp.float32)
+                       deep_mlp=(16,), compute_dtype=jnp.float32,
+                       fold_fm_w=False)
     mesh = default_mesh(("data",))
     opt = lambda: SparseLazyAdam(lr=0.05)  # noqa: E731
     model = init_deepfm(jax.random.key(0), cfg, sparse_opt=opt())
