@@ -299,4 +299,49 @@ for _opt16 in (_LA16(lr=0.05), _FT16(lr=0.2, l1=0.001)):
     print(f"16. sharded {type(_opt16).__name__} + microbatch on-chip: "
           "matches single-chip step")
 
+# --- 17. DeepFM folded layout on-chip (round 4) -----------------------------
+# fold_fm_w=True (default): first-order weights ride column 0 of the fused
+# (ΣV, D+1) stack — one gather, one lazy update. Check exact fold-vs-legacy
+# SGD parity on the real chip plus the quantized fused serving path.
+from embeddingtables_tpu.models.deepfm import (DeepFMConfig as _FC17,
+                                               deepfm_forward as _fwd17,
+                                               fuse_deepfm as _fuse17,
+                                               init_deepfm as _ifm17,
+                                               make_train_step as _mfs17)
+from embeddingtables_tpu.optim import SparseSGD as _SGD17
+from embeddingtables_tpu.quant import quantize_deepfm as _qfm17
+import dataclasses as _dc17
+_cfg17 = _FC17(vocab_sizes=(300, 200), num_dense=4, dim=16,
+               deep_mlp=(32, 16), compute_dtype=jnp.float32)
+_cfg17l = _dc17.replace(_cfg17, fold_fm_w=False)
+# Two independent inits (same key): the jitted steps donate their model,
+# and fuse_deepfm shares the dense-tower arrays with its source.
+_ml17 = _ifm17(jax.random.key(9), _cfg17l)
+_mf17 = _fuse17(_ifm17(jax.random.key(9), _cfg17l))
+_d17 = jnp.asarray(_r.normal(size=(64, 4)).astype(np.float32))
+_c17 = jnp.asarray(np.stack([_r.integers(0, v, 64).astype(np.int32)
+                             for v in _cfg17.vocab_sizes]))
+_l17 = jnp.asarray((_r.random(64) < 0.3).astype(np.float32))
+np.testing.assert_allclose(np.asarray(_fwd17(_mf17, _d17, _c17)),
+                           np.asarray(_fwd17(_ml17, _d17, _c17)),
+                           rtol=1e-5, atol=1e-6)
+_sf17 = _mfs17(_cfg17, sparse_opt=_SGD17(lr=0.1), dense_lr=0.1)
+_sl17 = _mfs17(_cfg17l, sparse_opt=_SGD17(lr=0.1), dense_lr=0.1)
+for _ in range(2):
+    _mf17, _lf = _sf17(_mf17, _d17, _c17, _l17)
+    _ml17, _ll = _sl17(_ml17, _d17, _c17, _l17)
+    np.testing.assert_allclose(float(_lf), float(_ll), rtol=1e-5)
+np.testing.assert_allclose(np.asarray(_mf17.tables.data[:, 1:]),
+                           np.asarray(_ml17.tables.data),
+                           rtol=1e-4, atol=1e-6)
+np.testing.assert_allclose(np.asarray(_mf17.tables.data[:, :1]),
+                           np.asarray(_ml17.fm_w.data),
+                           rtol=1e-4, atol=1e-6)
+_, _qe17 = _qfm17(_mf17, bits=8)
+np.testing.assert_allclose(np.asarray(_qe17(_d17, _c17)),
+                           np.asarray(_fwd17(_mf17, _d17, _c17)),
+                           rtol=0.1, atol=0.05)
+print("17. DeepFM folded stack on-chip: fold==legacy SGD steps, "
+      "fused int8 serving in bound")
+
 print("ALL TPU VERIFICATION CHECKS PASSED")
