@@ -645,7 +645,7 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                  eval_batches: Optional[list] = None, eval_every: int = 0,
                  ckpt_manager=None, ckpt_every: int = 0,
                  log_every: int = 100, mesh=None, axis: str = "data",
-                 guard=None, device_prefetch: int = 0,
+                 guard=None, device_prefetch: int = 0, plan=None,
                  evict_every: int = 0, evict_threshold: float = 1e-3,
                  freq_decay: float = 0.99, eval_metrics: bool = False,
                  microbatch=None, lr_schedule=None,
@@ -653,9 +653,11 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                  verbose: bool = True) -> TrainResult:
     """Train a DeepFM (`models/deepfm.py`) on the same batch layout as
     `train_dlrm` (dicts with dense/cat/label). mesh=None -> single-chip
-    fused step; mesh given -> the sharded step (parallel/deepfm.py: both
-    stacks mod-row-sharded). Same telemetry/eval/checkpoint/guard cadence
-    as the DLRM/DCN loops.
+    fused step; mesh given -> the sharded step (parallel/deepfm.py);
+    mesh + plan (a `parallel.planner.ShardingPlan` built with
+    dim=cfg.stack_dim) -> the planner's mixed placement on the fused
+    stack (folded layout only — `parallel.planner.PlannedDeepFM`). Same
+    telemetry/eval/checkpoint/guard cadence as the DLRM/DCN loops.
 
     Row eviction covers every stacked ensemble: a stale row loses its FM
     vector, its first-order weight, and the optimizer state — one fused
@@ -666,11 +668,60 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                          make_eval_step as make_fm_eval,
                          make_train_step as make_fm_step)
     tel = _telemetry.get_telemetry()
-    if model is None:
+    if plan is not None and mesh is None:
+        raise ValueError("plan= requires mesh=")
+    if model is None and plan is None:
         with tel.phase("init"):
             model = init_deepfm(jax.random.key(seed), cfg,
                                 sparse_opt=sparse_opt, dense_tx=dense_tx)
-    if mesh is not None:
+    if mesh is not None and plan is not None:
+        # Planner-driven mixed placement on the FUSED stack (folded
+        # layout only — parallel/planner.py PlannedDeepFM).
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        from ..parallel.dlrm import batch_shardings
+        from ..parallel.planner import (PlannedDeepFM, init_planned_deepfm,
+                                        make_planned_deepfm_eval_step,
+                                        make_planned_deepfm_train_step,
+                                        place_stacked_on_plan)
+        if model is None:
+            with tel.phase("init"):
+                model = init_planned_deepfm(jax.random.key(seed), cfg,
+                                            plan, mesh,
+                                            sparse_opt=sparse_opt,
+                                            dense_tx=dense_tx)
+        elif isinstance(model, DeepFM):
+            if model.fm_w is not None:
+                raise ValueError(
+                    "plan= supports the folded DeepFM layout only; "
+                    "convert with models.deepfm.fuse_deepfm first")
+            pt = place_stacked_on_plan(plan, mesh, model.tables,
+                                       model.emb_state, sparse_opt)
+            repl = NamedSharding(mesh, _P())
+            dp = jax.device_put(model.deep, repl)
+            hd = jax.device_put(model.head, repl)
+            dw = jax.device_put(model.dense_w, repl)
+            bs = jax.device_put(model.bias, repl)
+            dstate = model.dense_opt_state
+            if dstate is None and dense_tx is not None:
+                dstate = dense_tx.init((dp, hd, dw, bs))
+            if dstate is not None:
+                dstate = jax.device_put(dstate, repl)
+            model = PlannedDeepFM(deep=dp, head=hd, dense_w=dw, bias=bs,
+                                  tables=pt, config=cfg,
+                                  dense_opt_state=dstate)
+        elif not isinstance(model, PlannedDeepFM):
+            raise TypeError(
+                f"plan= expects a DeepFM or PlannedDeepFM model, got "
+                f"{type(model).__name__} (unshard a sharded model first)")
+        step = make_planned_deepfm_train_step(
+            cfg, mesh, sparse_opt=sparse_opt, dense_lr=dense_lr,
+            dense_tx=dense_tx, microbatch=microbatch)
+        eval_step = make_planned_deepfm_eval_step(cfg, mesh)
+        sd, sc, sl = batch_shardings(mesh, plan.axis)
+        put = lambda b: (jax.device_put(b["dense"], sd),       # noqa: E731
+                         jax.device_put(b["cat"], sc),
+                         jax.device_put(b["label"], sl))
+    elif mesh is not None:
         from ..parallel.deepfm import (batch_shardings as fm_shardings,
                                        make_sharded_deepfm_eval_step,
                                        make_sharded_deepfm_train_step,
@@ -701,11 +752,11 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
         from ..utils.rowstats import FrequencyTracker
         trackers = [FrequencyTracker(v, decay=freq_decay)
                     for v in cfg.vocab_sizes]
-    delta_tracker = _delta_setup(delta_ckpt, delta_every, None, mesh,
+    delta_tracker = _delta_setup(delta_ckpt, delta_every, plan, mesh,
                                  model)
     sr_key = None
     if getattr(sparse_opt, "stochastic_rounding", False):
-        # Single-chip AND sharded steps thread per-step keys.
+        # Single-chip, sharded, AND planned steps thread per-step keys.
         sr_key = jax.random.key(seed + 1_000_003)
     losses, aucs = [], []
     examples = 0
@@ -739,13 +790,14 @@ def train_deepfm(cfg, train_iter, num_steps: int, *, sparse_opt=None,
                 kw["key"] = jax.random.fold_in(sr_key, i)
             model, loss = step(model, dense, cat, label, **kw)
         if trackers is not None and (i + 1) % evict_every == 0:
-            # Folded layout: ONE stack carries both representations (a
-            # stale row loses its FM vector, first-order weight, and the
-            # fused optimizer state in one eviction).
-            fm_stacks = (() if model.fm_w is None
+            # Folded layout (and the planner path): ONE stack carries both
+            # representations (a stale row loses its FM vector,
+            # first-order weight, and the fused optimizer state in one
+            # eviction).
+            fm_stacks = (() if getattr(model, "fm_w", None) is None
                          else (("fm_w", "fm_state", "fm_accum"),))
             model, n = _maybe_evict(
-                model, trackers, None, mesh, evict_threshold,
+                model, trackers, plan, mesh, evict_threshold,
                 stacks=(("tables", "emb_state", "emb_accum"),) + fm_stacks,
                 delta_tracker=delta_tracker)
             evicted_total += n

@@ -1253,6 +1253,199 @@ def make_planned_dcn_eval_step(cfg, mesh: Mesh, jit: bool = True):
     return step
 
 
+# ---------------------------------------------------------------------------
+# DeepFM on a plan (round 4 — enabled by the folded first-order layout)
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PlannedDeepFM:
+    """DeepFM whose FUSED (ΣV, D+1) stack (models/deepfm.py `fold_fm_w`)
+    rides a `PlannedTables` mixed placement. Only the folded layout is
+    supported: the fold is exactly what turns DeepFM into the planner's
+    one-stack shape (the legacy two-stack layout would need two plans and
+    two exchanges — fold first via `models.deepfm.fuse_deepfm`)."""
+
+    deep: list
+    head: tuple
+    dense_w: jax.Array
+    bias: jax.Array
+    tables: PlannedTables           # fused stack, dim = cfg.stack_dim
+    config: object = dataclasses.field(metadata=dict(static=True))
+    dense_opt_state: object = None
+
+
+def _require_folded_deepfm(cfg, plan: Optional[ShardingPlan] = None):
+    if not getattr(cfg, "folded", False):
+        raise ValueError(
+            "planner placement supports the folded DeepFM layout only "
+            "(fold_fm_w=True with use_fm=True); convert a legacy model "
+            "with models.deepfm.fuse_deepfm")
+    if plan is not None and plan.decisions and \
+            plan.decisions[0].dim != cfg.stack_dim:
+        raise ValueError(
+            f"plan dim {plan.decisions[0].dim} != cfg.stack_dim "
+            f"{cfg.stack_dim} — build the plan with dim=cfg.stack_dim "
+            f"(D+1: the fused stack carries the first-order column)")
+
+
+def _zero_fused_w_column(pt: PlannedTables, mesh: Mesh) -> PlannedTables:
+    """Zero column 0 (the first-order weights) of every placement group —
+    the standard FM linear-term init, matching `init_deepfm`'s fused
+    stack. Shardings are preserved per group (replicated / mod-row
+    `(n, rows_local, D+1)` / col-sharded `(n, V, cols_local)` where global
+    column 0 is shard 0's local column 0)."""
+    def zset(x, idx):
+        return jax.jit(lambda a: a.at[idx].set(0.0),
+                       out_shardings=x.sharding, donate_argnums=0)(x)
+
+    out = pt
+    if pt.repl.shape[0]:
+        out = dataclasses.replace(
+            out, repl=zset(pt.repl, (slice(None), 0)))
+    if pt.shard is not None:
+        out = dataclasses.replace(
+            out, shard=dataclasses.replace(
+                pt.shard, data=zset(pt.shard.data, (Ellipsis, 0))))
+    if pt.col is not None:
+        out = dataclasses.replace(
+            out, col=dataclasses.replace(
+                pt.col, data=zset(pt.col.data, (0, slice(None), 0))))
+    return out
+
+
+def init_planned_deepfm(key: jax.Array, cfg, plan: ShardingPlan,
+                        mesh: Mesh, sparse_opt=None,
+                        dense_tx=None) -> PlannedDeepFM:
+    """Initialize directly onto the plan (cf. `init_planned_dlrm`): the
+    sharded group generates per-shard, dense parts replicate, and the
+    fused stack's column 0 zeroes per the FM convention."""
+    from ..models.dlrm import _init_mlp
+    _require_folded_deepfm(cfg, plan)
+    sparse_opt = sparse_opt or SparseSGD()
+    kd, kh, ke = jax.random.split(key, 3)
+    # Vector-scale init on the D+1-wide stack, then zero the w column.
+    pt = PlannedTables.init(
+        ke, plan, mesh, scale=1.0 / (cfg.dim ** 0.5),
+        dtype=getattr(cfg, "tables_dtype", cfg.param_dtype))
+    pt = _zero_fused_w_column(pt, mesh)
+    ra, sa, ca = planned_row_state(mesh, pt, sparse_opt)
+    pt = dataclasses.replace(pt, repl_accum=ra, shard_accum=sa,
+                             col_accum=ca)
+    repl = NamedSharding(mesh, P())
+    if cfg.use_deep:
+        deep = _init_mlp(kd, (cfg.deep_features,) + cfg.deep_mlp,
+                         cfg.param_dtype)
+        head = _init_mlp(kh, (cfg.deep_mlp[-1], 1), cfg.param_dtype)[0]
+    else:
+        deep = []
+        head = (jnp.zeros((1, 1), cfg.param_dtype),
+                jnp.zeros((1,), cfg.param_dtype))
+    deep = jax.device_put(deep, repl)
+    head = jax.device_put(head, repl)
+    dense_w = jax.device_put(jnp.zeros((cfg.num_dense,), cfg.param_dtype),
+                             repl)
+    bias = jax.device_put(jnp.zeros((), cfg.param_dtype), repl)
+    dstate = (jax.device_put(dense_tx.init((deep, head, dense_w, bias)),
+                             repl) if dense_tx is not None else None)
+    return PlannedDeepFM(deep=deep, head=head, dense_w=dense_w, bias=bias,
+                         tables=pt, config=cfg, dense_opt_state=dstate)
+
+
+def make_planned_deepfm_train_step(cfg, mesh: Mesh, sparse_opt=None,
+                                   dense_lr: float = 0.01, jit: bool = True,
+                                   dense_tx=None, microbatch=None):
+    """DeepFM train step on a planner placement: ONE planned lookup feeds
+    both activation sets (split_fused), ONE planned_apply carries the
+    fused delta (fuse_delta) — the same exchange-count halving the fold
+    bought the uniform sharded step (docs/DESIGN.md §9), now on the mixed
+    replicate/row-shard/col-shard placement."""
+    from ..models.deepfm import (forward_from_embeddings, fuse_delta,
+                                 split_fused)
+    from ..models.dlrm import bce_loss
+    _require_folded_deepfm(cfg)
+    sparse_opt = sparse_opt or SparseSGD()
+    from .dlrm import _check_sharded_opt
+    _check_sharded_opt(sparse_opt, allow_sr=True)
+
+    pad = getattr(cfg, "pad_idx", None)
+
+    def step(model: PlannedDeepFM, dense, cat, label, lr=None, key=None):
+        params = (model.deep, model.head, model.dense_w, model.bias)
+
+        def lookup_fn(c):
+            g = planned_lookup(mesh, model.tables, c,
+                               combiner=cfg.combiner, pad_idx=pad)
+            if pad is None and cfg.combiner == "mean" and c.ndim == 3:
+                g = g / c.shape[2]
+            w_t, emb_t = split_fused(g)
+            return emb_t, w_t
+
+        if microbatch and microbatch > 1:
+            from ..models.microbatch import microbatch_grads
+
+            def slice_grads(d_i, c_i, l_i):
+                emb_i, w_i = lookup_fn(c_i)
+
+                def loss_fn(dense_params, emb_act, w_act):
+                    logits = forward_from_embeddings(dense_params, cfg,
+                                                     d_i, emb_act, w_act)
+                    return bce_loss(logits, l_i)
+
+                loss_i, (dg_i, de_i, dw_i) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2))(params, emb_i, w_i)
+                return loss_i, dg_i, (de_i, dw_i)
+
+            loss, dense_grads, (delta_emb, delta_w) = microbatch_grads(
+                params, dense, cat, label, microbatch, slice_grads)
+        else:
+            emb_t, w_t = lookup_fn(cat)
+
+            def loss_fn(dense_params, emb_act, w_act):
+                logits = forward_from_embeddings(dense_params, cfg, dense,
+                                                 emb_act, w_act)
+                return bce_loss(logits, label)
+
+            loss, (dense_grads, delta_emb, delta_w) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2))(params, emb_t, w_t)
+        delta_g = fuse_delta(delta_w, delta_emb)
+        if pad is None and cfg.combiner == "mean" and cat.ndim == 3:
+            delta_g = delta_g / cat.shape[2]
+        from ..optim import apply_dense_tx
+        (new_deep, new_head, new_dw, new_bias), new_dstate = apply_dense_tx(
+            params, dense_grads, dense_tx, model.dense_opt_state, dense_lr)
+        new_pt = planned_apply(mesh, model.tables, cat, delta_g, sparse_opt,
+                               combiner=cfg.combiner, pad_idx=pad, lr=lr,
+                               key=key)
+        return PlannedDeepFM(deep=new_deep, head=new_head, dense_w=new_dw,
+                             bias=new_bias, tables=new_pt, config=cfg,
+                             dense_opt_state=new_dstate), loss
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_planned_deepfm_eval_step(cfg, mesh: Mesh, jit: bool = True):
+    from ..models.deepfm import forward_from_embeddings, split_fused
+    _require_folded_deepfm(cfg)
+
+    pad = getattr(cfg, "pad_idx", None)
+
+    def step(model: PlannedDeepFM, dense, cat):
+        g = planned_lookup(mesh, model.tables, cat,
+                           combiner=cfg.combiner, pad_idx=pad)
+        if pad is None and cfg.combiner == "mean" and cat.ndim == 3:
+            g = g / cat.shape[2]
+        w_t, emb_t = split_fused(g)
+        return forward_from_embeddings(
+            (model.deep, model.head, model.dense_w, model.bias), cfg,
+            dense, emb_t, w_t)
+    if jit:
+        step = jax.jit(step)
+    return step
+
+
 def place_stacked_on_plan(plan: ShardingPlan, mesh: Mesh, stacked,
                           emb_state, sparse_opt) -> PlannedTables:
     """Place a trained `StackedTables` (+ its sparse-optimizer state) onto

@@ -37,6 +37,11 @@ def main():
                     help="ablation: drop the deep tower (plain FM)")
     ap.add_argument("--criteo", type=str, default=None,
                     help="path to Criteo Kaggle train.txt (else synthetic)")
+    ap.add_argument("--auto-shard", action="store_true",
+                    help="with --mesh: plan per-table placement over the "
+                         "FUSED (D+1) stack (replicate small tables / "
+                         "row-shard large) and train on the mixed "
+                         "placement (requires the folded layout)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard over all local devices (data axis)")
     ap.add_argument("--bag", type=int, default=None,
@@ -127,10 +132,24 @@ def main():
         train_it = iter(PrefetchLoader(gen.batches(), depth=args.prefetch))
 
     mesh = None
+    plan = None
     if args.mesh:
         from embeddingtables_tpu.parallel.mesh import default_mesh
         mesh = default_mesh(("data",))
         print(f"mesh: {mesh}", flush=True)
+        if args.auto_shard:
+            if args.no_fold_fm_w:
+                ap.error("--auto-shard requires the folded layout "
+                         "(drop --no-fold-fm-w)")
+            from embeddingtables_tpu.parallel.planner import plan_sharding
+            plan = plan_sharding(
+                vocabs, cfg.stack_dim, mesh,
+                hotness=[float(args.bag or 1)] * args.tables,
+                opt_state_scalars={"adagrad": 1,
+                                   "adam": 2 * cfg.stack_dim,
+                                   "ftrl": 2 * cfg.stack_dim
+                                   }.get(args.opt, 0))
+            print(plan.summary(), flush=True)
 
     reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
     if args.stochastic_rounding:
@@ -185,7 +204,8 @@ def main():
                        eval_every=args.eval_every,
                        eval_metrics=args.eval_metrics, ckpt_manager=mgr,
                        ckpt_every=args.ckpt_every, log_every=args.log_every,
-                       mesh=mesh, device_prefetch=args.device_prefetch,
+                       mesh=mesh, plan=plan,
+                       device_prefetch=args.device_prefetch,
                        microbatch=args.microbatch,
                        evict_every=args.evict_every,
                        evict_threshold=args.evict_threshold)
