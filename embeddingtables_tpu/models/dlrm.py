@@ -170,17 +170,44 @@ def _mlp(layers, x, compute_dtype, final_activation=True):
     return x
 
 
+# Triangle extraction: advanced indexing `zzt[:, li, lj]` lowers to a
+# B*pairs-element gather whose BACKWARD is a scatter-add — measured ~6 ms
+# of the 78 ms headline step at B=64Ki, T=26 (scratch/probe_bwd.py W1-W7:
+# step 78.1 -> 72.3 ms with the selection matmul). A constant 0/1
+# selection-matrix matmul extracts the same entries on the MXU with a
+# matmul backward, and is EXACT (each output column has ONE nonzero, so
+# the accumulation adds zeros to one product). Guarded by size: the
+# (t1², pairs) constant is ~2 MB at T=26 but grows ~t1⁴/2.
+_SEL_MAX_ENTRIES = 8 << 20
+
+
+@functools.lru_cache(maxsize=8)
+def _tril_selection_np(t1: int, offset: int):
+    import numpy as _np
+    li, lj = _np.tril_indices(t1, k=offset)
+    sel = _np.zeros((t1 * t1, li.size), _np.float32)
+    sel[li * t1 + lj, _np.arange(li.size)] = 1.0
+    return sel
+
+
 def dot_interaction(bottom_out: jax.Array, emb: jax.Array,
                     self_interaction: bool) -> jax.Array:
     """Pairwise feature interactions: Z = [bottom; emb] (B, T+1, D);
     one batched matmul Z Zᵀ, then the (strict) lower triangle, concatenated
-    after the bottom output. MXU-shaped by construction."""
+    after the bottom output. MXU-shaped by construction — including the
+    triangle extraction (selection-matrix matmul, see above)."""
     z = jnp.concatenate([bottom_out[:, None, :], emb], axis=1)  # (B, T+1, D)
     zzt = jnp.einsum("bij,bkj->bik", z, z)                      # (B, T+1, T+1)
     t1 = z.shape[1]
     offset = 0 if self_interaction else -1
-    li, lj = jnp.tril_indices(t1, k=offset)
-    flat = zzt[:, li, lj]                                       # (B, pairs)
+    npairs = t1 * (t1 + 1) // 2 if self_interaction \
+        else t1 * (t1 - 1) // 2
+    if t1 * t1 * npairs <= _SEL_MAX_ENTRIES:
+        sel = jnp.asarray(_tril_selection_np(t1, offset), zzt.dtype)
+        flat = zzt.reshape(zzt.shape[0], t1 * t1) @ sel         # (B, pairs)
+    else:
+        li, lj = jnp.tril_indices(t1, k=offset)
+        flat = zzt[:, li, lj]                                   # (B, pairs)
     return jnp.concatenate([bottom_out, flat], axis=-1)
 
 

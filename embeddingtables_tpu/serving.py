@@ -449,6 +449,64 @@ def serve_http(batcher: MicroBatcher, host: str = "127.0.0.1",
     return server
 
 
+def _ctr_eval_step_for(model):
+    """One jitted eval step for whichever CTR family `model` is
+    (DLRM / DCN / DeepFM) — the only family-specific piece of the
+    refreshable-serving pattern."""
+    from .models.dcn import DCN
+    from .models.dcn import make_eval_step as dcn_eval
+    from .models.deepfm import DeepFM
+    from .models.deepfm import make_eval_step as fm_eval
+    from .models.dlrm import DLRM
+    from .models.dlrm import make_eval_step as dlrm_eval
+    if isinstance(model, DLRM):
+        return dlrm_eval(model.config)
+    if isinstance(model, DCN):
+        return dcn_eval(model.config)
+    if isinstance(model, DeepFM):
+        return fm_eval(model.config)
+    raise TypeError(
+        f"refreshable serving covers the CTR families (DLRM/DCN/DeepFM); "
+        f"got {type(model).__name__}")
+
+
+def make_refreshable_service(model, *, max_batch: int = 1024,
+                             max_latency_ms: float = 5.0):
+    """Online-refresh CTR scoring for ANY family (DLRM / DCN / DeepFM):
+    returns `(batcher, swap)` — see `make_refreshable_dlrm_service` (the
+    original DLRM-only entry point, now a thin alias) for the
+    DeltaFollower pairing and the zero-recompile mechanics. DeepFM's
+    folded layout works out of the box: the fused stack is
+    `model.tables`, so `swap_tables` carries first-order weights and FM
+    vectors in one array."""
+    import dataclasses as _dc
+
+    import jax
+
+    step = _ctr_eval_step_for(model)             # ONE compiled step
+    holder = {"model": model}
+
+    def fn(dense, cat):
+        return np.asarray(jax.device_get(step(holder["model"], dense, cat)))
+
+    batcher = MicroBatcher(fn, max_batch=max_batch,
+                           max_latency_ms=max_latency_ms)
+
+    def swap(new_model):
+        holder["model"] = new_model
+
+    def swap_tables(data):
+        """Swap just the (stacked) table array (a DeltaFollower's
+        output), keeping dense parts as served."""
+        m = holder["model"]
+        holder["model"] = _dc.replace(
+            m, tables=_dc.replace(m.tables, data=data))
+
+    batcher.swap = swap
+    batcher.swap_tables = swap_tables
+    return batcher, swap
+
+
 def make_refreshable_dlrm_service(model, *, max_batch: int = 1024,
                                   max_latency_ms: float = 5.0):
     """Online-refresh DLRM scoring: returns `(batcher, swap)` where
@@ -470,32 +528,9 @@ def make_refreshable_dlrm_service(model, *, max_batch: int = 1024,
             swap(dataclasses.replace(
                 model, tables=dataclasses.replace(model.tables,
                                                   data=follower.data)))
+
+    Alias of `make_refreshable_service`, which additionally covers DCN
+    and DeepFM.
     """
-    import dataclasses as _dc
-
-    import jax
-
-    from .models.dlrm import make_eval_step
-
-    step = make_eval_step(model.config)          # ONE compiled step
-    holder = {"model": model}
-
-    def fn(dense, cat):
-        return np.asarray(jax.device_get(step(holder["model"], dense, cat)))
-
-    batcher = MicroBatcher(fn, max_batch=max_batch,
-                           max_latency_ms=max_latency_ms)
-
-    def swap(new_model):
-        holder["model"] = new_model
-
-    def swap_tables(data):
-        """Convenience: swap just the table array (a DeltaFollower's
-        output), keeping towers as served."""
-        m = holder["model"]
-        holder["model"] = _dc.replace(
-            m, tables=_dc.replace(m.tables, data=data))
-
-    batcher.swap = swap
-    batcher.swap_tables = swap_tables
-    return batcher, swap
+    return make_refreshable_service(model, max_batch=max_batch,
+                                    max_latency_ms=max_latency_ms)

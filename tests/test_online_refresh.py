@@ -121,3 +121,72 @@ def test_refreshable_service_serves_synced_rows(tmp_path):
         assert not np.array_equal(after, np.asarray(before))
     finally:
         batcher.stop()
+
+
+def test_refreshable_service_deepfm_folded(tmp_path):
+    """Every CTR family rides `make_refreshable_service` (round 4).
+    DeepFM's FOLDED stack makes the row sync carry first-order weights
+    and FM vectors in ONE swap_tables call — exact score parity after
+    sync (dense parts frozen with dense_lr=0)."""
+    from embeddingtables_tpu.models.deepfm import (DeepFMConfig,
+                                                   init_deepfm)
+    from embeddingtables_tpu.models.deepfm import \
+        make_eval_step as fm_eval
+    from embeddingtables_tpu.models.train import train_deepfm
+    from embeddingtables_tpu.serving import make_refreshable_service
+    cfg = DeepFMConfig(vocab_sizes=(60, 40), num_dense=4, dim=8,
+                       deep_mlp=(8,), compute_dtype=jnp.float32)
+    opt = SparseRowWiseAdaGrad(lr=0.2)
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=4)
+    model0 = init_deepfm(jax.random.key(2), cfg, sparse_opt=opt)
+    served0 = init_deepfm(jax.random.key(2), cfg, sparse_opt=opt)
+    batcher, swap = make_refreshable_service(served0, max_batch=64,
+                                             max_latency_ms=1.0)
+    try:
+        rng = np.random.default_rng(3)
+        dense = rng.normal(size=(5, 4)).astype(np.float32)
+        cat = np.stack([rng.integers(0, v, 5).astype(np.int32)
+                        for v in cfg.vocab_sizes])
+        before = batcher.predict(dense, cat)
+
+        follower = DeltaFollower(str(tmp_path), served0.tables.data)
+        res = train_deepfm(cfg, _batches(cfg.vocab_sizes, 9), 4,
+                           sparse_opt=opt, dense_lr=0.0, log_every=0,
+                           verbose=False, model=model0,
+                           delta_ckpt=mgr, delta_every=2)
+        assert follower.poll() >= 1
+        batcher.swap_tables(follower.data)
+
+        after = np.asarray(batcher.predict(dense, cat))
+        expect = np.asarray(fm_eval(cfg)(res.model, jnp.asarray(dense),
+                                         jnp.asarray(cat)))
+        np.testing.assert_array_equal(after, expect)
+        assert not np.array_equal(after, np.asarray(before))
+    finally:
+        batcher.stop()
+
+
+def test_refreshable_service_dcn_and_type_error():
+    from embeddingtables_tpu.models.dcn import DCNConfig, init_dcn
+    from embeddingtables_tpu.serving import make_refreshable_service
+    cfg = DCNConfig(vocab_sizes=(30, 20), num_dense=4, dim=8,
+                    num_cross=1, cross_rank=4, deep_mlp=(8,),
+                    compute_dtype=jnp.float32)
+    model = init_dcn(jax.random.key(0), cfg)
+    batcher, swap = make_refreshable_service(model, max_batch=16,
+                                             max_latency_ms=1.0)
+    try:
+        rng = np.random.default_rng(1)
+        dense = rng.normal(size=(3, 4)).astype(np.float32)
+        cat = np.stack([rng.integers(0, v, 3).astype(np.int32)
+                        for v in cfg.vocab_sizes])
+        out = batcher.predict(dense, cat)
+        assert np.all(np.isfinite(np.asarray(out)))
+        # swap to a re-seeded model changes scores, no recompile needed
+        batcher.swap(init_dcn(jax.random.key(5), cfg))
+        out2 = batcher.predict(dense, cat)
+        assert not np.array_equal(np.asarray(out), np.asarray(out2))
+    finally:
+        batcher.stop()
+    with pytest.raises(TypeError, match="CTR"):
+        make_refreshable_service(object())
