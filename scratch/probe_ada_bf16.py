@@ -40,7 +40,9 @@ def main():
         jax.random.key(1), (N,), 0, SUMV, jnp.int32))()
     delta = jax.jit(lambda: 1e-3 * jax.random.normal(
         jax.random.key(2), (N, D), jnp.float32))()
-    jax.block_until_ready(delta)
+    # Fence with a scalar fetch — block_until_ready HANGS through the
+    # tunnel (CLAUDE.md; measured: 15 min blocked, ~0 CPU).
+    _ = float(delta[0, 0]) + float(idx[0])
 
     def gen_table():
         return jax.jit(lambda: jax.random.normal(
