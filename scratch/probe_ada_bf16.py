@@ -12,6 +12,14 @@ precision on duplicate hits (and bf16 quantization of every delta).
   U3 numeric check at small shape: max |row update diff| vs f32 oracle
 
 Verdict drives whether an opt-in `dense_grad_dtype` lands in optim.py.
+
+STATUS (round 4, 2026-08-19): NEVER RAN TO COMPLETION — four attempts
+all stalled inside `jax.default_backend()` (tunnel-server client-reclaim
+hang after earlier SIGTERM-killed probes; see CLAUDE.md environment
+rules). The question is still open for round 5: predicted ~-4 ms/step on
+the AdaGrad configs (halved grad-scratch write+read streams) against a
+bf16-accumulation precision cost U3 would quantify. Run this FIRST in a
+fresh round, before any probe has been killed.
 """
 from __future__ import annotations
 
@@ -30,9 +38,14 @@ REPS = 3
 SUMV = T * V
 
 
+def _p(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
 def main():
     assert jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
+    _p("backend up")
     # Generate the big operands ON DEVICE — an (N, D) host array is an
     # ~870 MB tunnel transfer that takes longer than the whole probe
     # (CLAUDE.md big-array rule).
@@ -40,9 +53,11 @@ def main():
         jax.random.key(1), (N,), 0, SUMV, jnp.int32))()
     delta = jax.jit(lambda: 1e-3 * jax.random.normal(
         jax.random.key(2), (N, D), jnp.float32))()
+    _p("operand jits dispatched")
     # Fence with a scalar fetch — block_until_ready HANGS through the
     # tunnel (CLAUDE.md; measured: 15 min blocked, ~0 CPU).
     _ = float(delta[0, 0]) + float(idx[0])
+    _p("operands ready on device")
 
     def gen_table():
         return jax.jit(lambda: jax.random.normal(
@@ -72,8 +87,10 @@ def main():
         run = make_run(dt)
         tbl = gen_table()
         acc = jnp.zeros((SUMV,), jnp.float32)
+        _p(f"{name}: warmup (compile) dispatched")
         tbl, acc, s = run(tbl, acc)
         _ = float(s)
+        _p(f"{name}: compiled + warm")
         ts = []
         for _i in range(REPS):
             t0 = time.perf_counter()
