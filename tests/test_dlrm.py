@@ -83,6 +83,26 @@ def test_dot_interaction_is_pairwise_dots():
     assert k == out.shape[1]
 
 
+@pytest.mark.parametrize("self_interaction", [False, True])
+def test_dot_interaction_selection_matches_gather_branch(
+        self_interaction, monkeypatch):
+    """The MXU selection-matmul triangle extraction (the production branch,
+    docs/DESIGN.md §10) must agree with the fancy-index fallback it
+    replaced — the fallback still serves huge ensembles past
+    `_SEL_MAX_ENTRIES`. Selection is exact (one nonzero per output
+    column), so equality is bitwise."""
+    from embeddingtables_tpu.models import dlrm as dlrm_mod
+    b, t, d = 4, 5, 8
+    rng = np.random.default_rng(1)
+    bot = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    emb = jnp.asarray(rng.normal(size=(b, t, d)).astype(np.float32))
+    sel_out = dot_interaction(bot, emb, self_interaction)
+    monkeypatch.setattr(dlrm_mod, "_SEL_MAX_ENTRIES", 0)  # force fallback
+    gather_out = dot_interaction(bot, emb, self_interaction)
+    np.testing.assert_array_equal(np.asarray(sel_out),
+                                  np.asarray(gather_out))
+
+
 @pytest.mark.parametrize("bag", [None, 3])
 def test_train_step_runs_and_matches_dense_oracle_grad(bag):
     """One train step's embedding update must equal the dense-table oracle:
