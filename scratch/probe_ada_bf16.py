@@ -13,13 +13,11 @@ precision on duplicate hits (and bf16 quantization of every delta).
 
 Verdict drives whether an opt-in `dense_grad_dtype` lands in optim.py.
 
-STATUS (round 4, 2026-08-19): NEVER RAN TO COMPLETION — four attempts
-all stalled inside `jax.default_backend()` (tunnel-server client-reclaim
-hang after earlier SIGTERM-killed probes; see CLAUDE.md environment
-rules). The question is still open for round 5: predicted ~-4 ms/step on
-the AdaGrad configs (halved grad-scratch write+read streams) against a
-bf16-accumulation precision cost U3 would quantify. Run this FIRST in a
-fresh round, before any probe has been killed.
+LESSON (first attempt, 2026-08-20): closing the (N, D) = 872 MB delta
+into the jit as a constant stalled compilation >8 min (the CLAUDE.md
+rule exists for COMPILE time, not just transfer time) and the probe had
+to be timeout-killed, wedging the tunnel server for the usual ~20 min.
+This version passes idx/delta as jit ARGUMENTS.
 """
 from __future__ import annotations
 
@@ -46,9 +44,8 @@ def main():
     assert jax.default_backend() == "tpu"
     rng = np.random.default_rng(0)
     _p("backend up")
-    # Generate the big operands ON DEVICE — an (N, D) host array is an
-    # ~870 MB tunnel transfer that takes longer than the whole probe
-    # (CLAUDE.md big-array rule).
+    # Generate the big operands ON DEVICE (tunnel transfer rule) and pass
+    # them as jit ARGUMENTS (closure constants stall the compile).
     idx = jax.jit(lambda: jax.random.randint(
         jax.random.key(1), (N,), 0, SUMV, jnp.int32))()
     delta = jax.jit(lambda: 1e-3 * jax.random.normal(
@@ -65,7 +62,7 @@ def main():
 
     def make_run(scratch_dtype):
         @functools.partial(jax.jit, donate_argnums=(0, 1))
-        def run(table, accum):
+        def run(table, accum, idx, delta):
             def body(k, carry):
                 tbl, acc, s = carry
                 rows = (idx + k) % SUMV
@@ -88,13 +85,13 @@ def main():
         tbl = gen_table()
         acc = jnp.zeros((SUMV,), jnp.float32)
         _p(f"{name}: warmup (compile) dispatched")
-        tbl, acc, s = run(tbl, acc)
+        tbl, acc, s = run(tbl, acc, idx, delta)
         _ = float(s)
         _p(f"{name}: compiled + warm")
         ts = []
         for _i in range(REPS):
             t0 = time.perf_counter()
-            tbl, acc, s = run(tbl, acc)
+            tbl, acc, s = run(tbl, acc, idx, delta)
             _ = float(s)
             ts.append((time.perf_counter() - t0) / K)
         print(f"{name:18s} {float(np.median(ts))*1e3:8.2f} ms/step",
