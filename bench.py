@@ -16,8 +16,8 @@ writes the donated table. That is what this bench runs (dense towers kept
 small so the embedding engine dominates), chained `CHUNK` steps inside one
 jit (remote-tunnel dispatch costs ~24 ms/call), fenced by a loss fetch.
 
-Five configurations (rounds 2-3: regression lines for skewed traffic,
-stateful optimizers, and the bf16 capacity recipe — not just the
+Six configurations (rounds 2-4: regression lines for skewed traffic,
+stateful optimizers, and the bf16 capacity/speed recipes — not just the
 uniform-SGD headline):
 
   uniform+SGD   — the headline (uniform-random indices, worst case for
@@ -28,6 +28,8 @@ uniform-SGD headline):
                   dense-grad dedup path)
   bf16+SR AdaGrad — bf16 tables + stochastic rounding (the production
                   capacity recipe, DESIGN.md §7)
+  bf16grad AdaGrad — f32 tables + bf16 dense-grad scratch (the opt-in
+                  speed knob `dense_grad_dtype`, DESIGN.md §11)
 
     bytes/step = fwd:  B*T*D reads + B*T*D writes (emb activations)
                + bwd:  B*T*D delta writes
@@ -263,6 +265,19 @@ def main():
     print(f"# bf16_sr_adagrad {results['bf16_sr_adagrad']*1e3:.2f} ms",
           file=sys.stderr, flush=True)
 
+    # --- AdaGrad + bf16 dense-grad scratch (opt-in `dense_grad_dtype`,
+    # docs/DESIGN.md §11: halves the grad scratch + scatter-operand
+    # streams at ~3e-3 rel grad err) — ONE compile ------------------------
+    ada16 = SparseRowWiseAdaGrad(lr=1e-3, dense_grad_dtype="bfloat16")
+    ada16_step = make_train_step(cfg, sparse_opt=ada16, dense_lr=1e-4,
+                                 jit=False)
+    ada16_run = make_runner(ada16_step, vocab, chunk)
+    model = init_dlrm(jax.random.key(0), cfg, sparse_opt=ada16)
+    results["bf16grad_adagrad"] = measure(ada16_run, model, dense, cat_uni,
+                                          label, chunk, reps)
+    print(f"# bf16grad_adagrad {results['bf16grad_adagrad']*1e3:.2f} ms",
+          file=sys.stderr, flush=True)
+
     itemsize = 4
     bytes_per_step = 6 * batch * t * dim * itemsize
     roofline = chip_roofline_gbps() if on_tpu else 100.0
@@ -297,6 +312,7 @@ def main():
         "uniform_adagrad_ms": round(results["uniform_adagrad"] * 1e3, 3),
         "zipf_adagrad_ms": round(results["zipf_adagrad"] * 1e3, 3),
         "bf16_sr_adagrad_ms": round(results["bf16_sr_adagrad"] * 1e3, 3),
+        "bf16grad_adagrad_ms": round(results["bf16grad_adagrad"] * 1e3, 3),
         "zipf_speedup_vs_uniform": round(
             results["uniform_sgd"] / results["zipf_sgd"], 4),
     }))

@@ -90,7 +90,7 @@ def _segsum_vpad(data) -> Optional[int]:
     return None
 
 
-def _dense_grad(data, rows, g):
+def _dense_grad(data, rows, g, grad_dtype=None):
     """Duplicate-accumulated (V, D) f32 dense gradient (the sort-free dedup
     primitive, docs/DESIGN.md §1e).
 
@@ -99,7 +99,17 @@ def _dense_grad(data, rows, g):
     the MXU one-hot segment-accumulate in f32-exact mode; everything else
     uses the XLA scatter-add. Both honor drop semantics for out-of-range
     row sentinels (segment ids outside the padded range match no one-hot
-    lane; ids in the pad region land on rows the trim discards)."""
+    lane; ids in the pad region land on rows the trim discards).
+
+    `grad_dtype` (None = f32, the exact default) sets the SCRATCH dtype of
+    the scatter realization — the perf/precision knob behind the
+    optimizers' `dense_grad_dtype` field (docs/DESIGN.md §11): a bf16
+    scratch halves the grad buffer's write+read streams, measured
+    -4.4 ms/step at bench scale (probe_ada_bf16.py U1 50.1 -> U2 45.7),
+    at ~3e-3 max relative gradient error from bf16 accumulation on
+    duplicate hits. The result is ALWAYS f32 (downstream math unchanged);
+    the segsum realization stays f32-exact (tiny scratch, dtype cannot
+    matter)."""
     vpad = _segsum_vpad(data)
     if vpad is not None and rows.size > 0:
         from .ops.pallas.segsum import hot_accumulate
@@ -111,8 +121,9 @@ def _dense_grad(data, rows, g):
             # requires a vma spec (the sharded exchanges run these bodies
             # per shard) — the scatter realization below is always legal.
             pass
-    return jnp.zeros(data.shape, jnp.float32).at[rows].add(
-        g.astype(jnp.float32), mode="drop")
+    sdt = jnp.float32 if grad_dtype is None else jnp.dtype(grad_dtype)
+    return jnp.zeros(data.shape, sdt).at[rows].add(
+        g.astype(sdt), mode="drop").astype(jnp.float32)
 
 
 def _touched(grad_dense):
@@ -143,12 +154,12 @@ def _clip_rows(grad_dense, clipnorm):
 def sgd_dense_body(data: jax.Array, rows: jax.Array, g: jax.Array,
                    lr, weight_decay: float = 0.0,
                    clipnorm: Optional[float] = None,
-                   rounding_key=None) -> jax.Array:
+                   rounding_key=None, grad_dtype=None) -> jax.Array:
     """`data[r] -= lr * clip(Σ g_r)` with lazy decay on touched rows.
     `rounding_key` + bf16 storage -> stochastic rounding on the ONE cast
     back to storage dtype (rounding.py); untouched rows must stay exact
     fixed points, so SR applies only where a gradient landed."""
-    grad = _clip_rows(_dense_grad(data, rows, g), clipnorm)
+    grad = _clip_rows(_dense_grad(data, rows, g, grad_dtype), clipnorm)
     new = data.astype(jnp.float32) - lr * grad
     if weight_decay == 0.0:
         # Mask-free, SR included: untouched rows give new == data exactly
@@ -167,12 +178,12 @@ def sgd_dense_body(data: jax.Array, rows: jax.Array, g: jax.Array,
 def adagrad_dense_body(data: jax.Array, accum: jax.Array, rows: jax.Array,
                        g: jax.Array, lr, eps, weight_decay: float = 0.0,
                        clipnorm: Optional[float] = None,
-                       rounding_key=None):
+                       rounding_key=None, grad_dtype=None):
     """Row-wise-AdaGrad dense-grad pass: returns (new_data, new_accum).
     accum: (V,) f32. One state advance + one row write per touched row;
     untouched rows are exact fixed points (incl. the eps=0 case — the step
     is masked so 0 * rsqrt(0) never surfaces)."""
-    grad = _clip_rows(_dense_grad(data, rows, g), clipnorm)
+    grad = _clip_rows(_dense_grad(data, rows, g, grad_dtype), clipnorm)
     g2 = jnp.mean(jnp.square(grad), axis=-1)
     new_accum = accum + g2
     denom = jax.lax.rsqrt(jnp.maximum(new_accum + eps, 1e-30))
@@ -201,14 +212,15 @@ def adagrad_dense_body(data: jax.Array, accum: jax.Array, rows: jax.Array,
 def adam_dense_body(data: jax.Array, m: jax.Array, v: jax.Array, t,
                     rows: jax.Array, g: jax.Array, lr, b1, b2, eps,
                     weight_decay: float = 0.0,
-                    clipnorm: Optional[float] = None, rounding_key=None):
+                    clipnorm: Optional[float] = None, rounding_key=None,
+                    grad_dtype=None):
     """Lazy-Adam dense-grad pass: returns (new_data, new_m, new_v).
     m/v: (V, D) f32 moments; `t` the GLOBAL step (bias correction uses the
     global count, the TF-LazyAdam convention). Touched rows advance their
     moments and take a step; untouched rows are exact fixed points. Shared
     by the single-chip `SparseLazyAdam.apply` and the sharded exchange
     (rows may carry an out-of-bounds drop sentinel there)."""
-    grad = _clip_rows(_dense_grad(data, rows, g), clipnorm)
+    grad = _clip_rows(_dense_grad(data, rows, g, grad_dtype), clipnorm)
     touched = _touched(grad)[:, None]
     new_m = jnp.where(touched, b1 * m + (1 - b1) * grad, m)
     new_v = jnp.where(touched, b2 * v + (1 - b2) * grad * grad, v)
@@ -255,7 +267,8 @@ def ftrl_init_arrays(data: jax.Array, alpha, beta, l1, l2, initial_accum):
 
 def ftrl_dense_body(data: jax.Array, z: jax.Array, n: jax.Array,
                     rows: jax.Array, g: jax.Array, alpha, beta, l1, l2,
-                    clipnorm: Optional[float] = None, rounding_key=None):
+                    clipnorm: Optional[float] = None, rounding_key=None,
+                    grad_dtype=None):
     """FTRL-Proximal dense-grad pass: returns (new_data, new_z, new_n).
 
     Per touched row (per-coordinate math, McMahan et al. 2013 Alg. 1):
@@ -270,7 +283,7 @@ def ftrl_dense_body(data: jax.Array, z: jax.Array, n: jax.Array,
     untouched rows are exact fixed points. `rows` may carry OOB drop
     sentinels. The l1 term yields exact zeros — FTRL's trained-sparsity
     property, the reason it is the classic CTR optimizer."""
-    grad = _clip_rows(_dense_grad(data, rows, g), clipnorm)
+    grad = _clip_rows(_dense_grad(data, rows, g, grad_dtype), clipnorm)
     touched = _touched(grad)[:, None]
     w = data.astype(jnp.float32)
     new_n = n + grad * grad
@@ -310,6 +323,9 @@ class SparseFTRL:
     initial_accum: float = 0.0  # n0
     clipnorm: Optional[float] = None
     stochastic_rounding: bool = False
+    # Dense-grad SCRATCH dtype (None = f32, exact) — see
+    # SparseRowWiseAdaGrad.dense_grad_dtype / docs/DESIGN.md §11.
+    dense_grad_dtype: Optional[str] = None
 
     def init(self, data: jax.Array) -> SparseFTRLState:
         return SparseFTRLState(*ftrl_init_arrays(
@@ -335,7 +351,8 @@ class SparseFTRL:
         out, new_z, new_n = ftrl_dense_body(
             data, state.z, state.n, rows, g, self.lr, self.beta, self.l1,
             self.l2, self.clipnorm,
-            rounding_key=key if self.stochastic_rounding else None)
+            rounding_key=key if self.stochastic_rounding else None,
+            grad_dtype=self.dense_grad_dtype)
         return out, SparseFTRLState(z=new_z, n=new_n)
 
 
@@ -362,6 +379,13 @@ class SparseSGD:
     # apply and routes through the dense-grad realization (the direct
     # scatter RMWs in storage precision, where SR cannot be expressed).
     stochastic_rounding: bool = False
+    # Dense-grad SCRATCH dtype (None = f32, exact). "bfloat16" halves the
+    # scratch's write+read streams — measured -4.4 ms/step at bench scale
+    # (docs/DESIGN.md §11) at ~3e-3 max relative gradient error from bf16
+    # accumulation. Only reaches the DENSE realization (decay/clip/SR
+    # here); the plain-SGD fast path scatters straight into the table
+    # with no scratch and is already optimal.
+    dense_grad_dtype: Optional[str] = None
 
     def init(self, data: jax.Array) -> SparseOptState:
         return SparseOptState(accum=jnp.zeros((0,), data.dtype))
@@ -386,7 +410,8 @@ class SparseSGD:
             new = data.at[rows].add((-lr * g).astype(data.dtype))
             return new, state
         return sgd_dense_body(data, rows, g, lr, self.weight_decay,
-                              self.clipnorm, rounding_key=rkey), state
+                              self.clipnorm, rounding_key=rkey,
+                              grad_dtype=self.dense_grad_dtype), state
 
 
 @dataclasses.dataclass(frozen=True)
@@ -412,6 +437,13 @@ class SparseRowWiseAdaGrad:
     # Needs apply(key=...) and the dense realization (the indexer path
     # RMWs rows in storage precision).
     stochastic_rounding: bool = False
+    # Dense-grad SCRATCH dtype (None = f32, exact). "bfloat16" halves the
+    # (V, D) grad buffer's write+read streams: measured -4.4 ms/step on
+    # the bench-scale AdaGrad update (probe_ada_bf16.py: 50.1 -> 45.7 ms;
+    # docs/DESIGN.md §11) at ~3e-3 max relative gradient error from bf16
+    # accumulation on duplicate hits. Applies to the dense realization
+    # only (the indexer path segment-sums in f32).
+    dense_grad_dtype: Optional[str] = None
     # Dedup realization: "auto" | "dense" | "indexer".
     #   dense  : scatter-add deltas into a (V, D) f32 gradient buffer, then
     #            ONE fused elementwise table pass applies the row/state
@@ -486,7 +518,8 @@ class SparseRowWiseAdaGrad:
         (g = 0 -> accum += 0, row -= 0)."""
         new_data, new_accum = adagrad_dense_body(
             data, state.accum, rows, g, lr, self.eps, self.weight_decay,
-            self.clipnorm, rounding_key=rounding_key)
+            self.clipnorm, rounding_key=rounding_key,
+            grad_dtype=self.dense_grad_dtype)
         return new_data, SparseOptState(accum=new_accum)
 
 
@@ -520,6 +553,9 @@ class SparseLazyAdam:
     # bf16 tables: SR on the cast back to storage (rounding.py); the f32
     # moments are exact either way. Needs apply(key=...).
     stochastic_rounding: bool = False
+    # Dense-grad SCRATCH dtype (None = f32, exact) — see
+    # SparseRowWiseAdaGrad.dense_grad_dtype / docs/DESIGN.md §11.
+    dense_grad_dtype: Optional[str] = None
 
     def init(self, data: jax.Array) -> SparseAdamState:
         # m and v must be DISTINCT buffers: donated train steps alias each
@@ -540,7 +576,8 @@ class SparseLazyAdam:
         rkey = key if self.stochastic_rounding else None
         out, new_m, new_v = adam_dense_body(
             data, state.m, state.v, t, rows, g, lr, self.b1, self.b2,
-            self.eps, self.weight_decay, self.clipnorm, rounding_key=rkey)
+            self.eps, self.weight_decay, self.clipnorm, rounding_key=rkey,
+            grad_dtype=self.dense_grad_dtype)
         return out, SparseAdamState(m=new_m, v=new_v, count=t)
 
 

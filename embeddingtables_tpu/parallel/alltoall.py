@@ -342,7 +342,8 @@ def sharded_adagrad_update_a2a(mesh: Mesh, st: ShardedStackedTables,
         new_shard, new_acc = adagrad_dense_body(
             shard[0], acc[0], lrow, recv_vals,
             opt.lr if lr is None else lr, opt.eps,
-            opt.weight_decay, opt.clipnorm, rounding_key=rkey)
+            opt.weight_decay, opt.clipnorm, rounding_key=rkey,
+            grad_dtype=getattr(opt, "dense_grad_dtype", None))
         return new_shard[None], new_acc[None], overflow.reshape(1)
 
     spec = P(axis0)
@@ -376,7 +377,7 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
                            capacity_factor: float = 2.0,
                            weight_decay: float = 0.0,
                            clipnorm=None, pad_idx: int | None = None,
-                           wire_dtype=None, key=None
+                           wire_dtype=None, key=None, grad_dtype=None
                            ) -> Tuple[ShardedStackedTables, jax.Array]:
     """Butterfly sparse-SGD update: route (row, delta) occurrences to their
     owner shards via all_to_all; owners scatter-add locally. ICI volume
@@ -415,7 +416,8 @@ def sharded_sgd_update_a2a(mesh: Mesh, st: ShardedStackedTables,
             # and touched-row decay are exact after routing.
             from ..optim import sgd_dense_body
             new = sgd_dense_body(shard[0], target, recv_vals, lr,
-                                 weight_decay, clipnorm, rounding_key=rkey)
+                                 weight_decay, clipnorm, rounding_key=rkey,
+                                 grad_dtype=grad_dtype)
         return new[None], overflow.reshape(1)
 
     spec = P(axis0)
@@ -467,7 +469,8 @@ def sharded_adam_update_a2a(mesh: Mesh, st: ShardedStackedTables, m, v,
             shard[0], lm[0], lv[0], t_next, lrow, recv_vals,
             opt.lr if lr is None else lr,
             opt.b1, opt.b2, opt.eps, opt.weight_decay, opt.clipnorm,
-            rounding_key=rkey)
+            rounding_key=rkey,
+            grad_dtype=getattr(opt, "dense_grad_dtype", None))
         return new_shard[None], new_m[None], new_v[None], \
             overflow.reshape(1)
 
@@ -513,7 +516,8 @@ def sharded_ftrl_update_a2a(mesh: Mesh, st: ShardedStackedTables, z,
             rows_local=shard.shape[1])
         new_shard, new_z, new_n = ftrl_dense_body(
             shard[0], lz[0], ln[0], lrow, recv_vals, opt.lr, opt.beta,
-            opt.l1, opt.l2, opt.clipnorm)
+            opt.l1, opt.l2, opt.clipnorm,
+            grad_dtype=getattr(opt, "dense_grad_dtype", None))
         return new_shard[None], new_z[None], new_n[None], \
             overflow.reshape(1)
 

@@ -301,8 +301,12 @@ def col_sharded_update(mesh: Mesh, ct: ColShardedStackedTables,
         if reducing:
             vals = jnp.repeat(vals, gidx.shape[1], axis=0)
         vals = vals * gw.reshape(-1)[:, None]
-        return jnp.zeros(shard[0].shape, jnp.float32).at[flat].add(
-            vals, mode="drop")
+        # Scratch dtype mirrors optim._dense_grad's opt-in knob
+        # (dense_grad_dtype, docs/DESIGN.md §11); result stays f32.
+        gdt = getattr(opt, "dense_grad_dtype", None)
+        sdt = jnp.float32 if gdt is None else jnp.dtype(gdt)
+        return jnp.zeros(shard[0].shape, sdt).at[flat].add(
+            vals.astype(sdt), mode="drop").astype(jnp.float32)
 
     def row_stats(grad):
         """(touched, clipped grad, clipped full-row sumsq) via the ONE

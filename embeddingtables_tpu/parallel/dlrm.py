@@ -243,12 +243,15 @@ def _sharded_sparse_apply(mesh: Mesh, st: ShardedStackedTables,
             from ..optim import sgd_dense_body
             new = sgd_dense_body(shard[0], lrow, g, lr_val,
                                  sparse_opt.weight_decay,
-                                 sparse_opt.clipnorm, rounding_key=rkey)
+                                 sparse_opt.clipnorm, rounding_key=rkey,
+                                 grad_dtype=getattr(
+                                     sparse_opt, "dense_grad_dtype", None))
             return new[None], acc
         from ..optim import adagrad_dense_body
         new_shard, new_acc = adagrad_dense_body(
             shard[0], acc[0], lrow, g, lr_val, sparse_opt.eps,
-            sparse_opt.weight_decay, sparse_opt.clipnorm, rounding_key=rkey)
+            sparse_opt.weight_decay, sparse_opt.clipnorm, rounding_key=rkey,
+            grad_dtype=getattr(sparse_opt, "dense_grad_dtype", None))
         return new_shard[None], new_acc[None]
 
     spec = P(None, baxis) if batch_sharded else P()
@@ -482,7 +485,9 @@ def make_sharded_train_step(cfg: DLRMConfig, mesh: Mesh, axis: str = "data",
             new_st, ovf_bwd = sharded_sgd_update_a2a(
                 mesh, st, upd, sparse_opt.lr if lr is None else lr,
                 weight_decay=sparse_opt.weight_decay,
-                clipnorm=sparse_opt.clipnorm, **kw)
+                clipnorm=sparse_opt.clipnorm,
+                grad_dtype=getattr(sparse_opt, "dense_grad_dtype", None),
+                **kw)
             new_accum = model.emb_accum
         new_model = ShardedDLRM(bottom=new_bottom, top=new_top,
                                 tables=new_st, emb_accum=new_accum,

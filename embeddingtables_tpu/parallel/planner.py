@@ -782,7 +782,8 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
             new_repl, new_repl_acc = adagrad_dense_body(
                 pt.repl, pt.repl_accum, rows, g, lr_val,
                 sparse_opt.eps, sparse_opt.weight_decay,
-                sparse_opt.clipnorm, rounding_key=rk_repl)
+                sparse_opt.clipnorm, rounding_key=rk_repl,
+                grad_dtype=getattr(sparse_opt, "dense_grad_dtype", None))
         elif adam:
             from ..optim import adam_dense_body
             m_r, v_r, count = pt.repl_accum
@@ -791,21 +792,26 @@ def planned_apply(mesh: Mesh, pt: PlannedTables, indices,
                 pt.repl, m_r, v_r, t_next, rows, g, lr_val,
                 sparse_opt.b1, sparse_opt.b2, sparse_opt.eps,
                 sparse_opt.weight_decay, sparse_opt.clipnorm,
-                rounding_key=rk_repl)
+                rounding_key=rk_repl,
+                grad_dtype=getattr(sparse_opt, "dense_grad_dtype", None))
             new_repl_acc = (new_m, new_v, t_next)
         elif ftrl:
             from ..optim import ftrl_dense_body
             z_r, n_r = pt.repl_accum
             new_repl, new_z, new_n = ftrl_dense_body(
                 pt.repl, z_r, n_r, rows, g, sparse_opt.lr, sparse_opt.beta,
-                sparse_opt.l1, sparse_opt.l2, sparse_opt.clipnorm)
+                sparse_opt.l1, sparse_opt.l2, sparse_opt.clipnorm,
+                grad_dtype=getattr(sparse_opt, "dense_grad_dtype", None))
             new_repl_acc = (new_z, new_n)
         else:
             from ..optim import sgd_dense_body
             new_repl = sgd_dense_body(pt.repl, rows, g, lr_val,
                                       sparse_opt.weight_decay,
                                       sparse_opt.clipnorm,
-                                      rounding_key=rk_repl)
+                                      rounding_key=rk_repl,
+                                      grad_dtype=getattr(
+                                          sparse_opt, "dense_grad_dtype",
+                                          None))
 
     if pt.shard_tables:
         shifted = jnp.stack(

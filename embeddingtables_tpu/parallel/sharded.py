@@ -603,7 +603,8 @@ def sharded_adam_apply(mesh: Mesh, st: ShardedStackedTables, m, v, count,
         new_data, new_m, new_v = adam_dense_body(
             shard[0], lm[0], lv[0], t_next, lrow, g, lr_val, opt.b1,
             opt.b2, opt.eps, opt.weight_decay, opt.clipnorm,
-            rounding_key=rkey)
+            rounding_key=rkey,
+            grad_dtype=getattr(opt, "dense_grad_dtype", None))
         return new_data[None], new_m[None], new_v[None]
 
     spec = P(None, baxis) if batch_sharded else P()
@@ -712,7 +713,8 @@ def sharded_ftrl_apply(mesh: Mesh, st: ShardedStackedTables, z, n_state,
         lrow = jnp.where(mine, rows // n, rows_local)   # OOB -> drop
         new_data, new_z, new_n = ftrl_dense_body(
             shard[0], lz[0], ln[0], lrow, g, opt.lr, opt.beta, opt.l1,
-            opt.l2, opt.clipnorm)
+            opt.l2, opt.clipnorm,
+            grad_dtype=getattr(opt, "dense_grad_dtype", None))
         return new_data[None], new_z[None], new_n[None]
 
     spec = P(None, baxis) if batch_sharded else P()

@@ -22,6 +22,9 @@ T, V, D, B, CHUNK, REPS = 26, 250_000, 128, 65_536, 10, 3
 def main():
     import embeddingtables_tpu
     print(f"# package: {embeddingtables_tpu.__file__}", file=sys.stderr)
+    gdt = None
+    if "--dense-grad-dtype" in sys.argv:
+        gdt = sys.argv[sys.argv.index("--dense-grad-dtype") + 1]
     cfg = DLRMConfig(vocab_sizes=tuple([V] * T), num_dense=13, dim=D,
                      bottom_mlp=(64, D), top_mlp=(64, 1))
     rng = np.random.default_rng(0)
@@ -30,7 +33,7 @@ def main():
         [rng.integers(0, V, (B,)).astype(np.int32) for _ in range(T)]))
     label = jnp.asarray(rng.integers(0, 2, B).astype(np.float32))
 
-    ada = SparseRowWiseAdaGrad(lr=1e-3)
+    ada = SparseRowWiseAdaGrad(lr=1e-3, dense_grad_dtype=gdt)
     step = make_train_step(cfg, sparse_opt=ada, dense_lr=1e-4, jit=False)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -51,7 +54,8 @@ def main():
         model, loss = run_chunk(model, dense, cat, label)
         _ = float(loss)
         times.append((time.perf_counter() - t0) / CHUNK)
-    print(f"uniform_adagrad {float(np.median(times))*1e3:.2f} ms "
+    print(f"uniform_adagrad[grad_dtype={gdt or 'f32'}] "
+          f"{float(np.median(times))*1e3:.2f} ms "
           f"(all: {[round(t*1e3, 2) for t in times]})")
 
 

@@ -84,6 +84,12 @@ def main():
                     help="with bf16 tables: stochastic rounding so sub-ulp "
                          "steps accumulate (rounding.py; sgd/adagrad/adam, "
                          "single-chip)")
+    ap.add_argument("--dense-grad-dtype", choices=["float32", "bfloat16"],
+                    default=None,
+                    help="dense-grad SCRATCH dtype for the stateful "
+                         "optimizers (default f32, exact; bfloat16 = "
+                         "measured -7.4%% on AdaGrad at ~3e-3 rel grad "
+                         "err, DESIGN.md \u00a711)")
     ap.add_argument("--prefetch", type=int, default=2)
     ap.add_argument("--device-prefetch", type=int, default=0,
                     help="stage N batches ON DEVICE ahead of the step (hides\nthe host->device upload; 2 is a good start)")
@@ -148,6 +154,8 @@ def main():
             print(plan.summary(), flush=True)
 
     reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
+    if args.dense_grad_dtype and args.dense_grad_dtype != "float32":
+        reg["dense_grad_dtype"] = args.dense_grad_dtype
     if args.stochastic_rounding:
         if args.opt == "ftrl":
             ap.error("--stochastic-rounding supports sgd/adagrad/adam")

@@ -76,6 +76,13 @@ def main():
                          "stochastically so sub-ulp updates accumulate "
                          "(rounding.py; sgd/adagrad/adam, single-chip or "
                          "--mesh gather)")
+    ap.add_argument("--dense-grad-dtype", choices=["float32", "bfloat16"],
+                    default=None,
+                    help="dense-grad SCRATCH dtype for the stateful "
+                         "optimizers (default f32, exact). bfloat16 halves "
+                         "the scratch+scatter-operand streams: measured "
+                         "-7.4%% on the AdaGrad step at ~3e-3 rel grad err "
+                         "(DESIGN.md §11)")
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--warmup-steps", type=int, default=0,
                     help="linear lr warmup for the sparse optimizer")
@@ -183,6 +190,8 @@ def main():
             print(plan.summary(), flush=True)
 
     reg = dict(weight_decay=args.weight_decay, clipnorm=args.clipnorm)
+    if args.dense_grad_dtype and args.dense_grad_dtype != "float32":
+        reg["dense_grad_dtype"] = args.dense_grad_dtype
     if args.stochastic_rounding:
         if args.opt == "ftrl":
             ap.error("--stochastic-rounding supports sgd/adagrad/adam")

@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--stochastic-rounding", action="store_true",
                     help="with bf16 tables: stochastic rounding so sub-ulp "
                          "steps accumulate (rounding.py; sgd/adagrad/adam)")
+    ap.add_argument("--dense-grad-dtype", choices=["float32", "bfloat16"],
+                    default=None,
+                    help="dense-grad SCRATCH dtype for the stateful "
+                         "optimizers (default f32, exact; bfloat16 = "
+                         "measured -7.4%% on AdaGrad at ~3e-3 rel grad "
+                         "err, DESIGN.md \u00a711)")
     ap.add_argument("--device-prefetch", type=int, default=0,
                     help="stage N batches ON DEVICE ahead of the step")
     ap.add_argument("--seed", type=int, default=0)
@@ -87,6 +93,8 @@ def main():
         mesh = default_mesh(("data",))
         print(f"mesh: {mesh}", flush=True)
     reg = {}
+    if args.dense_grad_dtype and args.dense_grad_dtype != "float32":
+        reg["dense_grad_dtype"] = args.dense_grad_dtype
     if args.stochastic_rounding:
         if args.opt == "ftrl":
             ap.error("--stochastic-rounding supports sgd/adagrad/adam")

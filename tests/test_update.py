@@ -382,3 +382,71 @@ def test_accumulate_updates_matches_merged_scatter():
                                    indices=jnp.zeros((5, 2), jnp.int32))
     with pytest.raises(ValueError):
         accumulate_updates([parts[0], bag])
+
+
+def test_dense_grad_dtype_bf16_close_and_untouched_exact():
+    # dense_grad_dtype="bfloat16" (the opt-in scratch-halving knob,
+    # docs/DESIGN.md §11; probe_ada_bf16.py measured -4.4 ms/step on v5e)
+    # must stay CLOSE to the exact f32 scratch on touched rows, keep
+    # untouched rows exact fixed points (a bf16 zeros scratch accumulates
+    # nothing there), and passing grad_dtype=float32 explicitly must be
+    # bitwise the default.
+    from embeddingtables_tpu.optim import SparseRowWiseAdaGrad
+    rng = np.random.default_rng(9)
+    V, D = 120, 16          # D not lane-aligned -> the scatter realization
+    data = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 40, (200,)).astype(np.int32))  # dups
+    delta = jnp.asarray(
+        (0.1 * rng.standard_normal((200, D))).astype(np.float32))
+    upd = et.SparseEmbeddingUpdate(delta=delta, indices=idx)
+
+    exact = SparseRowWiseAdaGrad(lr=0.5, initial_accum=0.01)
+    lossy = SparseRowWiseAdaGrad(lr=0.5, initial_accum=0.01,
+                                 dense_grad_dtype="bfloat16")
+    explicit = SparseRowWiseAdaGrad(lr=0.5, initial_accum=0.01,
+                                    dense_grad_dtype="float32")
+    st = exact.init(data)
+    d32, s32 = exact.apply(data, upd, st, method="dense")
+    d16, s16 = lossy.apply(data, upd, st, method="dense")
+    dex, sex = explicit.apply(data, upd, st, method="dense")
+
+    np.testing.assert_array_equal(np.asarray(d32), np.asarray(dex))
+    np.testing.assert_array_equal(np.asarray(s32.accum),
+                                  np.asarray(sex.accum))
+    # bf16 accumulation: ~8 mantissa bits on the summed gradient.
+    np.testing.assert_allclose(np.asarray(d16), np.asarray(d32),
+                               rtol=0.05, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(s16.accum), np.asarray(s32.accum),
+                               rtol=0.05, atol=1e-4)
+    untouched = np.setdiff1d(np.arange(V), np.unique(np.asarray(idx)))
+    assert untouched.size > 0
+    np.testing.assert_array_equal(np.asarray(d16)[untouched],
+                                  np.asarray(data)[untouched])
+    np.testing.assert_array_equal(np.asarray(s16.accum)[untouched],
+                                  np.full(untouched.size, 0.01, np.float32))
+
+
+def test_dense_grad_dtype_reaches_regularized_sgd_and_adam():
+    # The knob threads through every dense body (SGD-with-decay, Adam):
+    # results stay close to the f32 scratch, never equal-by-accident when
+    # duplicates actually collide in bf16.
+    from embeddingtables_tpu.optim import SparseLazyAdam, SparseSGD
+    rng = np.random.default_rng(11)
+    V, D = 80, 16
+    data = jnp.asarray(rng.standard_normal((V, D)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, 30, (150,)).astype(np.int32))
+    delta = jnp.asarray(
+        (0.1 * rng.standard_normal((150, D))).astype(np.float32))
+    upd = et.SparseEmbeddingUpdate(delta=delta, indices=idx)
+
+    for exact, lossy in [
+        (SparseSGD(lr=0.3, weight_decay=1e-3),
+         SparseSGD(lr=0.3, weight_decay=1e-3, dense_grad_dtype="bfloat16")),
+        (SparseLazyAdam(lr=0.05),
+         SparseLazyAdam(lr=0.05, dense_grad_dtype="bfloat16")),
+    ]:
+        st = exact.init(data)
+        d32 = exact.apply(data, upd, st)[0]
+        d16 = lossy.apply(data, upd, st)[0]
+        np.testing.assert_allclose(np.asarray(d16), np.asarray(d32),
+                                   rtol=0.05, atol=5e-3)
