@@ -239,9 +239,21 @@ def _split_stateful_apply(opt, t: SplitEmbedding, u: SparseEmbeddingUpdate,
     leading dim == vocab are row-wise and get shard-sliced; anything else
     — Adam's scalar count — is passed whole to every shard and taken back
     from the first shard's output, all shards computing the same value).
+
+    Cost: the Python loop traces S (= num_shards) optimizer-apply programs
+    into one jit, and every shard's apply consumes the FULL occurrence
+    stream (foreign occurrences routed to its sentinel row) — O(S · n_occ)
+    stream work plus S scatter programs. Fine at the reference's test
+    widths (S ≤ 50); for production sharding use
+    `parallel.ShardedStackedTables`, where disjoint ownership comes from
+    the mesh and each shard processes the stream once.
     """
     vocab, dim = t.spec.vocab, t.spec.dim
     rps = t.rows_per_shard
+    # One shard-id divmod for the whole stream (the reference's
+    # `_divrem_index` discipline, `src/split.jl:81-86`) instead of a
+    # two-comparison range mask per shard.
+    shard_of = (u.indices // rps).astype(jnp.int32)
 
     def rowwise(leaf):
         shape = getattr(leaf, "shape", ())
@@ -253,8 +265,8 @@ def _split_stateful_apply(opt, t: SplitEmbedding, u: SparseEmbeddingUpdate,
         lo = si * rps
         nrows = shard.shape[0]
         sentinel = nrows  # one appended padding row absorbs foreign occs
-        mine = (u.indices >= lo) & (u.indices < lo + nrows)
-        lidx = jnp.where(mine, u.indices - lo, sentinel).astype(jnp.int32)
+        lidx = jnp.where(shard_of == si, u.indices - lo,
+                         sentinel).astype(jnp.int32)
         lupd = SparseEmbeddingUpdate(delta=u.delta, indices=lidx,
                                      weights=u.weights)
         pad_row = jnp.zeros((1, dim), shard.dtype)

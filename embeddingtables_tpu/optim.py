@@ -122,6 +122,11 @@ def _dense_grad(data, rows, g, grad_dtype=None):
             # per shard) — the scatter realization below is always legal.
             pass
     sdt = jnp.float32 if grad_dtype is None else jnp.dtype(grad_dtype)
+    if not jnp.issubdtype(sdt, jnp.floating):
+        # e.g. "int32" would silently truncate every sub-1 gradient to
+        # zero, turning the whole update into a no-op.
+        raise ValueError(
+            f"dense_grad_dtype must be a floating dtype, got {sdt}")
     return jnp.zeros(data.shape, sdt).at[rows].add(
         g.astype(sdt), mode="drop").astype(jnp.float32)
 
@@ -384,7 +389,10 @@ class SparseSGD:
     # (docs/DESIGN.md §11) at ~3e-3 max relative gradient error from bf16
     # accumulation. Only reaches the DENSE realization (decay/clip/SR
     # here); the plain-SGD fast path scatters straight into the table
-    # with no scratch and is already optimal.
+    # with no scratch and is already operand-stream-insensitive: a bf16
+    # cast of its (-lr * delta) scatter operand measured a WASH at bench
+    # scale (72.15 -> 72.11 ms, scratch/probe_sgd_delta16.py — the
+    # scatter is issue-bound, DESIGN.md §12), so no analogous knob ships.
     dense_grad_dtype: Optional[str] = None
 
     def init(self, data: jax.Array) -> SparseOptState:
@@ -441,8 +449,12 @@ class SparseRowWiseAdaGrad:
     # (V, D) grad buffer's write+read streams: measured -4.4 ms/step on
     # the bench-scale AdaGrad update (probe_ada_bf16.py: 50.1 -> 45.7 ms;
     # docs/DESIGN.md §11) at ~3e-3 max relative gradient error from bf16
-    # accumulation on duplicate hits. Applies to the dense realization
-    # only (the indexer path segment-sums in f32).
+    # accumulation on duplicate hits. Only the dense realization has the
+    # knob, so setting it makes method="auto" pick dense. Two semantic
+    # edges of the quantized scratch: a row whose accumulated gradient
+    # quantizes to exactly bf16 zero is classified untouched (lazy
+    # decay/clip/SR skip it that step), and sub-bf16-ulp per-occurrence
+    # deltas can vanish before accumulation.
     dense_grad_dtype: Optional[str] = None
     # Dedup realization: "auto" | "dense" | "indexer".
     #   dense  : scatter-add deltas into a (V, D) f32 gradient buffer, then
@@ -476,7 +488,10 @@ class SparseRowWiseAdaGrad:
                        or self.stochastic_rounding)
         if method == "auto":
             # An explicit idx_result means the caller amortized the sort.
-            if regularized:
+            # A set dense_grad_dtype forces dense: the knob only exists on
+            # the dense realization, and silently ignoring it (indexer
+            # segment-sums in f32) would be a no-op the user asked against.
+            if regularized or self.dense_grad_dtype is not None:
                 method = "dense"
             elif idx_result is not None:
                 method = "indexer"

@@ -161,9 +161,10 @@ def main():
     opt = {"sgd": lambda: SparseSGD(args.lr, **reg),
            "adagrad": lambda: SparseRowWiseAdaGrad(lr=args.lr, **reg),
            "adam": lambda: SparseLazyAdam(lr=args.lr, **reg),
-           "ftrl": lambda: SparseFTRL(lr=args.lr, l1=args.l1,
-                                      l2=args.weight_decay,
-                                      clipnorm=args.clipnorm),
+           "ftrl": lambda: SparseFTRL(
+               lr=args.lr, l1=args.l1, l2=args.weight_decay,
+               clipnorm=args.clipnorm,
+               dense_grad_dtype=reg.get("dense_grad_dtype")),
            }[args.opt]()
     mgr = CheckpointManager(args.ckpt) if args.ckpt else None
     delta_mgr = None

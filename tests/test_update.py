@@ -450,3 +450,7 @@ def test_dense_grad_dtype_reaches_regularized_sgd_and_adam():
         d16 = lossy.apply(data, upd, st)[0]
         np.testing.assert_allclose(np.asarray(d16), np.asarray(d32),
                                    rtol=0.05, atol=5e-3)
+        # ...and the bf16 scratch actually ENGAGED: if the plumbing
+        # regressed to f32 everywhere, the results would be bitwise equal
+        # (duplicates collide in bf16 here, so engagement must show).
+        assert not np.array_equal(np.asarray(d16), np.asarray(d32))
