@@ -1576,3 +1576,186 @@ def evict_rows_planned(pt: PlannedTables, cold_per_table) -> PlannedTables:
                 new, col=dataclasses.replace(pt.col, data=cdata),
                 col_accum=cacc)
     return new
+
+
+# ---------------------------------------------------------------------------
+# Two-tower retrieval on the planner (round 5)
+# ---------------------------------------------------------------------------
+# Uniform table treatment: the reference gives every table the same API
+# surface (`/root/reference/src/EmbeddingTables.jl:49-156`); here the
+# retrieval family's two row spaces (query feature stack, item corpus) get
+# the same mixed replicate/row-shard placement the CTR families have.
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PlannedTwoTower:
+    """Two-tower retriever whose BOTH row spaces are `PlannedTables`:
+    the query feature stack under `q_plan`, the item corpus as a
+    single-table plan under `i_plan` (a huge corpus row-shards; a small
+    one replicates — the planner decides per its cost model)."""
+
+    query_tables: PlannedTables
+    item_tables: PlannedTables
+    query_mlp: list
+    item_mlp: list
+    config: object = dataclasses.field(metadata=dict(static=True))
+
+
+def _check_item_plan(i_plan: ShardingPlan, cfg):
+    if len(i_plan.decisions) != 1 or \
+            i_plan.decisions[0].vocab != cfg.item_vocab:
+        raise ValueError(
+            "i_plan must be a single-table plan over (item_vocab,) — build "
+            "it with plan_sharding([cfg.item_vocab], cfg.dim, mesh)")
+
+
+def init_planned_two_tower(key: jax.Array, cfg, q_plan: ShardingPlan,
+                           i_plan: ShardingPlan, mesh: Mesh,
+                           sparse_opt=None) -> PlannedTwoTower:
+    """Initialize directly onto the plans (sharded groups generate
+    per-shard; MLPs replicate)."""
+    from ..models.dlrm import _init_mlp
+    sparse_opt = sparse_opt or SparseSGD(0.05)
+    _check_item_plan(i_plan, cfg)
+    kq, ki, kqm, kim = jax.random.split(key, 4)
+    scale = 1.0 / (cfg.dim ** 0.5)
+    q_pt = PlannedTables.init(kq, q_plan, mesh, scale=scale,
+                              dtype=cfg.tables_dtype)
+    ra, sa, ca = planned_row_state(mesh, q_pt, sparse_opt)
+    q_pt = dataclasses.replace(q_pt, repl_accum=ra, shard_accum=sa,
+                               col_accum=ca)
+    i_pt = PlannedTables.init(ki, i_plan, mesh, scale=scale,
+                              dtype=cfg.tables_dtype)
+    ra, sa, ca = planned_row_state(mesh, i_pt, sparse_opt)
+    i_pt = dataclasses.replace(i_pt, repl_accum=ra, shard_accum=sa,
+                               col_accum=ca)
+    repl = NamedSharding(mesh, P())
+    q_in = cfg.num_dense + cfg.num_query_tables * cfg.dim
+    qmlp = jax.device_put(
+        _init_mlp(kqm, (q_in,) + cfg.query_mlp, cfg.param_dtype), repl)
+    imlp = jax.device_put(
+        _init_mlp(kim, (cfg.dim,) + cfg.item_mlp, cfg.param_dtype), repl)
+    return PlannedTwoTower(query_tables=q_pt, item_tables=i_pt,
+                           query_mlp=qmlp, item_mlp=imlp, config=cfg)
+
+
+def place_two_tower_on_plan(q_plan: ShardingPlan, i_plan: ShardingPlan,
+                            mesh: Mesh, model, sparse_opt
+                            ) -> PlannedTwoTower:
+    """Carry a trained single-chip `TwoTower` (tables + row state) onto the
+    plans — the resume path for `train_two_tower(plan=(q_plan, i_plan))`."""
+    cfg = model.config
+    _check_item_plan(i_plan, cfg)
+    q_pt = place_stacked_on_plan(q_plan, mesh, model.query_tables,
+                                 model.q_state, sparse_opt)
+    item_stack = StackedTables(data=model.item_table.data,
+                               offsets=(0, cfg.item_vocab), dim=cfg.dim)
+    i_pt = place_stacked_on_plan(i_plan, mesh, item_stack, model.i_state,
+                                 sparse_opt)
+    repl = NamedSharding(mesh, P())
+    return PlannedTwoTower(
+        query_tables=q_pt, item_tables=i_pt,
+        query_mlp=jax.device_put(model.query_mlp, repl),
+        item_mlp=jax.device_put(model.item_mlp, repl), config=cfg)
+
+
+def make_planned_tt_train_step(cfg, mesh: Mesh, sparse_opt=None,
+                               dense_lr: float = 0.05, jit: bool = True):
+    """`step(model: PlannedTwoTower, dense, q_cat, item_ids[, key]) ->
+    (model, (loss, acc))` — identical math to the single-chip contrastive
+    step (models/two_tower.py): both lookups route through
+    `planned_lookup`, both lazy updates through `planned_apply` (one per
+    row space), MLPs take a replicated SGD step. In-batch-negative softmax
+    is GSPMD's job: the (B, B) logits matmul over the batch-sharded towers
+    all-gathers automatically."""
+    from ..models.two_tower import (in_batch_softmax_loss,
+                                    item_embed_from_rows,
+                                    query_embed_from_rows)
+    sparse_opt = sparse_opt or SparseSGD(0.05)
+    from .dlrm import _check_sharded_opt
+    _check_sharded_opt(sparse_opt, allow_sr=True)
+    use_sr = bool(getattr(sparse_opt, "stochastic_rounding", False))
+
+    def step(model: PlannedTwoTower, dense, q_cat, item_ids, key=None):
+        if use_sr and key is None:
+            raise ValueError(
+                "sparse_opt.stochastic_rounding=True: pass a fresh PRNG "
+                "key per step (train_two_tower folds one in automatically)")
+        q_rows = planned_lookup(mesh, model.query_tables, q_cat) \
+            .transpose(1, 0, 2)                              # (B, T, dim)
+        i_rows = planned_lookup(mesh, model.item_tables,
+                                item_ids[None])[0]           # (B, dim)
+
+        def loss_fn(mlps, q_act, i_act):
+            qmlp, imlp = mlps
+            q = query_embed_from_rows(qmlp, cfg, dense, q_act)
+            i = item_embed_from_rows(imlp, cfg, i_act)
+            return in_batch_softmax_loss(q, i, cfg.temperature)
+
+        (loss, acc), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+            (model.query_mlp, model.item_mlp), q_rows, i_rows)
+        mlp_grads, q_delta, i_delta = grads
+        new_qmlp, new_imlp = jax.tree.map(
+            lambda p, g: (p - dense_lr * g).astype(p.dtype),
+            (model.query_mlp, model.item_mlp), mlp_grads)
+        kq = jax.random.fold_in(key, 0) if use_sr else None
+        ki = jax.random.fold_in(key, 1) if use_sr else None
+        new_q = planned_apply(mesh, model.query_tables, q_cat,
+                              q_delta.transpose(1, 0, 2).astype(jnp.float32),
+                              sparse_opt, key=kq)
+        new_i = planned_apply(mesh, model.item_tables, item_ids[None],
+                              i_delta[None].astype(jnp.float32),
+                              sparse_opt, key=ki)
+        return PlannedTwoTower(query_tables=new_q, item_tables=new_i,
+                               query_mlp=new_qmlp, item_mlp=new_imlp,
+                               config=cfg), (loss, acc)
+
+    if jit:
+        step = jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def planned_build_item_index(mesh: Mesh, model: PlannedTwoTower,
+                             batch: int = 65_536) -> jax.Array:
+    """The `(item_vocab, embed_dim)` corpus index from a planned model:
+    the item tower over all items, rows served by `planned_lookup`
+    (batched; compiled once per shape)."""
+    from ..models.two_tower import item_embed_from_rows
+    cfg = model.config
+    v = cfg.item_vocab
+
+    @jax.jit
+    def tower(imlp, it, ids):
+        rows = planned_lookup(mesh, it, ids[None])[0]
+        return item_embed_from_rows(imlp, cfg, rows)
+
+    outs = []
+    for lo in range(0, v, batch):
+        hi = min(v, lo + batch)
+        n = hi - lo
+        # The sharded exchange batch-shards its index stream, so chunks
+        # must divide the mesh — pad the ragged tail (id 0) and trim.
+        npad = -n % mesh.size
+        ids = jnp.arange(lo, lo + n + npad, dtype=jnp.int32) % v
+        out = tower(model.item_mlp, model.item_tables, ids)
+        outs.append(out[:n] if npad else out)
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+def planned_retrieve(mesh: Mesh, model: PlannedTwoTower, index: jax.Array,
+                     dense, q_cat, k: int = 10):
+    """Top-k retrieval on a planned model: planned query lookup + tower +
+    one (B, V) MXU matmul + `lax.top_k` (the serving shape of
+    models/two_tower.py::retrieve)."""
+    from ..models.two_tower import query_embed_from_rows
+    cfg = model.config
+
+    @jax.jit
+    def run(qmlp, qt, index, dense, q_cat):
+        q_rows = planned_lookup(mesh, qt, q_cat).transpose(1, 0, 2)
+        q = query_embed_from_rows(qmlp, cfg, dense, q_rows)
+        return jax.lax.top_k(q @ index.T, k)
+
+    return run(model.query_mlp, model.query_tables, index,
+               jnp.asarray(dense), jnp.asarray(q_cat))
