@@ -281,3 +281,34 @@ def test_microbatch_step_matches_monolithic(bag, opt_name):
     with pytest.raises(ValueError, match="divisible"):
         make_train_step(cfg, jit=False, microbatch=5)(model, dense, cat,
                                                       label)
+
+
+@pytest.mark.parametrize("self_interaction", [False, True])
+def test_dot_interaction_fused_vjp_matches_default_ad(self_interaction):
+    """The hand-fused interaction VJP (round 5, DESIGN.md §12: ONE
+    symmetrized selection matmul + ONE batched matmul instead of dzzt +
+    two batched matmuls — measured -6.5 ms on the bench step) must equal
+    default AD through the same forward up to matmul re-association."""
+    from embeddingtables_tpu.models.dlrm import (_tri_interaction_fn,
+                                                 _tril_selection_np)
+    b, t1, d = 8, 6, 16
+    rng = np.random.default_rng(3)
+    z = jnp.asarray(rng.standard_normal((b, t1, d)).astype(np.float32))
+    offset = 0 if self_interaction else -1
+    sel = jnp.asarray(_tril_selection_np(t1, offset))
+
+    def f_default(z):
+        zzt = jnp.einsum("bij,bkj->bik", z, z)
+        flat = zzt.reshape(b, t1 * t1) @ sel
+        return jnp.sum(jnp.sin(flat * 0.1))
+
+    def f_fused(z):
+        return jnp.sum(jnp.sin(_tri_interaction_fn(t1, offset)(z) * 0.1))
+
+    # Forward identical (same program), backward equal to re-association.
+    np.testing.assert_array_equal(np.asarray(f_default(z)),
+                                  np.asarray(f_fused(z)))
+    g_def = jax.grad(f_default)(z)
+    g_fus = jax.grad(f_fused)(z)
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_def),
+                               rtol=1e-5, atol=1e-6)
