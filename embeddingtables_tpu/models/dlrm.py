@@ -233,6 +233,91 @@ def _tri_interaction_fn(t1: int, offset: int):
     return tri
 
 
+@functools.lru_cache(maxsize=8)
+def _block_interaction_fn(t: int, offset: int):
+    """Block-Gram interaction on TABLE-MAJOR embeddings (round 5,
+    docs/DESIGN.md §14): the same pairwise dots as `dot_interaction`, but
+    assembled from Gram BLOCKS computed directly on `(T, B, D)` —
+    `G_ee = einsum(ibd,jbd->bij)` over the T embedding rows, `G_be =
+    einsum(bd,jbd->bj)` against the bottom output (+ `G_bb` under
+    self-interaction) — so the `(B, T+1, D)` z concat never exists and the
+    batched Gram runs on (T, T) instead of (T+1, T+1). Output is in BLOCK
+    order `[bb? | be | ee-tril]`; the consumer compensates by permuting
+    the top MLP's first-matmul ROWS (`_block_w1_perm`, a (dim+pairs, H)
+    take — ~free), which is EXACT (same products; probe gate measured
+    0.0 loss diff vs the canonical path on-chip shapes).
+
+    Backward: the same symmetrized-selection trick as
+    `_tri_interaction_fn`, on the (T, T) block and in (T, B, D) layout end
+    to end — the cotangent never transposes. Measured v5e at bench shapes
+    (scratch/probe_blockconfirm.py, A/B/A/B interleaved): full SGD step
+    65.8 -> 65.0 ms, stable across trials. (The z-assembly itself is NOT
+    the win — probe_fwdfat F1 vs F2 measured transpose+concat fusion
+    free; the saving is the smaller Gram/selection and the dropped
+    (B, T+1, D) cotangent assembly.)"""
+    import numpy as _np
+    li, lj = _np.tril_indices(t, k=offset)
+    sel_np = _np.zeros((t * t, li.size), _np.float32)
+    sel_np[li * t + lj, _np.arange(li.size)] = 1.0
+    ss_np = sel_np.copy()
+    ss_np[lj * t + li, _np.arange(li.size)] += 1.0
+    ss_t = _np.ascontiguousarray(ss_np.T)
+    with_bb = offset == 0
+
+    @jax.custom_vjp
+    def tri(bot, emb_t):
+        gee = jnp.einsum("ibd,jbd->bij", emb_t, emb_t)
+        flat_ee = gee.reshape(bot.shape[0], t * t) @ jnp.asarray(
+            sel_np, bot.dtype)
+        gbe = jnp.einsum("bd,jbd->bj", bot, emb_t)
+        parts = [gbe, flat_ee]
+        if with_bb:
+            parts.insert(0, jnp.sum(bot * bot, axis=-1, keepdims=True))
+        return jnp.concatenate(parts, axis=-1)
+
+    def tri_fwd(bot, emb_t):
+        return tri(bot, emb_t), (bot, emb_t)
+
+    def tri_bwd(res, dflat):
+        bot, emb_t = res
+        nbb = 1 if with_bb else 0
+        dgbe = dflat[:, nbb:nbb + t]
+        dflat_ee = dflat[:, nbb + t:]
+        m = (dflat_ee @ jnp.asarray(ss_t, dflat.dtype)).reshape(
+            bot.shape[0], t, t)
+        demb = jnp.einsum("bij,jbd->ibd", m, emb_t) + \
+            jnp.einsum("bj,bd->jbd", dgbe, bot)
+        dbot = jnp.einsum("bj,jbd->bd", dgbe, emb_t)
+        if with_bb:
+            dbot = dbot + 2.0 * dflat[:, :1] * bot
+        return dbot, demb
+
+    tri.defvjp(tri_fwd, tri_bwd)
+    return tri
+
+
+@functools.lru_cache(maxsize=8)
+def _block_w1_perm(t: int, offset: int, dim: int):
+    """Inverse row-permutation for the top MLP's first matmul so
+    `[bot | flat_block] @ W1[perm]` equals the canonical
+    `[bot | flat_canonical] @ W1`: canonical feature k sits at block
+    position P[k], so W1_eff[j] = W1[P^-1(j)]."""
+    import numpy as _np
+    t1 = t + 1
+    li, lj = _np.tril_indices(t1, k=offset)
+    li26, lj26 = _np.tril_indices(t, k=offset)
+    ee_pos = {(a, b): k for k, (a, b) in enumerate(zip(li26, lj26))}
+    nbb = 1 if offset == 0 else 0
+    p = _np.empty(li.size, _np.int64)
+    for k, (a, b) in enumerate(zip(li, lj)):
+        if b == 0:
+            p[k] = (0 if a == 0 else nbb + (a - 1)) if offset == 0 \
+                else (a - 1)
+        else:
+            p[k] = nbb + t + ee_pos[(a - 1, b - 1)]
+    return _np.argsort(_np.concatenate([_np.arange(dim), dim + p]))
+
+
 def dot_interaction(bottom_out: jax.Array, emb: jax.Array,
                     self_interaction: bool) -> jax.Array:
     """Pairwise feature interactions: Z = [bottom; emb] (B, T+1, D);
@@ -310,10 +395,26 @@ def forward_from_embeddings(bottom, top, cfg: DLRMConfig, dense: jax.Array,
     sparse-gradient boundary)."""
     cd = cfg.compute_dtype
     bot = _mlp(bottom, dense, cd)                        # (B, dim)
-    emb = jnp.transpose(emb_t, (1, 0, 2)).astype(cd)     # (B, T, dim)
     if cfg.interaction == "dot":
-        feat = dot_interaction(bot, emb, cfg.self_interaction)
+        t = emb_t.shape[0]
+        t1 = t + 1
+        offset = 0 if cfg.self_interaction else -1
+        npairs = t1 * (t1 + 1) // 2 if cfg.self_interaction \
+            else t1 * (t1 - 1) // 2
+        if t1 * t1 * npairs <= _SEL_MAX_ENTRIES:
+            # Block-Gram on the table-major embeddings (round 5, §14):
+            # no z concat/transpose; top-W1 rows permuted to compensate
+            # for the block feature order — exact vs the canonical path.
+            flat = _block_interaction_fn(t, offset)(bot, emb_t.astype(cd))
+            feat = jnp.concatenate([bot, flat], axis=-1)
+            w1, b1 = top[0]
+            perm = jnp.asarray(_block_w1_perm(t, offset, bot.shape[1]))
+            top = [(jnp.take(w1, perm, axis=0), b1)] + list(top[1:])
+        else:
+            emb = jnp.transpose(emb_t, (1, 0, 2)).astype(cd)
+            feat = dot_interaction(bot, emb, cfg.self_interaction)
     else:
+        emb = jnp.transpose(emb_t, (1, 0, 2)).astype(cd)     # (B, T, dim)
         # "cat": plain concat fusion — the PreallocationStrategy layout, with
         # the bottom output occupying the prepend region (reference
         # `lookup.jl:288-291,336-340`).

@@ -312,3 +312,53 @@ def test_dot_interaction_fused_vjp_matches_default_ad(self_interaction):
     g_fus = jax.grad(f_fused)(z)
     np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_def),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("self_interaction", [False, True])
+def test_block_interaction_forward_matches_canonical(self_interaction,
+                                                     monkeypatch):
+    """The block-Gram production interaction (round 5, DESIGN.md §14:
+    Gram blocks computed directly on the table-major (T, B, D) embeddings,
+    block feature order compensated by permuting the top-W1 rows) must
+    match the canonical z-assembly path — same products, so the forward
+    differs only by matmul re-association, and the hand VJP must match
+    default AD through the canonical fallback."""
+    import dataclasses as dc
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.models import dlrm as dlrm_mod
+    from embeddingtables_tpu.models.dlrm import (bce_loss,
+                                                 forward_from_embeddings)
+    from embeddingtables_tpu.optim import SparseSGD
+
+    # f32 compute so re-association is the ONLY tolerance needed (the
+    # default bf16 towers would add ~5e-4 ulp noise between assemblies).
+    cfg = DLRMConfig(vocab_sizes=(40, 70, 30, 50, 20), num_dense=5, dim=16,
+                     bottom_mlp=(12, 16), top_mlp=(12, 1),
+                     self_interaction=self_interaction,
+                     compute_dtype=jnp.float32)
+    model = init_dlrm(jax.random.key(2), cfg, sparse_opt=SparseSGD(0.1))
+    rng = np.random.default_rng(9)
+    b = 12
+    dense = jnp.asarray(rng.normal(size=(b, 5)).astype(np.float32))
+    emb_t = jnp.asarray(
+        rng.standard_normal((5, b, 16)).astype(np.float32))
+    label = jnp.asarray(rng.integers(0, 2, b).astype(np.float32))
+
+    def loss(params, emb):
+        bottom, top = params
+        return bce_loss(
+            forward_from_embeddings(bottom, top, cfg, dense, emb), label)
+
+    l_blk, (gd_blk, ge_blk) = jax.value_and_grad(loss, argnums=(0, 1))(
+        (model.bottom, model.top), emb_t)
+    # Force the canonical fallback (fancy-index triangle, default AD).
+    monkeypatch.setattr(dlrm_mod, "_SEL_MAX_ENTRIES", 0)
+    l_can, (gd_can, ge_can) = jax.value_and_grad(loss, argnums=(0, 1))(
+        (model.bottom, model.top), emb_t)
+
+    np.testing.assert_allclose(float(l_blk), float(l_can), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ge_blk), np.asarray(ge_can),
+                               rtol=1e-4, atol=1e-6)
+    for a, c in zip(jax.tree.leaves(gd_blk), jax.tree.leaves(gd_can)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=1e-4, atol=1e-6)
