@@ -362,3 +362,55 @@ def test_block_interaction_forward_matches_canonical(self_interaction,
     for a, c in zip(jax.tree.leaves(gd_blk), jax.tree.leaves(gd_can)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_block_interaction_single_table_edge():
+    """t=1 DLRM: the block assembly's ee-triangle is EMPTY at offset -1
+    (zero-width selection matmul) and a single self-dot at offset 0 — both
+    must run and train (round-5 §14 edge the canonical z-path never had)."""
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.models.dlrm import dlrm_forward, make_train_step
+    from embeddingtables_tpu.optim import SparseSGD
+
+    for si in (False, True):
+        cfg = DLRMConfig(vocab_sizes=(50,), num_dense=4, dim=8,
+                         bottom_mlp=(8, 8), top_mlp=(8, 1),
+                         self_interaction=si, compute_dtype=jnp.float32)
+        m = init_dlrm(jax.random.key(0), cfg, sparse_opt=SparseSGD(0.1))
+        rng = np.random.default_rng(0)
+        dense = jnp.asarray(rng.normal(size=(6, 4)).astype(np.float32))
+        cat = jnp.asarray(rng.integers(0, 50, (1, 6)).astype(np.int32))
+        label = jnp.asarray(rng.integers(0, 2, 6).astype(np.float32))
+        assert dlrm_forward(m, dense, cat).shape == (6,)
+        _, loss = make_train_step(cfg, sparse_opt=SparseSGD(0.1),
+                                  jit=False)(m, dense, cat, label)
+        assert np.isfinite(float(loss))
+
+
+@pytest.mark.thorough
+@pytest.mark.parametrize("t", [1, 2, 3, 5, 8, 13])
+@pytest.mark.parametrize("self_interaction", [False, True])
+def test_block_interaction_width_sweep(t, self_interaction, monkeypatch):
+    """Reference-scale volume for the §14 block assembly: block==canonical
+    logits across table counts x both offsets (f32, tight tolerance)."""
+    from embeddingtables_tpu.models import DLRMConfig, init_dlrm
+    from embeddingtables_tpu.models import dlrm as dlrm_mod
+    from embeddingtables_tpu.models.dlrm import forward_from_embeddings
+    from embeddingtables_tpu.optim import SparseSGD
+
+    cfg = DLRMConfig(vocab_sizes=(30,) * t, num_dense=3, dim=8,
+                     bottom_mlp=(8, 8), top_mlp=(8, 1),
+                     self_interaction=self_interaction,
+                     compute_dtype=jnp.float32)
+    model = init_dlrm(jax.random.key(1), cfg, sparse_opt=SparseSGD(0.1))
+    rng = np.random.default_rng(t)
+    b = 9
+    dense = jnp.asarray(rng.normal(size=(b, 3)).astype(np.float32))
+    emb_t = jnp.asarray(rng.standard_normal((t, b, 8)).astype(np.float32))
+    out_blk = forward_from_embeddings(model.bottom, model.top, cfg, dense,
+                                      emb_t)
+    monkeypatch.setattr(dlrm_mod, "_SEL_MAX_ENTRIES", 0)
+    out_can = forward_from_embeddings(model.bottom, model.top, cfg, dense,
+                                      emb_t)
+    np.testing.assert_allclose(np.asarray(out_blk), np.asarray(out_can),
+                               rtol=1e-5, atol=1e-6)
