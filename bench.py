@@ -16,7 +16,7 @@ writes the donated table. That is what this bench runs (dense towers kept
 small so the embedding engine dominates), chained `CHUNK` steps inside one
 jit (remote-tunnel dispatch costs ~24 ms/call), fenced by a loss fetch.
 
-Six configurations (rounds 2-4: regression lines for skewed traffic,
+Seven configurations (rounds 2-5: regression lines for skewed traffic,
 stateful optimizers, and the bf16 capacity/speed recipes — not just the
 uniform-SGD headline):
 
@@ -30,6 +30,8 @@ uniform-SGD headline):
                   capacity recipe, DESIGN.md §7)
   bf16grad AdaGrad — f32 tables + bf16 dense-grad scratch (the opt-in
                   speed knob `dense_grad_dtype`, DESIGN.md §11)
+  bf16+SR+bf16grad AdaGrad — the combined production recipe (capacity
+                  AND speed knobs together, DESIGN.md §15)
 
     bytes/step = fwd:  B*T*D reads + B*T*D writes (emb activations)
                + bwd:  B*T*D delta writes
@@ -121,6 +123,8 @@ def dma_sol_seconds(t: int, vocab: int, dim: int, batch: int,
                  hardware-RNG noise for the stochastic rounding (§7).
                  The scatter term does NOT shrink with bf16 (measured,
                  §1e: it is control-bound, not byte-bound).
+      bf16_sr_bf16grad — the combined production recipe (§15): bf16
+                 tables + SR AND the bf16 scratch (both halvings apply).
     """
     n_occ = batch * t
     sum_v = t * vocab
@@ -128,16 +132,17 @@ def dma_sol_seconds(t: int, vocab: int, dim: int, batch: int,
     gather = n_occ * 6.7e-9
     scatter = n_occ * 14.6e-9 + sum_v * 2.1e-9 + 3e-3
     act = batch * t * dim          # activation-sized pass, elements
-    table_item = 2 if config == "bf16_sr" else 4
+    sr = config in ("bf16_sr", "bf16_sr_bf16grad")
+    table_item = 2 if sr else 4
     streams = (2 * table_item + 2 * 4) * act / bw
     base = gather + scatter + streams
     if config == "sgd":
         return base
-    scratch_item = 2 if config == "bf16grad" else 4
+    scratch_item = 2 if config in ("bf16grad", "bf16_sr_bf16grad") else 4
     extra = (2 * sum_v * dim * scratch_item        # scratch zero-init + read
              + 2 * sum_v * dim * table_item       # table read + write
              + 2 * sum_v * 4) / bw                # (ΣV,) accum read + write
-    if config == "bf16_sr":
+    if sr:
         extra += sum_v * dim * 2 / bw             # u16 SR noise pass
     return base + extra
 
@@ -296,6 +301,31 @@ def main():
     print(f"# bf16_sr_adagrad {results['bf16_sr_adagrad']*1e3:.2f} ms",
           file=sys.stderr, flush=True)
 
+    # --- the COMBINED production recipe (docs/DESIGN.md §15): bf16 tables
+    # + SR (capacity, §7) AND the bf16 dense-grad scratch (speed, §11) —
+    # both AUC-proven individually and combined — ONE compile ------------
+    srg = SparseRowWiseAdaGrad(lr=1e-3, stochastic_rounding=True,
+                               dense_grad_dtype="bfloat16")
+    srg_step = make_train_step(cfg16, sparse_opt=srg, dense_lr=1e-4,
+                               jit=False)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def srg_run(model, dense, cat, label):
+        def body(k, carry):
+            m, _ = carry
+            m, loss = srg_step(m, dense, (cat + k) % vocab, label,
+                               key=jax.random.fold_in(sr_base_key, k))
+            return m, loss
+        return jax.lax.fori_loop(0, chunk, body,
+                                 (model, jnp.zeros((), jnp.float32)))
+
+    model = init_dlrm(jax.random.key(0), cfg16, sparse_opt=srg)
+    results["bf16_sr_bf16grad_adagrad"] = measure(
+        srg_run, model, dense, cat_uni, label, chunk, reps)
+    print(f"# bf16_sr_bf16grad_adagrad "
+          f"{results['bf16_sr_bf16grad_adagrad']*1e3:.2f} ms",
+          file=sys.stderr, flush=True)
+
     # --- AdaGrad + bf16 dense-grad scratch (opt-in `dense_grad_dtype`,
     # docs/DESIGN.md §11: halves the grad scratch + scatter-operand
     # streams at ~3e-3 rel grad err) — ONE compile ------------------------
@@ -343,6 +373,8 @@ def main():
                                            "bf16_sr"),
         "bf16grad_adagrad": dma_sol_seconds(t, vocab, dim, batch, roofline,
                                             "bf16grad"),
+        "bf16_sr_bf16grad_adagrad": dma_sol_seconds(
+            t, vocab, dim, batch, roofline, "bf16_sr_bf16grad"),
     }
     for name, s in sol_by_config.items():
         print(f"# sol[{name}] {s*1e3:.1f} ms -> vs_dma_sol "
@@ -364,6 +396,8 @@ def main():
         "zipf_adagrad_ms": round(results["zipf_adagrad"] * 1e3, 3),
         "bf16_sr_adagrad_ms": round(results["bf16_sr_adagrad"] * 1e3, 3),
         "bf16grad_adagrad_ms": round(results["bf16grad_adagrad"] * 1e3, 3),
+        "bf16_sr_bf16grad_adagrad_ms": round(
+            results["bf16_sr_bf16grad_adagrad"] * 1e3, 3),
         "zipf_speedup_vs_uniform": round(
             results["uniform_sgd"] / results["zipf_sgd"], 4),
     }
