@@ -143,7 +143,12 @@ def dma_sol_seconds(t: int, vocab: int, dim: int, batch: int,
              + 2 * sum_v * dim * table_item       # table read + write
              + 2 * sum_v * 4) / bw                # (ΣV,) accum read + write
     if sr:
-        extra += sum_v * dim * 2 / bw             # u16 SR noise pass
+        # (ΣV, D) u16 SR noise: the floor is the hardware RngBitGenerator's
+        # GENERATION rate, measured ~212 GB/s on v5e (scratch/probe_rng.py:
+        # 1.66 GB in 7.86 ms at bench scale; threefry is 2.6x slower, the
+        # HBM stream 4x faster) — the generator, not the write stream, is
+        # the binding constraint for this term.
+        extra += sum_v * dim * 2 / (211.7e9 * (roofline_gbps / 819.0))
     return base + extra
 
 
