@@ -344,4 +344,55 @@ np.testing.assert_allclose(np.asarray(_qe17(_d17, _c17)),
 print("17. DeepFM folded stack on-chip: fold==legacy SGD steps, "
       "fused int8 serving in bound")
 
+# --- 18. Planned two-tower on-chip (round 5) --------------------------------
+# Both retrieval row spaces behind plan_sharding/PlannedTables on the real
+# chip (1-device mesh, same discipline as section 16): planned contrastive
+# steps track the single-chip trajectory, planned retrieval matches.
+from embeddingtables_tpu.models.two_tower import (
+    TwoTowerConfig as _TTC18, build_item_index as _bii18,
+    init_two_tower as _itt18, make_train_step as _mts18,
+    retrieve as _ret18)
+from embeddingtables_tpu.optim import SparseSGD as _SGD18
+from embeddingtables_tpu.parallel.mesh import default_mesh as _dm18
+from embeddingtables_tpu.parallel.planner import (
+    make_planned_tt_train_step as _mpts18, place_two_tower_on_plan as _pt18,
+    plan_sharding as _ps18, planned_build_item_index as _pbii18,
+    planned_retrieve as _pret18)
+_cfg18 = _TTC18(query_vocab_sizes=(80, 200), item_vocab=300, num_dense=3,
+                dim=16, embed_dim=16, query_mlp=(32, 16), item_mlp=(32, 16),
+                compute_dtype=jnp.float32)
+_mesh18 = _dm18(("data",))
+_qp18 = _ps18(_cfg18.query_vocab_sizes, _cfg18.dim, _mesh18,
+              replicate_max_bytes=80 * _cfg18.dim * 4 + 1)
+_ip18 = _ps18([_cfg18.item_vocab], _cfg18.dim, _mesh18,
+              replicate_max_bytes=1)
+# Two independent inits (same key): on a 1-device mesh device_put can
+# ALIAS instead of copy, and the donated single-chip step would delete
+# the planned model's buffers (the section-17 discipline).
+_m18 = _itt18(jax.random.key(18), _cfg18, sparse_opt=_SGD18(0.1))
+_mp18 = _pt18(_qp18, _ip18, _mesh18,
+              _itt18(jax.random.key(18), _cfg18, sparse_opt=_SGD18(0.1)),
+              _SGD18(0.1))
+_s18 = _mts18(_cfg18, sparse_opt=_SGD18(0.1), dense_lr=0.1)
+_sp18 = _mpts18(_cfg18, _mesh18, sparse_opt=_SGD18(0.1), dense_lr=0.1)
+for _k in range(2):
+    _d = jnp.asarray(_r.normal(size=(32, 3)).astype(np.float32))
+    _q = jnp.asarray(np.stack([_r.integers(0, v, 32).astype(np.int32)
+                               for v in _cfg18.query_vocab_sizes]))
+    _i = jnp.asarray(_r.permutation(_cfg18.item_vocab)[:32].astype(np.int32))
+    _m18, (_l1, _) = _s18(_m18, _d, _q, _i)
+    _mp18, (_lp, _) = _sp18(_mp18, _d, _q, _i)
+    np.testing.assert_allclose(float(_lp), float(_l1), rtol=1e-4)
+_idx1 = _bii18(_m18, batch=128)
+_idxp = _pbii18(_mesh18, _mp18, batch=128)
+np.testing.assert_allclose(np.asarray(_idxp), np.asarray(_idx1),
+                           rtol=5e-4, atol=1e-5)
+_sc1, _id1 = _ret18(_m18, _idx1, _d, _q, k=5)
+_scp, _idp = _pret18(_mesh18, _mp18, _idxp, np.asarray(_d), np.asarray(_q),
+                     k=5)
+np.testing.assert_allclose(np.asarray(_scp), np.asarray(_sc1), rtol=5e-4,
+                           atol=1e-5)
+print("18. planned two-tower on-chip: planned steps track single chip, "
+      "planned retrieval matches")
+
 print("ALL TPU VERIFICATION CHECKS PASSED")
