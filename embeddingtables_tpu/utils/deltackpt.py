@@ -221,16 +221,45 @@ def _rows_from_flat(flat: np.ndarray, target_layout,
 
 
 def _atomic_savez(path: str, payload: dict) -> None:
+    """Atomic np.savez with ml_dtypes support: numpy serializes bfloat16 /
+    float8 arrays as raw void (`|V2`), which np.load hands back uncastable
+    (found by the round-5 on-chip CLI resume of a bf16-table run). Encode
+    such arrays as unsigned-int views plus a `<key>__mldt` dtype-name
+    sidecar; `_load_npz` restores the view."""
+    enc = {}
+    for k, v in payload.items():
+        v = np.asarray(v)
+        if v.dtype.kind == "V":
+            enc[k] = v.view(f"u{v.dtype.itemsize}")
+            enc[k + "__mldt"] = np.str_(v.dtype.name)
+        else:
+            enc[k] = v
     d = os.path.dirname(path)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp.npz")
     try:
         with os.fdopen(fd, "wb") as f:
-            np.savez(f, **payload)
+            np.savez(f, **enc)
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)
         raise
+
+
+def _load_npz(path: str) -> dict:
+    """Load an `_atomic_savez` file, restoring ml_dtypes views."""
+    with np.load(path) as z:
+        raw = {k: z[k] for k in z.files}
+    out = {}
+    for k, v in raw.items():
+        if k.endswith("__mldt"):
+            continue
+        dt = raw.get(k + "__mldt")
+        if dt is not None:
+            out[k] = v.view(np.dtype(str(dt)))
+        else:
+            out[k] = v
+    return out
 
 
 class DeltaCheckpointManager:
@@ -371,9 +400,8 @@ class DeltaCheckpointManager:
                 base, saved, target_layout, data_like, state_like)
         for d in self._deltas():
             if d > base:
-                with np.load(os.path.join(self.directory,
-                                          f"delta_{d}.npz")) as z:
-                    delta = {k: z[k] for k in z.files}
+                delta = _load_npz(os.path.join(self.directory,
+                                               f"delta_{d}.npz"))
                 data, state = apply_delta(data, state, delta,
                                           layout=self.layout)
         return data, state
@@ -514,10 +542,10 @@ class DeltaFollower:
             if d <= self._last:
                 continue
             try:
-                with np.load(os.path.join(self.directory,
-                                          f"delta_{d}.npz")) as z:
-                    rows = jnp.asarray(z["rows"])
-                    vals = jnp.asarray(z["vals"], dtype=self.data.dtype)
+                z = _load_npz(os.path.join(self.directory,
+                                           f"delta_{d}.npz"))
+                rows = jnp.asarray(z["rows"])
+                vals = jnp.asarray(z["vals"], dtype=self.data.dtype)
             except FileNotFoundError:
                 continue                # pruned by a concurrent base commit
             self.data = self.data.at[rows].set(vals)

@@ -551,3 +551,53 @@ def test_train_two_tower_delta_ckpt(tmp_path):
             == np.asarray(oracle.query_tables.data)).all()
     assert (np.asarray(resumed2.item_table.data)
             == np.asarray(oracle.item_table.data)).all()
+
+
+def test_manager_chain_restore_bitwise_bf16_tables(tmp_path):
+    """bf16 tables through the delta chain (round-5 regression: np.savez
+    round-trips ml_dtypes arrays as raw void `|V2`, which np.load hands
+    back uncastable — found by the on-chip CLI resume of a bf16-table
+    run; _atomic_savez/_load_npz now view-encode them). Also covers the
+    DeltaFollower on a bf16 chain."""
+    from embeddingtables_tpu.utils.deltackpt import DeltaFollower
+
+    rng = np.random.default_rng(7)
+    opt = SparseRowWiseAdaGrad(lr=0.05)
+    data = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32)).astype(
+        jnp.bfloat16)
+    state = opt.init(data)
+    tracker = TouchedRowTracker(V)
+    mgr = DeltaCheckpointManager(str(tmp_path), base_every=4)
+
+    def steps(data, state, n):
+        for _ in range(n):
+            idx = rng.integers(0, V, size=(B,)).astype(np.int32)
+            tracker.observe(idx)
+            upd = SparseEmbeddingUpdate(
+                delta=jnp.asarray(
+                    rng.normal(size=(B, D)).astype(np.float32)),
+                indices=jnp.asarray(idx))
+            data, state = opt.apply(data, upd, state)
+        return data, state
+
+    step = 0
+    for _ in range(3):  # saves: base, delta, delta
+        data, state = steps(data, state, 2)
+        step += 2
+        mgr.save(step, data, state, tracker)
+    assert data.dtype == jnp.bfloat16
+
+    restored = mgr.restore_latest(jnp.zeros_like(data), opt.init(data))
+    assert restored is not None
+    data_r, state_r = restored
+    assert data_r.dtype == jnp.bfloat16
+    assert (np.asarray(data_r.astype(jnp.float32))
+            == np.asarray(data.astype(jnp.float32))).all()
+    assert (np.asarray(state_r.accum) == np.asarray(state.accum)).all()
+
+    # The serving-side follower applies the same bf16 deltas.
+    fol = DeltaFollower(str(tmp_path), jnp.zeros_like(data))
+    fol.poll()
+    assert fol.data.dtype == jnp.bfloat16
+    assert (np.asarray(fol.data.astype(jnp.float32))
+            == np.asarray(data.astype(jnp.float32))).all()
