@@ -133,6 +133,10 @@ def main():
 
     mesh = None
     plan = None
+    if args.auto_shard and not args.mesh:
+        ap.error("--auto-shard requires --mesh (the planner places tables "
+                 "across mesh devices); without it the flag would be "
+                 "silently ignored")
     if args.mesh:
         from embeddingtables_tpu.parallel.mesh import default_mesh
         mesh = default_mesh(("data",))
